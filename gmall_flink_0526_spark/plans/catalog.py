@@ -1,0 +1,77 @@
+"""The query catalog — the engine's public query surface.
+
+Each :class:`QuerySpec` pairs a Spark implementation (a callable
+``(spark, sf_dir) -> DataFrame``) with an equivalent DuckDB oracle SQL
+string over the same parquet tables. The driver (and our own tests) run
+both and compare row count, schema and an order-insensitive value hash
+— so every computed column is aliased identically on both sides, and
+floating aggregates are accumulated exactly (cast to DECIMAL before
+SUM) then rounded, making the two engines bit-identical.
+
+Specs register themselves via :func:`register`; the query modules in
+this package populate the catalog at import time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable:
+    """Decorator: add a query implementation to the catalog."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        CATALOG[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: spec.fn for name, spec in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: spec.oracle for name, spec in CATALOG.items() if spec.oracle}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every query module exactly once (they self-register)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import (  # noqa: F401
+        warehouse,
+        logs,
+        cdc,
+        dedup,
+        similarity,
+        text,
+    )
+
+    _LOADED = True
