@@ -1,1 +1,344 @@
-"""Placeholder query module — populated in later milestones."""
+"""Behavior-log pipeline queries (SURVEY §2.3-§2.5, §2.7-§2.8) — the
+batch twins of the BaseLogApp / UniqueVisitApp / UserJumpDetailApp /
+BaseDbApp-routing computations, mapped onto the ``events`` table
+(FIXTURES.md §B: events plays the behavior-log stream; ``props`` is the
+schema-on-read JSON payload; ``user_id`` plays ``common.mid``).
+
+The exact streaming-state versions of F2/F3/U2 live in
+``streaming/stateful.py``; replay tests assert they converge to these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F, types as T
+
+from ..functions.exact import exact_sum, sql_sum
+from ..session import load_tables
+from .catalog import register
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+# ----------------------------------------------------------------------
+# P1 — JSON parse with dead-letter side output.
+# ----------------------------------------------------------------------
+
+
+@register(
+    "json_dead_letter",
+    oracle="""
+    WITH raw AS (
+      SELECT event_type,
+             CASE WHEN event_id % 50 = 0 THEN substr(props, 1, 5) ELSE props END AS payload
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE json_valid(payload)) AS clean_ct,
+           COUNT(*) FILTER (WHERE NOT json_valid(payload)) AS dirty_ct,
+           CAST(SUM(CASE WHEN json_valid(payload)
+                    THEN CAST(json_extract_string(payload, '$.k') AS BIGINT) END) AS BIGINT) AS k_sum
+    FROM raw
+    GROUP BY event_type
+    """,
+    doc="P1 — try-parse JSON with dirty-data side output "
+    "(RT/app/dwd/BaseLogApp.java:35-56): every 50th payload is truncated "
+    "to simulate corrupt input; from_json yields NULL -> dead-letter "
+    "branch; clean branch extracts the typed field.",
+    tags=("parse", "deadletter"),
+)
+def json_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    from ..operators.parse import parse_json_dead_letter
+
+    raw = t["events"].withColumn(
+        "payload",
+        F.when(F.col("event_id") % 50 == 0, F.substring("props", 1, 5)).otherwise(F.col("props")),
+    )
+    clean, dirty = parse_json_dead_letter(raw, "payload", PROPS_SCHEMA, out="data")
+    clean_agg = clean.groupBy("event_type").agg(
+        F.count("*").alias("clean_ct"), F.sum(F.col("data.k")).alias("k_sum")
+    )
+    dirty_agg = dirty.groupBy("event_type").agg(F.count("*").alias("dirty_ct"))
+    return (
+        clean_agg.join(dirty_agg, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("clean_ct", F.lit(0)).alias("clean_ct"),
+            F.coalesce("dirty_ct", F.lit(0)).alias("dirty_ct"),
+            "k_sum",
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# R1 — n-way stream split (side outputs).
+# ----------------------------------------------------------------------
+
+
+@register(
+    "log_split_counts",
+    oracle="""
+    SELECT CASE WHEN event_type = 'signup' THEN 'start'
+                WHEN event_type IN ('view', 'click') THEN 'page'
+                ELSE 'display' END AS route,
+           COUNT(*) AS ct,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1
+    """,
+    doc="R1 — one-pass 3-way split via side outputs "
+    "(RT/app/dwd/BaseLogApp.java:99-151): signup plays the start-log "
+    "branch, view/click the page branch, the rest the display branch. "
+    "Batch form: N filtered children over one scan (Catalyst shares it).",
+    tags=("routing", "split"),
+)
+def log_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    from ..operators.routing import split_stream
+
+    branches = split_stream(
+        t["events"],
+        {
+            "start": F.col("event_type") == "signup",
+            "page": F.col("event_type").isin("view", "click"),
+            "display": ~F.col("event_type").isin("signup", "view", "click"),
+        },
+    )
+    outs = [
+        df.agg(
+            F.lit(name).alias("route"),
+            F.count("*").alias("ct"),
+            exact_sum(F.col("value")).alias("value_sum"),
+        )
+        for name, df in branches.items()
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ----------------------------------------------------------------------
+# R2 — broadcast-config dynamic routing.
+# ----------------------------------------------------------------------
+
+ROUTING_CONFIG = [
+    # (sourceTable, operateType, sinkType, sinkTable)
+    ("view", "insert", "kafka", "dwd_page_log"),
+    ("click", "insert", "kafka", "dwd_click_log"),
+    ("purchase", "insert", "kafka", "dwd_order_info"),
+    ("signup", "insert", "hbase", "dim_user_info"),
+    # 'error' intentionally absent -> unknown keys are dropped
+]
+
+
+@register(
+    "config_routing",
+    oracle="""
+    WITH config(sourceTable, operateType, sinkType, sinkTable) AS (
+      VALUES ('view', 'insert', 'kafka', 'dwd_page_log'),
+             ('click', 'insert', 'kafka', 'dwd_click_log'),
+             ('purchase', 'insert', 'kafka', 'dwd_order_info'),
+             ('signup', 'insert', 'hbase', 'dim_user_info')
+    )
+    SELECT sinkType, sinkTable, COUNT(*) AS ct
+    FROM events JOIN config
+      ON event_type = sourceTable AND operateType = 'insert'
+    GROUP BY sinkType, sinkTable
+    """,
+    doc="R2/R3 — dynamic table routing against a broadcast config table "
+    "(RT/app/dwd/BaseDbApp.java:63-75, RT/app/func/TableProcessFunction"
+    ".java:135-163): change records join the table_process config on "
+    "(table, operation); inner join drops unknown keys exactly like the "
+    "reference's log-and-drop; sinkType partitions kafka vs dim branches.",
+    tags=("routing", "broadcast", "config"),
+)
+def config_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    from ..operators.routing import route_by_config
+
+    config = spark.createDataFrame(
+        [(s, o, st, tbl, None, "id", None) for s, o, st, tbl in ROUTING_CONFIG],
+        schema="sourceTable string, operateType string, sinkType string, "
+        "sinkTable string, sinkColumns string, sinkPk string, sinkExtend string",
+    )
+    data = t["events"].withColumn("tableName", F.col("event_type")).withColumn(
+        "type", F.lit("insert")
+    )
+    routed = route_by_config(data, config)
+    return routed.groupBy("sinkType", "sinkTable").agg(F.count("*").alias("ct"))
+
+
+# ----------------------------------------------------------------------
+# A1 — tumbling-window visitor stats.
+# ----------------------------------------------------------------------
+
+
+@register(
+    "visitor_stats_hourly",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type,
+           COUNT(*) AS pv_ct,
+           COUNT(DISTINCT user_id) AS uv_ct,
+           {sql_sum('value')} AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="A1 — VisitorStats tumbling event-time window aggregate "
+    "(RT/bean/VisitorStats.java:11-36): window start serialized as the "
+    "stt string; pv count, exact uv, value sum per window x dimension.",
+    tags=("agg", "window", "events"),
+)
+def visitor_stats_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("pv_ct"),
+            F.countDistinct("user_id").alias("uv_ct"),
+            exact_sum(F.col("value")).alias("value_sum"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# F2 — daily unique-visitor dedup (batch twin of the keyed-state op).
+# ----------------------------------------------------------------------
+
+
+@register(
+    "uv_first_visit",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id,
+             strftime(ts, '%Y-%m-%d') AS dt,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, dt, event_id AS first_event_id
+    FROM ranked WHERE rn = 1
+    """,
+    doc="F2 — UV dedup: first visit of each user per calendar day "
+    "(ValueState<lastVisitDate> + 1-day TTL, "
+    "RT/app/dwm/UniqueVisitApp.java:41-84). Batch twin: row_number over "
+    "(user, day). Exact streaming-state version: streaming/stateful.py.",
+    tags=("dedup", "state", "events"),
+)
+def uv_first_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    from ..operators.filters import first_visit_per_day
+
+    firsts = first_visit_per_day(t["events"], key="user_id", ts="ts", tiebreak="event_id")
+    return firsts.select(
+        "user_id",
+        F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+        F.col("event_id").alias("first_event_id"),
+    )
+
+
+# ----------------------------------------------------------------------
+# F3 — new-user flag correction (batch twin).
+# ----------------------------------------------------------------------
+
+
+@register(
+    "is_new_fix",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts, '1' AS is_new_claim,
+             MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_day
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN is_new_claim = '1' AND CAST(ts AS DATE) != first_day
+                THEN '0' ELSE is_new_claim END AS is_new
+    FROM flagged
+    """,
+    doc="F3 — is_new flag correction: a record may claim is_new='1' only "
+    "on the user's first-seen day (keyed ValueState, "
+    "RT/app/dwd/BaseLogApp.java:58-95). Batch twin: min(ts) over user.",
+    tags=("state", "events"),
+)
+def is_new_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    from ..operators.filters import fix_is_new
+
+    flagged = t["events"].withColumn("is_new", F.lit("1"))
+    return fix_is_new(flagged, key="user_id", ts="ts").select("event_id", "user_id", "is_new")
+
+
+# ----------------------------------------------------------------------
+# U2 — bounce (user-jump) detection via sessionization (batch twin).
+# ----------------------------------------------------------------------
+
+SESSION_GAP_MIN = 10
+
+
+@register(
+    "bounce_stats",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_entry
+      FROM events
+    ), sessions AS (
+      SELECT user_id,
+             SUM(is_entry) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ), per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS session_ct,
+           COUNT(*) FILTER (WHERE n_events = 1) AS bounce_ct
+    FROM per_session
+    GROUP BY user_id
+    """,
+    doc="U2 — bounce/user-jump detection, the reference's planned CEP job "
+    "(empty stub RT/app/dwm/UserJumpDetailApp.java:1-4; flink-cep dep "
+    "gmall-realtime/pom.xml:52-56; consumer VisitorStats.uj_ct). Spark "
+    "has no CEP: batch twin sessionizes by {SESSION_GAP_MIN}-min gaps "
+    "(lag + running sum); a bounce is a single-event session. Exact "
+    "streaming version with timeout emission: streaming/stateful.py.",
+    tags=("cep", "session", "events"),
+)
+def bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    # microsecond-precision gap test — casting timestamps to long would
+    # truncate to whole seconds and misclassify boundary gaps
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        lag_ts.cast("timestamp")
+    )
+    is_entry = F.when(
+        lag_ts.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        t["events"]
+        .withColumn("is_entry", is_entry)
+        .withColumn(
+            "session_id",
+            F.sum("is_entry").over(
+                W.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("session_ct"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("bounce_ct"),
+    )

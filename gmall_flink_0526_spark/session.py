@@ -59,6 +59,11 @@ def get_spark(
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet carries TIMESTAMP(NANOS); Spark's reader has no
+        # nanosecond timestamp type, so read them as epoch-nanos longs and
+        # convert in load_tables (integer division — double math would lose
+        # precision above 2^53 ns).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -88,9 +93,17 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict:
     be written in either the DataFrame dialect or ``spark.sql`` — the
     plan is the same after Catalyst.
     """
+    from pyspark.sql import functions as F
+
     out = {}
     for name in names or TESTDATA_TABLES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # Nanosecond timestamps arrive as epoch-nanos longs (see
+        # nanosAsLong in get_spark); truncate to micros like every
+        # µs-resolution engine (DuckDB included) does on read.
+        for field in df.schema.fields:
+            if field.name == "ts" and field.dataType.typeName() == "long":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

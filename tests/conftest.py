@@ -59,8 +59,12 @@ def assert_matches_oracle(spark_df, con, sql: str, *, name: str = "?"):
         f"{name}: column mismatch spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
     )
     cols = sorted(sdf.columns)
-    srows = sorted(tuple(_norm(v) for v in row) for row in sdf[cols].itertuples(index=False))
-    orows = sorted(tuple(_norm(v) for v in row) for row in odf[cols].itertuples(index=False))
+    srows = sorted(
+        (tuple(_norm(v) for v in row) for row in sdf[cols].itertuples(index=False)), key=repr
+    )
+    orows = sorted(
+        (tuple(_norm(v) for v in row) for row in odf[cols].itertuples(index=False)), key=repr
+    )
     assert len(srows) == len(orows), f"{name}: row count spark={len(srows)} oracle={len(orows)}"
     for i, (a, b) in enumerate(zip(srows, orows)):
         assert a == b, f"{name}: first differing row #{i}:\n  spark ={a}\n  oracle={b}"
