@@ -1,0 +1,148 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a plain DataFrame op that scales by partitioning:
+
+- exact: hash-groupBy on a canonical text digest (one shuffle).
+- MinHash + LSH: shingle -> k minhashes -> banded bucket keys ->
+  self-join on (band, key) for candidates -> exact Jaccard verify.
+  Only candidate pairs are verified, never the full O(n^2) cross join —
+  this is the property that survives a 100x scale-up.
+- SimHash: per-token hash bit-votes -> fingerprint; near-dups share
+  fingerprints (or differ in few bits).
+- Embedding cosine near-dup: bucket by a coarse key (here the label /
+  IVF centroid) and compare only within buckets.
+
+All hashing is md5-hex (portable: identical in Spark, DuckDB, Python),
+and all reductions are min/sum over arrays — JVM expressions, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textops import shingles, tokenize
+
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+HASH_PREFIX = 16  # hex chars of md5 kept per minhash
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: md5-groupBy; keeper = min id per digest group."""
+    return (
+        df.withColumn("text_hash", F.md5(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("dup_ct"),
+            F.min(F.col(id_col)).alias("keeper_id"),
+        )
+    )
+
+
+def minhash_signature(tokens_col, k: int = MINHASH_K, ngram: int = 3):
+    """Array of k minhashes: seed-prefixed md5, lexicographic min over
+    the doc's distinct n-gram shingles."""
+    sh = F.array_distinct(shingles(tokens_col, ngram))
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, seed=i: F.substring(F.md5(F.concat(F.lit(f"{seed}#"), s)), 1, HASH_PREFIX))
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """MinHash LSH: docs -> (band, band_key) buckets -> candidate pairs.
+
+    The self-join is on the band bucket key, so Spark hash-partitions
+    on (band, key): candidate generation is a single co-partitioned
+    shuffle, and skewed buckets are split by AQE.
+    """
+    toks = tokenize(F.col(text_col))
+    sigs = (
+        docs.select(F.col(id_col).alias("doc_id"), minhash_signature(toks).alias("mh"))
+        .filter(F.size("mh") > 0)
+        .filter(F.col("mh")[0].isNotNull())
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", *[F.col("mh")[b * LSH_ROWS + r] for r in range(LSH_ROWS)])
+                        ).alias("bk"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bk")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str, ngram: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (int cardinalities ->
+    deterministic double ratio)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(tokenize(F.col(text_col)), ngram)).alias("s"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sa", "sb")).cast("double")
+            / F.size(F.array_union("sa", "sb")),
+        )
+    )
+    return j.select("doc_a", "doc_b", "jaccard")
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash fingerprint: per-token md5 -> first bits//4 hex chars ->
+    bit votes (+1/-1 per occurrence) -> sign vector packed to a long.
+
+    Implementation is explode + two grouped aggregations — pure
+    shuffle-based, no per-doc state, so it scales with partitions.
+    """
+    nhex = bits // 4
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    hv = tok.withColumn("hv", F.conv(F.substring(F.md5("tok"), 1, nhex), 16, 10).cast("long"))
+    votes = (
+        hv.select(
+            "doc_id",
+            "hv",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        )
+        .withColumn("vote", F.when(F.expr("(hv >> j) & 1") == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("1 << j")).otherwise(0)).cast("long").alias("simhash")
+    )

@@ -1,0 +1,82 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is built from JVM-side ``pyspark.sql.functions``
+expressions (split / transform / aggregate / md5) — no Python UDFs in
+the hot path — so the operators stay inside whole-stage codegen and
+scale linearly with partitions. The tokenizer is the engine's
+registered ``tokenize`` function, the Spark analogue of the
+reference's IK segmentation UDTF (RT/utils/KeywordUtil.java:13-35).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Whitespace tokenizer — deterministic and portable to the oracle's
+# string_split_regex. Lowercase first so dedup/fingerprints are
+# case-insensitive.
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/number/punct token pattern (portable RE2/Java subset).
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def tokenize(text: Column) -> Column:
+    """U1 — text -> array<string> of lowercase whitespace tokens."""
+    toks = F.split(F.lower(text), TOKEN_SPLIT_RE)
+    return F.filter(toks, lambda t: t != "")
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """n-gram shingles (space-joined token windows), used by minhash /
+    jaccard / fingerprinting. Empty when the doc has fewer than n
+    tokens (guarded: Spark's sequence(1,0) would count *down*)."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)])  # noqa: E731
+    return F.when(F.size(tokens) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def stopword_count(tokens: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*stopwords)))
+
+
+def lang_id(tokens: Column, threshold: float = 0.05) -> Column:
+    """Language-ID heuristic: stopword-hit ratio over the token stream.
+    (A real model would be a pandas UDF; the heuristic is the operator
+    contract and is what the oracle reproduces.)"""
+    ratio = stop_ratio(tokens)
+    return F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def stop_ratio(tokens: Column) -> Column:
+    return stopword_count(tokens).cast("double") / F.size(tokens)
+
+
+def mean_token_len(tokens: Column) -> Column:
+    total = F.aggregate(tokens, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(tokens)
+
+
+def quality_score(tokens: Column, text: Column) -> Column:
+    """Quality scoring: length, stopword and token-shape components,
+    combined with a fixed arithmetic order so any engine reproduces the
+    exact double."""
+    n = F.size(tokens).cast("double")
+    length_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    stop_score = stop_ratio(tokens)
+    shape_score = F.lit(1.0) - F.least(
+        F.abs(mean_token_len(tokens) - F.lit(5.0)) / F.lit(10.0), F.lit(1.0)
+    )
+    return length_score * F.lit(0.4) + stop_score * F.lit(0.3) + shape_score * F.lit(0.3)
+
+
+def rolling_fingerprint(tokens: Column, n: int = 5, prefix_len: int = 16) -> Column:
+    """Document fingerprint: minimum md5 over rolling n-token windows
+    (winnowing-style min-hash of the rolling shingle set). Hex-string
+    min is lexicographic in every engine."""
+    return F.array_min(
+        F.transform(shingles(tokens, n), lambda s: F.substring(F.md5(s), 1, prefix_len))
+    )

@@ -1,1 +1,166 @@
-"""Placeholder query module — populated in later milestones."""
+"""Deduplication queries over ``documents`` / ``embeddings`` — the
+training-data-pipeline dedup suite (exact, MinHash+LSH, n-gram
+Jaccard, SimHash, embedding-cosine near-dup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup as D
+from ..session import load_tables
+from .catalog import register
+from .text import SQL_TOKS
+
+JACCARD_THRESHOLD = 0.5
+
+# -- shared oracle CTEs -------------------------------------------------
+
+SQL_SHINGLES3 = f"""
+  toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+  sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END) AS s
+    FROM toks
+  )
+"""
+
+_MINHASHES = ",\n             ".join(
+    f"list_aggregate(list_transform(s, x -> substr(md5('{i}#' || x), 1, {D.HASH_PREFIX})), 'min')"
+    for i in range(D.MINHASH_K)
+)
+
+_BANDS = ", ".join(
+    "md5(" + " || '|' || ".join(f"m[{b * D.LSH_ROWS + r + 1}]" for r in range(D.LSH_ROWS)) + ")"
+    for b in range(D.LSH_BANDS)
+)
+
+SQL_LSH_CANDIDATES = f"""
+  mh AS (
+    SELECT doc_id, [{_MINHASHES}] AS m
+    FROM sh WHERE len(s) > 0
+  ),
+  bands AS (
+    SELECT doc_id, b, [{_BANDS}][b + 1] AS bk
+    FROM mh, (SELECT unnest(range(0, {D.LSH_BANDS})) AS b) bb
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM bands a JOIN bands c
+      ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+  )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           COUNT(*) AS dup_ct,
+           MIN(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on the document digest; one shuffle "
+    "keyed by the digest, keeper = min id.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    return D.exact_dedup(t["documents"], "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {SQL_SHINGLES3},
+    {SQL_LSH_CANDIDATES}
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+              JOIN sh b ON cand.doc_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    """,
+    doc="MinHash+LSH near-dup detection: 3-gram shingles -> 16 seeded "
+    "md5 minhashes -> 4 bands x 4 rows -> self-join on band buckets for "
+    "candidates -> exact Jaccard verify >= 0.5. Candidate generation is "
+    "one co-partitioned shuffle on the bucket key; the O(n^2) cross "
+    "join never materializes — the property that holds at 100 TB.",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text")
+    verified = D.jaccard_verify(docs, pairs, "doc_id", "text")
+    return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {SQL_SHINGLES3}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sh a
+    JOIN documents da ON a.doc_id = da.doc_id
+    JOIN sh b ON a.doc_id < b.doc_id
+    JOIN documents db ON b.doc_id = db.doc_id AND da.source = db.source
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) >= 0.02
+    """,
+    doc="n-gram Jaccard similarity within source buckets (blocked "
+    "pairwise comparison — the bucketed variant of brute-force "
+    "pairwise, bounded by bucket size).",
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    blocked = (
+        docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+        .join(
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+            (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+    )
+    return D.jaccard_verify(docs, blocked, "doc_id", "text").filter(F.col("jaccard") >= 0.02)
+
+
+@register(
+    "simhash_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) AS hv
+      FROM toks
+    ), votes AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(range(0, {D.SIMHASH_BITS})) AS j) jj
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes
+    GROUP BY doc_id
+    """,
+    doc=f"SimHash ({D.SIMHASH_BITS}-bit) document fingerprint: per-token "
+    "md5 bit votes -> sign vector packed to a long. Explode + two "
+    "grouped aggregations — shuffle-parallel, no per-doc state.",
+    tags=("dedup", "simhash"),
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    return D.simhash(t["documents"], "doc_id", "text")
