@@ -1,0 +1,84 @@
+"""CDC change-record source (S2/S3/S4).
+
+Spark has no native MySQL-binlog source, so the engine's CDC contract
+is the *canonical change envelope* of §1.1 — the exact JSON shape the
+reference's custom Debezium deserializer produces
+(RT/app/func/MyDeserialization.java:27-84):
+
+    {database, tableName, before{}, after{}, type}
+
+with Debezium's ``create``/``read`` normalized to ``insert``. Anything
+that can emit that envelope (Kafka topic, file channel, JDBC snapshot)
+is a CDC source. ``initial()`` startup (snapshot-then-stream,
+RT/app/dwd/BaseDbApp.java:56) maps to: batch-read the table as
+``insert`` envelopes, then tail the change channel.
+
+For tests/fixtures, :func:`envelope_from_table` derives a
+deterministic insert/update/delete mix from any keyed testdata table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from ..schemas import CDC_ENVELOPE
+
+
+def normalize_op(op: Column) -> Column:
+    """Debezium op -> envelope type (create/read -> insert), the
+    when/otherwise form of MyDeserialization.java:60-66."""
+    return (
+        F.when(op.isin("create", "read", "c", "r"), "insert")
+        .when(op.isin("update", "u"), "update")
+        .when(op.isin("delete", "d"), "delete")
+        .otherwise(op)
+    )
+
+
+def parse_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """S3 — JSON change-record string -> typed envelope columns."""
+    return (
+        raw.withColumn("_env", F.from_json(F.col(value_col), CDC_ENVELOPE))
+        .select("_env.*")
+        .withColumn("type", normalize_op(F.col("type")))
+    )
+
+
+def snapshot_as_inserts(table_df: DataFrame, database: str, table: str) -> DataFrame:
+    """S2 ``StartupOptions.initial()`` — a batch snapshot expressed as
+    insert envelopes, to be unioned ahead of the change stream."""
+    cols = table_df.columns
+    after = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cols]),
+        F.array(*[F.col(c).cast("string") for c in cols]),
+    )
+    return table_df.select(
+        F.lit(database).alias("database"),
+        F.lit(table).alias("tableName"),
+        F.create_map().cast("map<string,string>").alias("before"),
+        after.alias("after"),
+        F.lit("insert").alias("type"),
+    )
+
+
+def envelope_from_table(
+    table_df: DataFrame, key_col: str, database: str, table: str
+) -> DataFrame:
+    """Deterministic CDC fixture: key % 10 == 0 -> delete (before set,
+    after empty), % 10 in (1,2) -> update (before + after), else insert.
+    Mirrors the insert/update/delete mix a binlog tail would carry."""
+    cols = table_df.columns
+    as_map = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cols]),
+        F.array(*[F.col(c).cast("string") for c in cols]),
+    )
+    k = F.col(key_col) % 10
+    typ = F.when(k == 0, "delete").when(k.isin(1, 2), "update").otherwise("create")
+    empty = F.create_map().cast("map<string,string>")
+    return table_df.select(
+        F.lit(database).alias("database"),
+        F.lit(table).alias("tableName"),
+        F.when(typ != "create", as_map).otherwise(empty).alias("before"),
+        F.when(typ != "delete", as_map).otherwise(empty).alias("after"),
+        normalize_op(typ).alias("type"),
+    )

@@ -1,0 +1,138 @@
+"""Channel registry — the engine's analogue of "Kafka topic as IR".
+
+The reference wires its jobs together through named Kafka topics
+(``ods_base_log`` -> ``dwd_page_log`` -> ``dwm_unique_visit`` -> ...;
+RT/utils/MyKafkaUtil.java:21-43). This registry keeps that decoupling
+— every pipeline reads/writes *named channels* — while making the
+physical transport pluggable:
+
+- ``file``   (default): a directory of parquet part-files. Batch reads
+  scan it; stream reads tail it (``maxFilesPerTrigger`` gives
+  deterministic micro-batch replay in tests). This is also the honest
+  local stand-in for Kafka: an append-only partitioned log.
+- ``memory`` : streaming sink only — a named in-memory table
+  (format("memory")), used by tests to observe results synchronously.
+- ``kafka``  : passthrough to Spark's Kafka connector (S1/K1/K2). Not
+  exercisable in this container (no broker) but the options mapping is
+  the production path: subscribe/topic + bootstrap servers.
+
+Exactly-once note (X5): the reference uses a transactional Kafka
+producer. Spark's Kafka sink is at-least-once; end-to-end exactness
+here comes from checkpointing + idempotent sinks (file sinks are
+exactly-once via the sink log; dim MERGE is idempotent by pk).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+@dataclass
+class Channel:
+    name: str
+    kind: str = "file"  # file | memory | kafka
+    path: str | None = None
+    schema: T.StructType | str | None = None
+    options: dict = field(default_factory=dict)
+
+
+class ChannelRegistry:
+    def __init__(self, root: str):
+        self.root = root
+        self.channels: dict[str, Channel] = {}
+
+    def register(self, name: str, kind: str = "file", schema=None, **options) -> Channel:
+        ch = Channel(
+            name=name,
+            kind=kind,
+            path=os.path.join(self.root, name) if kind == "file" else None,
+            schema=schema,
+            options=options,
+        )
+        self.channels[name] = ch
+        return ch
+
+    def _get(self, name: str) -> Channel:
+        if name not in self.channels:
+            self.register(name)
+        return self.channels[name]
+
+    # -- batch ----------------------------------------------------------
+    def read_batch(self, spark: SparkSession, name: str) -> DataFrame:
+        ch = self._get(name)
+        if ch.kind == "memory":
+            return spark.sql(f"SELECT * FROM {_mem_name(name)}")
+        if ch.kind == "kafka":
+            reader = spark.read.format("kafka")
+            for k, v in ch.options.items():
+                reader = reader.option(k, v)
+            return reader.load()
+        return spark.read.parquet(ch.path)
+
+    def write_batch(self, df: DataFrame, name: str, mode: str = "append") -> None:
+        ch = self._get(name)
+        assert ch.kind == "file", f"batch write needs a file channel, got {ch.kind}"
+        df.write.mode(mode).parquet(ch.path)
+
+    # -- streaming ------------------------------------------------------
+    def read_stream(self, spark: SparkSession, name: str, max_files_per_trigger: int | None = None) -> DataFrame:
+        ch = self._get(name)
+        if ch.kind == "kafka":
+            reader = spark.readStream.format("kafka")
+            for k, v in ch.options.items():
+                reader = reader.option(k, v)
+            return reader.load().selectExpr("CAST(value AS STRING) AS value", "timestamp")
+        assert ch.kind == "file", f"stream read needs file/kafka channel, got {ch.kind}"
+        assert ch.schema is not None, f"file stream channel {name} needs a schema"
+        reader = spark.readStream.schema(ch.schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.parquet(ch.path)
+
+    def write_stream(self, df: DataFrame, name: str, checkpoint_root: str, **kw):
+        """Start a streaming write to a channel; returns the query."""
+        ch = self._get(name)
+        writer = df.writeStream.option(
+            "checkpointLocation", os.path.join(checkpoint_root, name)
+        ).outputMode(kw.pop("output_mode", "append"))
+        if ch.kind == "memory":
+            return writer.format("memory").queryName(_mem_name(name)).start()
+        if ch.kind == "kafka":
+            writer = writer.format("kafka")
+            for k, v in ch.options.items():
+                writer = writer.option(k, v)
+            return writer.start()
+        return writer.format("parquet").option("path", ch.path).start()
+
+
+def _mem_name(name: str) -> str:
+    return name.replace("-", "_") + "_mem"
+
+
+def write_replay(df: DataFrame, path: str, n_files: int, order_by: list[str]) -> None:
+    """Materialize a table as ``n_files`` time-ordered parquet files so a
+    file-stream read with maxFilesPerTrigger=1 replays it as ordered
+    micro-batches (the test-time stand-in for a Kafka topic's arrival
+    order)."""
+    import pandas as pd  # noqa: F401
+
+    pdf = df.orderBy(*order_by).toPandas()
+    os.makedirs(path, exist_ok=True)
+    n = max(1, len(pdf) // n_files + (1 if len(pdf) % n_files else 0))
+    for i in range(0, n_files):
+        chunk = pdf.iloc[i * n : (i + 1) * n]
+        if len(chunk) == 0:
+            break
+        # zero-padded index keeps lexicographic file order == time order
+        chunk.to_parquet(
+            os.path.join(path, f"part-{i:05d}.parquet"),
+            index=False,
+            # keep timestamps at parquet-native µs so the stream reader's
+            # TimestampType schema matches the physical type
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )

@@ -1,0 +1,161 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+These are the three operators whose semantics Spark's built-ins cannot
+express exactly (SURVEY §2.4/§2.9): keyed ValueState with TTL and
+CEP-style timeout emission. Each mirrors a reference operator:
+
+- :func:`daily_dedup`      — F2, UniqueVisitApp's ValueState<lastVisitDate>
+                             with 1-day TTL (RT/app/dwm/UniqueVisitApp.java:41-84)
+- :func:`fix_is_new`       — F3, BaseLogApp's first-seen correction
+                             (RT/app/dwd/BaseLogApp.java:58-95)
+- :func:`sessionize_bounce`— U2, the planned CEP user-jump job
+                             (stub RT/app/dwm/UserJumpDetailApp.java; dep
+                             gmall-realtime/pom.xml:52-56): close a session
+                             when the gap exceeds the threshold OR state
+                             times out; a 1-event session is a bounce.
+
+Semantics note: like the reference's ProcessFunctions, these process
+records in *arrival order* (within a micro-batch we sort by (ts, id)).
+Replayed in timestamp order they converge exactly to the batch twins in
+``operators/filters.py`` / ``plans/logs.py`` — tests/test_streaming.py
+asserts that.
+
+State scale: state lives per key in the state store (RocksDB/HDFS on a
+cluster), partitioned by ``groupBy(key)`` — the same hash partitioning
+as Flink's keyBy. TTLs bound state to ~#active keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DAY_MS = 24 * 3600 * 1000
+
+
+def daily_dedup(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First visit per key per calendar day (UV dedup), exact keyed-state
+    form. Output: (user_id, dt, first_event_id)."""
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            # TTL expiry == the reference's 1-day StateTtlConfig
+            state.remove()
+            return
+        (last_date,) = state.get if state.exists else (None,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts, id_col])
+            for row in pdf.itertuples(index=False):
+                d = str(getattr(row, ts).date())
+                if d != last_date:
+                    out.append((key_tuple[0], d, getattr(row, id_col)))
+                    last_date = d
+        if last_date is not None:
+            state.update((last_date,))
+            state.setTimeoutDuration(DAY_MS)
+        if out:
+            yield pd.DataFrame(out, columns=[key, "dt", "first_event_id"])
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key} long, dt string, first_event_id long",
+        stateStructType="last_date string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def fix_is_new(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """is_new flag correction: '1' only on the key's first-seen day.
+    Output: (event_id, user_id, is_new)."""
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (first_date,) = state.get if state.exists else (None,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts, id_col])
+            for row in pdf.itertuples(index=False):
+                d = str(getattr(row, ts).date())
+                if first_date is None:
+                    first_date = d
+                out.append((getattr(row, id_col), key_tuple[0], "1" if d == first_date else "0"))
+        if first_date is not None:
+            state.update((first_date,))
+        if out:
+            yield pd.DataFrame(out, columns=[id_col, key, "is_new"])
+
+    # NoTimeout: the reference keeps this ValueState forever (BaseLogApp
+    # declares no TTL, unlike UniqueVisitApp) — first-seen must persist.
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=f"{id_col} long, {key} long, is_new string",
+        stateStructType="first_date string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def sessionize_bounce(
+    events: DataFrame,
+    gap_minutes: int = 10,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CEP bounce detection: a session closes when the next event
+    arrives after the gap, or when state times out (the CEP ``within``
+    timeout branch). Emits one row per *closed* session:
+    (user_id, n_events, is_bounce). Open sessions stay in state.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            if state.exists:
+                _, n = state.get
+                yield pd.DataFrame(
+                    [(key_tuple[0], n, n == 1)], columns=[key, "n_events", "is_bounce"]
+                )
+            state.remove()
+            return
+        last_us, n = state.get if state.exists else (None, 0)
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts, id_col])
+            for row in pdf.itertuples(index=False):
+                t_us = getattr(row, ts).value // 1000  # pandas ns -> us
+                if last_us is not None and t_us - last_us > gap_us:
+                    closed.append((key_tuple[0], n, n == 1))
+                    n = 0
+                last_us = t_us
+                n += 1
+        state.update((last_us, n))
+        state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(closed, columns=[key, "n_events", "is_bounce"])
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key} long, n_events long, is_bounce boolean",
+        stateStructType="last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
