@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round performance probe.
+
+Runs the full query catalog (``gmall_flink_0526_spark.plans``) against
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "catalog_total", "value": <sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a ``noop``-format write (full
+materialization of every row/column; ``count()`` would let Catalyst
+prune the computation). Timings are per-query wall seconds; the
+headline metric is their sum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def main() -> None:
+    from gmall_flink_0526_spark import plans
+    from gmall_flink_0526_spark.session import get_spark
+
+    spark = get_spark("gmall-bench", cpus=CPUS)
+    qs = plans.queries()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not first-touch classloading.
+    next(iter(qs.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "catalog_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_of(SF_DIR),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

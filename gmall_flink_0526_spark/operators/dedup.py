@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .partitioning import spread
 from .textops import shingles, tokenize
 
 MINHASH_K = 16
@@ -40,31 +41,47 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(tokens_col, k: int = MINHASH_K, ngram: int = 3):
-    """Array of k minhashes: seed-prefixed md5, lexicographic min over
-    the doc's distinct n-gram shingles."""
-    sh = F.array_distinct(shingles(tokens_col, ngram))
+def doc_shingles(docs: DataFrame, id_col: str, text_col: str, ngram: int = 3) -> DataFrame:
+    """(doc_id, s=array of distinct n-gram shingles), built in two
+    staged projections so tokenize and the shingle window each run
+    exactly once per row (see textops.tokenize's lambda-inlining note —
+    the unstaged form is O(tokens x shingles x k) regex splits)."""
+    docs = spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")), "doc_id")
+    toks = docs.select("doc_id", tokenize(F.col("_t")).alias("toks"))
+    return toks.select("doc_id", F.array_distinct(shingles(F.col("toks"), ngram)).alias("s"))
+
+
+def minhash_signature(shingles_col, k: int = MINHASH_K):
+    """Array of k minhashes over a *materialized* shingle-array column:
+    seed-prefixed md5, lexicographic min per seed."""
     return F.array(
         *[
             F.array_min(
-                F.transform(sh, lambda s, seed=i: F.substring(F.md5(F.concat(F.lit(f"{seed}#"), s)), 1, HASH_PREFIX))
+                F.transform(
+                    shingles_col,
+                    lambda s, seed=i: F.substring(
+                        F.md5(F.concat(F.lit(f"{seed}#"), s)), 1, HASH_PREFIX
+                    ),
+                )
             )
             for i in range(k)
         ]
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """MinHash LSH: docs -> (band, band_key) buckets -> candidate pairs.
+def lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
+    """MinHash LSH over a shingle DataFrame (doc_id, s) -> candidate
+    pairs. Persist ``sh`` at the call site when it is also used for
+    verification.
 
     The self-join is on the band bucket key, so Spark hash-partitions
     on (band, key): candidate generation is a single co-partitioned
-    shuffle, and skewed buckets are split by AQE.
+    shuffle, and skewed buckets are split by AQE. Bands are persisted so
+    the self-join's two sides don't recompute the signatures.
     """
-    toks = tokenize(F.col(text_col))
     sigs = (
-        docs.select(F.col(id_col).alias("doc_id"), minhash_signature(toks).alias("mh"))
-        .filter(F.size("mh") > 0)
+        sh.filter(F.size("s") > 0)
+        .select("doc_id", minhash_signature(F.col("s")).alias("mh"))
         .filter(F.col("mh")[0].isNotNull())
     )
     bands = sigs.select(
@@ -82,7 +99,7 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFram
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bk")
+    ).select("doc_id", "bb.band", "bb.bk").persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -97,15 +114,14 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
-def jaccard_verify(
-    docs: DataFrame, pairs: DataFrame, id_col: str, text_col: str, ngram: int = 3
-) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs (int cardinalities ->
-    deterministic double ratio)."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(tokenize(F.col(text_col)), ngram)).alias("s"),
-    )
+def jaccard_verify(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs, given the shingle
+    DataFrame (doc_id, s) — persist it at the call site if it also fed
+    candidate generation. Int cardinalities -> deterministic double
+    ratio."""
+    # the intersect/union folds are the heavy stage; a blocked-pairs
+    # input built via broadcast join inherits the scan's split count
+    pairs = spread(pairs, "doc_a")
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"), "doc_b")

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from .partitioning import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -52,6 +54,10 @@ def topk_neighbors(
     The probe side is broadcast (it is small by construction); ranking
     is a per-probe window — one shuffle keyed by qid.
     """
+    # broadcast keeps the join shuffle-free, but then the stage runs at
+    # the corpus scan's split count — spread first so the per-candidate
+    # cosine folds parallelize even off a single small file
+    corpus = spread(corpus, "cid")
     if bucket:
         joined = corpus.join(F.broadcast(probes), F.col("clabel") == F.col("qlabel"))
     else:
@@ -72,8 +78,11 @@ def near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within coarse buckets
     (label = bucket): equi-join on the bucket key keeps the candidate
     set linear in bucket size instead of O(n^2) over the corpus."""
-    a = emb.select(
-        F.col("vec_id").alias("ida"), F.col("embedding").alias("va"), F.col("label").alias("la")
+    a = spread(
+        emb.select(
+            F.col("vec_id").alias("ida"), F.col("embedding").alias("va"), F.col("label").alias("la")
+        ),
+        "ida",
     )
     b = emb.select(
         F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"), F.col("label").alias("lb")

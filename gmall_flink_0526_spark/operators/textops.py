@@ -23,9 +23,24 @@ EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
 
 def tokenize(text: Column) -> Column:
-    """U1 — text -> array<string> of lowercase whitespace tokens."""
+    """U1 — text -> array<string> of lowercase whitespace tokens.
+
+    NOTE: when the token array is consumed more than once (or inside a
+    higher-order-function lambda), materialize it first with
+    :func:`with_tokens` — Catalyst inlines expression trees into lambda
+    bodies, and a lambda re-evaluates its captured expressions PER
+    ELEMENT, turning an inlined tokenize into O(tokens x elements)
+    regex splits per row.
+    """
     toks = F.split(F.lower(text), TOKEN_SPLIT_RE)
     return F.filter(toks, lambda t: t != "")
+
+
+def with_tokens(df, text_col: str = "text", out: str = "toks"):
+    """Stage the token array as a real column (projection barrier):
+    downstream expressions reference a cheap attribute, so codegen
+    evaluates the regex split exactly once per row."""
+    return df.withColumn(out, tokenize(F.col(text_col)))
 
 
 def shingles(tokens: Column, n: int = 3) -> Column:

@@ -94,9 +94,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
-    docs = t["documents"]
-    pairs = D.lsh_candidate_pairs(docs, "doc_id", "text")
-    verified = D.jaccard_verify(docs, pairs, "doc_id", "text")
+    # shingles feed both candidate generation and verification — persist
+    # so the expensive tokenize/shingle pass runs once
+    sh = D.doc_shingles(t["documents"], "doc_id", "text").persist()
+    pairs = D.lsh_candidate_pairs(sh)
+    verified = D.jaccard_verify(sh, pairs)
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
@@ -130,7 +132,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    return D.jaccard_verify(docs, blocked, "doc_id", "text").filter(F.col("jaccard") >= 0.02)
+    sh = D.doc_shingles(docs, "doc_id", "text")
+    return D.jaccard_verify(sh, blocked).filter(F.col("jaccard") >= 0.02)
 
 
 @register(

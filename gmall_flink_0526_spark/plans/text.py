@@ -80,8 +80,9 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
-    toks = textops.tokenize(F.col("text"))
-    return t["documents"].select(
+    staged = textops.with_tokens(t["documents"])  # tokenize once per row
+    toks = F.col("toks")
+    return staged.select(
         "doc_id",
         textops.stop_ratio(toks).alias("stop_ratio"),
         textops.lang_id(toks).alias("pred_lang"),
@@ -112,9 +113,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
-    toks = textops.tokenize(F.col("text"))
-    return t["documents"].select(
-        "doc_id", textops.quality_score(toks, F.col("text")).alias("quality")
+    staged = textops.with_tokens(t["documents"])  # tokenize once per row
+    return staged.select(
+        "doc_id", textops.quality_score(F.col("toks"), F.col("text")).alias("quality")
     )
 
 
@@ -140,8 +141,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "hash"),
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import spread
+
     t = load_tables(spark, sf_dir, "documents")
-    toks = textops.tokenize(F.col("text"))
-    return t["documents"].select(
-        "doc_id", textops.rolling_fingerprint(toks).alias("fingerprint")
+    staged = textops.with_tokens(spread(t["documents"], "doc_id"))  # tokenize once per row
+    return staged.select(
+        "doc_id", textops.rolling_fingerprint(F.col("toks")).alias("fingerprint")
     )
