@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
         dedup,
         similarity,
         text,
+        multimodal,
     )
 
     _LOADED = True
