@@ -1,1 +1,120 @@
-"""Placeholder query module — populated in later milestones."""
+"""CDC queries — the change-data-capture surface (SURVEY §2.1 S2/S3,
+§2.4 F1, §2.5 R2) exercised end-to-end as batch twins.
+
+The canonical change envelope ``{database, tableName, before, after,
+type}`` is the engine's CDC contract (the shape the reference's custom
+Debezium deserializer emits, RT/app/func/MyDeserialization.java:27-84).
+Here a deterministic insert/update/delete mix is derived from the
+``orders`` table (key % 10: 0 -> delete, 1/2 -> update, else insert),
+serialized to JSON, and re-parsed — so the oracle can reproduce every
+derived value with plain arithmetic while the Spark side exercises the
+real to_json/from_json envelope round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import cdc as C
+from ..session import load_tables
+from .catalog import register
+
+# DuckDB twin of the fixture's op mix
+SQL_OP = (
+    "CASE o_orderkey % 10 WHEN 0 THEN 'delete' "
+    "WHEN 1 THEN 'update' WHEN 2 THEN 'update' ELSE 'insert' END"
+)
+
+
+def _order_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return C.envelope_from_table(orders, "o_orderkey", "gmall", "order_info")
+
+
+@register(
+    "cdc_envelope_parse",
+    oracle=f"""
+    SELECT {SQL_OP} AS type,
+           COUNT(*) AS ct,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="S3 — CDC envelope JSON round-trip: change records serialized "
+    "with to_json, re-parsed with from_json into the canonical envelope "
+    "struct (RT/app/func/MyDeserialization.java:27-84; Debezium "
+    "create/read -> insert normalization), keys recovered from the "
+    "before/after maps. A parse defect breaks ct or key_sum.",
+    tags=("cdc",),
+)
+def cdc_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = _order_envelopes(spark, sf_dir)
+    raw = env.select(F.to_json(F.struct("database", "tableName", "before", "after", "type")).alias("value"))
+    parsed = C.parse_envelope(raw)
+    key = F.coalesce(
+        F.element_at("after", "o_orderkey"), F.element_at("before", "o_orderkey")
+    ).cast("long")
+    return parsed.groupBy("type").agg(
+        F.count("*").alias("ct"), F.sum(key).alias("key_sum")
+    )
+
+
+@register(
+    "cdc_delete_filter",
+    oracle=f"""
+    SELECT {SQL_OP} AS type, COUNT(*) AS ct
+    FROM orders
+    WHERE {SQL_OP} != 'delete'
+    GROUP BY 1
+    """,
+    doc="F1 — drop delete-type change records before fan-out "
+    "(RT/app/dwd/BaseDbApp.java:45-50); the filter sits directly on the "
+    "envelope scan so Catalyst pushes it below everything downstream.",
+    tags=("cdc", "filter"),
+)
+def cdc_delete_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.filters import filter_deletes
+
+    env = _order_envelopes(spark, sf_dir)
+    return filter_deletes(env).groupBy("type").agg(F.count("*").alias("ct"))
+
+
+@register(
+    "cdc_materialize",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+    FROM orders WHERE o_orderkey % 10 IN (1, 2)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice
+    FROM orders WHERE o_orderkey % 10 NOT IN (0, 1, 2)
+    """,
+    doc="S2 initial() + K3 — snapshot-plus-change-stream materialization "
+    "(RT/app/dwd/BaseDbApp.java:56): the table snapshot as seq-0 insert "
+    "envelopes, a change tail (updates double o_totalprice, deletes "
+    "remove the key) at seq 1, applied by last-writer-wins per key — "
+    "the batch twin of the dim store's idempotent per-batch MERGE.",
+    tags=("cdc", "merge"),
+)
+def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    snapshot = C.snapshot_as_inserts(orders, "gmall", "order_info").withColumn(
+        "_seq", F.lit(0)
+    )
+    changed = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice") * 2
+        ),
+    )
+    changes = C.envelope_from_table(changed, "o_orderkey", "gmall", "order_info").filter(
+        F.col("type") != "insert"
+    ).withColumn("_seq", F.lit(1))
+    key = F.coalesce(
+        F.element_at("after", "o_orderkey"), F.element_at("before", "o_orderkey")
+    ).cast("long")
+    env = snapshot.unionByName(changes).withColumn("_key", key)
+    state = C.apply_changes(env, "_key", "_seq")
+    return state.select(
+        F.col("_key").alias("o_orderkey"),
+        F.element_at("after", "o_totalprice").cast("double").alias("o_totalprice"),
+    )

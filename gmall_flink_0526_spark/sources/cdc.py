@@ -61,6 +61,27 @@ def snapshot_as_inserts(table_df: DataFrame, database: str, table: str) -> DataF
     )
 
 
+def apply_changes(envelopes: DataFrame, key: str, seq: str) -> DataFrame:
+    """Materialize a change-envelope stream into current table state:
+    per key, the highest-``seq`` envelope wins; a winning ``delete``
+    removes the row. This is the batch twin of the dim store's per-batch
+    MERGE (K3) and of ``StartupOptions.initial()``'s snapshot+stream
+    stitching (RT/app/dwd/BaseDbApp.java:56): union the snapshot (as
+    seq-0 inserts) with the change tail and apply.
+
+    One shuffle, keyed by ``key`` (window + filter); at scale this is
+    the standard log-compaction shape — partitions process keys
+    independently."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(F.col(seq).desc())
+    return (
+        envelopes.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("type") != "delete"))
+        .drop("_rn")
+    )
+
+
 def envelope_from_table(
     table_df: DataFrame, key_col: str, database: str, table: str
 ) -> DataFrame:

@@ -117,22 +117,32 @@ def write_replay(df: DataFrame, path: str, n_files: int, order_by: list[str]) ->
     """Materialize a table as ``n_files`` time-ordered parquet files so a
     file-stream read with maxFilesPerTrigger=1 replays it as ordered
     micro-batches (the test-time stand-in for a Kafka topic's arrival
-    order)."""
-    import pandas as pd  # noqa: F401
+    order).
 
-    pdf = df.orderBy(*order_by).toPandas()
+    Chunks are written by Spark itself (a pandas round-trip chokes on
+    map/struct columns), and each chunk's files get explicit, strictly
+    increasing mtimes — the file stream source picks files oldest-first
+    by modification time, so mtime order IS the replay order."""
+    import math
+    import time
+
+    from pyspark.sql import Window, functions as F
+
+    total = df.count()
+    per = max(1, math.ceil(total / n_files))
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    indexed = (
+        df.withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("_f", (F.col("_rn") / per).cast("int"))
+        .drop("_rn")
+    )
     os.makedirs(path, exist_ok=True)
-    n = max(1, len(pdf) // n_files + (1 if len(pdf) % n_files else 0))
-    for i in range(0, n_files):
-        chunk = pdf.iloc[i * n : (i + 1) * n]
-        if len(chunk) == 0:
-            break
-        # zero-padded index keeps lexicographic file order == time order
-        chunk.to_parquet(
-            os.path.join(path, f"part-{i:05d}.parquet"),
-            index=False,
-            # keep timestamps at parquet-native µs so the stream reader's
-            # TimestampType schema matches the physical type
-            coerce_timestamps="us",
-            allow_truncated_timestamps=True,
-        )
+    base = time.time() - n_files - 60  # strictly in the past
+    for i in range(min(n_files, math.ceil(total / per))):
+        before = set(os.listdir(path))
+        indexed.filter(F.col("_f") == i).drop("_f").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        for name in set(os.listdir(path)) - before:
+            if not name.startswith("_"):
+                os.utime(os.path.join(path, name), (base + i, base + i))

@@ -178,6 +178,42 @@ def order_wide_app(
     return reg.write_stream(wide, out_channel, ckpt)
 
 
+def payment_wide_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    payment_channel: str = "dwd_payment_info",
+    order_wide_channel: str = "dwm_order_wide",
+    out_channel: str = "dwm_payment_wide",
+    watermark: str = "10 seconds",
+    lower: str = "15 MINUTES",
+    upper: str = "5 SECONDS",
+):
+    """J2 — payment ⋈ order_wide with asymmetric bounds: the order may
+    precede the payment by up to 15 minutes, follow it by at most 5
+    seconds (RT/app/dwm/PaymentWideApp.java:76-85). Reading
+    ``dwm_order_wide`` from its channel keeps the reference's
+    topic-decoupling between the two DWM jobs."""
+    pay = reg.read_stream(spark, payment_channel, max_files_per_trigger=1).withWatermark(
+        "ts", watermark
+    )
+    wide = reg.read_stream(spark, order_wide_channel, max_files_per_trigger=1).withWatermark(
+        "ts", watermark
+    )
+    p = pay.select(*[F.col(c).alias(f"p_{c}") if c == "ts" else F.col(c) for c in pay.columns])
+    w = wide.select(*[F.col(c).alias(f"w_{c}") if c == "ts" else F.col(c) for c in wide.columns])
+    joined = interval_join(
+        p,
+        w,
+        on=F.col("payment_order_id") == F.col("order_id"),
+        left_ts=F.col("p_ts"),
+        right_ts=F.col("w_ts"),
+        lower=lower,
+        upper=upper,
+    )
+    return reg.write_stream(joined, out_channel, ckpt)
+
+
 def visitor_stats_app(
     spark: SparkSession,
     reg: ChannelRegistry,

@@ -1,0 +1,251 @@
+"""Streaming pipeline tests: each reference app's Spark twin runs over
+a file-channel replay and must converge to the batch answer computed
+from the same rows (SURVEY §5's replay contract).
+
+Tail flushing: stream-stream joins and windowed aggs only emit rows
+once the watermark passes them, and the watermark only advances with
+data — so each replay appends a far-future *sentinel* row (keys that
+join/group with nothing real) whose arrival flushes everything real.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gmall_flink_0526_spark.operators.joins import interval_join
+from gmall_flink_0526_spark.session import load_tables
+from gmall_flink_0526_spark.sources.cdc import envelope_from_table
+from gmall_flink_0526_spark.sources.dimstore import DimStore
+from gmall_flink_0526_spark.sources.registry import ChannelRegistry, write_replay
+from gmall_flink_0526_spark.streaming import pipelines
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module", autouse=True)
+def few_partitions(spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.fixture()
+def reg(tmp_path):
+    return ChannelRegistry(str(tmp_path))
+
+
+def events(spark):
+    return load_tables(spark, SF_SMOKE, "events")["events"]
+
+
+def test_base_log_app(spark, reg, tmp_path):
+    ev = events(spark)
+    reg.register(
+        "ods_base_log",
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    write_replay(ev, reg.channels["ods_base_log"].path, n_files=3, order_by=["ts", "event_id"])
+    q = pipelines.base_log_app(spark, reg, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    start = reg.read_batch(spark, "dwd_start_log")
+    page = reg.read_batch(spark, "dwd_page_log")
+    display = reg.read_batch(spark, "dwd_display_log")
+    assert start.count() == ev.filter(F.col("event_type") == "signup").count()
+    assert page.count() == ev.filter(F.col("event_type").isin("view", "click")).count()
+    assert display.count() == ev.filter(
+        ~F.col("event_type").isin("signup", "view", "click")
+    ).count()
+    # parsed payload column survived the split
+    assert "k" in page.columns and page.filter(F.col("k").isNull()).count() == 0
+    # no dirty rows in the fixture: every props string is valid JSON
+    assert reg.read_batch(spark, "dirty_log").count() == 0
+
+
+def test_base_db_app_routes_facts_and_dims(spark, reg, tmp_path):
+    orders = load_tables(spark, SF_SMOKE, "orders")["orders"]
+    env = envelope_from_table(orders, "o_orderkey", "gmall", "order_info").withColumn(
+        "k",
+        F.coalesce(
+            F.element_at("after", "o_orderkey"), F.element_at("before", "o_orderkey")
+        ).cast("long"),
+    )
+    reg.register(
+        "ods_base_db",
+        schema="database string, tableName string, before map<string,string>, "
+        "after map<string,string>, type string, k long",
+    )
+    write_replay(env, reg.channels["ods_base_db"].path, n_files=3, order_by=["type", "k"])
+
+    config = spark.createDataFrame(
+        [
+            ("order_info", "insert", "kafka", "dwd_order_info", "o_orderkey,o_totalprice", "o_orderkey", None),
+            ("order_info", "update", "hbase", "dim_order_info", "o_orderkey,o_totalprice", "o_orderkey", None),
+        ],
+        schema="sourceTable string, operateType string, sinkType string, sinkTable string, "
+        "sinkColumns string, sinkPk string, sinkExtend string",
+    )
+    store = DimStore(str(tmp_path / "dims"))
+    q = pipelines.base_db_app(spark, reg, store, config, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    n_insert = orders.filter(~(F.col("o_orderkey") % 10).isin(0, 1, 2)).count()
+    n_update_keys = orders.filter((F.col("o_orderkey") % 10).isin(1, 2)).count()
+    fact = reg.read_batch(spark, "dwd_fact_log")
+    assert fact.columns == ["topic", "value"]
+    assert fact.count() == n_insert
+    assert fact.select("topic").distinct().collect()[0][0] == "dwd_order_info"
+    dim = store.read(spark, "dim_order_info")
+    assert sorted(dim.columns) == ["o_orderkey", "o_totalprice"]
+    assert dim.count() == n_update_keys  # idempotent MERGE by pk
+
+
+def _with_sentinel(df, ts_shift_cols):
+    """Append one far-future row (non-joining keys) to flush watermarks."""
+    far = df.agg((F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"))
+    for name, val in ts_shift_cols.items():
+        far = far.withColumn(name, F.lit(val))
+    return df.unionByName(far.select(*df.columns))
+
+
+def test_order_wide_app_converges_to_batch(spark, reg, tmp_path):
+    ev = events(spark).limit(300)
+    orders = ev.select(F.col("event_id").alias("order_id"), "ts")
+    # even ids: +2s (inside ±5s) -> join; odd ids: +7s -> dropped
+    details = ev.select(
+        F.col("event_id").alias("detail_order_id"),
+        F.when(F.col("event_id") % 2 == 0, F.col("ts") + F.expr("INTERVAL 2 SECONDS"))
+        .otherwise(F.col("ts") + F.expr("INTERVAL 7 SECONDS"))
+        .alias("ts"),
+        "value",
+    )
+    reg.register("dwd_order_info", schema="order_id long, ts timestamp")
+    reg.register("dwd_order_detail", schema="detail_order_id long, ts timestamp, value double")
+    write_replay(
+        _with_sentinel(orders, {"order_id": -1}),
+        reg.channels["dwd_order_info"].path, n_files=3, order_by=["ts", "order_id"],
+    )
+    write_replay(
+        _with_sentinel(details, {"detail_order_id": -2, "value": 0.0}),
+        reg.channels["dwd_order_detail"].path, n_files=3, order_by=["ts", "detail_order_id"],
+    )
+    reg.register("dwm_order_wide", kind="memory")
+    q = pipelines.order_wide_app(spark, reg, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["order_id"], r["value"])
+        for r in spark.sql("SELECT order_id, value FROM dwm_order_wide_mem").collect()
+    }
+    expected = {
+        (r["order_id"], r["value"])
+        for r in interval_join(
+            orders.withColumnRenamed("ts", "o_ts"),
+            details.withColumnRenamed("ts", "d_ts"),
+            on=F.col("order_id") == F.col("detail_order_id"),
+            left_ts=F.col("o_ts"),
+            right_ts=F.col("d_ts"),
+            lower="5 SECONDS",
+            upper="5 SECONDS",
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_payment_wide_app_converges_to_batch(spark, reg, tmp_path):
+    ev = events(spark).limit(300)
+    wide = ev.select(F.col("event_id").alias("order_id"), "ts", "value")
+    # payment 60s after the order (inside [-15min, +5s]); even ids pay
+    # 20min later -> outside the window, dropped
+    payment = ev.select(
+        F.col("event_id").alias("payment_order_id"),
+        F.when(F.col("event_id") % 2 == 0, F.col("ts") + F.expr("INTERVAL 20 MINUTES"))
+        .otherwise(F.col("ts") + F.expr("INTERVAL 60 SECONDS"))
+        .alias("ts"),
+    )
+    reg.register("dwd_payment_info", schema="payment_order_id long, ts timestamp")
+    reg.register("dwm_order_wide", schema="order_id long, ts timestamp, value double")
+    write_replay(
+        _with_sentinel(payment, {"payment_order_id": -1}),
+        reg.channels["dwd_payment_info"].path, n_files=3, order_by=["ts", "payment_order_id"],
+    )
+    write_replay(
+        _with_sentinel(wide, {"order_id": -2, "value": 0.0}),
+        reg.channels["dwm_order_wide"].path, n_files=3, order_by=["ts", "order_id"],
+    )
+    reg.register("dwm_payment_wide", kind="memory")
+    q = pipelines.payment_wide_app(spark, reg, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["payment_order_id"], r["value"])
+        for r in spark.sql("SELECT payment_order_id, value FROM dwm_payment_wide_mem").collect()
+    }
+    expected = {
+        (r["payment_order_id"], r["value"])
+        for r in interval_join(
+            payment.withColumnRenamed("ts", "p_ts"),
+            wide.withColumnRenamed("ts", "w_ts"),
+            on=F.col("payment_order_id") == F.col("order_id"),
+            left_ts=F.col("p_ts"),
+            right_ts=F.col("w_ts"),
+            lower="15 MINUTES",
+            upper="5 SECONDS",
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_visitor_stats_app_converges_to_batch(spark, reg, tmp_path):
+    ev = events(spark)
+    reg.register(
+        "dwd_page_log",
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    flush = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).select(*ev.columns)
+    write_replay(
+        ev.unionByName(flush),
+        reg.channels["dwd_page_log"].path, n_files=3, order_by=["ts", "event_id"],
+    )
+    reg.register("dws_visitor_stats", kind="memory")
+    q = pipelines.visitor_stats_app(spark, reg, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    max_real = ev.agg(F.max("ts")).collect()[0][0]
+    got = (
+        spark.sql("SELECT * FROM dws_visitor_stats_mem")
+        .filter(F.to_timestamp("stt") <= max_real)
+        .select("stt", "event_type", "pv_ct")
+        .collect()
+    )
+    expected = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("pv_ct"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            "event_type",
+            "pv_ct",
+        )
+        .collect()
+    )
+    assert {tuple(r) for r in got} == {tuple(r) for r in expected}
+    assert len(got) > 0
