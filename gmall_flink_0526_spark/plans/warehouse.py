@@ -486,3 +486,33 @@ def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("p_partkey"))
     return rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@register(
+    "sql_entry",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_ct
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="S4 — the SQL-string entry point (FlinkCDC_SQL.java:16-29: DDL "
+    "string registers the source, then a SELECT string runs against "
+    "it). Spark-first this is literally spark.sql: CREATE TEMPORARY "
+    "VIEW ... USING parquet, then the query text — same Catalyst plan "
+    "as the DataFrame dialect.",
+    tags=("sql", "entry"),
+)
+def sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW ods_order_info "
+        f"USING parquet OPTIONS (path '{sf_dir}/orders.parquet')"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_ct
+        FROM ods_order_info
+        WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority
+        """
+    )

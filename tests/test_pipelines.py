@@ -249,3 +249,17 @@ def test_visitor_stats_app_converges_to_batch(spark, reg, tmp_path):
     )
     assert {tuple(r) for r in got} == {tuple(r) for r in expected}
     assert len(got) > 0
+
+
+def test_write_ads_drops_transient(spark, tmp_path):
+    from gmall_flink_0526_spark.sources.sinks import write_ads
+
+    df = spark.createDataFrame(
+        [(1, 10.0, [2, 3]), (2, 20.0, [4])],
+        schema="sku_id long, order_amount double, order_id_set array<long>",
+    )
+    out = str(tmp_path / "ads_product_stats")
+    write_ads(df, out, transient_cols=["order_id_set"])
+    back = spark.read.parquet(out)
+    assert sorted(back.columns) == ["order_amount", "sku_id"]
+    assert back.count() == 2
