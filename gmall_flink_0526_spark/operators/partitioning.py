@@ -11,7 +11,29 @@ under-partitioned, so it is a no-op on a well-split production scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side into ``buckets``
+    sub-keys (deterministic hash of the whole row, so replays agree)
+    and replicate the small side once per bucket, so one hot key's rows
+    land on ``buckets`` tasks instead of one.
+
+    AQE's skew-join splitting (enabled in session.py) already handles
+    sort-merge skew at runtime; use this when the skew is extreme or
+    the join must stay shuffled-hash. The small side grows ``buckets``×
+    — keep it broadcast-sized."""
+    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(buckets))
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))))
+    return b.join(s, on + ["_salt"], how).drop("_salt")
 
 
 def spread(df: DataFrame, key: str) -> DataFrame:

@@ -27,7 +27,11 @@ SQL_OP = (
 
 
 def _order_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    from ..operators.partitioning import spread
+
+    # map-building + JSON round-trips are CPU-heavy per row: don't let a
+    # single-file scan pin them to one task
+    orders = spread(load_tables(spark, sf_dir, "orders")["orders"], "o_orderkey")
     return C.envelope_from_table(orders, "o_orderkey", "gmall", "order_info")
 
 

@@ -1,0 +1,96 @@
+"""Partitioning helpers: salted skew join equivalence, spread guard,
+and streaming checkpoint recovery (X4)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from gmall_flink_0526_spark.operators.partitioning import salted_join, spread
+from gmall_flink_0526_spark.session import load_tables
+from gmall_flink_0526_spark.sources.registry import ChannelRegistry, write_replay
+from gmall_flink_0526_spark.streaming import stateful
+
+from .conftest import SF_SMOKE
+
+
+def test_salted_join_matches_plain_join(spark):
+    t = load_tables(spark, SF_SMOKE, "lineitem", "part")
+    # skew it: map most lineitems onto one hot part key
+    big = t["lineitem"].select(
+        F.when(F.col("l_linenumber") > 1, F.lit(1)).otherwise(F.col("l_partkey")).alias("p_key"),
+        "l_extendedprice",
+    )
+    small = t["part"].select(F.col("p_partkey").alias("p_key"), "p_brand")
+    plain = (
+        big.join(small, "p_key")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("ct"))
+        .collect()
+    )
+    salted = (
+        salted_join(big, small, ["p_key"], buckets=8)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("ct"))
+        .collect()
+    )
+    assert {tuple(r) for r in salted} == {tuple(r) for r in plain}
+    assert len(plain) > 0
+
+
+def test_spread_is_noop_when_well_partitioned(spark):
+    df = spark.range(1000).repartition(64, "id")
+    assert spread(df, "id").rdd.getNumPartitions() == 64  # untouched
+    one = spark.range(1000).coalesce(1)
+    assert spread(one, "id").rdd.getNumPartitions() > 1
+
+
+def test_checkpoint_recovery_no_dup_no_loss(spark, tmp_path):
+    """X4 — stop a stateful streaming query mid-replay, restart from the
+    same checkpoint: the parquet sink must hold exactly the batch-twin
+    answer (sink commit log + state checkpoint => no dups, no loss)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        reg = ChannelRegistry(str(tmp_path))
+        reg.register(
+            "ods_events",
+            schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        events = load_tables(spark, SF_SMOKE, "events")["events"]
+        write_replay(events, reg.channels["ods_events"].path, n_files=6, order_by=["ts", "event_id"])
+
+        def start():
+            src = reg.read_stream(spark, "ods_events", max_files_per_trigger=1)
+            out = stateful.fix_is_new(src)  # NoTimeout => drains cleanly
+            return reg.write_stream(out, "dwd_is_new_ckpt", str(tmp_path / "ckpt"))
+
+        q = start()
+        # let a couple of micro-batches commit, then kill mid-stream
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            lp = q.lastProgress
+            if lp and lp["batchId"] >= 2:
+                break
+            time.sleep(0.3)
+        q.stop()
+
+        q2 = start()
+        q2.processAllAvailable()
+        q2.stop()
+
+        got = reg.read_batch(spark, "dwd_is_new_ckpt")
+        from gmall_flink_0526_spark import plans
+
+        expected = plans.queries()["is_new_fix"](spark, SF_SMOKE)
+        assert got.count() == events.count()  # no loss, no dups
+        mism = (
+            got.join(expected.withColumnRenamed("is_new", "exp"), ["event_id", "user_id"])
+            .filter(F.col("is_new") != F.col("exp"))
+            .count()
+        )
+        assert mism == 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
