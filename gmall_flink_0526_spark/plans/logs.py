@@ -342,3 +342,47 @@ def bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("session_ct"),
         F.count(F.when(F.col("n_events") == 1, 1)).alias("bounce_ct"),
     )
+
+
+@register(
+    "visitor_stats_union",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           COUNT(CASE WHEN event_type IN ('view', 'click') THEN 1 END) AS pv_ct,
+           COUNT(DISTINCT user_id) AS uv_ct,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS sv_ct,
+           {sql_sum('value')} AS dur_sum
+    FROM events
+    GROUP BY 1
+    """,
+    doc="A1, exact reference shape — VisitorStats built the way the DWS "
+    "app wires it: four pre-shaped streams (page views, deduped unique "
+    "visitors, session starts, duration) unioned then reduced per key "
+    "(RT/bean/VisitorStats.java:11-36: one constructor per source "
+    "stream, zero-filled measures, keyed window reduce). Each measure "
+    "is a partial-aggregable sum, so the union costs one shuffle total.",
+    tags=("agg", "union", "events"),
+)
+def visitor_stats_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+    l0, d0 = F.lit(0).cast("long"), F.lit(0.0)
+
+    def shaped(df, pv=l0, uv=l0, sv=l0, dur=d0):
+        return df.select(
+            "dt",
+            pv.alias("pv"), uv.alias("uv"), sv.alias("sv"), dur.alias("dur"),
+        )
+
+    one = F.lit(1).cast("long")
+    pv = shaped(ev.filter(F.col("event_type").isin("view", "click")), pv=one)
+    uv = shaped(ev.select("dt", "user_id").distinct(), uv=one)
+    sv = shaped(ev.filter(F.col("event_type") == "signup"), sv=one)
+    dur = shaped(ev, dur=F.col("value"))
+    unioned = pv.unionByName(uv).unionByName(sv).unionByName(dur)
+    return unioned.groupBy("dt").agg(
+        F.sum("pv").alias("pv_ct"),
+        F.sum("uv").alias("uv_ct"),
+        F.sum("sv").alias("sv_ct"),
+        exact_sum(F.col("dur")).alias("dur_sum"),
+    )

@@ -263,3 +263,61 @@ def test_write_ads_drops_transient(spark, tmp_path):
     back = spark.read.parquet(out)
     assert sorted(back.columns) == ["order_amount", "sku_id"]
     assert back.count() == 2
+
+
+def test_ods_to_dws_chain(spark, reg, tmp_path):
+    """Topic-decoupled layering, like the reference's job graph: the DWD
+    log-split app writes the dwd_page_log channel; the DWS visitor-stats
+    app tails that same channel as its own independent query. A
+    far-future 'view' sentinel flows through the DWD split into the page
+    channel and flushes the DWS windows."""
+    ev = events(spark)
+    flush = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit('{"k": 0}').alias("props"),
+    ).select(*ev.columns)
+    reg.register(
+        "ods_base_log",
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    write_replay(
+        ev.unionByName(flush), reg.channels["ods_base_log"].path, n_files=3,
+        order_by=["ts", "event_id"],
+    )
+    q1 = pipelines.base_log_app(spark, reg, str(tmp_path / "ckpt"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    # DWD output channel becomes the DWS input channel (schema = events + parsed k)
+    reg.register(
+        "dwd_page_log",
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string, k long",
+    )
+    reg.register("dws_visitor_stats", kind="memory")
+    q2 = pipelines.visitor_stats_app(spark, reg, str(tmp_path / "ckpt2"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    max_real = ev.agg(F.max("ts")).collect()[0][0]
+    got = (
+        spark.sql("SELECT stt, event_type, pv_ct FROM dws_visitor_stats_mem")
+        .filter(F.to_timestamp("stt") <= max_real)
+        .collect()
+    )
+    expected = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("pv_ct"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            "event_type",
+            "pv_ct",
+        )
+        .collect()
+    )
+    assert {tuple(r) for r in got} == {tuple(r) for r in expected}
+    assert len(got) > 0

@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis): Spark operators vs plain-Python
+models on generated inputs. Few examples, deadline off — each example
+costs a Spark job."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from gmall_flink_0526_spark.operators.textops import shingles, tokenize
+from gmall_flink_0526_spark.sources.cdc import apply_changes
+
+TEXT = st.text(
+    alphabet=st.sampled_from(list("ab c\tXY1.")), min_size=0, max_size=40
+)
+
+
+def py_tokenize(s: str) -> list[str]:
+    return [t for t in re.split(r"\s+", s.lower()) if t != ""]
+
+
+def py_shingles(toks: list[str], n: int = 3) -> list[str]:
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_tokenize_shingles_match_python_model(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    rows = (
+        df.select("i", tokenize(F.col("text")).alias("toks"))
+        .select("i", "toks", shingles(F.col("toks"), 3).alias("s"))
+        .orderBy("i")
+        .collect()
+    )
+    for r in rows:
+        want_toks = py_tokenize(texts[r["i"]])
+        assert list(r["toks"]) == want_toks
+        assert list(r["s"]) == py_shingles(want_toks)
+
+
+OPS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.sampled_from(["insert", "update", "delete"]),
+        st.integers(min_value=0, max_value=99),  # value carried in 'after'
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(OPS)
+def test_apply_changes_matches_python_model(spark, ops):
+    rows = [
+        (k, typ, {"v": str(v)}, i)  # i = arrival order = seq
+        for i, (k, typ, v) in enumerate(ops)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, type string, after map<string,string>, seq long"
+    )
+    got = {
+        r["k"]: r["after"]["v"]
+        for r in apply_changes(df, "k", "seq").collect()
+    }
+    # sequential replay model: per key the last op decides — absent if
+    # it is a delete, else its carried value
+    expected = {}
+    last = {}
+    for k, typ, v in ops:
+        last[k] = (typ, str(v))
+    for k, (typ, v) in last.items():
+        if typ != "delete":
+            expected[k] = v
+    assert got == expected
