@@ -74,6 +74,56 @@ def topk_neighbors(
     )
 
 
+def topk_neighbors_vectorized(probes: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """Vectorized ANN: the probe matrix rides a Spark broadcast variable
+    into an Arrow-batched ``mapInPandas`` pass that scores each corpus
+    batch against ALL probes with one numpy matmul, keeps the per-batch
+    top-k per probe (argpartition), and only then shuffles — the global
+    re-rank sees at most k × n_batches rows per probe instead of the
+    whole corpus. Same contract as :func:`topk_neighbors`; the numpy
+    float path trades bit-reproducibility of the score for throughput,
+    so value checks should compare (qid, cid, rank), not cos_sim."""
+    import numpy as np
+
+    pr = probes.collect()  # broadcast-sized by contract, like the dim tables
+    sc = probes.sparkSession.sparkContext
+    b_probes = sc.broadcast(
+        (np.array([r[0] for r in pr]), np.array([list(r[1]) for r in pr], dtype=np.float64))
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        qids, Q = b_probes.value
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["cid"].to_numpy()
+            C = np.array([list(v) for v in pdf["cv"]], dtype=np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T  # (n_candidates, n_probes)
+            out_q, out_c, out_s = [], [], []
+            for j in range(S.shape[1]):
+                col = S[:, j].copy()
+                col[cids == qids[j]] = -np.inf  # self-match excluded
+                top = np.argpartition(-col, min(k, len(col) - 1))[: k]
+                for i in top:
+                    if np.isfinite(col[i]):
+                        out_q.append(qids[j])
+                        out_c.append(cids[i])
+                        out_s.append(col[i])
+            yield pd.DataFrame({"qid": out_q, "cid": out_c, "cos_sim": out_s})
+
+    scored = spread(corpus, "cid").mapInPandas(fn, "qid long, cid long, cos_sim double")
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cos_sim", "rn")
+    )
+
+
 def near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within coarse buckets
     (label = bucket): equi-join on the bucket key keeps the candidate

@@ -111,3 +111,38 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "embeddings")
     return S.near_dup_pairs(t["embeddings"], threshold=0.45)
+
+
+@register(
+    "ann_topk_vectorized",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_PROBES}
+    ), scored AS (
+      SELECT qid, vec_id AS cid,
+             {_sql_cosine('qv', 'embedding')} AS cos_sim
+      FROM embeddings CROSS JOIN probes
+      WHERE vec_id != qid
+    ), ranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT qid, cid, rn FROM ranked WHERE rn <= {TOP_K}
+    """,
+    doc="Vectorized ANN: one numpy matmul per Arrow batch against the "
+    "broadcast probe matrix, per-batch top-k (argpartition) before the "
+    "shuffle, global re-rank after — the Pandas-UDF fast path next to "
+    "the JVM-fold baseline. Compared on (qid, cid, rank): the blocked "
+    "float sum is not bit-identical to a sequential fold, the ranking "
+    "is.",
+    tags=("similarity", "ann", "pandas-udf"),
+)
+def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    return S.topk_neighbors_vectorized(probes, corpus, TOP_K).select("qid", "cid", "rn")

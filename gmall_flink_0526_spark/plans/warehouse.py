@@ -516,3 +516,27 @@ def sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "product_stats_approx",
+    oracle=None,  # sketch values are engine-specific: rows-only by design
+    doc="A2 scale path — the same ProductStats aggregate with "
+    "approx_count_distinct (HyperLogLog++, ~2% relative error) in place "
+    "of the exact collect_set accumulator: constant memory per group at "
+    "any cardinality, map-side partial-aggregable. The exact twin "
+    "(product_stats) is the value-checked query; this one is checked "
+    "rows-only because HLL sketches are not cross-engine reproducible.",
+    tags=("agg", "distinct", "approx"),
+)
+def product_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("order_ct_approx"),
+            F.count("*").alias("line_ct"),
+        )
+    )

@@ -137,14 +137,23 @@ def test_order_wide_app_converges_to_batch(spark, reg, tmp_path):
         reg.channels["dwd_order_detail"].path, n_files=3, order_by=["ts", "detail_order_id"],
     )
     reg.register("dwm_order_wide", kind="memory")
-    q = pipelines.order_wide_app(spark, reg, str(tmp_path / "ckpt"))
+    # J3 in the streaming form: broadcast dim joined onto the wide rows
+    # (the reference's TODO 5, RT/app/dwm/OrderWideApp.java:93)
+    dim = spark.createDataFrame(
+        [(i, f"bucket_{i}") for i in range(10)], "bucket_id long, bucket_name string"
+    )
+    q = pipelines.order_wide_app(
+        spark, reg, str(tmp_path / "ckpt"),
+        dims=[(dim, F.col("order_id") % 10 == F.col("bucket_id"), ["bucket_id", "bucket_name"])],
+    )
     q.processAllAvailable()
     q.stop()
 
-    got = {
-        (r["order_id"], r["value"])
-        for r in spark.sql("SELECT order_id, value FROM dwm_order_wide_mem").collect()
-    }
+    wide_mem = spark.sql("SELECT order_id, value, bucket_name FROM dwm_order_wide_mem")
+    assert wide_mem.filter(
+        F.col("bucket_name") != F.concat(F.lit("bucket_"), (F.col("order_id") % 10))
+    ).count() == 0
+    got = {(r["order_id"], r["value"]) for r in wide_mem.collect()}
     expected = {
         (r["order_id"], r["value"])
         for r in interval_join(
