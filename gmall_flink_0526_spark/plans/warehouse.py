@@ -540,3 +540,40 @@ def product_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("line_ct"),
         )
     )
+
+
+@register(
+    "order_status_stats",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS order_ct,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS paid_order_ct,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS pending_order_ct,
+           {sql_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS payment_amount,
+           {sql_sum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END")} AS pending_amount
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="A2's status-coded measure family (ProductStats paid/refund "
+    "counts keyed on order-status constants, RT/bean/ProductStats.java:"
+    "41-66 + GmallConstant status codes): conditional counts and sums "
+    "per status in one grouped pass — each measure map-side partial-"
+    "aggregates, one shuffle total.",
+    tags=("agg", "status"),
+)
+def order_status_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    is_f = F.col("o_orderstatus") == "F"
+    is_p = F.col("o_orderstatus") == "P"
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("order_ct"),
+            F.count(F.when(is_f, 1)).alias("paid_order_ct"),
+            F.count(F.when(is_p, 1)).alias("pending_order_ct"),
+            exact_sum(F.when(is_f, price).otherwise(F.lit(0.0))).alias("payment_amount"),
+            exact_sum(F.when(is_p, price).otherwise(F.lit(0.0))).alias("pending_amount"),
+        )
+    )

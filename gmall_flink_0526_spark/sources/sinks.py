@@ -25,12 +25,16 @@ def write_ads(
     transient_cols: list[str] | None = None,
     format: str = "parquet",
     mode: str = "append",
+    partition_by: list[str] | None = None,
     options: dict[str, str] | None = None,
 ) -> None:
     """K5 — drop accumulator columns, write to the ads store.
 
     ``target`` is a path for file formats, a table name for jdbc
-    (options must then carry url/driver credentials).
+    (options must then carry url/driver credentials). ``partition_by``
+    (file formats only) lays the table out for partition pruning —
+    ads tables are read by dashboards filtering on date/hour, so
+    partitioning by those keys turns each read into a directory prune.
     """
     out = drop_transient(df, transient_cols or [])
     writer = out.write.mode(mode)
@@ -39,4 +43,6 @@ def write_ads(
     if format == "jdbc":
         writer.option("dbtable", target).format("jdbc").save()
     else:
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
         writer.format(format).save(target)

@@ -330,3 +330,23 @@ def test_ods_to_dws_chain(spark, reg, tmp_path):
     )
     assert {tuple(r) for r in got} == {tuple(r) for r in expected}
     assert len(got) > 0
+
+
+def test_write_ads_partitioned_layout_prunes(spark, tmp_path):
+    from gmall_flink_0526_spark.sources.sinks import write_ads
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1, 5.0), ("2024-01-01", 2, 6.0), ("2024-01-02", 3, 7.0)],
+        schema="dt string, sku_id long, amount double",
+    )
+    out = str(tmp_path / "ads_daily")
+    write_ads(df, out, partition_by=["dt"])
+    assert (tmp_path / "ads_daily" / "dt=2024-01-01").exists()
+    back = spark.read.parquet(out).filter(F.col("dt") == "2024-01-01")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain()
+    assert "PartitionFilters: [isnotnull(dt" in buf.getvalue()  # directory prune, not scan+filter
+    assert back.count() == 2
