@@ -178,6 +178,39 @@ def order_wide_app(
     return reg.write_stream(wide, out_channel, ckpt)
 
 
+def unique_visit_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    source: str = "dwd_page_log",
+    out_channel: str = "dwm_unique_visit",
+):
+    """F2 as a job — UniqueVisitApp (RT/app/dwm/UniqueVisitApp.java:
+    24-92): tail the page channel, emit the first visit per user per
+    calendar day via the exact keyed-state operator, publish to the
+    unique-visit channel."""
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+    return reg.write_stream(stateful.daily_dedup(src), out_channel, ckpt)
+
+
+def user_jump_detail_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    source: str = "dwd_page_log",
+    out_channel: str = "dwm_user_jump_detail",
+    gap_minutes: int = 10,
+):
+    """U2 as a job — the reference's planned CEP bounce job (empty stub
+    RT/app/dwm/UserJumpDetailApp.java; flink-cep dep declared): close a
+    session when the gap passes or state times out; 1-event sessions
+    are bounces."""
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+    return reg.write_stream(
+        stateful.sessionize_bounce(src, gap_minutes=gap_minutes), out_channel, ckpt
+    )
+
+
 def payment_wide_app(
     spark: SparkSession,
     reg: ChannelRegistry,

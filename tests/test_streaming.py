@@ -166,3 +166,32 @@ def test_sessionize_bounce_closed_sessions(spark, replay):
     pd.testing.assert_frame_equal(
         got.astype({"bounce_ct": "int64"}), expected.astype({"bounce_ct": "int64"})
     )
+
+
+def test_unique_visit_and_user_jump_apps(spark, replay, tmp_path_factory):
+    """App-level wrappers (UniqueVisitApp / UserJumpDetailApp parity):
+    same operators as above, but run as named-channel jobs writing file
+    channels instead of memory sinks."""
+    from gmall_flink_0526_spark.streaming import pipelines
+
+    reg, root = replay
+    ckpt = str(tmp_path_factory.mktemp("app_ckpt"))
+    q1 = pipelines.unique_visit_app(spark, reg, ckpt, source="ods_events")
+    try:
+        drain(q1)
+    finally:
+        q1.stop()
+    uv = reg.read_batch(spark, "dwm_unique_visit")
+    from gmall_flink_0526_spark import plans
+
+    expected = plans.queries()["uv_first_visit"](spark, SF_SMOKE)
+    assert uv.count() == expected.count()
+
+    q2 = pipelines.user_jump_detail_app(spark, reg, ckpt, source="ods_events")
+    try:
+        drain(q2)
+    finally:
+        q2.stop()
+    jumps = reg.read_batch(spark, "dwm_user_jump_detail")
+    assert jumps.columns == ["user_id", "n_events", "is_bounce"]
+    assert jumps.count() > 0
