@@ -49,8 +49,10 @@ PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
 def json_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "events")
     from ..operators.parse import parse_json_dead_letter
+    from ..operators.partitioning import spread
 
-    raw = t["events"].withColumn(
+    # both branches re-parse the scan; spread so from_json parallelizes
+    raw = spread(t["events"], "event_id").withColumn(
         "payload",
         F.when(F.col("event_id") % 50 == 0, F.substring("props", 1, 5)).otherwise(F.col("props")),
     )

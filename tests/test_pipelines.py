@@ -44,7 +44,13 @@ def events(spark):
 
 
 def test_base_log_app(spark, reg, tmp_path):
-    ev = events(spark)
+    # every 50th props payload truncated -> must land in the dead letter
+    ev = events(spark).withColumn(
+        "props",
+        F.when(F.col("event_id") % 50 == 0, F.substring("props", 1, 5)).otherwise(
+            F.col("props")
+        ),
+    )
     reg.register(
         "ods_base_log",
         schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
@@ -54,18 +60,21 @@ def test_base_log_app(spark, reg, tmp_path):
     q.processAllAvailable()
     q.stop()
 
+    clean = ev.filter(F.col("event_id") % 50 != 0)
     start = reg.read_batch(spark, "dwd_start_log")
     page = reg.read_batch(spark, "dwd_page_log")
     display = reg.read_batch(spark, "dwd_display_log")
-    assert start.count() == ev.filter(F.col("event_type") == "signup").count()
-    assert page.count() == ev.filter(F.col("event_type").isin("view", "click")).count()
-    assert display.count() == ev.filter(
+    assert start.count() == clean.filter(F.col("event_type") == "signup").count()
+    assert page.count() == clean.filter(F.col("event_type").isin("view", "click")).count()
+    assert display.count() == clean.filter(
         ~F.col("event_type").isin("signup", "view", "click")
     ).count()
     # parsed payload column survived the split
     assert "k" in page.columns and page.filter(F.col("k").isNull()).count() == 0
-    # no dirty rows in the fixture: every props string is valid JSON
-    assert reg.read_batch(spark, "dirty_log").count() == 0
+    # corrupt rows all diverted to the dead letter, none lost
+    dirty = reg.read_batch(spark, "dirty_log")
+    assert dirty.count() == ev.filter(F.col("event_id") % 50 == 0).count()
+    assert start.count() + page.count() + display.count() + dirty.count() == ev.count()
 
 
 def test_base_db_app_routes_facts_and_dims(spark, reg, tmp_path):
