@@ -388,3 +388,72 @@ def visitor_stats_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sv").alias("sv_ct"),
         exact_sum(F.col("dur")).alias("dur_sum"),
     )
+
+
+@register(
+    "log_explode_displays",
+    oracle="""
+    WITH e AS (SELECT event_id, event_id % 4 AS k FROM events),
+    d AS (SELECT event_id, unnest(range(1, k + 1)) AS i FROM e WHERE k >= 1)
+    SELECT CASE WHEN i % 2 = 1 THEN 'promotion' ELSE 'query' END AS display_type,
+           COUNT(*) AS display_ct,
+           CAST(SUM(event_id) AS BIGINT) AS parent_sum,
+           CAST(SUM(i) AS BIGINT) AS order_sum
+    FROM d
+    GROUP BY 1
+    """,
+    doc="P5 in its authentic nested form (RT/app/dwd/BaseLogApp.java:"
+    "120-140): the behavior-log JSON (common/page/displays[] per "
+    "schemas.BEHAVIOR_LOG) is built, round-tripped through "
+    "to_json/from_json, the displays array exploded 1->N with parent "
+    "fields stamped onto each element (explode_with_parent); parent_sum "
+    "proves the stamped parent id survives the fan-out.",
+    tags=("parse", "explode", "logs"),
+)
+def log_explode_displays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.parse import explode_with_parent
+    from ..operators.partitioning import spread
+    from ..schemas import BEHAVIOR_LOG
+
+    t = load_tables(spark, sf_dir, "events")
+    k = F.col("event_id") % 4
+    # synthesize the nested log: displays[i] for i in 1..(event_id % 4)
+    displays = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.struct(
+            F.when(i % 2 == 1, "promotion").otherwise("query").alias("display_type"),
+            F.concat(F.lit("sku_"), i).alias("item"),
+            F.lit("sku_id").alias("item_type"),
+            i.cast("long").alias("order"),
+        ),
+    )
+    raw = spread(t["events"], "event_id").select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.concat(F.lit("mid_"), F.col("user_id")).alias("mid"),
+                    F.col("event_id").cast("string").alias("uid"),
+                ).alias("common"),
+                F.when(k >= 1, displays)
+                .otherwise(
+                    F.array().cast(
+                        "array<struct<display_type:string,item:string,item_type:string,order:bigint>>"
+                    )
+                )
+                .alias("displays"),
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
+            )
+        ).alias("line")
+    )
+    parsed = raw.select(F.from_json("line", BEHAVIOR_LOG).alias("log")).select("log.*")
+    exploded = explode_with_parent(
+        parsed.filter(F.size("displays") >= 1),
+        "displays",
+        {"parent_uid": F.col("common.uid").cast("long")},
+        out="display",
+    )
+    return exploded.groupBy(F.col("display.display_type").alias("display_type")).agg(
+        F.count("*").alias("display_ct"),
+        F.sum("parent_uid").alias("parent_sum"),
+        F.sum("display.order").alias("order_sum"),
+    )
