@@ -247,6 +247,65 @@ def payment_wide_app(
     return reg.write_stream(joined, out_channel, ckpt)
 
 
+def visitor_stats_union_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    page_channel: str = "dwd_page_log",
+    uv_channel: str = "dwm_unique_visit",
+    jump_channel: str = "dwm_user_jump_detail",
+    out_channel: str = "dws_visitor_stats_union",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+):
+    """A1 in the reference's exact wiring: several pre-shaped streams
+    (page views / deduped unique visitors / bounce flags) are unioned —
+    one measure column "hot" per source, the rest zero-filled
+    (RT/bean/VisitorStats.java's one-constructor-per-stream pattern) —
+    then reduced in one keyed tumbling window. The union is free at the
+    shuffle: every measure partial-aggregates map-side."""
+    l0, d0 = F.lit(0).cast("long"), F.lit(0.0)
+
+    def shaped(df, ts_col, pv=l0, uv=l0, uj=l0, dur=d0):
+        return df.select(
+            F.col(ts_col).alias("ts"),
+            pv.alias("pv"), uv.alias("uv"), uj.alias("uj"), dur.alias("dur"),
+        )
+
+    one = F.lit(1).cast("long")
+    # no per-trigger file throttle here: the three channels have
+    # different file/event-time densities, and the unioned stream has a
+    # SINGLE watermark — throttling would let one source race the
+    # watermark ahead while another still replays older event times,
+    # turning its rows late. Consuming all available files per trigger
+    # keeps the watermark behind every source's unprocessed data (the
+    # Kafka analogue: offsets are consumed roughly time-aligned).
+    page = reg.read_stream(spark, page_channel)
+    uvs = reg.read_stream(spark, uv_channel)
+    jumps = reg.read_stream(spark, jump_channel)
+    unioned = (
+        shaped(page, "ts", pv=one, dur=F.col("value"))
+        .unionByName(shaped(uvs, "ts", uv=one))
+        .unionByName(shaped(jumps.filter(F.col("is_bounce")), "end_ts", uj=one))
+    )
+    agg = (
+        unioned.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.sum("pv").alias("pv_ct"),
+            F.sum("uv").alias("uv_ct"),
+            F.sum("uj").alias("uj_ct"),
+            F.sum("dur").alias("dur_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "pv_ct", "uv_ct", "uj_ct", "dur_sum",
+        )
+    )
+    return reg.write_stream(agg, out_channel, ckpt)
+
+
 def visitor_stats_app(
     spark: SparkSession,
     reg: ChannelRegistry,

@@ -58,17 +58,17 @@ def daily_dedup(
             for row in pdf.itertuples(index=False):
                 d = str(getattr(row, ts).date())
                 if d != last_date:
-                    out.append((key_tuple[0], d, getattr(row, id_col)))
+                    out.append((key_tuple[0], d, getattr(row, id_col), getattr(row, ts)))
                     last_date = d
         if last_date is not None:
             state.update((last_date,))
             state.setTimeoutDuration(DAY_MS)
         if out:
-            yield pd.DataFrame(out, columns=[key, "dt", "first_event_id"])
+            yield pd.DataFrame(out, columns=[key, "dt", "first_event_id", "ts"])
 
     return events.groupBy(key).applyInPandasWithState(
         fn,
-        outputStructType=f"{key} long, dt string, first_event_id long",
+        outputStructType=f"{key} long, dt string, first_event_id long, ts timestamp",
         stateStructType="last_date string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
@@ -123,16 +123,18 @@ def sessionize_bounce(
     """CEP bounce detection: a session closes when the next event
     arrives after the gap, or when state times out (the CEP ``within``
     timeout branch). Emits one row per *closed* session:
-    (user_id, n_events, is_bounce). Open sessions stay in state.
+    (user_id, n_events, is_bounce, end_ts = last event of the session).
+    Open sessions stay in state.
     """
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
             if state.exists:
-                _, n = state.get
+                last_us, n = state.get
                 yield pd.DataFrame(
-                    [(key_tuple[0], n, n == 1)], columns=[key, "n_events", "is_bounce"]
+                    [(key_tuple[0], n, n == 1, pd.Timestamp(last_us * 1000))],
+                    columns=[key, "n_events", "is_bounce", "end_ts"],
                 )
             state.remove()
             return
@@ -143,18 +145,18 @@ def sessionize_bounce(
             for row in pdf.itertuples(index=False):
                 t_us = getattr(row, ts).value // 1000  # pandas ns -> us
                 if last_us is not None and t_us - last_us > gap_us:
-                    closed.append((key_tuple[0], n, n == 1))
+                    closed.append((key_tuple[0], n, n == 1, pd.Timestamp(last_us * 1000)))
                     n = 0
                 last_us = t_us
                 n += 1
         state.update((last_us, n))
         state.setTimeoutDuration(gap_minutes * 60 * 1000)
         if closed:
-            yield pd.DataFrame(closed, columns=[key, "n_events", "is_bounce"])
+            yield pd.DataFrame(closed, columns=[key, "n_events", "is_bounce", "end_ts"])
 
     return events.groupBy(key).applyInPandasWithState(
         fn,
-        outputStructType=f"{key} long, n_events long, is_bounce boolean",
+        outputStructType=f"{key} long, n_events long, is_bounce boolean, end_ts timestamp",
         stateStructType="last_us long, n long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,

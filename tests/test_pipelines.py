@@ -359,3 +359,99 @@ def test_write_ads_partitioned_layout_prunes(spark, tmp_path):
         back.explain()
     assert "PartitionFilters: [isnotnull(dt" in buf.getvalue()  # directory prune, not scan+filter
     assert back.count() == 2
+
+
+def test_visitor_stats_union_chain(spark, reg, tmp_path):
+    """The full A1 wiring: unique-visit and user-jump apps populate
+    their DWM channels from ODS events; the union stats app tails page +
+    uv + jump channels and reduces one windowed aggregate. Two sentinel
+    waves (same real user, +3h and +6h) advance every source's
+    watermark — the global watermark is the MIN across sources, so each
+    channel needs a far-future row before real windows flush."""
+    ev = events(spark)
+    u0 = ev.agg(F.min("user_id")).collect()[0][0]
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def sentinel(hours):
+        return ev.limit(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {hours} HOURS")).alias("ts"),
+            F.lit(u0).cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit('{"k": 0}').alias("props"),
+        )
+
+    full = ev.unionByName(sentinel(3)).unionByName(sentinel(6))
+    reg.register(
+        "ods_events",
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    write_replay(full, reg.channels["ods_events"].path, n_files=3, order_by=["ts", "event_id"])
+
+    from .test_streaming import drain
+
+    # both stateful apps use ProcessingTimeTimeout -> processAllAvailable
+    # would never return; drain() instead
+    q = pipelines.unique_visit_app(spark, reg, str(tmp_path / "c1"), source="ods_events")
+    try:
+        drain(q)
+    finally:
+        q.stop()
+
+    q = pipelines.user_jump_detail_app(spark, reg, str(tmp_path / "c2"), source="ods_events")
+    try:
+        drain(q)
+    finally:
+        q.stop()
+
+    # page channel: view/click real rows + both sentinels
+    page = full.filter(F.col("event_type").isin("view", "click"))
+    reg.register(
+        "dwd_page_log",
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    write_replay(page, reg.channels["dwd_page_log"].path, n_files=3, order_by=["ts", "event_id"])
+
+    # re-register the DWM channels with schemas for the streaming read
+    reg.register("dwm_unique_visit", schema="user_id long, dt string, first_event_id long, ts timestamp")
+    reg.register("dwm_user_jump_detail", schema="user_id long, n_events long, is_bounce boolean, end_ts timestamp")
+    reg.register("dws_visitor_stats_union", kind="memory")
+    q = pipelines.visitor_stats_union_app(spark, reg, str(tmp_path / "c3"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        spark.sql("SELECT * FROM dws_visitor_stats_union_mem")
+        .filter(F.to_timestamp("stt") <= max_ts)
+        .toPandas()
+        .set_index("stt")
+        .sort_index()
+    )
+
+    # batch expectations over the REAL rows only
+    real = ev
+    hour = lambda c: F.date_format(F.date_trunc("hour", c), "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    pv = (
+        real.filter(F.col("event_type").isin("view", "click"))
+        .groupBy(hour(F.col("ts")).alias("stt"))
+        .agg(F.count("*").alias("pv_ct"), F.sum("value").alias("dur_sum"))
+        .toPandas().set_index("stt")
+    )
+    from gmall_flink_0526_spark import plans
+
+    uv_twin = plans.queries()["uv_first_visit"](spark, SF_SMOKE)
+    uv = (
+        uv_twin.join(real.select("event_id", "ts"), uv_twin.first_event_id == F.col("event_id"))
+        .groupBy(hour(F.col("ts")).alias("stt"))
+        .agg(F.count("*").alias("uv_ct"))
+        .toPandas().set_index("stt")
+    )
+    for stt, row in got.iterrows():
+        assert row["pv_ct"] == (pv.loc[stt, "pv_ct"] if stt in pv.index else 0), stt
+        assert row["uv_ct"] == (uv.loc[stt, "uv_ct"] if stt in uv.index else 0), stt
+        if stt in pv.index:
+            assert abs(row["dur_sum"] - pv.loc[stt, "dur_sum"]) < 1e-6, stt
+    # every real pv window must have been flushed and present
+    assert set(pv.index) <= set(got.index)
+    assert got["uj_ct"].sum() > 0  # bounce stream contributed

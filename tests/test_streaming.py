@@ -193,5 +193,5 @@ def test_unique_visit_and_user_jump_apps(spark, replay, tmp_path_factory):
     finally:
         q2.stop()
     jumps = reg.read_batch(spark, "dwm_user_jump_detail")
-    assert jumps.columns == ["user_id", "n_events", "is_bounce"]
+    assert jumps.columns == ["user_id", "n_events", "is_bounce", "end_ts"]
     assert jumps.count() > 0
