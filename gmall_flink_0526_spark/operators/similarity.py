@@ -115,7 +115,10 @@ def topk_neighbors_vectorized(probes: DataFrame, corpus: DataFrame, k: int) -> D
                         out_s.append(col[i])
             yield pd.DataFrame({"qid": out_q, "cid": out_c, "cos_sim": out_s})
 
-    scored = spread(corpus, "cid").mapInPandas(fn, "qid long, cid long, cos_sim double")
+    # no spread here: one numpy matmul amortizes a whole batch, so extra
+    # Python workers cost more in spin-up than they save locally; at
+    # scale the corpus scan already has >= parallelism splits
+    scored = corpus.mapInPandas(fn, "qid long, cid long, cos_sim double")
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
