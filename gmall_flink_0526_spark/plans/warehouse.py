@@ -577,3 +577,26 @@ def order_status_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.when(is_p, price).otherwise(F.lit(0.0))).alias("pending_amount"),
         )
     )
+
+
+@register(
+    "top_revenue_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-k (ADS sort/limit surface): orderBy + limit compiles "
+    "to TakeOrderedAndProject — per-partition top-k then a k-row merge "
+    "on the driver, never a full sort/shuffle of the table.",
+    tags=("sort", "topk"),
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
