@@ -600,3 +600,29 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "sales_cube",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS order_ct,
+           {sql_sum('o_totalprice')} AS amount
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="CUBE over (priority, status): all four grouping sets in one "
+    "pass — Spark expands the cube map-side, so the shuffle carries one "
+    "partial row per (set x group), not a re-scan per set.",
+    tags=("agg", "cube"),
+)
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("order_ct"),
+            exact_sum(F.col("o_totalprice")).alias("amount"),
+        )
+    )
