@@ -95,6 +95,12 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict:
     """
     from pyspark.sql import functions as F
 
+    # The caller's session may be a vanilla one (the external correctness
+    # driver builds its own); nanosAsLong is runtime-settable, so pin it
+    # here rather than relying on get_spark() having run. Without it any
+    # events.parquet read dies with PARQUET_TYPE_ILLEGAL (TIMESTAMP(NANOS)).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     out = {}
     for name in names or TESTDATA_TABLES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
