@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .cache import scoped_persist
 from .partitioning import spread
 from .textops import shingles, tokenize
 
@@ -99,7 +100,11 @@ def lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bk").persist()
+    ).select("doc_id", "bb.band", "bb.bk")
+    # scoped: released when the next catalog query starts (cache.py) —
+    # ReuseExchange does NOT cover this self-join (measured), persist
+    # halves candidate-generation time by computing signatures once
+    bands = scoped_persist(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -79,11 +79,14 @@ def project_columns(df: DataFrame, columns: list[str]) -> DataFrame:
 def project_map_columns(df: DataFrame, map_col: str, cols_col: str) -> DataFrame:
     """P4 (dynamic variant) — per-row column subset of a MapType column,
     where the allowed keys arrive as a CSV string column (the joined
-    ``sinkColumns`` config). ``map_filter`` runs JVM-side.
+    ``sinkColumns`` config). ``map_filter`` runs JVM-side. A NULL
+    ``cols_col`` (nullable in TABLE_PROCESS) means "keep everything" —
+    without the guard, split(NULL) -> NULL array would drop every key.
     """
     allowed = F.split(F.col(cols_col), ",")
+    filtered = F.map_filter(F.col(map_col), lambda k, _v: F.array_contains(allowed, k))
     return df.withColumn(
-        map_col, F.map_filter(F.col(map_col), lambda k, _v: F.array_contains(allowed, k))
+        map_col, F.when(F.col(cols_col).isNull(), F.col(map_col)).otherwise(filtered)
     )
 
 

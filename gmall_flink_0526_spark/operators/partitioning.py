@@ -11,6 +11,11 @@ under-partitioned, so it is a no-op on a well-split production scan.
 
 from __future__ import annotations
 
+import math
+import os
+import re
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -36,12 +41,98 @@ def salted_join(
     return b.join(s, on + ["_salt"], how).drop("_salt")
 
 
+# Logical-plan nodes whose presence means the frame's partitioning is
+# governed by spark.sql.shuffle.partitions (an exchange already ran or
+# will run), not by the input splits.
+_SHUFFLE_NODES = (
+    "Join",
+    "Aggregate",
+    "Repartition",
+    "Sort",
+    "Window",
+    "Deduplicate",
+    "Distinct",
+    "Intersect",
+    "Except",
+)
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte conf value ("134217728", "128m", "1g")."""
+    v = v.strip().lower().removesuffix("b")
+    for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if v.endswith(suffix):
+            return int(float(v[:-1]) * mult)
+    return int(v)
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Cheaply estimate the scan-stage task count of a *narrow* plan
+    (no shuffle boundary) from its input files, without triggering
+    physical planning. Returns None when the plan contains a shuffle
+    or the estimate isn't available — the caller then reasons from
+    ``spark.sql.shuffle.partitions`` instead.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    # Walk root-down: the first partitioning-changing node governs the
+    # frame's layout. An explicit Repartition/coalesce prints its count
+    # ("Repartition 1, false" / "RepartitionByExpression [id], 64") —
+    # use it; any other shuffle node means shuffle.partitions (None).
+    for line in plan.splitlines():
+        if any(tok in line for tok in _SHUFFLE_NODES):
+            m = re.search(r"Repartition(?:ByExpression)?\b.*?(\d+)(?:, (?:true|false))?\s*$", line)
+            if m:
+                return int(m.group(1))
+            return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        max_part = _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+    except Exception:
+        max_part = 128 * 1024 * 1024
+    est = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme in ("file", ""):
+            try:
+                sz = os.path.getsize(unquote(p.path))
+                est += max(1, math.ceil(sz / max_part))
+                continue
+            except OSError:
+                pass
+        # remote / unstatable file: count it as one split (a lower
+        # bound; large-scale scans have many files so this still
+        # clears the threshold and spread stays a no-op)
+        est += 1
+    return est
+
+
 def spread(df: DataFrame, key: str) -> DataFrame:
     """Shuffle ``df`` out to the cluster's default parallelism keyed by
-    ``key`` iff the current partition count is lower. The shuffle only
+    ``key`` iff its partition count would be lower. The shuffle only
     ever moves under-partitioned (small) inputs, so its cost is bounded
-    by the win of parallelizing the downstream CPU-heavy stage."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    by the win of parallelizing the downstream CPU-heavy stage.
+
+    The decision is made from the *analyzed* plan (input-file splits
+    for narrow plans, ``spark.sql.shuffle.partitions`` once a shuffle
+    boundary is present) — never via ``df.rdd``, which would force a
+    redundant physical-planning pass on every call.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    est = _estimated_scan_partitions(df)
+    if est is None:
+        # a shuffle governs the layout: its width is shuffle.partitions
+        est = int(spark.conf.get("spark.sql.shuffle.partitions", str(n)))
+    if est < n:
         return df.repartition(n, key)
     return df

@@ -14,10 +14,14 @@ this package populate the catalog at import time.
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.cache import release_scoped
 
 
 @dataclass(frozen=True)
@@ -38,10 +42,20 @@ def register(
     doc: str = "",
     tags: tuple[str, ...] = (),
 ) -> Callable:
-    """Decorator: add a query implementation to the catalog."""
+    """Decorator: add a query implementation to the catalog.
+
+    The registered callable releases the previous query's scoped
+    caches first (see ``operators.cache``), so cached intermediates
+    never accumulate across a many-query session.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        CATALOG[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_scoped()
+            return fn(spark, sf_dir)
+
+        CATALOG[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, doc=doc, tags=tags)
         return fn
 
     return deco

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as D
+from ..operators.cache import scoped_persist
 from ..session import load_tables
 from .catalog import register
 from .text import SQL_TOKS
@@ -95,8 +96,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     # shingles feed both candidate generation and verification — persist
-    # so the expensive tokenize/shingle pass runs once
-    sh = D.doc_shingles(t["documents"], "doc_id", "text").persist()
+    # (scoped: released when the next catalog query starts) so the
+    # expensive tokenize/shingle pass runs once
+    sh = scoped_persist(D.doc_shingles(t["documents"], "doc_id", "text"))
     pairs = D.lsh_candidate_pairs(sh)
     verified = D.jaccard_verify(sh, pairs)
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)

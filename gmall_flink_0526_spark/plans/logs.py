@@ -117,7 +117,9 @@ def log_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out
+    # An ungrouped agg emits one row even for an empty branch (ct=0,
+    # value_sum NULL); the oracle's GROUP BY emits none — drop them.
+    return out.filter(F.col("ct") > 0)
 
 
 # ----------------------------------------------------------------------

@@ -42,16 +42,36 @@ class DimStore:
         if not os.path.exists(p):
             schema_df.limit(0).write.mode("overwrite").parquet(p)
 
-    def merge(self, spark: SparkSession, batch: DataFrame, table: str, pk: str) -> None:
+    def merge(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        table: str,
+        pk: str,
+        seq_col: str | None = None,
+    ) -> None:
         """K3 — upsert by pk: last-writer-wins within the batch, batch
-        rows replace existing rows with the same pk."""
+        rows replace existing rows with the same pk.
+
+        ``seq_col`` names a column carrying source order (CDC
+        offset/ts, stamped before any shuffle); the highest value per
+        pk wins, matching :func:`..sources.cdc.apply_changes`. Without
+        it we fall back to ``monotonically_increasing_id`` — only safe
+        when ``batch`` hasn't been shuffled since it left the source,
+        since the id reflects current partition layout, not arrival.
+        The seq column is consumed here and not written to the store.
+        """
         p = self.path(table)
-        # dedupe the batch on pk (keep the last occurrence = latest CDC row)
+        # dedupe the batch on pk (keep the highest-seq = latest CDC row)
+        if seq_col is None:
+            batch = batch.withColumn("_seq", F.monotonically_increasing_id())
+            seq_col = "_seq"
         w_batch = (
-            batch.withColumn("_mid", F.monotonically_increasing_id())
-            .withColumn("_rn", F.row_number().over(W.partitionBy(pk).orderBy(F.col("_mid").desc())))
+            batch.withColumn(
+                "_rn", F.row_number().over(W.partitionBy(pk).orderBy(F.col(seq_col).desc()))
+            )
             .filter(F.col("_rn") == 1)
-            .drop("_rn", "_mid")
+            .drop("_rn", seq_col)
         )
         if os.path.exists(p):
             current = spark.read.parquet(p)

@@ -99,7 +99,10 @@ def base_db_app(
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        batch.persist()
+        # Stamp source-arrival order BEFORE any join/shuffle: downstream
+        # the routing broadcast-join and persist can reorder rows, so a
+        # sequence derived later would not be last-writer-wins anymore.
+        batch = batch.withColumn("_seq", F.monotonically_increasing_id()).persist()
         try:
             live = filter_deletes(batch)
             routed = route_by_config(live, F.broadcast(config_df))
@@ -111,20 +114,34 @@ def base_db_app(
                 F.to_json(F.col("after")).alias("value"),
             )
             reg.write_batch(fact, "dwd_fact_log")
-            # K3/K4: per-sink-table dim upsert
-            for row in branches["dim"].select("sinkTable", "sinkPk").distinct().collect():
+            # K3/K4: per-sink-table dim upsert. ONE driver round-trip for
+            # the (config-sized) routing targets; _all_keys is the
+            # fallback column list for routes with NULL sinkColumns.
+            dim_targets = (
+                branches["dim"]
+                .groupBy("sinkTable", "sinkPk", "sinkColumns")
+                .agg(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list(F.map_keys("after"))))
+                    ).alias("_all_keys")
+                )
+                .collect()
+            )
+            for row in dim_targets:
                 dim_rows = branches["dim"].filter(F.col("sinkTable") == row["sinkTable"])
                 pk = row["sinkPk"] or "id"
-                flat = dim_rows.select(
-                    F.col("after").alias("data"), F.map_keys("after").alias("_keys")
-                )
                 # flatten the map to columns declared in sinkColumns
-                cols = dim_rows.select(F.col("sinkColumns")).first()[0].split(",")
-                dim_flat = dim_rows.select(
-                    *[F.col("after").getItem(c).alias(c) for c in cols]
+                # (falling back to the observed key set when NULL)
+                cols = (
+                    row["sinkColumns"].split(",")
+                    if row["sinkColumns"]
+                    else list(row["_all_keys"])
                 )
-                dim_store.ensure_table(spark, row["sinkTable"], dim_flat)
-                dim_store.merge(spark, dim_flat, row["sinkTable"], pk)
+                dim_flat = dim_rows.select(
+                    *[F.col("after").getItem(c).alias(c) for c in cols], "_seq"
+                )
+                dim_store.ensure_table(spark, row["sinkTable"], dim_flat.drop("_seq"))
+                dim_store.merge(spark, dim_flat, row["sinkTable"], pk, seq_col="_seq")
             routed.unpersist()
         finally:
             batch.unpersist()

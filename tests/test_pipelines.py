@@ -116,6 +116,52 @@ def test_base_db_app_routes_facts_and_dims(spark, reg, tmp_path):
     assert dim.count() == n_update_keys  # idempotent MERGE by pk
 
 
+def test_dim_merge_last_writer_wins_under_shuffle(spark, tmp_path):
+    # Two same-batch updates per pk, with a seq carrying source order;
+    # repartition so physical row order disagrees with seq — the
+    # higher-seq value must still win.
+    batch = (
+        spark.range(20)
+        .select(
+            (F.col("id") % 10).alias("pk"),
+            F.col("id").alias("seq"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+        .repartition(7, "val")  # scramble order relative to seq
+    )
+    store = DimStore(str(tmp_path / "dims"))
+    store.merge(spark, batch, "t", "pk", seq_col="seq")
+    got = {r["pk"]: r["val"] for r in store.read(spark, "t").collect()}
+    assert got == {k: f"v{k + 10}" for k in range(10)}
+    assert "seq" not in store.read(spark, "t").columns
+
+
+def test_base_db_app_null_sink_columns(spark, reg, tmp_path):
+    orders = load_tables(spark, SF_SMOKE, "orders")["orders"].limit(50)
+    env = envelope_from_table(orders, "o_orderkey", "gmall", "order_info")
+    reg.register(
+        "ods_base_db",
+        schema="database string, tableName string, before map<string,string>, "
+        "after map<string,string>, type string",
+    )
+    write_replay(env, reg.channels["ods_base_db"].path, n_files=2, order_by=["type"])
+    # NULL sinkColumns -> keep every envelope column (fallback path)
+    config = spark.createDataFrame(
+        [("order_info", "insert", "hbase", "dim_order_full", None, "o_orderkey", None)],
+        schema="sourceTable string, operateType string, sinkType string, sinkTable string, "
+        "sinkColumns string, sinkPk string, sinkExtend string",
+    )
+    store = DimStore(str(tmp_path / "dims"))
+    q = pipelines.base_db_app(spark, reg, store, config, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    dim = store.read(spark, "dim_order_full")
+    assert sorted(dim.columns) == sorted(orders.columns)  # all keys kept
+    n_insert = orders.filter(~(F.col("o_orderkey") % 10).isin(0, 1, 2)).count()
+    assert dim.count() == n_insert
+    assert dim.filter(F.col("o_totalprice").isNull()).count() == 0
+
+
 def _with_sentinel(df, ts_shift_cols):
     """Append one far-future row (non-joining keys) to flush watermarks."""
     far = df.agg((F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"))
