@@ -36,6 +36,42 @@ def tokenize(text: Column) -> Column:
     return F.filter(toks, lambda t: t != "")
 
 
+CJK_LO, CJK_HI = "一", "鿿"  # CJK Unified Ideographs block
+CJK_CLASS = f"[{CJK_LO}-{CJK_HI}]"
+# a maximal run of either CJK ideographs or latin/digit word chars;
+# everything else (punctuation, space) separates runs
+CJK_RUN_RE = f"({CJK_CLASS}+|[a-z0-9]+)"
+
+
+def cjk_bigrams(run: Column) -> Column:
+    """Character bigrams over one CJK run (a 1-char run stays a 1-char
+    token). ``run`` must be a lambda variable / plain attribute, not an
+    expression tree (see the lambda-inlining note on :func:`tokenize`)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(run) - 1, F.lit(1)))
+    return F.transform(idx, lambda i: run.substr(i, F.lit(2)))
+
+
+def tokenize_cjk(text: Column) -> Column:
+    """U1, CJK-capable — text -> array<string> tokens.
+
+    The reference tokenizes with IK *Chinese* segmentation
+    (RT/utils/KeywordUtil.java:13-35); a whitespace split returns whole
+    CJK sentences as single tokens. Dictionary segmentation isn't
+    portable to a SQL oracle, so this uses the standard dictionary-free
+    fallback — the same one IK's letter/CJK segmenters reduce to
+    without a dictionary: latin/digit runs are whole lowercase tokens,
+    CJK runs emit overlapping character bigrams. 100% JVM expressions
+    (regexp_extract_all + transform), no Python in the hot path.
+    """
+    runs = F.regexp_extract_all(F.lower(text), F.lit(CJK_RUN_RE), 1)
+    return F.flatten(
+        F.transform(
+            runs,
+            lambda r: F.when(r.rlike(f"^{CJK_CLASS}"), cjk_bigrams(r)).otherwise(F.array(r)),
+        )
+    )
+
+
 def with_tokens(df, text_col: str = "text", out: str = "toks"):
     """Stage the token array as a real column (projection barrier):
     downstream expressions reference a cheap attribute, so codegen

@@ -40,6 +40,68 @@ def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- CJK keyword stats (U1's Chinese-segmentation contract) -------------
+#
+# The driver fixtures are ASCII, so a deterministic CJK phrase is mixed
+# into every document (same CASE on both sides) — the bigram path is
+# value-checked, not just present.
+_CJK_PHRASES = ("中文分词测试", "大数据平台", "你好世界hello")
+_SQL_CJK_INJECT = (
+    f"CASE WHEN doc_id % 3 = 0 THEN '{_CJK_PHRASES[0]}' "
+    f"WHEN doc_id % 3 = 1 THEN '{_CJK_PHRASES[1]}' "
+    f"ELSE '{_CJK_PHRASES[2]}' END"
+)
+# DuckDB twin of textops.tokenize_cjk, kept textually in lockstep:
+# lower -> extract CJK/latin runs -> CJK runs to char bigrams.
+_SQL_CJK_TOKS = f"""
+  runs AS (
+    SELECT source,
+           unnest(regexp_extract_all(lower(text || ' ' || {_SQL_CJK_INJECT}),
+                                     '({textops.CJK_CLASS}+|[a-z0-9]+)')) AS r
+    FROM documents
+  ),
+  toks AS (
+    SELECT source,
+           unnest(CASE WHEN regexp_matches(r, '^{textops.CJK_CLASS}')
+                  THEN list_transform(range(1, greatest(length(r), 2)),
+                                      i -> substr(r, i, 2))
+                  ELSE [r] END) AS keyword
+    FROM runs
+  )
+"""
+
+
+@register(
+    "keyword_stats_cjk",
+    oracle=f"""
+    WITH {_SQL_CJK_TOKS}
+    SELECT keyword, source, COUNT(*) AS ct
+    FROM toks
+    GROUP BY keyword, source
+    """,
+    doc="U1 (CJK) — keyword stats through the CJK-capable tokenizer: "
+    "the dictionary-free analogue of the reference's IK Chinese "
+    "segmentation (RT/utils/KeywordUtil.java:13-35): latin/digit runs "
+    "whole, CJK runs as overlapping character bigrams; then explode + "
+    "count per keyword x source like keyword_stats.",
+    tags=("text", "agg", "cjk"),
+)
+def keyword_stats_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    inject = (
+        F.when(F.col("doc_id") % 3 == 0, _CJK_PHRASES[0])
+        .when(F.col("doc_id") % 3 == 1, _CJK_PHRASES[1])
+        .otherwise(_CJK_PHRASES[2])
+    )
+    txt = F.concat(F.col("text"), F.lit(" "), inject)
+    return (
+        t["documents"]
+        .select("source", F.explode(textops.tokenize_cjk(txt)).alias("keyword"))
+        .groupBy("keyword", "source")
+        .agg(F.count("*").alias("ct"))
+    )
+
+
 @register(
     "token_stats",
     oracle=f"""
