@@ -87,6 +87,7 @@ def _ensure_loaded() -> None:
         similarity,
         text,
         multimodal,
+        replay,
     )
 
     _LOADED = True

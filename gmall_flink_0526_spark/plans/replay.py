@@ -1,0 +1,100 @@
+"""Streaming-operator replay queries — F2/U2 under the external oracle.
+
+Each query here runs the *real* exact-keyed-state streaming operator
+(``streaming/stateful.py``) over a file-channel replay of ``events``
+and returns its collected output, so the DuckDB oracle value-checks
+the streaming path itself — not just the batch twin. The replay is the
+file-channel analogue of offset-ordered Kafka consumption (see
+``streaming/replay.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import load_tables
+from ..streaming import stateful
+from ..streaming.replay import replay_stateful
+from .catalog import register
+from .logs import SESSION_GAP_MIN
+
+
+@register(
+    "uv_first_visit_stream",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id,
+             strftime(ts, '%Y-%m-%d') AS dt,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, dt, event_id AS first_event_id
+    FROM ranked WHERE rn = 1
+    """,
+    doc="F2, streaming path — UniqueVisitApp's ValueState<lastVisitDate> "
+    "dedup (RT/app/dwm/UniqueVisitApp.java:41-84) run as a real "
+    "applyInPandasWithState stream over a time-ordered replay; the "
+    "oracle is the same first-visit-per-day SQL as uv_first_visit, so "
+    "the streaming operator itself is value-checked.",
+    tags=("state", "streaming", "events"),
+)
+def uv_first_visit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    out = replay_stateful(
+        spark, events, stateful.daily_dedup, order_by=["ts", "event_id"],
+        cache_key=f"events:{sf_dir}",
+    )
+    return out.select("user_id", "dt", "first_event_id")
+
+
+@register(
+    "bounce_stats_stream",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_entry
+      FROM events
+    ), sessions AS (
+      SELECT user_id,
+             SUM(is_entry) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ), per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MAX(session_id) OVER (PARTITION BY user_id) AS max_sid
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS closed_ct,
+           COUNT(*) FILTER (WHERE n_events = 1) AS bounce_ct
+    FROM per_session
+    WHERE session_id < max_sid
+    GROUP BY user_id
+    """,
+    doc="U2, streaming path — CEP bounce sessionization "
+    "(stub RT/app/dwm/UserJumpDetailApp.java; flink-cep dep in "
+    "gmall-realtime/pom.xml:52-56) run as the real "
+    "applyInPandasWithState stream over a replay. The stream emits "
+    "sessions *closed by a successor event*; each user's open tail "
+    "session stays in state (its processing-time timeout cannot fire "
+    "during a drain), so the oracle is batch sessionization minus each "
+    "user's last session.",
+    tags=("cep", "session", "streaming", "events"),
+)
+def bounce_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    out = replay_stateful(
+        spark,
+        events,
+        lambda src: stateful.sessionize_bounce(src, gap_minutes=SESSION_GAP_MIN),
+        order_by=["ts", "event_id"],
+        cache_key=f"events:{sf_dir}",
+    )
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("closed_ct"),
+        F.count_if(F.col("is_bounce")).alias("bounce_ct"),
+    )

@@ -131,18 +131,24 @@ def write_replay(df: DataFrame, path: str, n_files: int, order_by: list[str]) ->
     total = df.count()
     per = max(1, math.ceil(total / n_files))
     w = Window.orderBy(*[F.col(c) for c in order_by])
+    # persist the globally-ordered frame: each chunk write below filters
+    # it, and without the cache every chunk would redo the full sort
     indexed = (
         df.withColumn("_rn", F.row_number().over(w) - 1)
         .withColumn("_f", (F.col("_rn") / per).cast("int"))
         .drop("_rn")
+        .persist()
     )
     os.makedirs(path, exist_ok=True)
     base = time.time() - n_files - 60  # strictly in the past
-    for i in range(min(n_files, math.ceil(total / per))):
-        before = set(os.listdir(path))
-        indexed.filter(F.col("_f") == i).drop("_f").coalesce(1).write.mode(
-            "append"
-        ).parquet(path)
-        for name in set(os.listdir(path)) - before:
-            if not name.startswith("_"):
-                os.utime(os.path.join(path, name), (base + i, base + i))
+    try:
+        for i in range(min(n_files, math.ceil(total / per))):
+            before = set(os.listdir(path))
+            indexed.filter(F.col("_f") == i).drop("_f").coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+            for name in set(os.listdir(path)) - before:
+                if not name.startswith("_"):
+                    os.utime(os.path.join(path, name), (base + i, base + i))
+    finally:
+        indexed.unpersist(False)

@@ -1,0 +1,124 @@
+"""Batch-replay harness for the exact stateful streaming operators.
+
+The convergence contract (SURVEY §5): replaying a table through a
+stateful streaming operator in timestamp order must reproduce the
+batch twin. tests/test_streaming.py asserts it per operator; this
+module packages the same replay so *catalog queries* can run the real
+streaming path and be value-checked by the external DuckDB oracle —
+proving F2/U2 with the driver's gate, not only pytest.
+
+The file channel stands in for Kafka (one micro-batch per file, files
+ordered by event time — the offset-ordered-consumption analogue).
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.registry import ChannelRegistry, write_replay
+
+_SEQ = 0
+# replay channels are immutable once written — share them across the
+# queries of one session instead of re-sorting/re-writing per query
+_CHANNEL_CACHE: dict[tuple, str] = {}
+
+
+def _cleanup_channels() -> None:
+    for root in _CHANNEL_CACHE.values():
+        shutil.rmtree(root, ignore_errors=True)
+
+
+atexit.register(_cleanup_channels)
+
+
+def drain(q, timeout: float = 600, settle_s: float = 2.5) -> None:
+    """Wait until a file-source streaming query has consumed every file.
+
+    ``q.processAllAvailable()`` never returns for queries using
+    ``ProcessingTimeTimeout``: the engine keeps scheduling empty
+    batches to evaluate state timeouts, resetting the no-new-data
+    latch. Drained == no data available AND the last progress stayed
+    stable-or-empty for ``settle_s`` seconds.
+    """
+    deadline = time.time() + timeout
+    stable_since = None
+    last_batch = -1
+    while time.time() < deadline:
+        lp = q.lastProgress or {}
+        batch, n_in = lp.get("batchId", -1), lp.get("numInputRows")
+        if lp and not q.status["isDataAvailable"] and (batch == last_batch or n_in == 0):
+            stable_since = stable_since or time.time()
+            if time.time() - stable_since >= settle_s:
+                return
+        else:
+            stable_since = None
+        last_batch = batch
+        time.sleep(0.5)
+    raise TimeoutError(f"stream {q.name} did not drain in {timeout}s")
+
+
+def replay_stateful(
+    spark: SparkSession,
+    source_df: DataFrame,
+    op,
+    *,
+    order_by: list[str],
+    n_files: int = 3,
+    shuffle_partitions: int = 4,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Replay ``source_df`` through streaming operator ``op`` (a
+    callable ``stream DataFrame -> stream DataFrame``) and return the
+    collected output as a batch DataFrame.
+
+    The replay is split into ``n_files`` micro-batches ordered by
+    ``order_by`` (event time first), so keyed state observes rows in
+    the same order the batch twin assumes. State-store fan-out is
+    throttled to ``shuffle_partitions`` for the run (restored after):
+    replay batches are small, and per-partition state-op overhead, not
+    data volume, dominates micro-batch latency here.
+    """
+    global _SEQ
+    _SEQ += 1
+    out_name = f"replay_out_{_SEQ}"
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in source_df.schema.fields)
+    ck = (cache_key, schema, n_files, tuple(order_by)) if cache_key else None
+    src_root = _CHANNEL_CACHE.get(ck) if ck else None
+    if src_root is None:
+        src_root = tempfile.mkdtemp(prefix="gmall_replay_src_")
+        src_reg = ChannelRegistry(src_root)
+        src_reg.register("replay_src", schema=schema)
+        write_replay(
+            source_df, src_reg.channels["replay_src"].path, n_files=n_files, order_by=order_by
+        )
+        if ck:
+            _CHANNEL_CACHE[ck] = src_root
+    src_reg = ChannelRegistry(src_root)
+    src_reg.register("replay_src", schema=schema)
+
+    run_root = tempfile.mkdtemp(prefix="gmall_replay_run_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        src = src_reg.read_stream(spark, "replay_src", max_files_per_trigger=1)
+        out_reg = ChannelRegistry(run_root)
+        out_reg.register(out_name, kind="memory")
+        q = out_reg.write_stream(op(src), out_name, os.path.join(run_root, "ckpt"))
+        try:
+            drain(q)
+        finally:
+            q.stop()
+        # the memory sink holds rows driver-side; safe to return after
+        # the checkpoint scratch dir is gone
+        return spark.sql(f"SELECT * FROM {out_name}_mem")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(run_root, ignore_errors=True)
+        if not ck:
+            shutil.rmtree(src_root, ignore_errors=True)

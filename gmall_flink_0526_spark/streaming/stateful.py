@@ -52,19 +52,29 @@ def daily_dedup(
             state.remove()
             return
         (last_date,) = state.get if state.exists else (None,)
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts, id_col])
-            for row in pdf.itertuples(index=False):
-                d = str(getattr(row, ts).date())
-                if d != last_date:
-                    out.append((key_tuple[0], d, getattr(row, id_col), getattr(row, ts)))
-                    last_date = d
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        # vectorized over the whole group (no per-row Python): sorted
+        # by time, days are non-decreasing, so "first row of each new
+        # day" == ~duplicated, minus the state's already-seen day.
+        pdf = pd.concat(frames).sort_values([ts, id_col])
+        d = pdf[ts].dt.strftime("%Y-%m-%d")
+        keep = ~d.duplicated()
         if last_date is not None:
-            state.update((last_date,))
-            state.setTimeoutDuration(DAY_MS)
-        if out:
-            yield pd.DataFrame(out, columns=[key, "dt", "first_event_id", "ts"])
+            keep &= d != last_date
+        state.update((d.iloc[-1],))
+        state.setTimeoutDuration(DAY_MS)
+        out = pdf.loc[keep]
+        if len(out):
+            yield pd.DataFrame(
+                {
+                    key: key_tuple[0],
+                    "dt": d.loc[keep].to_numpy(),
+                    "first_event_id": out[id_col].to_numpy(),
+                    "ts": out[ts].to_numpy(),
+                }
+            )
 
     return events.groupBy(key).applyInPandasWithState(
         fn,
@@ -89,18 +99,21 @@ def fix_is_new(
             state.remove()
             return
         (first_date,) = state.get if state.exists else (None,)
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts, id_col])
-            for row in pdf.itertuples(index=False):
-                d = str(getattr(row, ts).date())
-                if first_date is None:
-                    first_date = d
-                out.append((getattr(row, id_col), key_tuple[0], "1" if d == first_date else "0"))
-        if first_date is not None:
-            state.update((first_date,))
-        if out:
-            yield pd.DataFrame(out, columns=[id_col, key, "is_new"])
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values([ts, id_col])
+        d = pdf[ts].dt.strftime("%Y-%m-%d")
+        if first_date is None:
+            first_date = d.iloc[0]
+        state.update((first_date,))
+        yield pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                key: key_tuple[0],
+                "is_new": (d == first_date).map({True: "1", False: "0"}).to_numpy(),
+            }
+        )
 
     # NoTimeout: the reference keeps this ValueState forever (BaseLogApp
     # declares no TTL, unlike UniqueVisitApp) — first-seen must persist.
@@ -139,17 +152,31 @@ def sessionize_bounce(
             state.remove()
             return
         last_us, n = state.get if state.exists else (None, 0)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        # vectorized sessionization with state carry-in: entry flags
+        # from time gaps, cumsum -> session ids, per-session (count,
+        # last ts); every session but the batch's last is closed.
+        pdf = pd.concat(frames).sort_values([ts, id_col])
+        t_us = pdf[ts].astype("int64") // 1000  # pandas ns -> us
+        prev = t_us.shift(1)
+        if last_us is not None:
+            prev.iloc[0] = last_us
+        entry = prev.isna() | ((t_us - prev) > gap_us)
+        sid = entry.cumsum()
+        agg = t_us.groupby(sid.to_numpy()).agg(["count", "max"])
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts, id_col])
-            for row in pdf.itertuples(index=False):
-                t_us = getattr(row, ts).value // 1000  # pandas ns -> us
-                if last_us is not None and t_us - last_us > gap_us:
-                    closed.append((key_tuple[0], n, n == 1, pd.Timestamp(last_us * 1000)))
-                    n = 0
-                last_us = t_us
-                n += 1
-        state.update((last_us, n))
+        if last_us is not None:
+            if entry.iloc[0]:
+                # the carried-over open session closes at its own end
+                closed.append((key_tuple[0], n, n == 1, pd.Timestamp(last_us * 1000)))
+            else:
+                # first rows continue the open session
+                agg.iloc[0, agg.columns.get_loc("count")] += n
+        for cnt, end in agg.iloc[:-1].itertuples(index=False):
+            closed.append((key_tuple[0], int(cnt), cnt == 1, pd.Timestamp(int(end) * 1000)))
+        state.update((int(t_us.iloc[-1]), int(agg["count"].iloc[-1])))
         state.setTimeoutDuration(gap_minutes * 60 * 1000)
         if closed:
             yield pd.DataFrame(closed, columns=[key, "n_events", "is_bounce", "end_ts"])
