@@ -41,11 +41,12 @@ def salted_join(
     return b.join(s, on + ["_salt"], how).drop("_salt")
 
 
-# Logical-plan nodes whose presence means the frame's partitioning is
-# governed by spark.sql.shuffle.partitions (an exchange already ran or
-# will run), not by the input splits.
+# Logical-plan nodes that force a hash/range exchange, so the frame's
+# partitioning is governed by spark.sql.shuffle.partitions rather than
+# the input splits. Join is deliberately NOT here: a broadcast-hash
+# join keeps the probe side's (possibly tiny) scan partitioning, so a
+# Join falls through to the input-file estimate instead.
 _SHUFFLE_NODES = (
-    "Join",
     "Aggregate",
     "Repartition",
     "Sort",
@@ -80,13 +81,18 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
     # Walk root-down: the first partitioning-changing node governs the
     # frame's layout. An explicit Repartition/coalesce prints its count
     # ("Repartition 1, false" / "RepartitionByExpression [id], 64") —
-    # use it; any other shuffle node means shuffle.partitions (None).
+    # use it; any other exchange-forcing node means shuffle.partitions
+    # (None). A Join breaks out to the file estimate below: whether it
+    # exchanged at all is a physical (broadcast?) decision, and the
+    # union of both sides' input files bounds its width either way.
     for line in plan.splitlines():
         if any(tok in line for tok in _SHUFFLE_NODES):
             m = re.search(r"Repartition(?:ByExpression)?\b.*?(\d+)(?:, (?:true|false))?\s*$", line)
             if m:
                 return int(m.group(1))
             return None
+        if "Join" in line:
+            break
     try:
         files = df.inputFiles()
     except Exception:

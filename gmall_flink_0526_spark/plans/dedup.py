@@ -134,7 +134,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    sh = D.doc_shingles(docs, "doc_id", "text")
+    # the shingle frame feeds BOTH sides of the verify join — persist
+    # (scoped) or the tokenize/shingle pass runs twice
+    sh = scoped_persist(D.doc_shingles(docs, "doc_id", "text"))
     return D.jaccard_verify(sh, blocked).filter(F.col("jaccard") >= 0.02)
 
 
