@@ -41,6 +41,85 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(norm_sq(a) * norm_sq(b))
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance, same sequential-fold shape as :func:`dot`
+    (bit-reproducible in DuckDB's list_sum fold)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+# -- k-means (IVF coarse quantizer) -------------------------------------
+
+KMEANS_DEC = "decimal(30,6)"  # functions.exact's portable accumulator
+
+
+def with_cluster(
+    df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]], out: str = "c"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2; ties →
+    lowest cluster id). Centroids are literal arrays baked into the
+    expression — the broadcast-free analogue of a map-side lookup, fine
+    for the IVF regime where k is small. The distance array is staged
+    as a column so argmin doesn't re-evaluate the folds."""
+    dists = F.array(
+        *[
+            sq_dist(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv]))
+            for _, cv in cents
+        ]
+    )
+    cvals = F.array(*[F.lit(int(c)) for c, _ in cents])
+    staged = df.withColumn("_kd", dists)
+    return staged.withColumn(
+        out,
+        F.element_at(cvals, F.array_position(F.col("_kd"), F.array_min(F.col("_kd"))).cast("int")),
+    ).drop("_kd")
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means: seeds = the ``k`` lowest-id
+    vectors, then ``iters`` assign/recompute rounds. Component means
+    accumulate in decimal (functions/exact.py's portable-sum trick) so
+    an oracle engine derives bit-identical centroids. Returns
+    ``[(cluster_id, centroid), ...]``; clusters that go empty drop out
+    (both engines recompute by GROUP BY, so the policy agrees).
+
+    Driver round-trips: one seed collect + one k×dim collect per
+    iteration — all config-sized. At 100 TB the fit runs on a sample
+    (the standard IVF recipe: train the coarse quantizer on a sample,
+    assign the full corpus with the broadcast-sized centroids); the
+    full-scan fit here keeps the oracle bit-exact at test scale.
+    """
+    seeds = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = [(i, [float(x) for x in r[0]]) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        assigned = with_cluster(emb, vec_col, cents)
+        comp = assigned.select("c", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        rows = (
+            comp.groupBy("c", "pos")
+            .agg(
+                (F.sum(F.col("v").cast(KMEANS_DEC)).cast("double") / F.count("*")).alias("m")
+            )
+            .collect()
+        )
+        by: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by.setdefault(r["c"], {})[r["pos"]] = r["m"]
+        cents = [(c, [d[p] for p in sorted(d)]) for c, d in sorted(by.items())]
+    return cents
+
+
 def topk_neighbors(
     probes: DataFrame,
     corpus: DataFrame,

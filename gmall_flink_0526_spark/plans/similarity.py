@@ -77,10 +77,11 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT qid, cid, cos_sim, rn FROM ranked WHERE rn <= {TOP_K}
     """,
-    doc="IVF-style ANN: candidates restricted to the probe's coarse "
-    "bucket (label plays the centroid assignment), turning the cross "
-    "join into an equi-join hash-partitioned by bucket — the scale "
-    "path: cost per probe is bucket size, not corpus size.",
+    doc="IVF-style ANN, join-topology demo: candidates restricted to "
+    "the probe's coarse bucket (the fixture's label column stands in "
+    "for the centroid assignment), turning the cross join into an "
+    "equi-join hash-partitioned by bucket. The *fitted* variant with a "
+    "real k-means quantizer (and useful recall) is ann_topk_ivf_kmeans.",
     tags=("similarity", "ann", "ivf"),
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,3 +147,104 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     return S.topk_neighbors_vectorized(probes, corpus, TOP_K).select("qid", "cid", "rn")
+
+
+# -- k-means IVF (fitted coarse quantizer) ------------------------------
+
+KM_K = 8
+KM_ITERS = 2
+_DEC = "DECIMAL(30,6)"
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    return (
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    ).format(a=a, b=b)
+
+
+def _sql_assign(src: str, ctr: str, a_name: str) -> str:
+    """One assignment round: nearest centroid by squared L2, ties to
+    the lowest cluster id (mirrors operators.similarity.with_cluster)."""
+    return f"""
+    d_{a_name} AS (
+      SELECT e.vec_id, e.embedding, s.c,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_sql_sqdist('e.embedding', 's.cv')}, s.c) AS rn
+      FROM {src} e CROSS JOIN {ctr} s
+    ),
+    {a_name} AS (SELECT vec_id, embedding, c FROM d_{a_name} WHERE rn = 1)"""
+
+
+def _sql_recompute(a_name: str, ctr_name: str) -> str:
+    """Centroid update: element-wise decimal-exact mean (the
+    functions/exact.py portable-sum trick), list rebuilt in position
+    order — bit-identical to the Spark side's posexplode + decimal sum."""
+    return f"""
+    m_{ctr_name} AS (
+      SELECT c, x.pos AS pos,
+             CAST(SUM(CAST(x.v AS {_DEC})) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT c,
+                   unnest(list_transform(range(1, len(embedding) + 1),
+                          i -> {{'pos': i, 'v': embedding[i]}})) AS x
+            FROM {a_name})
+      GROUP BY c, x.pos
+    ),
+    {ctr_name} AS (SELECT c, list(m ORDER BY pos) AS cv FROM m_{ctr_name} GROUP BY c)"""
+
+
+_SQL_KMEANS_CTES = f"""
+    seeds AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS c, embedding AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KM_K})
+    ),
+    {_sql_assign('embeddings', 'seeds', 'a0')},
+    {_sql_recompute('a0', 'ctr1')},
+    {_sql_assign('embeddings', 'ctr1', 'a1')},
+    {_sql_recompute('a1', 'ctr2')},
+    {_sql_assign('embeddings', 'ctr2', 'afinal')}
+"""
+
+
+@register(
+    "ann_topk_ivf_kmeans",
+    oracle=f"""
+    WITH {_SQL_KMEANS_CTES},
+    probes AS (
+      SELECT vec_id AS qid, embedding AS qv, c AS qc
+      FROM afinal WHERE vec_id < {N_PROBES}
+    ), scored AS (
+      SELECT qid, a.vec_id AS cid,
+             {_sql_cosine('qv', 'a.embedding')} AS cos_sim
+      FROM afinal a JOIN probes ON a.c = qc
+      WHERE a.vec_id != qid
+    ), ranked AS (
+      SELECT qid, cid, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT qid, cid, cos_sim, rn FROM ranked WHERE rn <= {TOP_K}
+    """,
+    doc=f"IVF ANN with a *fitted* coarse quantizer: deterministic "
+    f"Lloyd's k-means (k={KM_K}, {KM_ITERS} iterations, seeds = lowest "
+    f"vec_ids, decimal-exact centroid means) assigns every vector a "
+    f"bucket; candidates are restricted to the probe's bucket via "
+    f"equi-join. The fit is a driver loop of {KM_ITERS} config-sized "
+    f"collects; at 100 TB it runs on a sample and the assignment "
+    f"broadcast-joins the full corpus — the join topology is identical. "
+    f"The oracle re-derives the identical fit (unrolled CTEs).",
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    cents = S.kmeans_fit(emb, "embedding", "vec_id", k=KM_K, iters=KM_ITERS)
+    assigned = S.with_cluster(emb, "embedding", cents)
+    probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("c").alias("qlabel")
+    )
+    corpus = assigned.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("c").alias("clabel")
+    )
+    return S.topk_neighbors(probes, corpus, TOP_K, bucket=True)
