@@ -122,3 +122,49 @@ def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_key").alias("o_orderkey"),
         F.element_at("after", "o_totalprice").cast("double").alias("o_totalprice"),
     )
+
+
+# -- U3: generic JDBC -> typed rows (real embedded round-trip) ----------
+
+_JDBC_DIRS: dict[str, str] = {}
+
+
+def _derby_url(sf_dir: str) -> str:
+    """One embedded Derby database per (session, sf_dir), cleaned up at
+    exit — the returned DataFrame is lazy, so the store must outlive
+    the query function."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = _JDBC_DIRS.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="gmall_derby_")
+        _JDBC_DIRS[sf_dir] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return f"jdbc:derby:{root}/db;create=true"
+
+
+@register(
+    "jdbc_round_trip",
+    oracle="""
+    SELECT n_nationkey AS nNationkey, n_name AS nName, n_regionkey AS nRegionkey
+    FROM nation
+    """,
+    doc="U3 — generic JDBC source -> typed camelCase rows "
+    "(RT/utils/JdbcUtil.java:20-65, Guava CaseFormat at :46-48): a real "
+    "JDBC round-trip through the embedded Derby driver shipped with "
+    "Spark (write nation, spark.read.jdbc it back, snake->camel "
+    "rename). On a cluster the url/driver swap for MySQL/Phoenix; the "
+    "read path (partitioned JDBC scan -> typed rows) is identical.",
+    tags=("jdbc", "source"),
+)
+def jdbc_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.parse import snake_to_camel
+
+    nation = load_tables(spark, sf_dir, "nation")["nation"]
+    url = _derby_url(sf_dir)
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nation.write.jdbc(url, "nation_t", mode="overwrite", properties=props)
+    back = spark.read.jdbc(url, "nation_t", properties=props)
+    return snake_to_camel(back)
