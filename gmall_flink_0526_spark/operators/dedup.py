@@ -165,5 +165,88 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BIT
         .agg(F.sum("vote").alias("s"))
     )
     return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("1 << j")).otherwise(0)).cast("long").alias("simhash")
+        # shift in BIGINT: a plain 1 << j is an INT shift and wraps
+        # negative at j=31, diverging from any 64-bit oracle
+        F.sum(F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << j")).otherwise(0))
+        .cast("long")
+        .alias("simhash")
     )
+
+
+def simhash_near_dup_pairs(
+    fp: DataFrame, bits: int = SIMHASH_BITS, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs from simhash fingerprints: banded candidate join +
+    exact Hamming verify.
+
+    Pigeonhole: two fingerprints within ``max_hamming`` (< ``bands``)
+    bit flips agree on at least one of ``bands`` equal-width bit bands,
+    so candidates = pairs sharing (band_index, band_value) — an
+    equi-join hash-partitioned on the band key, never all-pairs (the
+    multi-index simhash recipe). Verify = popcount(xor) on candidates
+    only. ``fp`` needs columns (doc_id, simhash).
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.expr(f"(simhash >> {b * width}) & {mask}").alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.b", "bb.bv")
+    a, c = banded.alias("a"), banded.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("c.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    eval_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    ``ngram``-token shingle with an evaluation set.
+
+    ``eval_pred`` is a Column predicate over ``docs`` selecting the
+    eval side; the complement is the training side. The (expensive)
+    shingle pass runs ONCE over the whole corpus — scoped-persisted —
+    then both sides reduce to (id, shingle-md5) and meet in one
+    equi-join on the hash: the same bucketed shape as LSH candidates.
+    Eval hashes are distinct'd (broadcast-sized in practice); no
+    document ever compares against another directly. Output:
+    (doc_id, hit_ct) per contaminated training doc.
+    """
+    sh = scoped_persist(doc_shingles(docs, id_col, text_col, ngram=ngram))
+    grams = sh.select("doc_id", F.explode("s").alias("g")).withColumn("gh", F.md5("g"))
+    train = grams.filter(~eval_pred).select("doc_id", "gh")
+    ev = grams.filter(eval_pred).select("gh").distinct()
+    return train.join(ev, "gh").groupBy("doc_id").agg(F.count("*").alias("hit_ct"))

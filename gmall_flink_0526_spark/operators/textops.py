@@ -131,3 +131,67 @@ def rolling_fingerprint(tokens: Column, n: int = 5, prefix_len: int = 16) -> Col
     return F.array_min(
         F.transform(shingles(tokens, n), lambda s: F.substring(F.md5(s), 1, prefix_len))
     )
+
+
+# -- training-data prep: split & chunking -------------------------------
+
+SPLIT_BUCKETS = 100
+
+
+def split_bucket(text: Column) -> Column:
+    """Content-addressed split bucket in [0, 100): first 4 hex chars of
+    md5(text) as an int, mod 100. Hashing the *content* (not the id)
+    sends byte-identical duplicates to the same split — the standard
+    guard against train/val leakage through dups. Pure JVM expression;
+    md5-hex is portable to any oracle engine.
+    """
+    return (F.conv(F.substring(F.md5(text), 1, 4), 16, 10).cast("long") % SPLIT_BUCKETS).cast(
+        "int"
+    )
+
+
+def split_name(bucket: Column, train_pct: int = 90, val_pct: int = 5) -> Column:
+    return (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
+def chunk_docs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    stride: int = 96,
+):
+    """Context-window chunking: fixed ``chunk_tokens``-token windows
+    every ``stride`` tokens (overlap = chunk_tokens - stride), the
+    standard LLM pre-training prep step. Output: (doc_id, chunk_idx,
+    n_tokens, chunk_digest=md5 of the space-joined window).
+
+    Tokens are staged once per row; the window fan-out is
+    sequence+transform+explode — all JVM expressions, parallel in the
+    scan's partitioning (spread upstream if the scan is narrow).
+    """
+    staged = df.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(stride))
+    chunks = staged.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    ((s - 1) / stride).cast("int").alias("chunk_idx"),
+                    F.slice(F.col("toks"), s, chunk_tokens).alias("w"),
+                ),
+            )
+        ).alias("c"),
+    ).filter(F.size("toks") > 0)
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.w").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("c.w"))).alias("chunk_digest"),
+    )

@@ -88,6 +88,7 @@ def _ensure_loaded() -> None:
         text,
         multimodal,
         replay,
+        llmprep,
     )
 
     _LOADED = True

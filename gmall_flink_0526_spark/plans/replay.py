@@ -49,6 +49,34 @@ def uv_first_visit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "is_new_fix_stream",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts, '1' AS is_new_claim,
+             MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_day
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN is_new_claim = '1' AND CAST(ts AS DATE) != first_day
+                THEN '0' ELSE is_new_claim END AS is_new
+    FROM flagged
+    """,
+    doc="F3, streaming path — BaseLogApp's first-seen correction "
+    "(RT/app/dwd/BaseLogApp.java:58-95) run as the real keyed-state "
+    "stream over a time-ordered replay; same oracle as is_new_fix, so "
+    "the stateful operator itself is value-checked.",
+    tags=("state", "streaming", "events"),
+)
+def is_new_fix_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    out = replay_stateful(
+        spark, events, stateful.fix_is_new, order_by=["ts", "event_id"],
+        cache_key=f"events:{sf_dir}",
+    )
+    return out.select("event_id", "user_id", "is_new")
+
+
+@register(
     "bounce_stats_stream",
     oracle=f"""
     WITH gaps AS (

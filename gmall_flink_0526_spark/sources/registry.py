@@ -94,11 +94,20 @@ class ChannelRegistry:
         return reader.parquet(ch.path)
 
     def write_stream(self, df: DataFrame, name: str, checkpoint_root: str, **kw):
-        """Start a streaming write to a channel; returns the query."""
+        """Start a streaming write to a channel; returns the query.
+
+        ``available_now=True`` uses Trigger.AvailableNow: the query
+        consumes everything currently in the source and terminates
+        cleanly on its own (``q.awaitTermination()``), which replay
+        harnesses prefer over drain-then-stop — stopping a live query
+        can interrupt an in-flight timeout-evaluation batch mid
+        state-commit (noisy, though harmless after a drain)."""
         ch = self._get(name)
         writer = df.writeStream.option(
             "checkpointLocation", os.path.join(checkpoint_root, name)
         ).outputMode(kw.pop("output_mode", "append"))
+        if kw.pop("available_now", False):
+            writer = writer.trigger(availableNow=True)
         if ch.kind == "memory":
             return writer.format("memory").queryName(_mem_name(name)).start()
         if ch.kind == "kafka":

@@ -109,6 +109,14 @@ def replay_stateful(
         src = src_reg.read_stream(spark, "replay_src", max_files_per_trigger=1)
         out_reg = ChannelRegistry(run_root)
         out_reg.register(out_name, kind="memory")
+        # NOT Trigger.AvailableNow: with ProcessingTimeTimeout state the
+        # engine never reaches "caught up" — it keeps scheduling empty
+        # timeout-evaluation batches (measured: epoch 1379 and climbing)
+        # and awaitTermination hangs, the same latch problem as
+        # processAllAvailable. drain() + stop() is the working recipe;
+        # stop() may abort an in-flight EMPTY timeout batch mid
+        # state-commit (log noise, harmless — the data batches are done
+        # and the checkpoint is discarded).
         q = out_reg.write_stream(op(src), out_name, os.path.join(run_root, "ckpt"))
         try:
             drain(q)
