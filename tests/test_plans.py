@@ -70,3 +70,36 @@ def test_cdc_delete_filter_pushes_type_filter_below_fanout(spark):
     scan_pos = p.find("Scan parquet")
     filt = re.search(r"\(\d+\) Filter", p)
     assert scan_pos != -1 and filt is not None
+
+
+def test_decontaminate_bucketed_join_and_pruned_scan(spark):
+    p = plan_of(spark, "decontaminate")
+    # shingle-hash equi-join, never a doc-vs-doc cartesian
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "source" not in m.group(1)  # scan pruned to doc_id+text
+
+
+def test_simhash_near_dup_banded_equi_join(spark):
+    p = plan_of(spark, "simhash_near_dup")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # verify filter (popcount) runs on candidates, not inside a loop join
+    assert "bit_count" in p
+
+
+def test_doc_chunking_prunes_scan(spark):
+    p = plan_of(spark, "doc_chunking")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) == {"doc_id", "text"}
+
+
+def test_dataset_split_partial_aggregation(spark):
+    p = plan_of(spark, "dataset_split")
+    # map-side combine before the exchange: two HashAggregates
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2
+
+
+def test_kmeans_ivf_broadcasts_probe_side(spark):
+    p = plan_of(spark, "ann_topk_ivf_kmeans")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
