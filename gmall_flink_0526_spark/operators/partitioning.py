@@ -142,3 +142,26 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     if est < n:
         return df.repartition(n, key)
     return df
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` bucketed (and optionally sorted) by ``key`` —
+    the 100 TB co-location tool: two tables bucketed the same way
+    equi-join on the bucket key with NO exchange on either side (and
+    no sort, if sorted), turning the join's shuffle cost into a pure
+    map-side zip. The write pays one shuffle once; every downstream
+    join reuses it. This is Spark's answer to the reference's
+    'parallelism = Kafka partition count' co-partitioning contract
+    (RT/app/dwd/BaseLogApp.java:29) for data at rest.
+    """
+    w = df.write.mode(mode).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

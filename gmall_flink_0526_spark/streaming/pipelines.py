@@ -354,3 +354,46 @@ def visitor_stats_app(
         )
     )
     return reg.write_stream(agg, out_channel, ckpt)
+
+
+def product_stats_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    dim_df: DataFrame,
+    dim_cond,
+    source: str = "dwd_order_detail",
+    out_channel: str = "dws_product_stats",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+):
+    """A2 as a job — ProductStats (RT/bean/ProductStats.java:21-87):
+    tail the order-detail channel, enrich with the (broadcast) product
+    dim, aggregate per tumbling window x brand. The reference's
+    ``Set<order_id>`` accumulator maps to approx_count_distinct —
+    constant state per group (HLL sketch), the only formulation whose
+    streaming state survives unbounded keys; its exact batch twin is
+    the value-checked ``product_stats`` catalog query.
+    """
+    from ..functions.exact import exact_sum
+
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+    enriched = src.join(F.broadcast(dim_df), dim_cond, "left")
+    agg = (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "p_brand")
+        .agg(
+            F.approx_count_distinct("order_id").alias("order_ct_approx"),
+            # decimal-accumulated: incremental (per-micro-batch) addition
+            # order then matches any one-shot batch twin bit-for-bit
+            exact_sum(F.col("quantity")).alias("sku_num"),
+            exact_sum(F.col("amount")).alias("order_amount"),
+            F.count("*").alias("line_ct"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "p_brand", "order_ct_approx", "sku_num", "order_amount", "line_ct",
+        )
+    )
+    return reg.write_stream(agg, out_channel, ckpt)

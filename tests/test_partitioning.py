@@ -94,3 +94,51 @@ def test_checkpoint_recovery_no_dup_no_loss(spark, tmp_path):
         assert mism == 0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed join: both sides bucketed by the key =>
+    SortMergeJoin whose inputs are NOT exchanged — the only Exchange in
+    the plan is the downstream groupBy's. This is the at-rest
+    co-partitioning the engine's scale story leans on; losing it
+    silently re-adds two full shuffles at 100 TB."""
+    import contextlib
+    import io
+
+    from gmall_flink_0526_spark.operators.partitioning import write_bucketed
+
+    t = load_tables(spark, SF_SMOKE, "orders", "lineitem")
+    write_bucketed(t["orders"], "b_orders", "o_orderkey", 8)
+    write_bucketed(
+        t["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        j = (
+            spark.table("b_orders")
+            .join(spark.table("b_lineitem"), "o_orderkey")
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        # neither join side shuffles on the join key; the only Exchange
+        # is the aggregation's, keyed by the group column
+        assert "hashpartitioning(o_orderkey" not in plan
+        assert plan.count("(o_orderstatus") >= 1
+        # result identical to the unbucketed join
+        plain = (
+            t["orders"]
+            .join(t["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

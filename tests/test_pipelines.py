@@ -501,3 +501,72 @@ def test_visitor_stats_union_chain(spark, reg, tmp_path):
     # every real pv window must have been flushed and present
     assert set(pv.index) <= set(got.index)
     assert got["uj_ct"].sum() > 0  # bounce stream contributed
+
+
+def test_product_stats_app_converges_to_batch(spark, reg, tmp_path):
+    """A2 streaming twin: order-detail facts replayed through the
+    windowed brand aggregation with broadcast dim enrichment must match
+    the batch aggregation of the same rows (HLL distinct sketches are
+    deterministic in the value set, so even order_ct_approx agrees)."""
+    t = load_tables(spark, SF_SMOKE, "lineitem", "part", "orders")
+    fact = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_orderdate").alias("ts"),
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("part_id"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("amount"),
+        )
+    )
+    # +3h: the last facts are midnight-aligned, so flushing their
+    # [00:00, 01:00) window needs watermark > 02:00 (window end + 1h)
+    far = fact.agg(
+        (F.max("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+        F.lit(-1).cast("long").alias("order_id"),
+        F.lit(-1).cast("long").alias("part_id"),
+        F.lit(0.0).alias("quantity"),
+        F.lit(0.0).alias("amount"),
+    )
+    fact = fact.unionByName(far.select(*fact.columns))
+    reg.register(
+        "dwd_order_detail",
+        schema="ts timestamp, order_id long, part_id long, quantity double, amount double",
+    )
+    write_replay(fact, reg.channels["dwd_order_detail"].path, n_files=3, order_by=["ts", "order_id"])
+    reg.register("dws_product_stats", kind="memory")
+    dim = t["part"].select(F.col("p_partkey"), F.col("p_brand"))
+    q = pipelines.product_stats_app(
+        spark, reg, str(tmp_path / "ckpt"), dim, F.col("part_id") == F.col("p_partkey")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    real = fact.filter(F.col("order_id") != -1)
+    max_real = real.agg(F.max("ts")).collect()[0][0]
+    got = (
+        spark.sql("SELECT * FROM dws_product_stats_mem")
+        .filter(F.to_timestamp("stt") <= max_real)
+        .collect()
+    )
+    from gmall_flink_0526_spark.functions.exact import exact_sum
+
+    expected = (
+        real.join(F.broadcast(dim), F.col("part_id") == F.col("p_partkey"), "left")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "p_brand")
+        .agg(
+            F.approx_count_distinct("order_id").alias("order_ct_approx"),
+            exact_sum(F.col("quantity")).alias("sku_num"),
+            exact_sum(F.col("amount")).alias("order_amount"),
+            F.count("*").alias("line_ct"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "p_brand", "order_ct_approx", "sku_num", "order_amount", "line_ct",
+        )
+        .collect()
+    )
+    assert {tuple(r) for r in got} == {tuple(r) for r in expected}
+    assert len(got) > 0
