@@ -79,3 +79,61 @@ def test_apply_changes_matches_python_model(spark, ops):
         if typ != "delete":
             expected[k] = v
     assert got == expected
+
+
+CJK_TEXT = st.text(
+    alphabet=st.sampled_from(list("中文分词测试大数ab 1,.")), min_size=0, max_size=24
+)
+
+
+def py_tokenize_cjk(s: str) -> list[str]:
+    out = []
+    for run in re.findall(r"([一-鿿]+|[a-z0-9]+)", s.lower()):
+        if re.match(r"[一-鿿]", run):
+            if len(run) == 1:
+                out.append(run)
+            else:
+                out.extend(run[i : i + 2] for i in range(len(run) - 1))
+        else:
+            out.append(run)
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(CJK_TEXT, min_size=1, max_size=6))
+def test_tokenize_cjk_matches_python_model(spark, texts):
+    from gmall_flink_0526_spark.operators.textops import tokenize_cjk
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    rows = df.select("i", tokenize_cjk(F.col("text")).alias("k")).orderBy("i").collect()
+    for r in rows:
+        assert list(r["k"]) == py_tokenize_cjk(texts[r["i"]])
+
+
+def py_chunks(toks: list[str], size: int, stride: int) -> list[tuple[int, int]]:
+    """(chunk_idx, n_tokens) per chunk, the coverage model."""
+    if not toks:
+        return []
+    return [
+        ((s - 1) // stride, min(size, len(toks) - s + 1))
+        for s in range(1, len(toks) + 1, stride)
+    ]
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=5), st.integers(2, 6), st.integers(1, 5))
+def test_chunking_matches_python_model(spark, texts, size, stride):
+    """Every chunk the Python model predicts exists with the same token
+    count — in particular every token is covered and overlap is exactly
+    size - stride when stride < size."""
+    from gmall_flink_0526_spark.operators.textops import chunk_docs
+
+    stride = min(stride, size)  # stride > size would skip tokens
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = chunk_docs(df, chunk_tokens=size, stride=stride).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_tokens"]))
+    for i, t in enumerate(texts):
+        want = py_chunks(py_tokenize(t), size, stride)
+        assert sorted(got.get(i, [])) == sorted(want)
