@@ -103,3 +103,21 @@ def test_kmeans_ivf_broadcasts_probe_side(spark):
     p = plan_of(spark, "ann_topk_ivf_kmeans")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
+    """Catalog-wide invariants: (a) no query plans a cartesian /
+    nested-loop join except the documented brute-force ANN baseline;
+    (b) no row-at-a-time Python UDF anywhere (BatchEvalPython) — every
+    Python stage must be Arrow-batched (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas)."""
+    allowed_cartesian = {"ann_topk_bruteforce", "ann_topk_vectorized"}
+    skip = {"jdbc_round_trip"}  # writes a DB as a side effect
+    for name in plans.queries():
+        if name.endswith("_stream") or name in skip:
+            continue  # replay queries execute streams on call
+        p = plan_of(spark, name)
+        if name not in allowed_cartesian:
+            assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+            assert "BroadcastNestedLoopJoin" not in p, f"{name} plans a nested-loop join"
+        assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"
