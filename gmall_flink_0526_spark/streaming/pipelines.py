@@ -397,3 +397,29 @@ def product_stats_app(
         )
     )
     return reg.write_stream(agg, out_channel, ckpt)
+
+
+def doc_dedup_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    source: str = "ods_documents",
+    out_channel: str = "dwd_documents_unique",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+):
+    """Ingest-time exact dedup of a document stream — the streaming
+    twin of the batch `dedup_exact` keeper selection, built on Spark's
+    NATIVE dedup state: `dropDuplicates` on the content digest with a
+    watermark bounding state retention (duplicates arriving later than
+    the watermark horizon are out of contract, exactly like the
+    reference's TTL'd dedup state). First arrival wins — in a
+    time-ordered replay that is the min-ts record per digest.
+    """
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+    deduped = (
+        src.withColumn("text_hash", F.md5(F.col(text_col)))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["text_hash"])
+    )
+    return reg.write_stream(deduped, out_channel, ckpt)

@@ -570,3 +570,33 @@ def test_product_stats_app_converges_to_batch(spark, reg, tmp_path):
     )
     assert {tuple(r) for r in got} == {tuple(r) for r in expected}
     assert len(got) > 0
+
+
+def test_doc_dedup_app_keeps_first_arrival(spark, reg, tmp_path):
+    """Streaming exact dedup (native dropDuplicates state): replaying
+    documents in (ts, doc_id) order must keep exactly one record per
+    distinct text — the earliest — matching the batch keeper rule."""
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    # synthesize arrival times: deterministic, increasing with doc_id
+    stream_in = docs.select(
+        F.col("doc_id"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=F.col("doc_id"))).alias("ts"),
+        "text",
+    )
+    reg.register("ods_documents", schema="doc_id long, ts timestamp, text string")
+    write_replay(stream_in, reg.channels["ods_documents"].path, n_files=3, order_by=["ts", "doc_id"])
+    reg.register("dwd_documents_unique", kind="memory")
+    q = pipelines.doc_dedup_app(spark, reg, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql("SELECT doc_id, text_hash FROM dwd_documents_unique_mem")
+    expected = (
+        docs.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    assert got.count() == expected.count()
+    assert {tuple(r) for r in got.select("text_hash", "doc_id").collect()} == {
+        tuple(r) for r in expected.select("text_hash", "doc_id").collect()
+    }
