@@ -38,6 +38,37 @@ def first_visit_per_day(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str | None = None,
+    gap_minutes: int = 10,
+) -> DataFrame:
+    """Gap-based sessionization (batch twin of both the U2 bounce
+    operator and Spark's native ``session_window`` streaming agg): adds
+    a per-key ``session_id`` (1-based running count of session entries)
+    via lag + running sum — one key-partitioned window sort, the
+    gaps-and-islands shape that scales with the key shuffle.
+
+    The gap test runs at microsecond precision — casting timestamps to
+    long would truncate to whole seconds and misclassify boundary gaps.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = W.partitionBy(key).orderBy(*order)
+    lag_ts = F.lag(ts).over(w)
+    gap_us = F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(
+        lag_ts.cast("timestamp")
+    )
+    is_entry = F.when(
+        lag_ts.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn("_is_entry", is_entry).withColumn(
+        "session_id",
+        F.sum("_is_entry").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    ).drop("_is_entry")
+
+
 def fix_is_new(df: DataFrame, key: str, ts: str, flag: str = "is_new") -> DataFrame:
     """F3 (batch twin) — new-user flag correction: a record may claim
     ``is_new = 1`` only if it belongs to the key's first-ever day.

@@ -141,6 +141,52 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {SQL_SHINGLES3},
+    {SQL_LSH_CANDIDATES},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                JOIN sh b ON cand.doc_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    ),
+    e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(n, r) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n)
+    SELECT doc_id, cluster_id, cluster_size
+    FROM comp JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+                    FROM comp GROUP BY cluster_id) sz USING (cluster_id)
+    """,
+    doc="Dedup cluster assignment — the step after pairwise detection: "
+    "connected components over the verified LSH near-dup pairs "
+    "(min-label propagation + pointer jumping, O(log diameter) rounds "
+    "of bounded node-keyed shuffles — the large-star/small-star shape, "
+    "never a driver-side graph), keeper = min doc per component. The "
+    "oracle re-derives components with a recursive reachability CTE.",
+    tags=("dedup", "lsh", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components, with_cluster_sizes
+
+    t = load_tables(spark, sf_dir, "documents")
+    sh = scoped_persist(D.doc_shingles(t["documents"], "doc_id", "text"))
+    pairs = (
+        D.jaccard_verify(sh, D.lsh_candidate_pairs(sh))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return with_cluster_sizes(comp)
+
+
+@register(
     "simhash_fingerprint",
     oracle=f"""
     WITH toks AS (

@@ -4,7 +4,10 @@ a 100 TB LLM pipeline runs on top of the text/dedup operators:
 - content-addressed train/val/test split (dup-safe by construction),
 - fixed-window context chunking with stride,
 - benchmark decontamination (n-gram overlap vs an eval set),
-- SimHash near-dup *pairs* (banded candidate join + Hamming verify).
+- SimHash near-dup *pairs* (banded candidate join + Hamming verify),
+- sequence packing (sharded concat-then-chunk training offsets),
+- PII scrubbing (portable-regex redaction, digest-verified),
+- repetition-based quality signals (distinct token/2-gram/mode share).
 
 Every query is a pure DataFrame plan over ``documents`` with a DuckDB
 oracle that re-derives the identical result.
@@ -12,9 +15,10 @@ oracle that re-derives the identical result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..operators import dedup as D, textops
+from ..operators.cache import scoped_persist
 from ..operators.partitioning import spread
 from ..session import load_tables
 from .catalog import register
@@ -200,3 +204,214 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     fp = D.simhash(t["documents"], "doc_id", "text", bits=PAIR_BITS)
     return D.simhash_near_dup_pairs(fp, bits=PAIR_BITS, max_hamming=3, bands=4)
+
+
+# -- sequence packing ---------------------------------------------------
+
+PACK_CAP = 256  # tokens per training sequence
+PACK_SHARD_HEX = 2  # first N hex chars of md5(text) -> 256 shards
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS digest,
+             CAST(({_sql_hex_val('md5(text)', PACK_SHARD_HEX)}) AS INTEGER) AS shard,
+             len({SQL_TOKS}) AS n_toks
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, shard, n_toks,
+             CAST(COALESCE(SUM(n_toks) OVER (
+                    PARTITION BY shard ORDER BY digest, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_off
+      FROM d WHERE n_toks > 0
+    )
+    SELECT doc_id, shard, start_off, n_toks,
+           start_off // {PACK_CAP} AS seq_first,
+           (start_off + n_toks - 1) // {PACK_CAP} AS seq_last
+    FROM packed
+    """,
+    doc=f"Sequence packing for pre-training: concatenate documents and "
+    f"cut fixed {PACK_CAP}-token training sequences. Docs are sharded "
+    f"by content digest ({16 ** PACK_SHARD_HEX} shards) and packed "
+    "contiguously within a shard in digest order — a running-sum "
+    "window PARTITIONED BY shard, so no global single-partition sort "
+    "ever exists; each doc learns its byte-offset and the first/last "
+    "sequence it lands in (docs spanning a boundary are split, the "
+    "GPT-style concat-then-chunk policy).",
+    tags=("llm-prep", "packing"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    d0 = spread(t["documents"], "doc_id").select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        F.size(textops.tokenize(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    d1 = d0.filter(F.col("n_toks") > 0).withColumn(
+        "shard", F.conv(F.substring("digest", 1, PACK_SHARD_HEX), 16, 10).cast("int")
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("digest", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = d1.withColumn(
+        "start_off", F.coalesce(F.sum("n_toks").over(w), F.lit(0)).cast("long")
+    )
+    return packed.select(
+        "doc_id",
+        "shard",
+        "start_off",
+        "n_toks",
+        F.expr(f"start_off div {PACK_CAP}").alias("seq_first"),
+        F.expr(f"(start_off + n_toks - 1) div {PACK_CAP}").alias("seq_last"),
+    )
+
+
+# -- PII scrubbing ------------------------------------------------------
+#
+# The regex subset is deliberately common to Java (Spark) and RE2
+# (DuckDB): character classes, bounded repeats, alternation — no
+# lookaround, no backrefs. The driver fixtures are clean lowercase
+# words, so deterministic PII strings are mixed in per doc_id on BOTH
+# sides (same trick as keyword_stats_cjk) — the redaction path is
+# value-checked, not just present.
+
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+URL_RE = r"https?://[a-z0-9./_-]+"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+_PII_INJECT = (
+    " contact alice@example.com or bob.smith+spam@mail.co",
+    " see https://spark.apache.org/docs/latest and http://example.org/a_b",
+    " call 555-123-4567 now",
+    "",
+)
+_SQL_PII_INJECT = (
+    f"CASE doc_id % 4 WHEN 0 THEN '{_PII_INJECT[0]}' "
+    f"WHEN 1 THEN '{_PII_INJECT[1]}' "
+    f"WHEN 2 THEN '{_PII_INJECT[2]}' ELSE '' END"
+)
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, text || {_SQL_PII_INJECT} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS email_ct,
+           CAST(len(regexp_extract_all(t, '{URL_RE}')) AS BIGINT) AS url_ct,
+           CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT) AS phone_ct,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{URL_RE}', '<URL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g')) AS scrub_digest
+    FROM aug
+    """,
+    doc="PII scrubbing: count and redact emails / URLs / phone numbers "
+    "with a portable regex subset (no lookaround), emitting the md5 of "
+    "the scrubbed text so the oracle verifies the exact redacted bytes. "
+    "Pure JVM regexp expressions inside whole-stage codegen — the shape "
+    "of every at-scale scrubbing pass (map-only, no shuffle at all).",
+    tags=("llm-prep", "scrub"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    inject = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_PII_INJECT[0]))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_PII_INJECT[1]))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_PII_INJECT[2]))
+        .otherwise(F.lit(""))
+    )
+    aug = spread(t["documents"], "doc_id").select(
+        "doc_id", F.concat(F.col("text"), inject).alias("t")
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(EMAIL_RE), F.lit(0))).cast("long").alias("email_ct"),
+        F.size(F.regexp_extract_all("t", F.lit(URL_RE), F.lit(0))).cast("long").alias("url_ct"),
+        F.size(F.regexp_extract_all("t", F.lit(PHONE_RE), F.lit(0))).cast("long").alias("phone_ct"),
+        F.md5(scrubbed).alias("scrub_digest"),
+    )
+
+
+# -- repetition / quality signal ---------------------------------------
+
+
+@register(
+    "repetition_ratio",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    base AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_ratio,
+             CASE WHEN len(t) >= 2 THEN
+               CAST(len(list_distinct(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1]))) AS DOUBLE) / (len(t) - 1)
+             ELSE CAST(1.0 AS DOUBLE) END AS gram2_ratio
+      FROM toks WHERE len(t) > 0
+    ),
+    freq AS (
+      SELECT doc_id, MAX(ct) AS max_ct FROM (
+        SELECT doc_id, tok, COUNT(*) AS ct
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, n_toks, uniq_ratio, gram2_ratio,
+           CAST(max_ct AS DOUBLE) / n_toks AS top_tok_ratio
+    FROM base b JOIN freq ON b.doc_id = freq.doc_id
+    """,
+    doc="Repetition-based quality signal: distinct-token ratio, distinct "
+    "2-gram ratio, and the most-frequent-token share — the standard "
+    "boilerplate/spam detectors a pre-training filter stacks on top of "
+    "quality_score. Array metrics are per-row JVM expressions over the "
+    "staged token array; the token-mode metric is explode + two grouped "
+    "aggs (shuffle-parallel, no per-doc state).",
+    tags=("llm-prep", "quality"),
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    staged = scoped_persist(
+        textops.with_tokens(spread(t["documents"], "doc_id"))
+        .select("doc_id", "toks")
+        .filter(F.size("toks") > 0)
+    )
+    grams2 = textops.shingles(F.col("toks"), 2)
+    base = staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias("uniq_ratio"),
+        F.when(
+            F.size("toks") >= 2,
+            F.size(F.array_distinct(grams2)).cast("double") / (F.size("toks") - 1),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("gram2_ratio"),
+    )
+    freq = (
+        staged.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("ct"))
+        .groupBy("doc_id")
+        .agg(F.max("ct").alias("max_ct"))
+    )
+    return base.join(freq, "doc_id").select(
+        "doc_id",
+        "n_toks",
+        "uniq_ratio",
+        "gram2_ratio",
+        (F.col("max_ct").cast("double") / F.col("n_toks")).alias("top_tok_ratio"),
+    )

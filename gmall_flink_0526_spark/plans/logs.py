@@ -319,32 +319,64 @@ SESSION_GAP_MIN = 10
 )
 def bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_ts = F.lag("ts").over(w)
-    # microsecond-precision gap test — casting timestamps to long would
-    # truncate to whole seconds and misclassify boundary gaps
-    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
-        lag_ts.cast("timestamp")
-    )
-    is_entry = F.when(
-        lag_ts.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), F.lit(1)
-    ).otherwise(F.lit(0))
-    sess = (
-        t["events"]
-        .withColumn("is_entry", is_entry)
-        .withColumn(
-            "session_id",
-            F.sum("is_entry").over(
-                W.partitionBy("user_id")
-                .orderBy("ts", "event_id")
-                .rowsBetween(W.unboundedPreceding, 0)
-            ),
-        )
+    from ..operators.filters import sessionize
+
+    sess = sessionize(
+        t["events"], key="user_id", ts="ts", tiebreak="event_id", gap_minutes=SESSION_GAP_MIN
     )
     per_session = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
     return per_session.groupBy("user_id").agg(
         F.count("*").alias("session_ct"),
         F.count(F.when(F.col("n_events") == 1, 1)).alias("bounce_ct"),
+    )
+
+
+@register(
+    "session_stats",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_entry
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(is_entry) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT) AS dur_ms,
+           {sql_sum('value')} AS value_sum
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc=f"Per-session rollup — the full session-window aggregate the "
+    f"bounce detector (U2) is a special case of: {SESSION_GAP_MIN}-min "
+    "gap sessionization (lag + running sum, one user-keyed window "
+    "sort), then per-session start/end/count/duration/value. Batch "
+    "twin of Spark's native session_window streaming aggregation "
+    "(streaming/pipelines.session_window_app) — the two agree on every "
+    "session the watermark has closed.",
+    tags=("cep", "session", "events", "agg"),
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    from ..operators.filters import sessionize
+
+    sess = sessionize(
+        t["events"], key="user_id", ts="ts", tiebreak="event_id", gap_minutes=SESSION_GAP_MIN
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.count("*").alias("n_events"),
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("dur_ms"),
+        exact_sum(F.col("value")).alias("value_sum"),
     )
 
 

@@ -248,3 +248,39 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("c").alias("clabel")
     )
     return S.topk_neighbors(probes, corpus, TOP_K, bucket=True)
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    WITH n AS (
+      SELECT label, sqrt({SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS vec_ct,
+           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+           CAST(SUM(CAST(nrm AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM n GROUP BY label
+    """,
+    doc="Embedding hygiene stats: L2 norm per vector (zip-free "
+    "aggregate fold, JVM-side) reduced per coarse label — the "
+    "norm-distribution check a pipeline runs before cosine ANN "
+    "(un-normalized or zero vectors poison IVF training). Map-side "
+    "fold + one partial-aggregated shuffle; the mean is "
+    "decimal-accumulated so any engine reproduces the exact double.",
+    tags=("similarity", "quality"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import exact_avg
+    from ..operators.similarity import norm_sq
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    n = t["embeddings"].select(
+        "label", F.sqrt(norm_sq(F.col("embedding"))).alias("nrm")
+    )
+    return n.groupBy("label").agg(
+        F.count("*").alias("vec_ct"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        exact_avg(F.col("nrm")).alias("avg_norm"),
+    )

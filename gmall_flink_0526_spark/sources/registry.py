@@ -131,27 +131,30 @@ def write_replay(df: DataFrame, path: str, n_files: int, order_by: list[str]) ->
     Chunks are written by Spark itself (a pandas round-trip chokes on
     map/struct columns), and each chunk's files get explicit, strictly
     increasing mtimes — the file stream source picks files oldest-first
-    by modification time, so mtime order IS the replay order."""
-    import math
+    by modification time, so mtime order IS the replay order.
+
+    Chunking is range-partitioned, not row_number over a global window
+    (which would be a single-task sort of the whole table): partition i
+    holds only order-keys <= partition i+1's, and each partition sorts
+    in parallel, so the concatenated replay order is exactly the global
+    sort order. Chunk boundaries come from range sampling and may vary
+    slightly run to run — harmless, because the stateful operators'
+    outputs depend on row ORDER, which is preserved, never on where the
+    micro-batch boundary falls."""
     import time
 
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
-    total = df.count()
-    per = max(1, math.ceil(total / n_files))
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    # persist the globally-ordered frame: each chunk write below filters
-    # it, and without the cache every chunk would redo the full sort
     indexed = (
-        df.withColumn("_rn", F.row_number().over(w) - 1)
-        .withColumn("_f", (F.col("_rn") / per).cast("int"))
-        .drop("_rn")
+        df.repartitionByRange(n_files, *[F.col(c) for c in order_by])
+        .sortWithinPartitions(*order_by)
+        .withColumn("_f", F.spark_partition_id())
         .persist()
     )
     os.makedirs(path, exist_ok=True)
     base = time.time() - n_files - 60  # strictly in the past
     try:
-        for i in range(min(n_files, math.ceil(total / per))):
+        for i in range(n_files):
             before = set(os.listdir(path))
             indexed.filter(F.col("_f") == i).drop("_f").coalesce(1).write.mode(
                 "append"

@@ -399,6 +399,55 @@ def product_stats_app(
     return reg.write_stream(agg, out_channel, ckpt)
 
 
+def session_window_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    source: str = "dwd_page_log",
+    out_channel: str = "dws_session_stats",
+    gap_minutes: int = 10,
+    watermark: str = "1 hour",
+):
+    """Native session-window aggregation — the streaming form of the
+    batch ``session_stats`` query (and the windowed generalization of
+    the U2 bounce sessionizer): Spark merges events within
+    ``gap_minutes`` of each other into one growing session window per
+    user; the watermark closes a session once no mergeable event can
+    arrive, and append mode emits it exactly once. State per key is one
+    open window — the same bound as the reference's keyed session
+    state.
+
+    Boundary semantics: an event arriving exactly ``gap_minutes`` after
+    the previous one starts a NEW session (Spark merges only strictly
+    overlapping session windows), while the batch ``sessionize`` twin
+    keeps it in the same session (gap > threshold splits) — the two
+    agree everywhere except that zero-measure boundary."""
+    from ..functions.exact import exact_sum
+
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal-accumulated: micro-batch incremental addition
+            # order then matches the one-shot batch twin bit-for-bit
+            exact_sum(F.col("value")).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    return reg.write_stream(agg, out_channel, ckpt)
+
+
 def doc_dedup_app(
     spark: SparkSession,
     reg: ChannelRegistry,

@@ -600,3 +600,51 @@ def test_doc_dedup_app_keeps_first_arrival(spark, reg, tmp_path):
     assert {tuple(r) for r in got.select("text_hash", "doc_id").collect()} == {
         tuple(r) for r in expected.select("text_hash", "doc_id").collect()
     }
+
+
+def test_session_window_app_converges_to_batch(spark, reg, tmp_path):
+    """Native session_window streaming agg vs the batch sessionize twin:
+    every session the watermark closed must match the gaps-and-islands
+    batch answer exactly (start, end=last+gap, count, exact value sum).
+    The fixture has no exact-gap-boundary pairs (where the two
+    semantics legitimately differ — see session_window_app docstring)."""
+    from gmall_flink_0526_spark.functions.exact import exact_sum
+    from gmall_flink_0526_spark.operators.filters import sessionize
+
+    events = load_tables(spark, SF_SMOKE, "events")["events"].select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # far-future sentinel pushes the watermark past every real
+    # session's close (end + gap + watermark delay)
+    far = events.agg(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(0.0).alias("value"),
+    )
+    stream_in = events.unionByName(far.select(*events.columns))
+    reg.register(
+        "dwd_page_log", schema="user_id long, ts timestamp, event_id long, value double"
+    )
+    write_replay(
+        stream_in, reg.channels["dwd_page_log"].path, n_files=3, order_by=["ts", "event_id"]
+    )
+    reg.register("dws_session_stats", kind="memory")
+    q = pipelines.session_window_app(spark, reg, str(tmp_path / "ckpt"), gap_minutes=10)
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.sql("SELECT * FROM dws_session_stats_mem").filter(F.col("user_id") != -1)
+    sess = sessionize(events, key="user_id", ts="ts", tiebreak="event_id", gap_minutes=10)
+    expected = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 10 MINUTES")).alias("session_end"),
+            F.count("*").alias("n_events"),
+            exact_sum(F.col("value")).alias("value_sum"),
+        )
+        .drop("session_id")
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expected.collect()}
+    assert got.count() > 0
