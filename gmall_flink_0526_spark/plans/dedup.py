@@ -187,6 +187,60 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {SQL_SHINGLES3},
+    {SQL_LSH_CANDIDATES},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                JOIN sh b ON cand.doc_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    ),
+    e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(n, r) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n)
+    SELECT doc_id, TRUE AS was_clustered FROM comp WHERE doc_id = cluster_id
+    UNION ALL
+    SELECT d.doc_id, FALSE AS was_clustered FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+    """,
+    doc="End-to-end dedup output — the corpus that survives "
+    "deduplication: every document not in any near-dup cluster, plus "
+    "exactly one canonical representative (min doc_id) per cluster. "
+    "Composition of the LSH candidate join, Jaccard verify, and "
+    "connected components, finished with one doc-keyed left join "
+    "against the corpus — the shape of a production 'write the deduped "
+    "dataset' job, where everything upstream is bucketed/bounded and "
+    "the final pass is a hash join on the id.",
+    tags=("dedup", "lsh", "graph"),
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    t = load_tables(spark, sf_dir, "documents")
+    sh = scoped_persist(D.doc_shingles(t["documents"], "doc_id", "text"))
+    pairs = (
+        D.jaccard_verify(sh, D.lsh_candidate_pairs(sh))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    docs = t["documents"].select("doc_id")
+    return (
+        docs.join(comp, docs["doc_id"] == comp["node"], "left")
+        .filter(F.col("node").isNull() | (F.col("node") == F.col("comp")))
+        .select("doc_id", F.col("node").isNotNull().alias("was_clustered"))
+    )
+
+
+@register(
     "simhash_fingerprint",
     oracle=f"""
     WITH toks AS (

@@ -415,3 +415,68 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gram2_ratio",
         (F.col("max_ct").cast("double") / F.col("n_toks")).alias("top_tok_ratio"),
     )
+
+
+# -- stratified (language-balanced) sampling ----------------------------
+#
+# Per-language keep rates expressed as integer thresholds on a 32-bit
+# content hash: keep iff hash32(doc_id) < rate * 2^32. All-integer
+# comparison — no float RNG anywhere, so the sample is deterministic,
+# reproducible across engines and across reruns at any scale (the
+# content-addressed property a training-data pipeline needs for
+# resumable / auditable mixing).
+
+LANG_RATES = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 0.75, "zh": 1.0}
+DEFAULT_RATE = 0.1
+_HASH_SPAN = 1 << 32
+
+
+def _rate_threshold(rate: float) -> int:
+    return int(rate * _HASH_SPAN)
+
+
+_SQL_RATE_CASE = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{lang}' THEN {_rate_threshold(r)}" for lang, r in sorted(LANG_RATES.items())
+    )
+    + f" ELSE {_rate_threshold(DEFAULT_RATE)} END"
+)
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             CAST(({_sql_hex_val('md5(CAST(doc_id AS VARCHAR))', 8)}) AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM h
+    WHERE hv < {_SQL_RATE_CASE}
+    """,
+    doc="Language-balanced stratified sampling — the data-mixing step of "
+    "a pre-training pipeline: each language stratum keeps a configured "
+    "fraction (upweighting low-resource languages), decided per row by "
+    "an integer threshold on a 32-bit md5 of the doc id. Map-only scan, "
+    "zero shuffles, zero RNG state: the same doc is kept or dropped "
+    "identically on any engine, any partitioning, any rerun — "
+    "content-addressed sampling, like dataset_split.",
+    tags=("llm-prep", "sampling"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    threshold = F.lit(_rate_threshold(DEFAULT_RATE))
+    for lang, r in sorted(LANG_RATES.items()):
+        threshold = F.when(F.col("lang") == lang, F.lit(_rate_threshold(r))).otherwise(
+            threshold
+        )
+    return (
+        t["documents"]
+        .select("doc_id", "lang", "source", hv.alias("hv"))
+        .filter(F.col("hv") < threshold)
+        .drop("hv")
+    )

@@ -181,6 +181,71 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 5
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT doc_id, tok, tf, df,
+             CAST(tf AS DOUBLE) * n_docs / df AS score
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rk AS INTEGER) AS rk, tok, tf, df, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, tok) AS rk
+          FROM scored)
+    WHERE rk <= {TFIDF_TOP_K}
+    """,
+    doc=f"TF-IDF keyword extraction: top-{TFIDF_TOP_K} terms per doc by "
+    "term frequency x inverse document frequency. The idf factor is the "
+    "raw ratio n_docs/df rather than its log: every arithmetic step "
+    "(int-exact multiply, one IEEE-correctly-rounded divide) is then "
+    "bit-reproducible across engines — same reason sums go through "
+    "decimal — and per-document ranking within a tf level is identical "
+    "to the log form (both monotone in df). Shape: one explode + two "
+    "grouped aggs (map-side partial), a vocab-keyed join for df, and a "
+    "doc-keyed window top-k; the n_docs scalar rides a broadcast, never "
+    "a collect.",
+    tags=("text", "llm-prep", "agg"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.cache import scoped_persist
+    from ..operators.partitioning import spread
+
+    t = load_tables(spark, sf_dir, "documents")
+    tf = scoped_persist(
+        textops.with_tokens(spread(t["documents"], "doc_id"))
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf").cast("double") * F.col("n_docs") / F.col("df"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "rk", "tok", "tf", "df", "score")
+    )
+
+
 @register(
     "doc_fingerprint",
     oracle=f"""
