@@ -70,22 +70,17 @@ def minhash_signature(shingles_col, k: int = MINHASH_K):
     )
 
 
-def lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
-    """MinHash LSH over a shingle DataFrame (doc_id, s) -> candidate
-    pairs. Persist ``sh`` at the call site when it is also used for
-    verification.
-
-    The self-join is on the band bucket key, so Spark hash-partitions
-    on (band, key): candidate generation is a single co-partitioned
-    shuffle, and skewed buckets are split by AQE. Bands are persisted so
-    the self-join's two sides don't recompute the signatures.
-    """
+def lsh_band_keys(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bk): banded MinHash bucket keys over a shingle
+    DataFrame (doc_id, s). This is the signature table a production
+    corpus materializes ONCE and keeps — both one-shot self-join dedup
+    and incremental new-vs-corpus dedup are joins against it."""
     sigs = (
         sh.filter(F.size("s") > 0)
         .select("doc_id", minhash_signature(F.col("s")).alias("mh"))
         .filter(F.col("mh")[0].isNotNull())
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -101,10 +96,22 @@ def lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bk")
+
+
+def lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
+    """MinHash LSH over a shingle DataFrame (doc_id, s) -> candidate
+    pairs. Persist ``sh`` at the call site when it is also used for
+    verification.
+
+    The self-join is on the band bucket key, so Spark hash-partitions
+    on (band, key): candidate generation is a single co-partitioned
+    shuffle, and skewed buckets are split by AQE. Bands are persisted so
+    the self-join's two sides don't recompute the signatures.
+    """
     # scoped: released when the next catalog query starts (cache.py) —
     # ReuseExchange does NOT cover this self-join (measured), persist
     # halves candidate-generation time by computing signatures once
-    bands = scoped_persist(bands)
+    bands = scoped_persist(lsh_band_keys(sh))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -113,6 +120,23 @@ def lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_candidates_against(new_bands: DataFrame, corpus_bands: DataFrame) -> DataFrame:
+    """Incremental LSH candidates: new-batch band keys joined against
+    the corpus signature table — cost is proportional to the NEW batch
+    and its bucket overlap, never to corpus^2. (doc_a = new doc,
+    doc_b = corpus doc.)"""
+    a = new_bands.alias("a")
+    b = corpus_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bk") == F.col("b.bk")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

@@ -64,14 +64,17 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    # Convergence is tracked by sum(comp): every propagate/jump step can
+    # only LOWER a node's label (min over a set containing the current
+    # label; comp(c) <= c because every node's label includes itself),
+    # so the sum is strictly decreasing while anything changes and
+    # stable exactly at the fixed point — one cheap aggregate over the
+    # just-checkpointed table per round, instead of a join-and-count.
+    prev_sum = object()
     for _ in range(max_iter):
         # propagate: min label over self + neighbors. sym is hashed on
         # s and labels on node, so the join is exchange-free; the
         # explicit repartition pins the aggregate at n partitions.
-        # localCheckpoint (not persist) because the label table feeds
-        # BOTH sides of the pointer jump and the next round: without
-        # lineage truncation the logical plan doubles per round and
-        # planning itself OOMs the driver after a few iterations.
         nbr = sym.join(labels, sym["s"] == labels["node"]).select(
             F.col("d").alias("node"), F.col("comp")
         )
@@ -81,11 +84,16 @@ def connected_components(
             .repartition(n, "node")
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
         )
         # pointer jump: comp := comp(comp). comp is itself a node id,
         # so the self-join always hits; both sides re-keyed to the
         # join key at n partitions (renames avoid self-join ambiguity).
+        # ONE localCheckpoint per round, after the jump: it truncates
+        # lineage (the label table feeds both sides of the jump and the
+        # next round — without truncation the logical plan doubles per
+        # round and *planning* OOMs the driver), and the propagate
+        # being inlined twice inside the jump plan is one reused
+        # exchange, cheaper than a second checkpoint job.
         ptr = new.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
         jumped = (
             new.repartition(n, "comp")
@@ -94,17 +102,12 @@ def connected_components(
             .repartition(n, "node")
             .localCheckpoint()
         )
-        # co-partitioned on node with labels -> exchange-free compare
-        changed = (
-            jumped.alias("nw")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("nw.comp") != F.col("o.comp"))
-            .count()
-        )
+        cur_sum = jumped.agg(F.sum("comp")).first()[0]
         labels.unpersist(False)
         labels = jumped
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 

@@ -225,3 +225,70 @@ def near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
         .filter(F.col("cos_sim") >= threshold)
         .select("ida", "idb", "cos_sim")
     )
+
+
+# -- random-hyperplane LSH (SimHash for cosine space) --------------------
+
+RHP_BITS = 16
+RHP_BANDS = 2
+RHP_ROWS = RHP_BITS // RHP_BANDS
+
+
+def rhp_hyperplanes(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (j, d) is
+    md5-derived uniform in [-0.5, 0.5). No RNG state — any engine (or
+    an oracle) re-derives the identical planes, so signatures are
+    reproducible across reruns and engines, like every other hash in
+    the dedup family."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"rhp:{j}:{d}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+            for d in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def rhp_band_sigs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_bits: int = RHP_BITS,
+    bands: int = RHP_BANDS,
+) -> DataFrame:
+    """(vec_id, band, bsig): random-hyperplane signature, banded.
+
+    Bit j = sign(v . h_j); bits pack into ``bands`` integer band keys.
+    Two vectors collide in a band with probability (1 - theta/pi)^rows
+    — high-cosine pairs collide somewhere with high probability, so the
+    banded self-join replaces the all-pairs cosine scan the same way
+    MinHash bands replace the all-pairs Jaccard scan. The dot folds are
+    the bit-reproducible sequential aggregate (see module docstring);
+    the sign test therefore lands identically on every engine.
+    """
+    rows = n_bits // bands
+    planes = rhp_hyperplanes(n_bits, dim)
+    dots = F.array(
+        *[dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in h])) for h in planes]
+    )
+    # stage the 16 dot folds once; the band keys then read the array
+    staged = emb.select(F.col(id_col).alias("vec_id"), dots.alias("_rd"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (F.col("_rd")[b * rows + r] >= 0).cast("int") * (1 << r)
+                    for r in range(rows)
+                ).alias("bsig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        staged.select("vec_id", F.explode(band_structs).alias("bb"))
+        .select("vec_id", "bb.band", "bb.bsig")
+    )

@@ -14,6 +14,13 @@ from .text import SQL_TOKS
 
 JACCARD_THRESHOLD = 0.5
 
+# Partitioning for the connected-components loop at catalog scale: the
+# verified near-dup pair graph is orders of magnitude smaller than the
+# corpus (hundreds of edges at sf0.1), so the iterative shuffles run at
+# a small fixed width; at 100 TB pass a count sized to the edge volume
+# (the operator parameter exists for exactly that).
+CC_PARTITIONS = 8
+
 # -- shared oracle CTEs -------------------------------------------------
 
 SQL_SHINGLES3 = f"""
@@ -182,8 +189,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
-    comp = connected_components(pairs, "doc_a", "doc_b")
-    return with_cluster_sizes(comp)
+    comp = connected_components(pairs, "doc_a", "doc_b", num_partitions=CC_PARTITIONS)
+    return with_cluster_sizes(comp, num_partitions=CC_PARTITIONS)
 
 
 @register(
@@ -231,7 +238,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b", num_partitions=CC_PARTITIONS)
     docs = t["documents"].select("doc_id")
     return (
         docs.join(comp, docs["doc_id"] == comp["node"], "left")
@@ -271,3 +278,47 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     return D.simhash(t["documents"], "doc_id", "text")
+
+
+# -- incremental (new-batch vs corpus) dedup ----------------------------
+
+NEW_MOD = 5  # fixture split: doc_id % 5 == 0 is the "incoming batch"
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {SQL_SHINGLES3},
+    {SQL_LSH_CANDIDATES.replace("cand AS (", "cand0 AS (")},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.bk = c.bk
+      WHERE a.doc_id % {NEW_MOD} = 0 AND c.doc_id % {NEW_MOD} != 0
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+              JOIN sh b ON cand.doc_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Incremental dedup — the continuous-ingest shape: an incoming "
+    "batch (doc_id % 5 == 0 stands in for 'today's crawl') is checked "
+    "against the existing corpus by joining its MinHash band keys "
+    "against the corpus signature table, then Jaccard-verifying only "
+    "the cross-set candidates. Cost is proportional to the new batch "
+    "and its bucket overlap — corpus^2 never appears, and the corpus "
+    "side is a precomputed signature table a production pipeline "
+    "materializes once (operators/dedup.lsh_band_keys).",
+    tags=("dedup", "lsh", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    sh = scoped_persist(D.doc_shingles(t["documents"], "doc_id", "text"))
+    bands = scoped_persist(D.lsh_band_keys(sh))
+    new_b = bands.filter(F.col("doc_id") % NEW_MOD == 0)
+    corp_b = bands.filter(F.col("doc_id") % NEW_MOD != 0)
+    cand = D.lsh_candidates_against(new_b, corp_b)
+    return D.jaccard_verify(sh, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)

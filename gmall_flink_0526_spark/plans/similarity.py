@@ -237,10 +237,15 @@ _SQL_KMEANS_CTES = f"""
     tags=("similarity", "ann", "ivf", "kmeans"),
 )
 def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+
     t = load_tables(spark, sf_dir, "embeddings")
-    emb = t["embeddings"]
+    # the fit scans the corpus once per iteration and the final
+    # assignment feeds both sides of the bucket join — cache the scan
+    # and the assignment so each pass reads memory, not parquet
+    emb = scoped_persist(t["embeddings"])
     cents = S.kmeans_fit(emb, "embedding", "vec_id", k=KM_K, iters=KM_ITERS)
-    assigned = S.with_cluster(emb, "embedding", cents)
+    assigned = scoped_persist(S.with_cluster(emb, "embedding", cents))
     probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("c").alias("qlabel")
     )
@@ -283,4 +288,112 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
         exact_avg(F.col("nrm")).alias("avg_norm"),
+    )
+
+
+# -- random-hyperplane LSH ----------------------------------------------
+
+RHP_DIM = 64  # fixture embedding dim; at scale read from the schema
+RHP_COS_MIN = 0.2  # verify threshold, tuned to the near-random fixture
+
+
+def _sql_hexval8(expr: str) -> str:
+    nib = "(strpos('0123456789abcdef', substr({e}, {i}, 1)) - 1)"
+    return " + ".join(f"{nib.format(e=expr, i=i + 1)} * {16 ** (7 - i)}" for i in range(8))
+
+
+_SQL_RHP_MD5 = "md5('rhp:' || CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR))"
+
+SQL_RHP_SIGS = f"""
+    hp AS (
+      SELECT j, list(CAST(({_sql_hexval8(_SQL_RHP_MD5)}) AS DOUBLE) / 4294967296.0 - 0.5
+                     ORDER BY d) AS h
+      FROM (SELECT unnest(range(0, {S.RHP_BITS})) AS j),
+           (SELECT unnest(range(0, {RHP_DIM})) AS d)
+      GROUP BY j
+    ),
+    bits AS (
+      SELECT vec_id, j,
+             CASE WHEN list_sum(list_transform(range(1, {RHP_DIM} + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * h[i])) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM embeddings CROSS JOIN hp
+    ),
+    sigs AS (
+      SELECT vec_id, CAST(j // {S.RHP_ROWS} AS INTEGER) AS band,
+             CAST(SUM(bit * (1 << (j % {S.RHP_ROWS}))) AS INTEGER) AS bsig
+      FROM bits GROUP BY vec_id, j // {S.RHP_ROWS}
+    )
+"""
+
+
+@register(
+    "rhp_signature",
+    oracle=f"""
+    WITH {SQL_RHP_SIGS}
+    SELECT vec_id, band, bsig FROM sigs
+    """,
+    doc=f"Random-hyperplane (SimHash-for-cosine) signatures: bit j = "
+    f"sign(v . h_j) over {S.RHP_BITS} md5-derived deterministic "
+    f"hyperplanes, packed into {S.RHP_BANDS} banded integer keys. The "
+    "dot folds are the bit-reproducible sequential aggregate, so the "
+    "sign test — and therefore every signature — lands identically on "
+    "any engine. Map-only scan; the signature table is what a 100 TB "
+    "corpus materializes once and joins against forever.",
+    tags=("similarity", "lsh"),
+)
+def rhp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "embeddings")
+    return S.rhp_band_sigs(t["embeddings"], dim=RHP_DIM)
+
+
+@register(
+    "rhp_near_dup",
+    oracle=f"""
+    WITH {SQL_RHP_SIGS},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           {_sql_cosine('ea.embedding', 'eb.embedding')} AS cos_sim
+    FROM cand JOIN embeddings ea ON vec_a = ea.vec_id
+              JOIN embeddings eb ON vec_b = eb.vec_id
+    WHERE {_sql_cosine('ea.embedding', 'eb.embedding')} >= {RHP_COS_MIN}
+    """,
+    doc="Embedding near-dup via random-hyperplane LSH — the "
+    "label/centroid-free scale path: candidates are the banded "
+    "signature self-join (collision probability rises steeply with "
+    "cosine), verified by exact cosine. The all-pairs scan never "
+    "materializes; candidate volume is sum(bucket^2) over signature "
+    "buckets, the same bound as MinHash-LSH. Threshold tuned to the "
+    "near-random fixture (see SCALE.md).",
+    tags=("similarity", "lsh", "dedup"),
+)
+def rhp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    sigs = scoped_persist(S.rhp_band_sigs(emb, dim=RHP_DIM))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_sim", S.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= RHP_COS_MIN)
+        .select("vec_a", "vec_b", "cos_sim")
     )
