@@ -52,22 +52,26 @@ def doc_shingles(docs: DataFrame, id_col: str, text_col: str, ngram: int = 3) ->
     return toks.select("doc_id", F.array_distinct(shingles(F.col("toks"), ngram)).alias("s"))
 
 
+def _seeded_minhash(shingles_col, seed: int):
+    # seed is bound by this enclosing function, NOT a lambda default:
+    # a two-parameter lambda (``lambda s, seed=i``) makes PySpark pass
+    # the ARRAY INDEX as the second argument — the "seed" becomes a
+    # Column whose repr gets baked into the literal, silently turning
+    # the signature into unstable garbage.
+    return F.array_min(
+        F.transform(
+            shingles_col,
+            lambda s: F.substring(F.md5(F.concat(F.lit(f"{seed}#"), s)), 1, HASH_PREFIX),
+        )
+    )
+
+
 def minhash_signature(shingles_col, k: int = MINHASH_K):
     """Array of k minhashes over a *materialized* shingle-array column:
-    seed-prefixed md5, lexicographic min per seed."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles_col,
-                    lambda s, seed=i: F.substring(
-                        F.md5(F.concat(F.lit(f"{seed}#"), s)), 1, HASH_PREFIX
-                    ),
-                )
-            )
-            for i in range(k)
-        ]
-    )
+    seed-prefixed md5, lexicographic min per seed. Matches the Python
+    model ``min(md5(f"{seed}#{x}")[:HASH_PREFIX] for x in shingles)``
+    and the DuckDB oracle's list_aggregate(..., 'min')."""
+    return F.array(*[_seeded_minhash(shingles_col, i) for i in range(k)])
 
 
 def lsh_band_keys(sh: DataFrame) -> DataFrame:
@@ -98,6 +102,23 @@ def lsh_band_keys(sh: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bk")
 
 
+def lsh_pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Candidate pairs from an (already materialized/persisted) band-key
+    table: self-join on (band, bucket key), id-ordered, distinct."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     """MinHash LSH over a shingle DataFrame (doc_id, s) -> candidate
     pairs. Persist ``sh`` at the call site when it is also used for
@@ -111,19 +132,7 @@ def lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     # scoped: released when the next catalog query starts (cache.py) —
     # ReuseExchange does NOT cover this self-join (measured), persist
     # halves candidate-generation time by computing signatures once
-    bands = scoped_persist(lsh_band_keys(sh))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return lsh_pairs_from_bands(scoped_persist(lsh_band_keys(sh)))
 
 
 def lsh_candidates_against(new_bands: DataFrame, corpus_bands: DataFrame) -> DataFrame:

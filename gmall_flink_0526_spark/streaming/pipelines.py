@@ -448,6 +448,78 @@ def session_window_app(
     return reg.write_stream(agg, out_channel, ckpt)
 
 
+def doc_incremental_dedup_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    store_root: str,
+    source: str = "ods_documents",
+    out_channel: str = "dwd_documents_unique",
+    jaccard_min: float = 0.5,
+):
+    """Streaming incremental MinHash dedup — the streaming form of the
+    batch ``dedup_incremental`` query: every micro-batch's band keys
+    join the corpus signature table accumulated from all previously
+    KEPT documents; cross-corpus near-dups are dropped, in-batch
+    verified pairs drop the newer (larger-id) doc, and survivors'
+    signatures and shingles append to the store. Cost per batch is
+    batch x bucket-overlap — the corpus is touched only through its
+    (bounded, bucketed) signature table, never rescanned.
+
+    Within a batch the drop rule is pairwise-greedy (drop ``doc_b`` of
+    each verified pair); full transitive clustering is the periodic
+    batch ``dedup_clusters`` job, the standard lambda split. Store
+    appends are at-least-once on retry (same caveat — and same
+    production fix, a transactional table format — as DimStore's
+    rewrite MERGE).
+    """
+    from ..operators import dedup as D
+
+    bands_path = os.path.join(store_root, "sig_bands")
+    sh_path = os.path.join(store_root, "sig_shingles")
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        sh = D.doc_shingles(batch, "doc_id", "text").persist()
+        bands = D.lsh_band_keys(sh).persist()
+        try:
+            self_dup = (
+                D.jaccard_verify(sh, D.lsh_pairs_from_bands(bands))
+                .filter(F.col("jaccard") >= jaccard_min)
+                .select(F.col("doc_b").alias("doc_id"))
+            )
+            if os.path.exists(bands_path):
+                corp_bands = sess.read.parquet(bands_path)
+                corp_sh = sess.read.parquet(sh_path)
+                cross = D.lsh_candidates_against(bands, corp_bands)
+                cross_dup = (
+                    D.jaccard_verify(sh.union(corp_sh), cross)
+                    .filter(F.col("jaccard") >= jaccard_min)
+                    .select(F.col("doc_a").alias("doc_id"))
+                )
+                dups = self_dup.union(cross_dup)
+            else:
+                dups = self_dup
+            kept = batch.join(dups.distinct(), "doc_id", "left_anti").persist()
+            reg.write_batch(kept, out_channel)
+            kept_ids = kept.select("doc_id")
+            # append BEFORE unpersist: both writes reuse the cached
+            # shingle/band frames filtered to survivors
+            bands.join(kept_ids, "doc_id").write.mode("append").parquet(bands_path)
+            sh.join(kept_ids, "doc_id").write.mode("append").parquet(sh_path)
+            kept.unpersist()
+        finally:
+            sh.unpersist()
+            bands.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(ckpt, "doc_incremental_dedup"))
+        .start()
+    )
+
+
 def doc_dedup_app(
     spark: SparkSession,
     reg: ChannelRegistry,

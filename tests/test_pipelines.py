@@ -648,3 +648,69 @@ def test_session_window_app_converges_to_batch(spark, reg, tmp_path):
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expected.collect()}
     assert got.count() > 0
+
+
+def test_doc_incremental_dedup_app_kept_set_is_pairwise_clean(spark, reg, tmp_path):
+    """Streaming incremental MinHash dedup: after replaying the corpus
+    in 3 micro-batches, (1) the kept set contains NO verified near-dup
+    pair at all — every later member of a pair is dropped either by the
+    in-batch greedy rule or by the cross-corpus signature join — and
+    (2) every dropped doc really is a verified near-dup of some doc
+    (nothing is dropped spuriously)."""
+    from gmall_flink_0526_spark.operators import dedup as D
+
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    stream_in = docs.select(
+        "doc_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("ts"),
+        "text",
+    )
+    reg.register("ods_documents", schema="doc_id long, ts timestamp, text string")
+    write_replay(
+        stream_in, reg.channels["ods_documents"].path, n_files=3, order_by=["ts", "doc_id"]
+    )
+    reg.register("dwd_documents_unique")
+    q = pipelines.doc_incremental_dedup_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "sigstore")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    kept = spark.read.parquet(reg.channels["dwd_documents_unique"].path)
+    total = docs.count()
+    n_kept = kept.count()
+    assert 0 < n_kept <= total
+
+    # (1) kept set is verified-pairwise clean
+    sh_kept = D.doc_shingles(kept, "doc_id", "text").persist()
+    kept_pairs = (
+        D.jaccard_verify(sh_kept, D.lsh_candidate_pairs(sh_kept))
+        .filter(F.col("jaccard") >= 0.5)
+        .count()
+    )
+    assert kept_pairs == 0
+
+    # (2) every dropped doc has a verified near-dup partner somewhere
+    sh_all = D.doc_shingles(docs, "doc_id", "text").persist()
+    verified = D.jaccard_verify(sh_all, D.lsh_candidate_pairs(sh_all)).filter(
+        F.col("jaccard") >= 0.5
+    )
+    partners = (
+        verified.select(F.col("doc_a").alias("doc_id"))
+        .union(verified.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    dropped = docs.select("doc_id").join(kept.select("doc_id"), "doc_id", "left_anti")
+    orphans = dropped.join(partners, "doc_id", "left_anti").count()
+    assert orphans == 0
+    if verified.count() > 0:
+        assert n_kept < total
+
+    # the signature store only carries survivors
+    sig_ids = spark.read.parquet(str(tmp_path / "sigstore" / "sig_bands")).select(
+        "doc_id"
+    ).distinct()
+    assert sig_ids.join(kept.select("doc_id"), "doc_id", "left_anti").count() == 0

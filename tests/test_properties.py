@@ -137,3 +137,31 @@ def test_chunking_matches_python_model(spark, texts, size, stride):
     for i, t in enumerate(texts):
         want = py_chunks(py_tokenize(t), size, stride)
         assert sorted(got.get(i, [])) == sorted(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(TEXT.filter(lambda s: s.strip() != ""), min_size=1, max_size=5), min_size=1, max_size=4))
+def test_minhash_signature_matches_python_model(spark, shingle_sets):
+    """Regression: a two-parameter lambda default (``lambda s, seed=i``)
+    makes PySpark bind the array INDEX to ``seed``, baking an unstable
+    Column repr into the hash literal — signatures became garbage that
+    differed between plan instances (caught by the incremental-dedup
+    cross-batch join finding zero candidates). Pin the signature to the
+    portable Python/DuckDB model."""
+    import hashlib
+
+    from gmall_flink_0526_spark.operators.dedup import HASH_PREFIX, MINHASH_K, minhash_signature
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(shingle_sets)], "i long, s array<string>"
+    )
+    rows = df.select("i", minhash_signature(F.col("s")).alias("mh")).orderBy("i").collect()
+    for r in rows:
+        want = [
+            min(
+                hashlib.md5(f"{seed}#{x}".encode()).hexdigest()[:HASH_PREFIX]
+                for x in shingle_sets[r["i"]]
+            )
+            for seed in range(MINHASH_K)
+        ]
+        assert list(r["mh"]) == want
