@@ -145,7 +145,11 @@ def lsh_candidates_against(new_bands: DataFrame, corpus_bands: DataFrame) -> Dat
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.bk") == F.col("b.bk")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            # re-ingesting an already-stored doc_id must not self-match
+            # (jaccard 1.0 with itself would drop every replayed doc)
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()

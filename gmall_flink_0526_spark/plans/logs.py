@@ -375,7 +375,12 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         F.count("*").alias("n_events"),
-        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("dur_ms"),
+        # cast: the parquet ts column may surface as TIMESTAMP_NTZ
+        # (session-dependent inference) and unix_millis rejects NTZ
+        (
+            F.unix_millis(F.max("ts").cast("timestamp"))
+            - F.unix_millis(F.min("ts").cast("timestamp"))
+        ).alias("dur_ms"),
         exact_sum(F.col("value")).alias("value_sum"),
     )
 

@@ -126,3 +126,120 @@ def bounce_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("closed_ct"),
         F.count_if(F.col("is_bounce")).alias("bounce_ct"),
     )
+
+
+# -- streaming incremental dedup under the oracle -----------------------
+
+_DEDUP_ROOTS: list[str] = []
+
+
+def _cleanup_dedup_roots() -> None:
+    import shutil
+
+    for root in _DEDUP_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_N_DEDUP_BATCHES = 3
+
+
+def _incdedup_oracle() -> str:
+    from .dedup import JACCARD_THRESHOLD, SQL_LSH_CANDIDATES, SQL_SHINGLES3
+
+    n = _N_DEDUP_BATCHES
+    kept_cte = []
+    for f in range(n):
+        prior = "\n      UNION ALL ".join(
+            f"SELECT doc_id FROM kept{p}" for p in range(f)
+        )
+        cross = (
+            f"""
+    AND NOT EXISTS (
+      SELECT 1 FROM vps WHERE vps.x = dd.doc_id
+        AND vps.y IN ({prior})
+    )"""
+            if f
+            else ""
+        )
+        kept_cte.append(
+            f"""kept{f} AS (
+  SELECT dd.doc_id FROM d dd WHERE dd.f = {f}
+    AND dd.doc_id NOT IN (SELECT doc_id FROM selfdrop){cross}
+)"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT doc_id FROM kept{f}" for f in range(n))
+    return f"""
+    WITH {SQL_SHINGLES3},
+    {SQL_LSH_CANDIDATES},
+    vp AS (
+      SELECT cand.doc_a, cand.doc_b FROM cand
+      JOIN sh a ON cand.doc_a = a.doc_id
+      JOIN sh b ON cand.doc_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    ),
+    vps AS (
+      SELECT doc_a AS x, doc_b AS y FROM vp
+      UNION ALL SELECT doc_b AS x, doc_a AS y FROM vp
+    ),
+    d AS (SELECT doc_id, doc_id % {n} AS f FROM documents),
+    selfdrop AS (
+      SELECT DISTINCT vp.doc_b AS doc_id
+      FROM vp JOIN d da ON vp.doc_a = da.doc_id
+              JOIN d db ON vp.doc_b = db.doc_id
+      WHERE da.f = db.f
+    ),
+    {",".join(kept_cte)}
+    {union}
+    """
+
+
+@register(
+    "dedup_incremental_stream",
+    oracle=_incdedup_oracle(),
+    doc="Streaming incremental MinHash dedup under the external oracle: "
+    "the real foreachBatch app (streaming/pipelines.doc_incremental_"
+    "dedup_app — per-epoch signature store, cross-corpus LSH join) "
+    "replays `documents` in 3 micro-batches split deterministically by "
+    "doc_id % 3, and the oracle unrolls the same greedy rule in SQL: "
+    "per batch, drop in-batch verified doc_b's (id-ordered pairs), "
+    "then drop any doc verifying >= threshold against a previously "
+    "KEPT doc; survivors join the corpus. Extends the reference's "
+    "keyed-state dedup (RT/app/dwm/UniqueVisitApp.java:41-84) to "
+    "content near-dup at ingest.",
+    tags=("dedup", "lsh", "streaming", "incremental"),
+)
+def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    from ..sources.registry import ChannelRegistry, write_replay
+    from ..streaming.pipelines import doc_incremental_dedup_app
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="gmall_incdedup_")
+    if not _DEDUP_ROOTS:
+        atexit.register(_cleanup_dedup_roots)
+    _DEDUP_ROOTS.append(root)
+    reg = ChannelRegistry(root)
+    reg.register("ods_documents", schema="doc_id long, text string")
+    write_replay(
+        docs,
+        reg.channels["ods_documents"].path,
+        n_files=_N_DEDUP_BATCHES,
+        order_by=["doc_id"],
+        file_of=F.col("doc_id") % _N_DEDUP_BATCHES,
+    )
+    reg.register("dwd_documents_unique")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        q = doc_incremental_dedup_app(
+            spark, reg, os.path.join(root, "ckpt"), os.path.join(root, "store")
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return reg.read_batch(spark, "dwd_documents_unique").select("doc_id")

@@ -122,7 +122,9 @@ def _mem_name(name: str) -> str:
     return name.replace("-", "_") + "_mem"
 
 
-def write_replay(df: DataFrame, path: str, n_files: int, order_by: list[str]) -> None:
+def write_replay(
+    df: DataFrame, path: str, n_files: int, order_by: list[str], file_of=None
+) -> None:
     """Materialize a table as ``n_files`` time-ordered parquet files so a
     file-stream read with maxFilesPerTrigger=1 replays it as ordered
     micro-batches (the test-time stand-in for a Kafka topic's arrival
@@ -140,17 +142,25 @@ def write_replay(df: DataFrame, path: str, n_files: int, order_by: list[str]) ->
     sort order. Chunk boundaries come from range sampling and may vary
     slightly run to run — harmless, because the stateful operators'
     outputs depend on row ORDER, which is preserved, never on where the
-    micro-batch boundary falls."""
+    micro-batch boundary falls.
+
+    ``file_of`` (optional Column, int in [0, n_files)) overrides the
+    range split with an EXPLICIT batch assignment — for operators whose
+    output depends on where the micro-batch boundary falls (incremental
+    dedup), so an external oracle can replicate the exact same split."""
     import time
 
     from pyspark.sql import functions as F
 
-    indexed = (
-        df.repartitionByRange(n_files, *[F.col(c) for c in order_by])
-        .sortWithinPartitions(*order_by)
-        .withColumn("_f", F.spark_partition_id())
-        .persist()
-    )
+    if file_of is not None:
+        indexed = df.withColumn("_f", file_of.cast("int")).persist()
+    else:
+        indexed = (
+            df.repartitionByRange(n_files, *[F.col(c) for c in order_by])
+            .sortWithinPartitions(*order_by)
+            .withColumn("_f", F.spark_partition_id())
+            .persist()
+        )
     os.makedirs(path, exist_ok=True)
     base = time.time() - n_files - 60  # strictly in the past
     try:

@@ -468,16 +468,31 @@ def doc_incremental_dedup_app(
 
     Within a batch the drop rule is pairwise-greedy (drop ``doc_b`` of
     each verified pair); full transitive clustering is the periodic
-    batch ``dedup_clusters`` job, the standard lambda split. Store
-    appends are at-least-once on retry (same caveat — and same
-    production fix, a transactional table format — as DimStore's
-    rewrite MERGE).
+    batch ``dedup_clusters`` job, the standard lambda split.
+
+    Store maintenance is EPOCH-IDEMPOTENT: each micro-batch writes its
+    survivors' bands/shingles to an ``epoch=<id>`` subdirectory with
+    ``mode("overwrite")``, so a foreachBatch retry rewrites the same
+    directory instead of double-appending, and the corpus read prunes
+    to ``epoch < current`` — a half-written current epoch can never
+    feed its own dedup decision. ``kept`` is materialized with
+    ``localCheckpoint`` BEFORE any store write: its plan (via the
+    cross-corpus join) scans the store paths, and an un-cut lineage
+    would be re-resolved against the post-append store when the writes
+    invalidate cached file listings — recomputing ``kept`` against a
+    corpus containing the batch itself.
     """
     from ..operators import dedup as D
 
     bands_path = os.path.join(store_root, "sig_bands")
     sh_path = os.path.join(store_root, "sig_shingles")
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
+
+    def _read_store(sess: SparkSession, path: str, epoch_id: int) -> DataFrame:
+        # epoch=<id> dirs surface as a partition column; prune to
+        # strictly earlier epochs so a retried epoch ignores its own
+        # first-attempt output (partition pruning, no data read)
+        return sess.read.parquet(path).filter(F.col("epoch") < epoch_id).drop("epoch")
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
@@ -490,8 +505,8 @@ def doc_incremental_dedup_app(
                 .select(F.col("doc_b").alias("doc_id"))
             )
             if os.path.exists(bands_path):
-                corp_bands = sess.read.parquet(bands_path)
-                corp_sh = sess.read.parquet(sh_path)
+                corp_bands = _read_store(sess, bands_path, epoch_id)
+                corp_sh = _read_store(sess, sh_path, epoch_id)
                 cross = D.lsh_candidates_against(bands, corp_bands)
                 cross_dup = (
                     D.jaccard_verify(sh.union(corp_sh), cross)
@@ -501,14 +516,16 @@ def doc_incremental_dedup_app(
                 dups = self_dup.union(cross_dup)
             else:
                 dups = self_dup
-            kept = batch.join(dups.distinct(), "doc_id", "left_anti").persist()
+            # cut lineage NOW: after this, no plan references the store
+            kept = batch.join(dups.distinct(), "doc_id", "left_anti").localCheckpoint()
             reg.write_batch(kept, out_channel)
             kept_ids = kept.select("doc_id")
-            # append BEFORE unpersist: both writes reuse the cached
-            # shingle/band frames filtered to survivors
-            bands.join(kept_ids, "doc_id").write.mode("append").parquet(bands_path)
-            sh.join(kept_ids, "doc_id").write.mode("append").parquet(sh_path)
-            kept.unpersist()
+            bands.join(kept_ids, "doc_id").write.mode("overwrite").parquet(
+                os.path.join(bands_path, f"epoch={epoch_id}")
+            )
+            sh.join(kept_ids, "doc_id").write.mode("overwrite").parquet(
+                os.path.join(sh_path, f"epoch={epoch_id}")
+            )
         finally:
             sh.unpersist()
             bands.unpersist()

@@ -714,3 +714,75 @@ def test_doc_incremental_dedup_app_kept_set_is_pairwise_clean(spark, reg, tmp_pa
         "doc_id"
     ).distinct()
     assert sig_ids.join(kept.select("doc_id"), "doc_id", "left_anti").count() == 0
+    # store invariant: bands and shingles stay in lockstep — every kept
+    # doc has BOTH its band keys and its shingles (a one-sided store
+    # silently disables cross-batch verification)
+    shingle_ids = spark.read.parquet(
+        str(tmp_path / "sigstore" / "sig_shingles")
+    ).select("doc_id").distinct()
+    assert {r.doc_id for r in sig_ids.collect()} == {
+        r.doc_id for r in shingle_ids.collect()
+    } == {r.doc_id for r in kept.select("doc_id").distinct().collect()}
+
+
+def test_doc_incremental_dedup_store_idempotent_on_restart(spark, reg, tmp_path):
+    """Kill the incremental-dedup app mid-replay, restart from the same
+    checkpoint: the epoch=<id> store layout must hold each surviving
+    doc's signatures EXACTLY once (a retried epoch overwrites its own
+    directory instead of double-appending), and bands/shingles stay in
+    lockstep."""
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    stream_in = docs.select(
+        "doc_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("ts"),
+        "text",
+    )
+    reg.register("ods_documents", schema="doc_id long, ts timestamp, text string")
+    write_replay(
+        stream_in, reg.channels["ods_documents"].path, n_files=4, order_by=["ts", "doc_id"]
+    )
+    reg.register("dwd_documents_unique")
+
+    import time
+
+    def start():
+        return pipelines.doc_incremental_dedup_app(
+            spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "sigstore")
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        lp = q.lastProgress
+        if lp and lp["batchId"] >= 1:
+            break
+        time.sleep(0.3)
+    q.stop()
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    bands = spark.read.parquet(str(tmp_path / "sigstore" / "sig_bands"))
+    sh = spark.read.parquet(str(tmp_path / "sigstore" / "sig_shingles"))
+    # each doc's signatures live in exactly one epoch directory
+    multi_epoch = (
+        bands.select("doc_id", "epoch")
+        .distinct()
+        .groupBy("doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert multi_epoch == 0
+    # no duplicate band rows at all (the double-append signature)
+    n_rows = bands.count()
+    n_distinct = bands.distinct().count()
+    assert n_rows == n_distinct
+    # lockstep invariant survives the restart
+    assert {r.doc_id for r in bands.select("doc_id").distinct().collect()} == {
+        r.doc_id for r in sh.select("doc_id").distinct().collect()
+    }
