@@ -40,9 +40,18 @@ def main() -> None:
     spark = get_spark("gmall-bench", cpus=CPUS)
     qs = plans.queries()
 
-    # Warm the JVM + parquet footers once so per-query numbers measure
-    # the plan, not first-touch classloading.
-    next(iter(qs.values()))(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # Warm the JVM + parquet footers + the Python worker pool once so
+    # per-query numbers measure the plan, not first-touch classloading
+    # or Arrow-worker spin-up (one cold worker per core costs whole
+    # seconds, and lands on whichever mapInPandas query runs first).
+    from gmall_flink_0526_spark.session import load_tables
+
+    load_tables(spark, SF_DIR, "lineitem")["lineitem"].write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.range(CPUS * 4).repartition(CPUS).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name, fn in qs.items():

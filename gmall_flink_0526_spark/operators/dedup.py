@@ -156,17 +156,27 @@ def lsh_candidates_against(new_bands: DataFrame, corpus_bands: DataFrame) -> Dat
     )
 
 
-def jaccard_verify(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+def jaccard_verify(sh: DataFrame, pairs: DataFrame, sh_b: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs, given the shingle
     DataFrame (doc_id, s) — persist it at the call site if it also fed
     candidate generation. Int cardinalities -> deterministic double
-    ratio."""
+    ratio.
+
+    ``sh_b`` (optional): a separate shingle frame for the ``doc_b``
+    side. Incremental dedup passes the (persisted) batch shingles as
+    ``sh`` and the corpus signature store as ``sh_b`` — each side is
+    then scanned exactly once, instead of a union scanned twice."""
     # the intersect/union folds are the heavy stage; a blocked-pairs
     # input built via broadcast join inherits the scan's split count
     pairs = spread(pairs, "doc_a")
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"), "doc_b")
+        .join(
+            (sh if sh_b is None else sh_b)
+            .withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("s", "sb"),
+            "doc_b",
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sa", "sb")).cast("double")

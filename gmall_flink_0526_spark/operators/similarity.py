@@ -194,10 +194,11 @@ def topk_neighbors_vectorized(probes: DataFrame, corpus: DataFrame, k: int) -> D
                         out_s.append(col[i])
             yield pd.DataFrame({"qid": out_q, "cid": out_c, "cos_sim": out_s})
 
-    # no spread here: one numpy matmul amortizes a whole batch, so extra
-    # Python workers cost more in spin-up than they save locally; at
-    # scale the corpus scan already has >= parallelism splits
-    scored = corpus.mapInPandas(fn, "qid long, cid long, cos_sim double")
+    # spread: a small local corpus arrives as ONE scan split, which
+    # pins the whole matmul pass to a single Python worker (measured
+    # +0.6 s at sf0.1); on a well-split production scan spread() is a
+    # no-op and each split's batch amortizes its own matmul
+    scored = spread(corpus, "cid").mapInPandas(fn, "qid long, cid long, cos_sim double")
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

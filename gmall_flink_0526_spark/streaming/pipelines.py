@@ -509,7 +509,7 @@ def doc_incremental_dedup_app(
                 corp_sh = _read_store(sess, sh_path, epoch_id)
                 cross = D.lsh_candidates_against(bands, corp_bands)
                 cross_dup = (
-                    D.jaccard_verify(sh.union(corp_sh), cross)
+                    D.jaccard_verify(sh, cross, sh_b=corp_sh)
                     .filter(F.col("jaccard") >= jaccard_min)
                     .select(F.col("doc_a").alias("doc_id"))
                 )

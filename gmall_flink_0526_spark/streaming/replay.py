@@ -37,16 +37,46 @@ def _cleanup_channels() -> None:
 atexit.register(_cleanup_channels)
 
 
-def drain(q, timeout: float = 600, settle_s: float = 1.5) -> None:
+def drain(q, timeout: float = 600, settle_s: float = 1.5, n_files: int | None = None) -> None:
     """Wait until a file-source streaming query has consumed every file.
 
     ``q.processAllAvailable()`` never returns for queries using
     ``ProcessingTimeTimeout``: the engine keeps scheduling empty
     batches to evaluate state timeouts, resetting the no-new-data
-    latch. Drained == no data available AND the last progress stayed
-    stable-or-empty for ``settle_s`` seconds.
+    latch.
+
+    When ``n_files`` is known (our replays always know it), completion
+    is DETERMINISTIC, no wall-clock settle: ``lastProgress`` only ever
+    reflects a COMMITTED batch, and with maxFilesPerTrigger=1 the file
+    source's end offset after the last data batch is exactly
+    ``n_files - 1`` — so the moment a progress carries that offset, all
+    output is in the sink and the query can stop. (Stopping right then
+    also shrinks the window in which a processing-time state timeout
+    could fire spuriously.)
+
+    Without ``n_files``: drained == no data available AND the last
+    progress stayed stable-or-empty for ``settle_s`` seconds.
     """
     deadline = time.time() + timeout
+    if n_files is not None:
+        import re as _re
+
+        while time.time() < deadline:
+            lp = q.lastProgress
+            if lp:
+                # endOffset is an opaque offset: a dict in some PySpark
+                # versions, a JSON-encoded string in others
+                raw = lp["sources"][0].get("endOffset")
+                off = -1
+                if isinstance(raw, dict):
+                    off = raw.get("logOffset", -1)
+                elif raw is not None:
+                    m = _re.search(r"-?\d+", str(raw))
+                    off = int(m.group()) if m else -1
+                if off >= n_files - 1:
+                    return
+            time.sleep(0.1)
+        raise TimeoutError(f"stream {q.name} did not drain in {timeout}s")
     stable_since = None
     last_batch = -1
     while time.time() < deadline:
@@ -122,7 +152,7 @@ def replay_stateful(
         # and the checkpoint is discarded).
         q = out_reg.write_stream(op(src), out_name, os.path.join(run_root, "ckpt"))
         try:
-            drain(q)
+            drain(q, n_files=n_files)
         finally:
             q.stop()
         # the memory sink holds rows driver-side; safe to return after
