@@ -100,12 +100,15 @@ _PRIORITY = (
     "stratified_sample",
     "repetition_ratio",
     "simhash_near_dup",
+    "corpus_build",
+    "near_dup_rate_by_source",
     # similarity tail (unproven)
     "ann_topk_vectorized",
     "ann_topk_ivf_kmeans",
     "embedding_norm_stats",
     "rhp_signature",
     "rhp_near_dup",
+    "ann_topk_rhp",
 )
 
 

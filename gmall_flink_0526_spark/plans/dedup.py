@@ -322,3 +322,53 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp_b = bands.filter(F.col("doc_id") % NEW_MOD != 0)
     cand = D.lsh_candidates_against(new_b, corp_b)
     return D.jaccard_verify(sh, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@register(
+    "near_dup_rate_by_source",
+    oracle=f"""
+    WITH {SQL_SHINGLES3},
+    {SQL_LSH_CANDIDATES},
+    vp AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                JOIN sh b ON cand.doc_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    ),
+    partners AS (
+      SELECT doc_a AS doc_id FROM vp UNION SELECT doc_b FROM vp
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(p.doc_id) AS n_near_dup
+    FROM documents d LEFT JOIN partners p USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="Near-duplication rate per provenance `source` — the curation "
+    "audit a crawl pipeline reports before dropping a feed: verified "
+    "near-dup membership (LSH candidates + Jaccard verify, bounded as "
+    "everywhere) aggregated over the source dimension with one "
+    "id-keyed left join and one shuffle on source.",
+    tags=("dedup", "lsh", "audit"),
+)
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    sh = scoped_persist(D.doc_shingles(docs, "doc_id", "text"))
+    vp = (
+        D.jaccard_verify(sh, D.lsh_candidate_pairs(sh))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    partners = (
+        vp.select(F.col("doc_a").alias("doc_id"))
+        .union(vp.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_m", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(partners, "doc_id", "left")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.count("_m").alias("n_near_dup"))
+    )

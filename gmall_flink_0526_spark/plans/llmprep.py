@@ -480,3 +480,106 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hv") < threshold)
         .drop("hv")
     )
+
+
+# -- end-to-end corpus build --------------------------------------------
+
+QUALITY_MIN = 0.5
+
+
+def _corpus_build_oracle() -> str:
+    from .dedup import CC_PARTITIONS  # noqa: F401  (parity of constants)
+    from .dedup import JACCARD_THRESHOLD, SQL_LSH_CANDIDATES, SQL_SHINGLES3
+    from .text import SQL_STOPS
+
+    quality = (
+        "least(CAST(len(t) AS DOUBLE) / 200.0, 1.0) * 0.4"
+        " + (CAST(len(list_filter(t, x -> x IN " + SQL_STOPS + ")) AS DOUBLE) / len(t)) * 0.3"
+        " + (1.0 - least(abs(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)"
+        " / len(t) - 5.0) / 10.0, 1.0)) * 0.3"
+    )
+    stop_ratio = (
+        "CAST(len(list_filter(t, x -> x IN " + SQL_STOPS + ")) AS DOUBLE) / len(t)"
+    )
+    return f"""
+    WITH RECURSIVE {SQL_SHINGLES3},
+    {SQL_LSH_CANDIDATES},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                JOIN sh b ON cand.doc_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    ),
+    e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(n, r) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+    survivors AS (
+      SELECT doc_id FROM comp WHERE doc_id = cluster_id
+      UNION ALL
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             {stop_ratio} AS stop_ratio_v,
+             {quality} AS quality
+      FROM toks
+    )
+    SELECT s.doc_id, s.n_tokens, s.quality
+    FROM scored s JOIN survivors USING (doc_id)
+    WHERE s.stop_ratio_v >= 0.05 AND s.quality >= {QUALITY_MIN}
+    """
+
+
+@register(
+    "corpus_build",
+    oracle=_corpus_build_oracle(),
+    doc="End-to-end training-corpus build — the composition a 100 TB "
+    "pipeline actually ships: language gate (stopword-ratio >= 0.05 -> "
+    "'en'), quality gate (>= 0.5), and near-dup elimination (LSH "
+    "candidates -> Jaccard verify -> connected components -> min-id "
+    "survivor per cluster), finished with one doc-keyed hash join. "
+    "Every upstream stage is bucketed/bounded (no all-pairs anywhere) "
+    "and the gates are map-only expressions, so the whole build is "
+    "LSH-join cost plus one id-keyed join at corpus scale.",
+    tags=("llm-prep", "dedup", "text", "composition"),
+)
+def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from .dedup import CC_PARTITIONS, JACCARD_THRESHOLD
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    sh = scoped_persist(D.doc_shingles(docs, "doc_id", "text"))
+    pairs = (
+        D.jaccard_verify(sh, D.lsh_candidate_pairs(sh))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b", num_partitions=CC_PARTITIONS)
+    ids = docs.select("doc_id")
+    survivors = (
+        ids.join(comp, ids["doc_id"] == comp["node"], "left")
+        .filter(F.col("node").isNull() | (F.col("node") == F.col("comp")))
+        .select("doc_id")
+    )
+    staged = textops.with_tokens(spread(docs, "doc_id"))
+    toks = F.col("toks")
+    scored = staged.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        textops.stop_ratio(toks).alias("stop_ratio_v"),
+        textops.quality_score(toks, F.col("text")).alias("quality"),
+    )
+    return (
+        scored.join(survivors, "doc_id")
+        .filter((F.col("stop_ratio_v") >= 0.05) & (F.col("quality") >= QUALITY_MIN))
+        .select("doc_id", "n_tokens", "quality")
+    )

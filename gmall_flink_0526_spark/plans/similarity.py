@@ -397,3 +397,74 @@ def rhp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= RHP_COS_MIN)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+@register(
+    "ann_topk_rhp",
+    oracle=f"""
+    WITH {SQL_RHP_SIGS},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id != b.vec_id
+      WHERE a.vec_id < {N_PROBES}
+    ),
+    scored AS (
+      SELECT qid, cid,
+             {_sql_cosine('ea.embedding', 'eb.embedding')} AS cos_sim
+      FROM cand JOIN embeddings ea ON qid = ea.vec_id
+                JOIN embeddings eb ON cid = eb.vec_id
+    ),
+    ranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT qid, cid, rn FROM ranked WHERE rn <= {TOP_K}
+    """,
+    doc="Top-k retrieval through random-hyperplane LSH buckets — the "
+    "third ANN strategy next to brute force and IVF: candidates are "
+    "corpus vectors sharing at least one band signature with the "
+    "probe (an equi-join on (band, bsig), never a scan of the "
+    "corpus), ranked by exact cosine. Per-probe recall depends on "
+    "bucket collisions, the standard LSH trade; candidate volume is "
+    "bounded by bucket occupancy exactly like rhp_near_dup.",
+    tags=("similarity", "lsh", "ann"),
+)
+def ann_topk_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.cache import scoped_persist
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    sigs = scoped_persist(S.rhp_band_sigs(emb, dim=RHP_DIM))
+    a = sigs.filter(F.col("vec_id") < N_PROBES).alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("cid"))
+        .distinct()
+    )
+    # probe embeddings are broadcast-sized by the same contract as the
+    # other ANN queries; the corpus side stays a hash join on cid
+    ea = F.broadcast(
+        emb.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+    )
+    eb = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
+    return (
+        cand.join(ea, "qid")
+        .join(eb, "cid")
+        .withColumn("cos_sim", S.cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cid", "rn")
+    )
