@@ -91,6 +91,7 @@ _PRIORITY = (
     "media_features_head",
     "media_resize_audit",
     "media_frame_sample",
+    "media_ann_topk",
     # LLM-prep suite (added late in r2, unproven)
     "dataset_split",
     "doc_chunking",
@@ -102,6 +103,7 @@ _PRIORITY = (
     "simhash_near_dup",
     "corpus_build",
     "near_dup_rate_by_source",
+    "value_percentiles",
     # similarity tail (unproven)
     "ann_topk_vectorized",
     "ann_topk_ivf_kmeans",

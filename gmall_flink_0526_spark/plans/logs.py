@@ -496,3 +496,37 @@ def log_explode_displays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("parent_uid").alias("parent_sum"),
         F.sum("display.order").alias("order_sum"),
     )
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_disc(value, 0.99) AS p99,
+           MAX(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+    doc="Distribution stats per event type — the DWS-layer latency/"
+    "value percentile rollup (reference reports only sums/counts in "
+    "its stats beans, RT/bean/VisitorStats.java). percentile_disc "
+    "picks an actual element, so Spark and DuckDB agree bit-for-bit "
+    "(interpolating percentiles would not); computed as a single "
+    "grouped sort-based aggregate, one shuffle on the group key. At "
+    "scale the same query swaps to approx_percentile (t-digest) the "
+    "way product_stats_approx swaps HLL for collect_set.",
+    tags=("events", "agg", "stats"),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "events")
+    return spark.sql("""
+      SELECT event_type,
+             COUNT(*) AS n,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+             percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+             percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+             MAX(value) AS vmax
+      FROM events GROUP BY event_type
+    """)

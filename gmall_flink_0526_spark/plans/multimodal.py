@@ -158,3 +158,78 @@ def media_features_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "kind", F.element_at("features", 1).cast("double").alias("f0")
     )
+
+
+# -- media -> similarity composition ------------------------------------
+
+def _sql_feat(i: int) -> str:
+    """DuckDB twin of _payload_features component i: digest bytes
+    2i..2i+1 as a 16-bit fraction (hex chars 4i+1..4i+4 of md5-hex)."""
+    pos = 4 * i + 1
+    nib = "(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
+    return (
+        "("
+        + " + ".join(f"{nib.format(p=pos + j)} * {16 ** (3 - j)}" for j in range(4))
+        + ") / 65536.0"
+    )
+
+
+def _media_ann_oracle() -> str:
+    from ..operators.multimodal import FEATURE_DIM
+    from .similarity import N_PROBES, TOP_K, _sql_cosine
+
+    fv = "[" + ", ".join(_sql_feat(i) for i in range(FEATURE_DIM)) + "]"
+    return f"""
+    WITH feats AS (
+      SELECT doc_id AS media_id, {SQL_KIND} AS kind, {fv} AS fv
+      FROM documents
+    ),
+    probes AS (
+      SELECT media_id AS qid, kind AS qk, fv AS qv
+      FROM feats WHERE media_id < {N_PROBES}
+    ),
+    scored AS (
+      SELECT qid, media_id AS cid,
+             {_sql_cosine('qv', 'fv')} AS cos_sim
+      FROM feats JOIN probes ON kind = qk AND media_id != qid
+    ),
+    ranked AS (
+      SELECT qid, cid, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT qid, cid, cos_sim, rn FROM ranked WHERE rn <= {TOP_K}
+    """
+
+
+@register(
+    "media_ann_topk",
+    oracle=_media_ann_oracle(),
+    doc="Media similarity search — the cross-family composition a "
+    "multimodal training pipeline runs: Arrow-batched feature "
+    "extraction over binary payloads (operators/multimodal."
+    "extract_features) feeds the SAME array<float> contract the "
+    "similarity operators use, bucketed by modality (`kind` as the "
+    "coarse IVF label: an equi-join, no cross join) and ranked by "
+    "exact cosine. The md5-derived stub features are 16-bit fractions, "
+    "exact in float32, so the oracle reproduces every cosine "
+    "bit-for-bit.",
+    tags=("multimodal", "similarity", "ann", "pandas-udf"),
+)
+def media_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+    from ..operators.cache import scoped_persist
+    from .similarity import N_PROBES, TOP_K
+
+    feats = scoped_persist(M.extract_features(_media(spark, sf_dir)))
+    probes = feats.filter(F.col("media_id") < N_PROBES).select(
+        F.col("media_id").alias("qid"),
+        F.col("kind").alias("qlabel"),
+        F.col("features").alias("qv"),
+    )
+    corpus = feats.select(
+        F.col("media_id").alias("cid"),
+        F.col("kind").alias("clabel"),
+        F.col("features").alias("cv"),
+    )
+    return S.topk_neighbors(probes, corpus, TOP_K, bucket=True)

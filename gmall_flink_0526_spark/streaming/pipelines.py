@@ -518,7 +518,13 @@ def doc_incremental_dedup_app(
                 dups = self_dup
             # cut lineage NOW: after this, no plan references the store
             kept = batch.join(dups.distinct(), "doc_id", "left_anti").localCheckpoint()
-            reg.write_batch(kept, out_channel)
+            # output is epoch-idempotent too: a foreachBatch retry
+            # overwrites its own epoch directory instead of appending a
+            # second copy of the kept set (readers drop/ignore `epoch`)
+            out_ch = reg._get(out_channel)
+            kept.write.mode("overwrite").parquet(
+                os.path.join(out_ch.path, f"epoch={epoch_id}")
+            )
             kept_ids = kept.select("doc_id")
             bands.join(kept_ids, "doc_id").write.mode("overwrite").parquet(
                 os.path.join(bands_path, f"epoch={epoch_id}")

@@ -786,3 +786,6 @@ def test_doc_incremental_dedup_store_idempotent_on_restart(spark, reg, tmp_path)
     assert {r.doc_id for r in bands.select("doc_id").distinct().collect()} == {
         r.doc_id for r in sh.select("doc_id").distinct().collect()
     }
+    # the OUTPUT channel is epoch-idempotent too: no doc emitted twice
+    out = spark.read.parquet(reg.channels["dwd_documents_unique"].path)
+    assert out.count() == out.select("doc_id").distinct().count()
