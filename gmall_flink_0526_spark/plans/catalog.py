@@ -104,6 +104,8 @@ _PRIORITY = (
     "corpus_build",
     "near_dup_rate_by_source",
     "value_percentiles",
+    "funnel_conversion",
+    "retention_cohorts",
     # similarity tail (unproven)
     "ann_topk_vectorized",
     "ann_topk_ivf_kmeans",

@@ -530,3 +530,81 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(value) AS vmax
       FROM events GROUP BY event_type
     """)
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS viewed,
+           COUNT(*) FILTER (WHERE t_click > t_view) AS clicked_after_view,
+           COUNT(*) FILTER (WHERE t_purchase > t_click AND t_click > t_view)
+             AS purchased_after_click
+    FROM m
+    """,
+    doc="Strict view->click->purchase funnel — the conversion rollup an "
+    "e-commerce warehouse derives from the same behavior stream the "
+    "reference splits in BaseLogApp: first-touch per stage via "
+    "conditional MIN (one grouped aggregate, map-side partial), stage "
+    "membership = strictly-ordered first-touch chain. NULL timestamps "
+    "fall out of the comparisons identically in both engines.",
+    tags=("events", "agg", "funnel"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    m = t["events"].groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return m.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("clicked_after_view"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click")) & (F.col("t_click") > F.col("t_view")), 1
+            )
+        ).alias("purchased_after_click"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH firstd AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT strftime(firstd.d0, '%Y-%m-%d') AS cohort,
+           datediff('day', firstd.d0, act.d) AS day_n,
+           COUNT(*) AS active_users
+    FROM firstd JOIN act USING (user_id)
+    GROUP BY firstd.d0, datediff('day', firstd.d0, act.d)
+    """,
+    doc="Retention cohort matrix — first-activity day as the cohort key "
+    "(the same first-visit state UniqueVisitApp keeps, RT/app/dwm/"
+    "UniqueVisitApp.java:41-84, aggregated instead of streamed): one "
+    "grouped MIN for cohorts, one distinct-projection for activity, an "
+    "id-keyed join, one rollup shuffle. Cohort serialized as a date "
+    "string so both engines hash identical values.",
+    tags=("events", "agg", "cohort"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select("user_id", F.col("ts").cast("date").alias("d"))
+    firstd = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = ev.distinct()
+    return (
+        firstd.join(act, "user_id")
+        .groupBy(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("d", "d0").alias("day_n"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
