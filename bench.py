@@ -52,6 +52,19 @@ def main() -> None:
     spark.range(CPUS * 4).repartition(CPUS).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # ... and the streaming machinery (micro-batch engine, state-store
+    # codegen, applyInPandasWithState worker path) with a 64-row replay,
+    # so the first *_stream query measures its operator, not first-touch
+    # of the whole streaming stack.
+    from gmall_flink_0526_spark.streaming import stateful
+    from gmall_flink_0526_spark.streaming.replay import replay_stateful
+
+    tiny = (
+        load_tables(spark, SF_DIR, "events")["events"]
+        .limit(64)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    replay_stateful(spark, tiny, stateful.fix_is_new, order_by=["ts", "event_id"]).count()
 
     times: dict[str, float] = {}
     for name, fn in qs.items():
