@@ -102,6 +102,7 @@ _PRIORITY = (
     "repetition_ratio",
     "simhash_near_dup",
     "corpus_build",
+    "chunk_dedup",
     "near_dup_rate_by_source",
     "value_percentiles",
     "funnel_conversion",

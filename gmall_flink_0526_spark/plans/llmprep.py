@@ -583,3 +583,54 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("stop_ratio_v") >= 0.05) & (F.col("quality") >= QUALITY_MIN))
         .select("doc_id", "n_tokens", "quality")
     )
+
+
+CD_TOKENS, CD_STRIDE = 16, 8  # finer than training chunks: boilerplate granularity
+
+
+@register(
+    "chunk_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    expanded AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, {CD_STRIDE})) AS s
+      FROM toks WHERE len(t) > 0
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(t, s, s + {CD_TOKENS - 1}), ' '))
+               AS chunk_digest
+      FROM expanded
+    )
+    SELECT chunk_digest,
+           COUNT(*) AS dup_ct,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS keeper_doc
+    FROM chunks
+    GROUP BY chunk_digest
+    HAVING COUNT(*) > 1
+    """,
+    doc="Sub-document boilerplate detection: exact dedup at a fine CHUNK "
+    "granularity (16-token windows, stride 8) — repeated windows across (or within) "
+    "documents surface as shared chunk digests; keeper = min doc. The "
+    "chunk fan-out stays in codegen (doc_chunking) and the dedup is "
+    "one hash-groupBy on the digest — the paragraph/line-dedup shape "
+    "(C4-style) at whatever window the tokenizer yields.",
+    tags=("llm-prep", "chunking", "dedup"),
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    chunks = textops.chunk_docs(
+        spread(t["documents"], "doc_id"),
+        chunk_tokens=CD_TOKENS,
+        stride=CD_STRIDE,
+    )
+    return (
+        chunks.groupBy("chunk_digest")
+        .agg(
+            F.count("*").alias("dup_ct"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("dup_ct") > 1)
+    )
