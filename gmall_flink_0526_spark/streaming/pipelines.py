@@ -507,7 +507,11 @@ def doc_incremental_dedup_app(
             if os.path.exists(bands_path):
                 corp_bands = _read_store(sess, bands_path, epoch_id)
                 corp_sh = _read_store(sess, sh_path, epoch_id)
-                cross = D.lsh_candidates_against(bands, corp_bands)
+                # the new side is batch-bounded by contract — broadcast
+                # it so the corpus signature table is map-side joined,
+                # never shuffled (the asymmetry that holds at 100 TB:
+                # corpus grows without bound, a micro-batch does not)
+                cross = D.lsh_candidates_against(F.broadcast(bands), corp_bands)
                 cross_dup = (
                     D.jaccard_verify(sh, cross, sh_b=corp_sh)
                     .filter(F.col("jaccard") >= jaccard_min)
@@ -525,7 +529,9 @@ def doc_incremental_dedup_app(
             kept.write.mode("overwrite").parquet(
                 os.path.join(out_ch.path, f"epoch={epoch_id}")
             )
-            kept_ids = kept.select("doc_id")
+            # kept_ids is batch-bounded: broadcast the semi-join filter
+            # so the persisted band/shingle frames are filtered map-side
+            kept_ids = F.broadcast(kept.select("doc_id"))
             bands.join(kept_ids, "doc_id").write.mode("overwrite").parquet(
                 os.path.join(bands_path, f"epoch={epoch_id}")
             )
