@@ -573,3 +573,44 @@ def doc_dedup_app(
         .dropDuplicates(["text_hash"])
     )
     return reg.write_stream(deduped, out_channel, ckpt)
+
+
+def doc_quality_gate_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    source: str = "ods_documents",
+    out_channel: str = "dwd_documents_quality",
+    stop_min: float = 0.05,
+    quality_min: float = 0.5,
+    watermark: str = "1 hour",
+):
+    """Ingest-time corpus gating — the streaming face of the batch
+    ``corpus_build`` gates: language (stopword-ratio heuristic) and
+    quality thresholds applied as MAP-ONLY expressions on the stream,
+    then exact content dedup on the digest via Spark's native
+    ``dropDuplicates`` with watermark-bounded state. Near-dup
+    elimination stays in ``doc_incremental_dedup_app`` (the LSH path);
+    this app is the cheap front gate a pipeline runs BEFORE signatures
+    are ever computed, so the expensive stages only ever see documents
+    that could survive. First arrival wins per digest, as in
+    ``doc_dedup_app``.
+    """
+    from ..operators import textops
+
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+    staged = textops.with_tokens(src)
+    toks = F.col("toks")
+    gated = (
+        staged.withColumn("stop_ratio_v", textops.stop_ratio(toks))
+        .withColumn("quality", textops.quality_score(toks, F.col("text")))
+        .filter((F.col("stop_ratio_v") >= stop_min) & (F.col("quality") >= quality_min))
+        .drop("toks", "stop_ratio_v")
+    )
+    deduped = (
+        gated.withColumn("text_hash", F.md5(F.col("text")))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["text_hash"])
+        .drop("text_hash")
+    )
+    return reg.write_stream(deduped, out_channel, ckpt)

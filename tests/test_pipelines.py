@@ -789,3 +789,47 @@ def test_doc_incremental_dedup_store_idempotent_on_restart(spark, reg, tmp_path)
     # the OUTPUT channel is epoch-idempotent too: no doc emitted twice
     out = spark.read.parquet(reg.channels["dwd_documents_unique"].path)
     assert out.count() == out.select("doc_id").distinct().count()
+
+
+def test_doc_quality_gate_app_converges_to_batch(spark, reg, tmp_path):
+    """Streaming quality gate + exact dedup == the batch twin: docs
+    passing both gates, one survivor per content digest (first arrival
+    = min ts = min doc_id in this replay)."""
+    from gmall_flink_0526_spark.operators import textops
+
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    stream_in = docs.select(
+        "doc_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("ts"),
+        "text",
+    )
+    reg.register("ods_documents", schema="doc_id long, ts timestamp, text string")
+    write_replay(
+        stream_in, reg.channels["ods_documents"].path, n_files=3, order_by=["ts", "doc_id"]
+    )
+    reg.register("dwd_documents_quality")
+    q = pipelines.doc_quality_gate_app(spark, reg, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(reg.channels["dwd_documents_quality"].path)
+    staged = textops.with_tokens(docs)
+    toks = F.col("toks")
+    gated = staged.withColumn("sr", textops.stop_ratio(toks)).withColumn(
+        "qy", textops.quality_score(toks, F.col("text"))
+    ).filter((F.col("sr") >= 0.05) & (F.col("qy") >= 0.5))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    expected = (
+        gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    assert {r.doc_id for r in got.select("doc_id").collect()} == {
+        r.doc_id for r in expected.select("doc_id").collect()
+    }
+    # the gates really cut something, and the output carries quality
+    assert 0 < got.count() < docs.count()
+    assert "quality" in got.columns
