@@ -114,6 +114,7 @@ _PRIORITY = (
     "rhp_signature",
     "rhp_near_dup",
     "ann_topk_rhp",
+    "embedding_coverage",
 )
 
 

@@ -468,3 +468,35 @@ def ann_topk_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "cid", "rn")
     )
+
+
+@register(
+    "embedding_coverage",
+    oracle="""
+    SELECT
+      COUNT(*) FILTER (WHERE d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL)
+        AS matched,
+      COUNT(*) FILTER (WHERE e.vec_id IS NULL) AS docs_without_embedding,
+      COUNT(*) FILTER (WHERE d.doc_id IS NULL) AS embeddings_without_doc
+    FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    doc="Cross-table integrity audit — the join-coverage report a "
+    "pipeline runs before relying on doc<->embedding alignment "
+    "(documents and embeddings are produced by different stages and "
+    "drift): one full outer hash join on the id, three conditional "
+    "counts, one exchange. At 100 TB both sides bucket by the id and "
+    "the join is co-located.",
+    tags=("similarity", "audit"),
+)
+def embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    d = t["documents"].select("doc_id")
+    e = t["embeddings"].select("vec_id")
+    j = d.join(e, d["doc_id"] == e["vec_id"], "full_outer")
+    return j.agg(
+        F.count(
+            F.when(F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1)
+        ).alias("matched"),
+        F.count(F.when(F.col("vec_id").isNull(), 1)).alias("docs_without_embedding"),
+        F.count(F.when(F.col("doc_id").isNull(), 1)).alias("embeddings_without_doc"),
+    )
