@@ -115,6 +115,7 @@ _PRIORITY = (
     "rhp_near_dup",
     "ann_topk_rhp",
     "embedding_coverage",
+    "ann_recall_ivf",
 )
 
 

@@ -500,3 +500,77 @@ def embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("vec_id").isNull(), 1)).alias("docs_without_embedding"),
         F.count(F.when(F.col("doc_id").isNull(), 1)).alias("embeddings_without_doc"),
     )
+
+
+@register(
+    "ann_recall_ivf",
+    oracle=f"""
+    WITH {_SQL_KMEANS_CTES},
+    probes AS (
+      SELECT vec_id AS qid, embedding AS qv, c AS qc
+      FROM afinal WHERE vec_id < {N_PROBES}
+    ), scored AS (
+      SELECT qid, a.vec_id AS cid,
+             {_sql_cosine('qv', 'a.embedding')} AS cos_sim
+      FROM afinal a JOIN probes ON a.c = qc
+      WHERE a.vec_id != qid
+    ), ranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM scored
+    ), ivf AS (SELECT qid, cid FROM ranked WHERE rn <= {TOP_K}),
+    bprobes AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_PROBES}
+    ), bscored AS (
+      SELECT qid, vec_id AS cid,
+             {_sql_cosine('qv', 'embedding')} AS cos_sim
+      FROM embeddings CROSS JOIN bprobes
+      WHERE vec_id != qid
+    ), branked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM bscored
+    ), brute AS (SELECT qid, cid FROM branked WHERE rn <= {TOP_K})
+    SELECT b.qid,
+           COUNT(i.cid) AS hit_ct,
+           COUNT(i.cid) / {TOP_K}.0 AS recall
+    FROM brute b LEFT JOIN ivf i ON b.qid = i.qid AND b.cid = i.cid
+    GROUP BY b.qid
+    """,
+    doc="ANN quality audit — per-probe recall@k of the fitted k-means "
+    "IVF against the exact brute-force ranking, both re-derived by the "
+    "oracle (the SCALE.md recall claim as a driver-checked fact, not "
+    "a one-off measurement). Spark side: one id-keyed join of the two "
+    "top-k sets; the brute side is the documented broadcast baseline, "
+    "the IVF side the bucket equi-join.",
+    tags=("similarity", "ann", "ivf", "audit"),
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = scoped_persist(t["embeddings"])
+    cents = S.kmeans_fit(emb, "embedding", "vec_id", k=KM_K, iters=KM_ITERS)
+    assigned = scoped_persist(S.with_cluster(emb, "embedding", cents))
+    probes_ivf = assigned.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("c").alias("qlabel")
+    )
+    corpus_ivf = assigned.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("c").alias("clabel")
+    )
+    ivf = S.topk_neighbors(probes_ivf, corpus_ivf, TOP_K, bucket=True).select("qid", "cid")
+    probes_b = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus_b = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    brute = S.topk_neighbors(probes_b, corpus_b, TOP_K).select("qid", "cid")
+    return (
+        brute.join(ivf.withColumnRenamed("cid", "icid"),
+                   (brute["qid"] == ivf["qid"]) & (brute["cid"] == F.col("icid")), "left")
+        .drop(ivf["qid"])
+        .groupBy("qid")
+        .agg(
+            F.count("icid").alias("hit_ct"),
+            (F.count("icid") / F.lit(float(TOP_K))).alias("recall"),
+        )
+    )
