@@ -116,6 +116,7 @@ _PRIORITY = (
     "ann_topk_rhp",
     "embedding_coverage",
     "ann_recall_ivf",
+    "dedup_method_agreement",
 )
 
 

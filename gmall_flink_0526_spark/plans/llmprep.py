@@ -634,3 +634,92 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dup_ct") > 1)
     )
+
+
+# -- cross-method dedup audit -------------------------------------------
+
+
+def _method_agreement_oracle() -> str:
+    from .dedup import JACCARD_THRESHOLD, SQL_LSH_CANDIDATES, SQL_SHINGLES3
+
+    hexval = _sql_hex_val("md5(tok)", PAIR_BITS // 4)
+    return f"""
+    WITH {SQL_SHINGLES3},
+    {SQL_LSH_CANDIDATES},
+    mh_pairs AS (
+      SELECT cand.doc_a, cand.doc_b FROM cand
+      JOIN sh a ON cand.doc_a = a.doc_id
+      JOIN sh b ON cand.doc_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    ),
+    ut AS (SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents),
+    hh AS (SELECT doc_id, {hexval} AS hv FROM ut),
+    votes AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hh, (SELECT unnest(range(0, {PAIR_BITS})) AS j) jj
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, simhash, b,
+             (simhash >> (b * {PAIR_BITS // 4})) & {(1 << (PAIR_BITS // 4)) - 1} AS bv
+      FROM fp, (SELECT unnest(range(0, 4)) AS b) bb
+    ),
+    sh_pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM banded a JOIN banded c
+        ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+      WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+    )
+    SELECT
+      COUNT(*) FILTER (WHERE m.doc_a IS NOT NULL AND s2.doc_a IS NOT NULL) AS n_both,
+      COUNT(*) FILTER (WHERE s2.doc_a IS NULL) AS n_minhash_only,
+      COUNT(*) FILTER (WHERE m.doc_a IS NULL) AS n_simhash_only
+    FROM mh_pairs m FULL OUTER JOIN sh_pairs s2
+      ON m.doc_a = s2.doc_a AND m.doc_b = s2.doc_b
+    """
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=_method_agreement_oracle(),
+    doc="Cross-method dedup audit — MinHash/Jaccard-verified pairs vs "
+    "SimHash Hamming<=3 pairs, joined on the (id-ordered) pair key: "
+    "how much the two near-dup detectors agree, and what each finds "
+    "alone. The method-comparison report a pipeline uses to pick "
+    "thresholds, as ann_recall_ivf is for the ANN strategies. Both "
+    "pair sets stay banded/bounded; the comparison is one pair-keyed "
+    "full outer join.",
+    tags=("llm-prep", "dedup", "audit"),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import JACCARD_THRESHOLD
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    sh = scoped_persist(D.doc_shingles(docs, "doc_id", "text"))
+    mh_pairs = (
+        D.jaccard_verify(sh, D.lsh_candidate_pairs(sh))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    fp = D.simhash(docs, "doc_id", "text", bits=PAIR_BITS)
+    sh_pairs = D.simhash_near_dup_pairs(fp, bits=PAIR_BITS, max_hamming=3, bands=4).select(
+        F.col("doc_a").alias("sa"), F.col("doc_b").alias("sb")
+    )
+    j = mh_pairs.join(
+        sh_pairs,
+        (mh_pairs["doc_a"] == sh_pairs["sa"]) & (mh_pairs["doc_b"] == sh_pairs["sb"]),
+        "full_outer",
+    )
+    return j.agg(
+        F.count(F.when(F.col("doc_a").isNotNull() & F.col("sa").isNotNull(), 1)).alias("n_both"),
+        F.count(F.when(F.col("sa").isNull(), 1)).alias("n_minhash_only"),
+        F.count(F.when(F.col("doc_a").isNull(), 1)).alias("n_simhash_only"),
+    )
