@@ -12,6 +12,11 @@ physical transport pluggable:
   local stand-in for Kafka: an append-only partitioned log.
 - ``memory`` : streaming sink only — a named in-memory table
   (format("memory")), used by tests to observe results synchronously.
+- ``jsonl``  : newline-delimited JSON files — the at-rest form of the
+  reference's Kafka payloads (JSON strings on ``ods_base_log``;
+  LOG/controller/LoggerController.java:17-25). Same append-only-log
+  semantics as ``file``, schema-on-read like the reference's
+  ``JSON.parseObject`` path.
 - ``kafka``  : passthrough to Spark's Kafka connector (S1/K1/K2). Not
   exercisable in this container (no broker) but the options mapping is
   the production path: subscribe/topic + bootstrap servers.
@@ -34,7 +39,7 @@ from pyspark.sql import types as T
 @dataclass
 class Channel:
     name: str
-    kind: str = "file"  # file | memory | kafka
+    kind: str = "file"  # file | jsonl | memory | kafka
     path: str | None = None
     schema: T.StructType | str | None = None
     options: dict = field(default_factory=dict)
@@ -49,7 +54,7 @@ class ChannelRegistry:
         ch = Channel(
             name=name,
             kind=kind,
-            path=os.path.join(self.root, name) if kind == "file" else None,
+            path=os.path.join(self.root, name) if kind in ("file", "jsonl") else None,
             schema=schema,
             options=options,
         )
@@ -71,12 +76,20 @@ class ChannelRegistry:
             for k, v in ch.options.items():
                 reader = reader.option(k, v)
             return reader.load()
+        if ch.kind == "jsonl":
+            reader = spark.read
+            if ch.schema is not None:
+                reader = reader.schema(ch.schema)
+            return reader.json(ch.path)
         return spark.read.parquet(ch.path)
 
     def write_batch(self, df: DataFrame, name: str, mode: str = "append") -> None:
         ch = self._get(name)
-        assert ch.kind == "file", f"batch write needs a file channel, got {ch.kind}"
-        df.write.mode(mode).parquet(ch.path)
+        assert ch.kind in ("file", "jsonl"), f"batch write needs a file channel, got {ch.kind}"
+        if ch.kind == "jsonl":
+            df.write.mode(mode).json(ch.path)
+        else:
+            df.write.mode(mode).parquet(ch.path)
 
     # -- streaming ------------------------------------------------------
     def read_stream(self, spark: SparkSession, name: str, max_files_per_trigger: int | None = None) -> DataFrame:
@@ -86,11 +99,13 @@ class ChannelRegistry:
             for k, v in ch.options.items():
                 reader = reader.option(k, v)
             return reader.load().selectExpr("CAST(value AS STRING) AS value", "timestamp")
-        assert ch.kind == "file", f"stream read needs file/kafka channel, got {ch.kind}"
+        assert ch.kind in ("file", "jsonl"), f"stream read needs file/kafka channel, got {ch.kind}"
         assert ch.schema is not None, f"file stream channel {name} needs a schema"
         reader = spark.readStream.schema(ch.schema)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        if ch.kind == "jsonl":
+            return reader.json(ch.path)
         return reader.parquet(ch.path)
 
     def write_stream(self, df: DataFrame, name: str, checkpoint_root: str, **kw):
@@ -115,7 +130,8 @@ class ChannelRegistry:
             for k, v in ch.options.items():
                 writer = writer.option(k, v)
             return writer.start()
-        return writer.format("parquet").option("path", ch.path).start()
+        fmt = "json" if ch.kind == "jsonl" else "parquet"
+        return writer.format(fmt).option("path", ch.path).start()
 
 
 def _mem_name(name: str) -> str:

@@ -195,3 +195,37 @@ def test_unique_visit_and_user_jump_apps(spark, replay, tmp_path_factory):
     jumps = reg.read_batch(spark, "dwm_user_jump_detail")
     assert jumps.columns == ["user_id", "n_events", "is_bounce", "end_ts"]
     assert jumps.count() > 0
+
+
+def test_jsonl_channel_round_trip(spark, tmp_path):
+    """S1/P1's at-rest form: a jsonl channel replays newline-delimited
+    JSON through a streaming read and lands in a jsonl sink; the
+    round-trip preserves values under the declared schema (the
+    schema-on-read contract of the reference's JSON.parseObject path)."""
+    import os
+
+    from gmall_flink_0526_spark.sources.registry import ChannelRegistry
+
+    reg = ChannelRegistry(str(tmp_path))
+    src_ch = reg.register(
+        "ods_jsonl", kind="jsonl", schema="event_id long, event_type string, value double"
+    )
+    df = spark.range(50).selectExpr(
+        "id AS event_id",
+        "CASE WHEN id % 2 = 0 THEN 'view' ELSE 'click' END AS event_type",
+        "CAST(id AS DOUBLE) / 4 AS value",
+    )
+    reg.write_batch(df, "ods_jsonl")
+    reg.register("dwd_jsonl", kind="jsonl", schema="event_id long, event_type string, value double")
+    src = reg.read_stream(spark, "ods_jsonl", max_files_per_trigger=1)
+    q = reg.write_stream(src, "dwd_jsonl", str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+    got = reg.read_batch(spark, "dwd_jsonl")
+    assert got.count() == 50
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in df.collect()}
+    # at-rest form really is newline-delimited JSON text
+    part = [
+        f for f in os.listdir(src_ch.path) if f.startswith("part-") and not f.endswith(".crc")
+    ][0]
+    first = open(os.path.join(src_ch.path, part)).readline()
+    assert first.startswith("{") and "event_id" in first
