@@ -614,3 +614,50 @@ def doc_quality_gate_app(
         .drop("text_hash")
     )
     return reg.write_stream(deduped, out_channel, ckpt)
+
+
+def compact_signature_store(
+    spark: SparkSession, store_root: str, upto_epoch: int
+) -> None:
+    """Compact the incremental-dedup signature store: merge every
+    ``epoch=<id>`` directory with id <= ``upto_epoch`` (plus any
+    previous compacted base) into ONE new base generation, then drop
+    the merged directories. Without this, epoch directories — and the
+    store's file-listing cost — grow forever with the stream.
+
+    Base generations use NEGATIVE epoch ids (strictly decreasing per
+    compaction), so the app's ``epoch < current`` pruning always reads
+    them and never confuses a base with a live micro-batch epoch.
+
+    Crash safety, in order of failure point: the merged base is
+    ``localCheckpoint``-ed BEFORE writing (its plan reads the very
+    directories being replaced — the same lineage trap the app itself
+    guards against); a crash after the base write but before the old
+    directories are removed leaves DUPLICATE signatures, which the
+    dedup decision path tolerates (candidates and drop-sets are
+    ``distinct``-ed; duplicates cost compute, never correctness) and
+    the next compaction's ``distinct()`` sweeps away. Run it from the
+    maintenance schedule between micro-batches, like any table
+    OPTIMIZE.
+    """
+    import shutil
+
+    for sub in ("sig_bands", "sig_shingles"):
+        path = os.path.join(store_root, sub)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        gens = sorted(r["epoch"] for r in df.select("epoch").distinct().collect())
+        to_merge = [g for g in gens if g <= upto_epoch]
+        if len(to_merge) <= 1:
+            continue
+        new_gen = min(min(to_merge) - 1, -1)
+        merged = (
+            df.filter(F.col("epoch").isin([int(g) for g in to_merge]))
+            .drop("epoch")
+            .distinct()
+            .localCheckpoint()
+        )
+        merged.write.mode("overwrite").parquet(os.path.join(path, f"epoch={new_gen}"))
+        for g in to_merge:
+            shutil.rmtree(os.path.join(path, f"epoch={g}"), ignore_errors=True)

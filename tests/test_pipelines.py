@@ -833,3 +833,62 @@ def test_doc_quality_gate_app_converges_to_batch(spark, reg, tmp_path):
     # the gates really cut something, and the output carries quality
     assert 0 < got.count() < docs.count()
     assert "quality" in got.columns
+
+
+def test_signature_store_compaction_preserves_decisions(spark, reg, tmp_path):
+    """Compacting the signature store must not change anything the
+    dedup app can observe: same doc_id/signature content, one base
+    generation replacing the merged epochs, and identical cross-corpus
+    drop decisions for a subsequent batch."""
+    from gmall_flink_0526_spark.operators import dedup as D
+
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    stream_in = docs.select(
+        "doc_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("ts"),
+        "text",
+    )
+    reg.register("ods_documents", schema="doc_id long, ts timestamp, text string")
+    write_replay(
+        stream_in, reg.channels["ods_documents"].path, n_files=3, order_by=["ts", "doc_id"]
+    )
+    reg.register("dwd_documents_unique")
+    q = pipelines.doc_incremental_dedup_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "sigstore")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    store = str(tmp_path / "sigstore")
+    bands_path = os.path.join(store, "sig_bands")
+    # materialize: this frame must survive the store rewrite below
+    before = spark.read.parquet(bands_path).drop("epoch").distinct().localCheckpoint()
+    n_before = before.count()
+    probe = docs.limit(50)
+    cand_before = D.lsh_candidates_against(
+        D.lsh_band_keys(D.doc_shingles(probe, "doc_id", "text")),
+        spark.read.parquet(bands_path).drop("epoch"),
+    )
+    pairs_before = {tuple(r) for r in cand_before.collect()}
+
+    pipelines.compact_signature_store(spark, store, upto_epoch=10)
+
+    after_df = spark.read.parquet(bands_path)
+    epochs = {r["epoch"] for r in after_df.select("epoch").distinct().collect()}
+    assert epochs == {-1}  # one base generation left
+    after = after_df.drop("epoch").distinct()
+    assert after.count() == n_before
+    assert after.exceptAll(before).count() == 0 and before.exceptAll(after).count() == 0
+    cand_after = D.lsh_candidates_against(
+        D.lsh_band_keys(D.doc_shingles(probe, "doc_id", "text")),
+        after_df.drop("epoch"),
+    )
+    assert {tuple(r) for r in cand_after.collect()} == pairs_before
+    # idempotent: compacting a single base is a no-op
+    pipelines.compact_signature_store(spark, store, upto_epoch=10)
+    assert {
+        r["epoch"] for r in spark.read.parquet(bands_path).select("epoch").distinct().collect()
+    } == {-1}
