@@ -85,6 +85,7 @@ _PRIORITY = (
     "is_new_fix_stream",
     "bounce_stats_stream",
     "dedup_incremental_stream",
+    "session_stats_stream",
     # multimodal (driver-green in r1 only, window-dropped in r2)
     "media_catalog",
     "media_decode",

@@ -243,3 +243,75 @@ def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return reg.read_batch(spark, "dwd_documents_unique").select("doc_id")
+
+
+SESSION_WM_H = 1  # session replay watermark (hours)
+
+
+@register(
+    "session_stats_stream",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_entry
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(is_entry) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+    FROM s
+    GROUP BY user_id, sid
+    """,
+    doc="Native session-window aggregation, streaming path under the "
+    "oracle — the fourth streaming query family next to the three "
+    "keyed-state replays: Spark's merging session_window (the windowed "
+    "generalization of U2's session state) over a time-ordered replay, "
+    "flushed by a far-future sentinel user whose arrival pushes the "
+    "watermark past every real session. The oracle replays Spark's "
+    "MERGE rule exactly (split when the gap is >= the threshold — "
+    "session windows merge only on strict overlap), so the "
+    "zero-measure boundary where the batch sessionize twin differs is "
+    "matched, not papered over.",
+    tags=("session", "streaming", "events", "agg"),
+)
+def session_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipelines import session_window_agg
+    from .logs import SESSION_GAP_MIN as GAP
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    # withWatermark requires TIMESTAMP (LTZ); parquet may surface NTZ.
+    # Session TZ is UTC either way, so the wall-clock value is identical.
+    src = events.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    sentinel = src.agg(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.max("ts") + F.expr(f"INTERVAL {2 * SESSION_WM_H} HOURS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(0.0).alias("value"),
+    )
+    out = replay_stateful(
+        spark,
+        src.unionByName(sentinel),
+        lambda s: session_window_agg(s, gap_minutes=GAP, watermark=f"{SESSION_WM_H} hour"),
+        order_by=["ts", "event_id"],
+        drain_mode="all_available",
+    )
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "value_sum",
+    )

@@ -422,10 +422,22 @@ def session_window_app(
     overlapping session windows), while the batch ``sessionize`` twin
     keeps it in the same session (gap > threshold splits) — the two
     agree everywhere except that zero-measure boundary."""
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+    return reg.write_stream(
+        session_window_agg(src, gap_minutes=gap_minutes, watermark=watermark),
+        out_channel,
+        ckpt,
+    )
+
+
+def session_window_agg(
+    src: DataFrame, gap_minutes: int = 10, watermark: str = "1 hour"
+) -> DataFrame:
+    """The session-window transformation of :func:`session_window_app`,
+    factored out so replay queries can run the identical stream plan."""
     from ..functions.exact import exact_sum
 
-    src = reg.read_stream(spark, source, max_files_per_trigger=1)
-    agg = (
+    return (
         src.withWatermark("ts", watermark)
         .groupBy(
             F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
@@ -445,7 +457,6 @@ def session_window_app(
             "value_sum",
         )
     )
-    return reg.write_stream(agg, out_channel, ckpt)
 
 
 def doc_incremental_dedup_app(

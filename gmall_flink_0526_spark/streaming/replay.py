@@ -102,6 +102,7 @@ def replay_stateful(
     n_files: int = 3,
     shuffle_partitions: int = 16,
     cache_key: str | None = None,
+    drain_mode: str = "offsets",
 ) -> DataFrame:
     """Replay ``source_df`` through streaming operator ``op`` (a
     callable ``stream DataFrame -> stream DataFrame``) and return the
@@ -152,7 +153,15 @@ def replay_stateful(
         # and the checkpoint is discarded).
         q = out_reg.write_stream(op(src), out_name, os.path.join(run_root, "ckpt"))
         try:
-            drain(q, n_files=n_files)
+            if drain_mode == "all_available":
+                # windowed aggs emit watermark-flushed rows in a batch
+                # AFTER the last data batch (watermark(N) comes from
+                # data(N-1)) — the offset condition would stop early.
+                # Safe here because windowed queries use NoTimeout
+                # state: processAllAvailable terminates.
+                q.processAllAvailable()
+            else:
+                drain(q, n_files=n_files)
         finally:
             q.stop()
         # the memory sink holds rows driver-side; safe to return after
