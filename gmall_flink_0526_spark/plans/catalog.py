@@ -86,6 +86,7 @@ _PRIORITY = (
     "bounce_stats_stream",
     "dedup_incremental_stream",
     "session_stats_stream",
+    "visitor_stats_stream",
     # multimodal (driver-green in r1 only, window-dropped in r2)
     "media_catalog",
     "media_decode",

@@ -315,3 +315,61 @@ def session_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "value_sum",
     )
+
+
+@register(
+    "visitor_stats_stream",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type,
+           COUNT(*) AS pv_ct,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="A1, streaming path under the oracle — the TUMBLING-window "
+    "twin of session_stats_stream's merging windows: the real "
+    "watermarked window aggregate (visitor_stats_app's plan shape, "
+    "RT/bean/VisitorStats.java:11-36) over a time-ordered replay, "
+    "flushed by a sentinel row. Measures are the exact-expressible "
+    "pair (pv count + decimal-accumulated value sum); exact streaming "
+    "UV lives in uv_first_visit_stream, and the production app's "
+    "approx_count_distinct twin stays rows-only by design "
+    "(sketches are not cross-engine).",
+    tags=("streaming", "events", "agg", "window"),
+)
+def visitor_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import exact_sum
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    src = events.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    sentinel = src.agg(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+        F.lit("_sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+
+    def op(s):
+        return (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("pv_ct"), exact_sum(F.col("value")).alias("value_sum"))
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+                "event_type",
+                "pv_ct",
+                "value_sum",
+            )
+        )
+
+    out = replay_stateful(
+        spark,
+        src.unionByName(sentinel),
+        op,
+        order_by=["ts", "event_id"],
+        drain_mode="all_available",
+    )
+    return out.filter(F.col("event_type") != "_sentinel")
