@@ -87,6 +87,7 @@ _PRIORITY = (
     "dedup_incremental_stream",
     "session_stats_stream",
     "visitor_stats_stream",
+    "order_wide_stream",
     # multimodal (driver-green in r1 only, window-dropped in r2)
     "media_catalog",
     "media_decode",

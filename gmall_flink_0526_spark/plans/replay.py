@@ -373,3 +373,105 @@ def visitor_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain_mode="all_available",
     )
     return out.filter(F.col("event_type") != "_sentinel")
+
+
+_OW_ROOTS: list[str] = []
+
+
+def _cleanup_ow_roots() -> None:
+    import shutil
+
+    for root in _OW_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "order_wide_stream",
+    oracle="""
+    WITH o AS (SELECT event_id AS order_id, ts FROM events),
+    d AS (
+      SELECT event_id AS detail_order_id,
+             CASE WHEN event_id % 2 = 0 THEN ts + INTERVAL 2 SECOND
+                  ELSE ts + INTERVAL 7 SECOND END AS ts,
+             value
+      FROM events
+    )
+    SELECT o.order_id, d.value,
+           'bucket_' || CAST(o.order_id % 10 AS VARCHAR) AS bucket_name
+    FROM o JOIN d ON d.detail_order_id = o.order_id
+      AND d.ts >= o.ts - INTERVAL 5 SECOND
+      AND d.ts <= o.ts + INTERVAL 5 SECOND
+    """,
+    doc="J1+J3, streaming path under the oracle — the real watermarked "
+    "STREAM-STREAM interval join (OrderWideApp's plan, RT/app/dwm/"
+    "OrderWideApp.java:80-89, intervalJoin between(-5s,+5s)) plus the "
+    "broadcast dim enrichment finishing its TODO 5, replayed from an "
+    "events-derived order/detail pair (even ids land +2s inside the "
+    "interval, odd ids +7s outside) with sentinel rows flushing both "
+    "sides' watermarks. Completes the streaming families under the "
+    "gate: keyed state, merging windows, tumbling windows, and now "
+    "the two-sided join state.",
+    tags=("join", "interval", "streaming", "events"),
+)
+def order_wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    from ..sources.registry import ChannelRegistry, write_replay
+    from ..streaming.pipelines import order_wide_app
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    ts = F.col("ts").cast("timestamp")
+    orders = events.select(F.col("event_id").alias("order_id"), ts.alias("ts"))
+    details = events.select(
+        F.col("event_id").alias("detail_order_id"),
+        F.when(F.col("event_id") % 2 == 0, ts + F.expr("INTERVAL 2 SECONDS"))
+        .otherwise(ts + F.expr("INTERVAL 7 SECONDS"))
+        .alias("ts"),
+        "value",
+    )
+
+    def with_sentinel(df, fills):
+        far = df.agg((F.max("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"))
+        for name, val in fills.items():
+            far = far.withColumn(name, F.lit(val))
+        return df.unionByName(far.select(*df.columns))
+
+    root = tempfile.mkdtemp(prefix="gmall_owstream_")
+    if not _OW_ROOTS:
+        atexit.register(_cleanup_ow_roots)
+    _OW_ROOTS.append(root)
+    reg = ChannelRegistry(root)
+    reg.register("dwd_order_info", schema="order_id long, ts timestamp")
+    reg.register("dwd_order_detail", schema="detail_order_id long, ts timestamp, value double")
+    write_replay(
+        with_sentinel(orders, {"order_id": -1}),
+        reg.channels["dwd_order_info"].path, n_files=3, order_by=["ts", "order_id"],
+    )
+    write_replay(
+        with_sentinel(details, {"detail_order_id": -2, "value": 0.0}),
+        reg.channels["dwd_order_detail"].path, n_files=3, order_by=["ts", "detail_order_id"],
+    )
+    reg.register("dwm_order_wide")
+    dim = spark.createDataFrame(
+        [(i, f"bucket_{i}") for i in range(10)], "bucket_id long, bucket_name string"
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        q = order_wide_app(
+            spark,
+            reg,
+            os.path.join(root, "ckpt"),
+            dims=[(dim, F.col("order_id") % 10 == F.col("bucket_id"), ["bucket_id", "bucket_name"])],
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        reg.read_batch(spark, "dwm_order_wide")
+        .filter(F.col("order_id") >= 0)
+        .select("order_id", "value", "bucket_name")
+    )
