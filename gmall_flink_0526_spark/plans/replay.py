@@ -475,3 +475,84 @@ def order_wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("order_id") >= 0)
         .select("order_id", "value", "bucket_name")
     )
+
+
+@register(
+    "base_db_stream",
+    oracle="""
+    SELECT 'fact' AS branch,
+           COUNT(*) AS ct,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 10 NOT IN (0, 1, 2)
+    UNION ALL
+    SELECT 'dim' AS branch,
+           COUNT(*) AS ct,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 10 IN (1, 2)
+    """,
+    doc="R2/K2/K3/K4 end-to-end under the oracle — the real BaseDbApp "
+    "twin (RT/app/dwd/BaseDbApp.java:24-94) run over a CDC-envelope "
+    "replay: delete filtering, broadcast-config routing, the "
+    "dynamic-topic fact sink (JSON values re-parsed to recover keys), "
+    "and the idempotent dim MERGE. The fixture op mix is arithmetic in "
+    "the key (key%10: 0 delete, 1-2 update, else insert), so the "
+    "oracle states each branch's count and key-sum directly from "
+    "orders.",
+    tags=("cdc", "routing", "streaming", "dim"),
+)
+def base_db_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    from ..sources.cdc import envelope_from_table
+    from ..sources.dimstore import DimStore
+    from ..sources.registry import ChannelRegistry, write_replay
+    from ..streaming.pipelines import base_db_app
+
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    env = envelope_from_table(orders, "o_orderkey", "gmall", "order_info").withColumn(
+        "k",
+        F.coalesce(
+            F.element_at("after", "o_orderkey"), F.element_at("before", "o_orderkey")
+        ).cast("long"),
+    )
+    root = tempfile.mkdtemp(prefix="gmall_basedb_")
+    if not _OW_ROOTS:
+        atexit.register(_cleanup_ow_roots)
+    _OW_ROOTS.append(root)
+    reg = ChannelRegistry(root)
+    reg.register(
+        "ods_base_db",
+        schema="database string, tableName string, before map<string,string>, "
+        "after map<string,string>, type string, k long",
+    )
+    write_replay(env, reg.channels["ods_base_db"].path, n_files=3, order_by=["type", "k"])
+    config = spark.createDataFrame(
+        [
+            ("order_info", "insert", "kafka", "dwd_order_info", "o_orderkey,o_totalprice", "o_orderkey", None),
+            ("order_info", "update", "hbase", "dim_order_info", "o_orderkey,o_totalprice", "o_orderkey", None),
+        ],
+        schema="sourceTable string, operateType string, sinkType string, sinkTable string, "
+        "sinkColumns string, sinkPk string, sinkExtend string",
+    )
+    store = DimStore(os.path.join(root, "dims"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        q = base_db_app(spark, reg, store, config, os.path.join(root, "ckpt"))
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    fact = reg.read_batch(spark, "dwd_fact_log").agg(
+        F.lit("fact").alias("branch"),
+        F.count("*").alias("ct"),
+        F.sum(F.get_json_object("value", "$.o_orderkey").cast("long")).alias("key_sum"),
+    )
+    dim = store.read(spark, "dim_order_info").agg(
+        F.lit("dim").alias("branch"),
+        F.count("*").alias("ct"),
+        F.sum(F.col("o_orderkey").cast("long")).alias("key_sum"),
+    )
+    return fact.unionByName(dim)
