@@ -88,6 +88,7 @@ _PRIORITY = (
     "session_stats_stream",
     "visitor_stats_stream",
     "order_wide_stream",
+    "payment_wide_stream",
     "base_db_stream",
     # multimodal (driver-green in r1 only, window-dropped in r2)
     "media_catalog",

@@ -566,3 +566,82 @@ def base_db_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_orderkey").cast("long")).alias("key_sum"),
     )
     return fact.unionByName(dim)
+
+
+@register(
+    "payment_wide_stream",
+    oracle="""
+    WITH src AS (SELECT * FROM events WHERE event_id % 4 < 2)
+    SELECT event_id AS order_id, value,
+           strftime(ts + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS pay_time
+    FROM src WHERE event_id % 2 = 0
+    """,
+    doc="J2, streaming path under the oracle — the reference's SECOND "
+    "interval join, with ASYMMETRIC bounds (payment follows the order "
+    "by up to 15 minutes, precedes it by at most 5 seconds; "
+    "RT/app/dwm/PaymentWideApp.java:76-85): the real watermarked "
+    "stream-stream join over a replayed payment/wide pair, even ids "
+    "paying +10 min (inside), odd ids +30 min (outside). The "
+    "asymmetric window means the two sides retain state for different "
+    "horizons — the case symmetric order_wide_stream cannot cover.",
+    tags=("join", "interval", "streaming", "events"),
+)
+def payment_wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    from ..sources.registry import ChannelRegistry, write_replay
+    from ..streaming.pipelines import payment_wide_app
+
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("event_id") % 4 < 2
+    )
+    ts = F.col("ts").cast("timestamp")
+    wide = events.select(F.col("event_id").alias("order_id"), ts.alias("ts"), "value")
+    payments = events.select(
+        F.col("event_id").alias("payment_order_id"),
+        F.when(F.col("event_id") % 2 == 0, ts + F.expr("INTERVAL 10 MINUTES"))
+        .otherwise(ts + F.expr("INTERVAL 30 MINUTES"))
+        .alias("ts"),
+    )
+
+    def with_sentinel(df, fills):
+        far = df.agg((F.max("ts") + F.expr("INTERVAL 2 HOURS")).alias("ts"))
+        for name, val in fills.items():
+            far = far.withColumn(name, F.lit(val))
+        return df.unionByName(far.select(*df.columns))
+
+    root = tempfile.mkdtemp(prefix="gmall_pwstream_")
+    if not _OW_ROOTS:
+        atexit.register(_cleanup_ow_roots)
+    _OW_ROOTS.append(root)
+    reg = ChannelRegistry(root)
+    reg.register("dwd_payment_info", schema="payment_order_id long, ts timestamp")
+    reg.register("dwm_order_wide", schema="order_id long, ts timestamp, value double")
+    write_replay(
+        with_sentinel(payments, {"payment_order_id": -1}),
+        reg.channels["dwd_payment_info"].path, n_files=3, order_by=["ts", "payment_order_id"],
+    )
+    write_replay(
+        with_sentinel(wide, {"order_id": -2, "value": 0.0}),
+        reg.channels["dwm_order_wide"].path, n_files=3, order_by=["ts", "order_id"],
+    )
+    reg.register("dwm_payment_wide")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        q = payment_wide_app(spark, reg, os.path.join(root, "ckpt"))
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        reg.read_batch(spark, "dwm_payment_wide")
+        .filter(F.col("order_id") >= 0)
+        .select(
+            "order_id",
+            "value",
+            F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("pay_time"),
+        )
+    )
