@@ -122,6 +122,7 @@ _PRIORITY = (
     "embedding_coverage",
     "ann_recall_ivf",
     "dedup_method_agreement",
+    "lang_id_confusion",
 )
 
 

@@ -275,3 +275,33 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "doc_id", textops.rolling_fingerprint(F.col("toks")).alias("fingerprint")
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents)
+    SELECT lang,
+           CASE WHEN CAST(len(list_filter(toks, x -> x IN {SQL_STOPS})) AS DOUBLE)
+                     / len(toks) >= 0.05
+                THEN 'en' ELSE 'unk' END AS pred_lang,
+           COUNT(*) AS n_docs
+    FROM t
+    GROUP BY 1, 2
+    """,
+    doc="Language-ID quality audit — the heuristic's confusion matrix "
+    "against the corpus's ground-truth `lang` column: one grouped "
+    "count over (truth, prediction). The report that decides whether "
+    "the stopword threshold holds before the gate ships; same "
+    "cross-method-audit family as ann_recall_ivf and "
+    "dedup_method_agreement.",
+    tags=("text", "audit"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    staged = textops.with_tokens(t["documents"])
+    return (
+        staged.select("lang", textops.lang_id(F.col("toks")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
