@@ -18,7 +18,7 @@ and all reductions are min/sum over arrays — JVM expressions, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .cache import scoped_persist
 from .partitioning import spread
@@ -28,6 +28,35 @@ MINHASH_K = 16
 LSH_BANDS = 4
 LSH_ROWS = MINHASH_K // LSH_BANDS
 HASH_PREFIX = 16  # hex chars of md5 kept per minhash
+
+# Hot-bucket guard: an LSH bucket shared by m documents yields
+# m*(m-1)/2 candidate pairs — quadratic work AQE can only parallelize,
+# never shrink. Buckets past this occupancy are boilerplate by
+# definition (identical navigation chrome, license headers, templated
+# pages) and are DROPPED from candidate generation; chunk-level exact
+# dedup (plans/llmprep.chunk_dedup) is the designated catcher for what
+# the cap skips. Every production-scale LSH dedup does this.
+MAX_BUCKET = 200
+
+
+def drop_hot_buckets(
+    bands: DataFrame, keys: tuple[str, ...], max_bucket: int | None
+) -> DataFrame:
+    """Drop rows belonging to bucket keys with occupancy > max_bucket.
+
+    One window count partitioned by the bucket key — the SAME shuffle
+    key the candidate self-join hashes on, so the exchange introduced
+    here is the one the join needs anyway. ``max_bucket=None`` disables
+    the guard (test/diagnostic use only).
+    """
+    if max_bucket is None:
+        return bands
+    w = Window.partitionBy(*keys)
+    return (
+        bands.withColumn("_bct", F.count("*").over(w))
+        .filter(F.col("_bct") <= max_bucket)
+        .drop("_bct")
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -102,9 +131,11 @@ def lsh_band_keys(sh: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bk")
 
 
-def lsh_pairs_from_bands(bands: DataFrame) -> DataFrame:
+def lsh_pairs_from_bands(bands: DataFrame, max_bucket: int | None = MAX_BUCKET) -> DataFrame:
     """Candidate pairs from an (already materialized/persisted) band-key
-    table: self-join on (band, bucket key), id-ordered, distinct."""
+    table: hot buckets dropped (see :data:`MAX_BUCKET`), then self-join
+    on (band, bucket key), id-ordered, distinct."""
+    bands = drop_hot_buckets(bands, ("band", "bk"), max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -135,11 +166,32 @@ def lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
     return lsh_pairs_from_bands(scoped_persist(lsh_band_keys(sh)))
 
 
-def lsh_candidates_against(new_bands: DataFrame, corpus_bands: DataFrame) -> DataFrame:
+def lsh_candidates_against(
+    new_bands: DataFrame,
+    corpus_bands: DataFrame,
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
     """Incremental LSH candidates: new-batch band keys joined against
     the corpus signature table — cost is proportional to the NEW batch
     and its bucket overlap, never to corpus^2. (doc_a = new doc,
-    doc_b = corpus doc.)"""
+    doc_b = corpus doc.)
+
+    The hot-bucket cap applies to the CORPUS side: the store is what
+    grows without bound, and a boilerplate store bucket of m docs costs
+    batch x m pairs per micro-batch forever. The batch side is bounded
+    by the micro-batch contract and stays uncapped. To keep the store
+    un-shuffled (the property that holds at 100 TB), the occupancy
+    count runs AFTER a broadcast semi-join down to the buckets the
+    batch touches — every corpus row of a touched bucket survives that
+    semi-join, so the restricted count equals the true store occupancy
+    for exactly the buckets that matter, at overlap cost."""
+    if max_bucket is not None:
+        touched = F.broadcast(new_bands.select("band", "bk").distinct())
+        corpus_bands = drop_hot_buckets(
+            corpus_bands.join(touched, ["band", "bk"], "left_semi"),
+            ("band", "bk"),
+            max_bucket,
+        )
     a = new_bands.alias("a")
     b = corpus_bands.alias("b")
     return (
@@ -221,7 +273,11 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BIT
 
 
 def simhash_near_dup_pairs(
-    fp: DataFrame, bits: int = SIMHASH_BITS, max_hamming: int = 3, bands: int = 4
+    fp: DataFrame,
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs from simhash fingerprints: banded candidate join +
     exact Hamming verify.
@@ -231,7 +287,9 @@ def simhash_near_dup_pairs(
     so candidates = pairs sharing (band_index, band_value) — an
     equi-join hash-partitioned on the band key, never all-pairs (the
     multi-index simhash recipe). Verify = popcount(xor) on candidates
-    only. ``fp`` needs columns (doc_id, simhash).
+    only. ``fp`` needs columns (doc_id, simhash). Hot (band, value)
+    buckets past ``max_bucket`` are dropped before the self-join — the
+    same quadratic-blowup guard as the MinHash path (:data:`MAX_BUCKET`).
     """
     width = bits // bands
     mask = (1 << width) - 1
@@ -250,6 +308,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.b", "bb.bv")
+    banded = drop_hot_buckets(banded, ("b", "bv"), max_bucket)
     a, c = banded.alias("a"), banded.alias("c")
     cand = (
         a.join(

@@ -45,7 +45,7 @@ _BANDS = ", ".join(
     for b in range(D.LSH_BANDS)
 )
 
-SQL_LSH_CANDIDATES = f"""
+SQL_LSH_BANDS = f"""
   mh AS (
     SELECT doc_id, [{_MINHASHES}] AS m
     FROM sh WHERE len(s) > 0
@@ -53,10 +53,23 @@ SQL_LSH_CANDIDATES = f"""
   bands AS (
     SELECT doc_id, b, [{_BANDS}][b + 1] AS bk
     FROM mh, (SELECT unnest(range(0, {D.LSH_BANDS})) AS b) bb
+  )
+"""
+
+# Candidate generation mirrors the Spark side's hot-bucket guard
+# (operators/dedup.MAX_BUCKET): bucket keys with occupancy past the cap
+# are boilerplate and are dropped before the self-join, on BOTH engines,
+# so the cap is part of the query's defined semantics, not a divergence.
+SQL_LSH_CANDIDATES = f"""
+  {SQL_LSH_BANDS.strip().strip(',')},
+  bok AS (
+    SELECT b, bk FROM bands GROUP BY b, bk HAVING COUNT(*) <= {D.MAX_BUCKET}
   ),
   cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-    FROM bands a JOIN bands c
+    FROM bands a
+    JOIN bok ON a.b = bok.b AND a.bk = bok.bk
+    JOIN bands c
       ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
   )
 """
@@ -289,11 +302,16 @@ NEW_MOD = 5  # fixture split: doc_id % 5 == 0 is the "incoming batch"
     "dedup_incremental",
     oracle=f"""
     WITH {SQL_SHINGLES3},
-    {SQL_LSH_CANDIDATES.replace("cand AS (", "cand0 AS (")},
+    {SQL_LSH_BANDS},
+    cok AS (
+      SELECT b, bk FROM bands WHERE doc_id % {NEW_MOD} != 0
+      GROUP BY b, bk HAVING COUNT(*) <= {D.MAX_BUCKET}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-      FROM bands a JOIN bands c
-        ON a.b = c.b AND a.bk = c.bk
+      FROM bands a
+      JOIN bands c ON a.b = c.b AND a.bk = c.bk
+      JOIN cok ON cok.b = c.b AND cok.bk = c.bk
       WHERE a.doc_id % {NEW_MOD} = 0 AND c.doc_id % {NEW_MOD} != 0
     )
     SELECT doc_a, doc_b,
@@ -322,6 +340,44 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp_b = bands.filter(F.col("doc_id") % NEW_MOD != 0)
     cand = D.lsh_candidates_against(new_b, corp_b)
     return D.jaccard_verify(sh, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@register(
+    "lsh_bucket_audit",
+    oracle=f"""
+    WITH {SQL_SHINGLES3},
+    {SQL_LSH_BANDS},
+    bsz AS (SELECT b, bk, COUNT(*) AS sz FROM bands GROUP BY b, bk)
+    SELECT sz AS bucket_size,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs,
+           sz > {D.MAX_BUCKET} AS dropped
+    FROM bsz
+    GROUP BY sz
+    """,
+    doc="LSH bucket-occupancy audit — the observability half of the "
+    "hot-bucket guard (operators/dedup.MAX_BUCKET): the band-key "
+    "occupancy histogram, the m*(m-1)/2 candidate-pair cost each "
+    "occupancy level implies, and which levels the cap drops. At scale "
+    "this is the report that says how much quadratic boilerplate work "
+    "the guard saved and how many buckets were sacrificed to chunk-"
+    "level dedup (chunk_dedup) instead. Two grouped aggregations over "
+    "the band table, bucket-keyed then size-keyed.",
+    tags=("dedup", "lsh", "audit"),
+)
+def lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    sh = D.doc_shingles(t["documents"], "doc_id", "text")
+    bsz = D.lsh_band_keys(sh).groupBy("band", "bk").agg(F.count("*").alias("sz"))
+    return bsz.groupBy("sz").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.expr("sz * (sz - 1) div 2")).cast("long").alias("cand_pairs"),
+    ).select(
+        F.col("sz").alias("bucket_size"),
+        "n_buckets",
+        "cand_pairs",
+        (F.col("sz") > D.MAX_BUCKET).alias("dropped"),
+    )
 
 
 @register(

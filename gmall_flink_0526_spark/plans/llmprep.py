@@ -182,10 +182,14 @@ def _sql_hex_val(expr: str, nhex: int) -> str:
     ), banded AS (
       SELECT doc_id, simhash, b, (simhash >> (b * {PAIR_BITS // 4})) & {(1 << (PAIR_BITS // 4)) - 1} AS bv
       FROM fp, (SELECT unnest(range(0, 4)) AS b) bb
+    ), bok AS (
+      SELECT b, bv FROM banded GROUP BY b, bv HAVING COUNT(*) <= {D.MAX_BUCKET}
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
                       a.simhash AS sa, c.simhash AS sb
-      FROM banded a JOIN banded c
+      FROM banded a
+      JOIN bok ON a.b = bok.b AND a.bv = bok.bv
+      JOIN banded c
         ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
     )
     SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
@@ -671,9 +675,14 @@ def _method_agreement_oracle() -> str:
              (simhash >> (b * {PAIR_BITS // 4})) & {(1 << (PAIR_BITS // 4)) - 1} AS bv
       FROM fp, (SELECT unnest(range(0, 4)) AS b) bb
     ),
+    bok2 AS (
+      SELECT b, bv FROM banded GROUP BY b, bv HAVING COUNT(*) <= {D.MAX_BUCKET}
+    ),
     sh_pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-      FROM banded a JOIN banded c
+      FROM banded a
+      JOIN bok2 ON a.b = bok2.b AND a.bv = bok2.bv
+      JOIN banded c
         ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
       WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
     )

@@ -1,0 +1,97 @@
+"""Hot-bucket guard for LSH candidate generation (MinHash + SimHash).
+
+An LSH bucket shared by m documents yields m*(m-1)/2 candidate pairs;
+AQE parallelizes that work but cannot shrink it, so boilerplate band
+keys must be DROPPED before the candidate self-join (every
+production-scale LSH dedup does this; exact/chunk dedup catches what
+the cap skips). These tests synthesize a boilerplate corpus and assert
+the cap actually fires and bounds the pair count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmall_flink_0526_spark.operators import dedup as D
+
+N_BOILER = 250  # > MAX_BUCKET=200, so the cap must fire
+BOILER = "terms of service all rights reserved cookie policy navigation home about " * 3
+
+
+def _corpus(spark):
+    rows = [(i, BOILER) for i in range(N_BOILER)]
+    rows += [
+        (1000, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1001, "the quick brown fox jumps over the lazy dog near the river bank now"),
+        (1002, "completely unrelated text about spark execution plans and shuffles here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_cap_drops_boilerplate_bucket(spark):
+    sh = D.doc_shingles(_corpus(spark), "doc_id", "text").persist()
+    try:
+        bands = D.lsh_band_keys(sh).persist()
+        uncapped = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.lsh_pairs_from_bands(bands, max_bucket=None).collect()
+        }
+        capped = {
+            (r["doc_a"], r["doc_b"]) for r in D.lsh_pairs_from_bands(bands).collect()
+        }
+        # without the guard the boilerplate bucket is quadratic
+        assert len(uncapped) >= N_BOILER * (N_BOILER - 1) // 2
+        # with it, exactly the hot-bucket (= boilerplate) pairs vanish
+        # and every honest-bucket pair survives — the cap must not eat
+        # real signal
+        assert capped == {(a, b) for a, b in uncapped if a >= 1000 and b >= 1000}
+        bands.unpersist()
+    finally:
+        sh.unpersist()
+
+
+def test_exact_dedup_still_catches_capped_boilerplate(spark):
+    # the documents the cap skips are exact duplicates by construction —
+    # the designated catcher (hash-groupBy / chunk_dedup) still sees them
+    ex = D.exact_dedup(_corpus(spark), "text", "doc_id")
+    boiler_row = ex.filter(F.col("dup_ct") == N_BOILER).collect()
+    assert len(boiler_row) == 1 and boiler_row[0]["keeper_id"] == 0
+
+
+def test_incremental_cap_is_corpus_side_and_overlap_bounded(spark):
+    docs = _corpus(spark)
+    sh = D.doc_shingles(docs, "doc_id", "text").persist()
+    try:
+        bands = D.lsh_band_keys(sh).persist()
+        # batch = one boilerplate doc + one honest near-dup probe
+        batch_b = bands.filter(F.col("doc_id").isin(0, 1001))
+        corp_b = bands.filter(~F.col("doc_id").isin(0, 1001))
+        uncapped = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.lsh_candidates_against(batch_b, corp_b, max_bucket=None).collect()
+        }
+        capped = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.lsh_candidates_against(batch_b, corp_b).collect()
+        }
+        # uncapped: the boilerplate doc hits every stored boilerplate copy
+        assert len(uncapped) >= N_BOILER - 1
+        # capped: pairs into the hot CORPUS bucket are gone; candidates
+        # through honest corpus buckets survive untouched
+        assert capped == {(a, b) for a, b in uncapped if b >= 1000}
+        bands.unpersist()
+    finally:
+        sh.unpersist()
+
+
+def test_simhash_cap_drops_boilerplate_bucket(spark):
+    docs = _corpus(spark)
+    fp = D.simhash(docs, "doc_id", "text", bits=32).persist()
+    try:
+        uncapped = D.simhash_near_dup_pairs(fp, bits=32, max_hamming=3, bands=4, max_bucket=None)
+        capped = D.simhash_near_dup_pairs(fp, bits=32, max_hamming=3, bands=4)
+        # identical docs share a fingerprint -> one quadratic bucket per band
+        assert uncapped.count() >= N_BOILER * (N_BOILER - 1) // 2
+        assert capped.filter(F.col("doc_a") < 1000).count() == 0
+    finally:
+        fp.unpersist()
