@@ -498,6 +498,164 @@ def log_explode_displays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORRUPT_MOD = 50  # every 50th behavior-log line is truncated -> dead letter
+
+
+def synth_behavior_log(events: DataFrame, corrupt_mod: int | None = None) -> DataFrame:
+    """Render the events fixture as authentic nested behavior-log JSON
+    lines (``schemas.BEHAVIOR_LOG`` shape, the at-rest form of the
+    reference's ods_base_log topic): signup events become START logs
+    (common + start + ts), everything else PAGE logs (common + page +
+    displays[i] for i in 1..(event_id % 4) + ts). ``corrupt_mod``
+    truncates every matching line to exercise the dead letter. All
+    payload values are deterministic functions of events columns, so a
+    SQL oracle can re-derive every branch without parsing JSON.
+    Returns (event_id, ts, log)."""
+    from ..operators.partitioning import spread
+
+    k = F.col("event_id") % 4
+    displays = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.struct(
+            F.when(i % 2 == 1, "promotion").otherwise("query").alias("display_type"),
+            F.concat(F.lit("sku_"), i).alias("item"),
+            F.lit("sku_id").alias("item_type"),
+            i.cast("long").alias("order"),
+        ),
+    )
+    empty = F.array().cast(
+        "array<struct<display_type:string,item:string,item_type:string,order:bigint>>"
+    )
+    common = F.struct(
+        F.concat(F.lit("mid_"), F.col("user_id")).alias("mid"),
+        F.col("event_id").cast("string").alias("uid"),
+    )
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    start_line = F.to_json(
+        F.struct(
+            common.alias("common"),
+            F.struct(
+                F.lit("icon").alias("entry"),
+                F.col("event_id").cast("long").alias("open_ad_id"),
+                (F.col("event_id") % 1000).cast("long").alias("loading_time"),
+            ).alias("start"),
+            ts_ms.alias("ts"),
+        )
+    )
+    page_line = F.to_json(
+        F.struct(
+            common.alias("common"),
+            F.struct(
+                F.concat(F.lit("p_"), F.col("event_type")).alias("page_id"),
+                (F.col("event_id") % 1000).cast("long").alias("during_time"),
+            ).alias("page"),
+            F.when(k >= 1, displays).otherwise(empty).alias("displays"),
+            ts_ms.alias("ts"),
+        )
+    )
+    line = F.when(F.col("event_type") == "signup", start_line).otherwise(page_line)
+    if corrupt_mod is not None:
+        line = F.when(
+            F.col("event_id") % corrupt_mod == 0, F.substring(line, 1, 7)
+        ).otherwise(line)
+    return spread(events, "event_id").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), line.alias("log")
+    )
+
+
+_LOG_ROOTS: list[str] = []
+
+
+def _cleanup_log_roots() -> None:
+    import shutil
+
+    for root in _LOG_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "log_split_stream",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, event_type, event_id % 4 AS k
+      FROM events WHERE event_id % {CORRUPT_MOD} != 0
+    )
+    SELECT * FROM (
+      SELECT 'start' AS route, COUNT(*) AS ct,
+             CAST(SUM(event_id % 1000) AS BIGINT) AS checksum
+      FROM e WHERE event_type = 'signup'
+      UNION ALL
+      SELECT 'page', COUNT(*), CAST(SUM(event_id % 1000) AS BIGINT)
+      FROM e WHERE event_type != 'signup'
+      UNION ALL
+      SELECT 'display', CAST(SUM(k) AS BIGINT), CAST(SUM(k * (k + 1) // 2) AS BIGINT)
+      FROM e WHERE event_type != 'signup' AND k >= 1
+      UNION ALL
+      SELECT 'dirty', COUNT(*), CAST(0 AS BIGINT)
+      FROM events WHERE event_id % {CORRUPT_MOD} = 0
+    ) WHERE ct > 0
+    """,
+    doc="R1/P1/P5 end-to-end on the REAL streaming app: base_log_app's "
+    "authentic nested path (BaseLogApp.java:99-151) replays the events "
+    "fixture rendered as behavior-log JSON lines in 3 micro-batches — "
+    "JSON parse + dead letter, start/page presence split, displays[] "
+    "exploded with the parent stamped — and the per-channel counts and "
+    "payload checksums (loading_time / during_time / display order "
+    "sums) are value-checked by the oracle, which re-derives every "
+    "branch from the deterministic synthesis rule without JSON.",
+    tags=("routing", "split", "parse", "streaming", "logs"),
+)
+def log_split_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    from ..sources.registry import ChannelRegistry, write_replay
+    from ..streaming.pipelines import base_log_app
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    lines = synth_behavior_log(ev, corrupt_mod=CORRUPT_MOD)
+    root = tempfile.mkdtemp(prefix="gmall_logsplit_")
+    if not _LOG_ROOTS:
+        atexit.register(_cleanup_log_roots)
+    _LOG_ROOTS.append(root)
+    reg = ChannelRegistry(root)
+    reg.register("ods_base_log", schema="event_id long, ts timestamp, log string")
+    write_replay(
+        lines, reg.channels["ods_base_log"].path, n_files=3, order_by=["ts", "event_id"]
+    )
+    q = base_log_app(spark, reg, os.path.join(root, "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    zero = F.lit(0).cast("long")
+    outs = [
+        reg.read_batch(spark, "dwd_start_log").agg(
+            F.lit("start").alias("route"),
+            F.count("*").alias("ct"),
+            F.sum("loading_time").cast("long").alias("checksum"),
+        ),
+        reg.read_batch(spark, "dwd_page_log").agg(
+            F.lit("page").alias("route"),
+            F.count("*").alias("ct"),
+            F.sum("during_time").cast("long").alias("checksum"),
+        ),
+        reg.read_batch(spark, "dwd_display_log").agg(
+            F.lit("display").alias("route"),
+            F.count("*").alias("ct"),
+            F.sum("order").cast("long").alias("checksum"),
+        ),
+        reg.read_batch(spark, "dirty_log").agg(
+            F.lit("dirty").alias("route"),
+            F.count("*").alias("ct"),
+            F.max(zero).alias("checksum"),
+        ),
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.filter(F.col("ct") > 0)
+
+
 @register(
     "value_percentiles",
     oracle="""

@@ -31,6 +31,7 @@ from ..operators.filters import filter_deletes
 from ..operators.joins import interval_join
 from ..operators.parse import parse_json_dead_letter, project_map_columns
 from ..operators.routing import route_by_config, split_by_sink_type, split_stream
+from ..sources import fs as hfs
 from ..sources.dimstore import DimStore
 from ..sources.registry import ChannelRegistry
 from . import stateful
@@ -42,23 +43,63 @@ def base_log_app(
     ckpt: str,
     source: str = "ods_base_log",
     props_schema=None,
+    log_col: str = "log",
 ):
     """ODS log -> dead-letter + start/page/display channels.
 
-    The split runs inside one ``foreachBatch`` with the batch persisted,
-    keeping the reference's strict one-pass side-output semantics
-    (BaseLogApp.java:99-151) — otherwise each sink would re-read the
+    The default path is the AUTHENTIC nested behavior-log shape
+    (BaseLogApp.java:99-151 over ``schemas.BEHAVIOR_LOG``): each record
+    is one JSON line; unparseable lines go to the dead letter; records
+    carrying a ``start`` object are start logs; everything else is a
+    page log; and a page record's ``displays[]`` fans out 1->N with the
+    parent (page_id, ts) stamped on every element — the reference's
+    side-output trio, with ``explode_with_parent`` playing the
+    displays loop of BaseLogApp.java:120-140.
+
+    ``props_schema`` selects the legacy fixture-shaped split instead
+    (flat ``event_type`` predicates over the events fixture, payload in
+    a ``props`` column) — test-only config kept for the downstream
+    replay tests that feed that shape.
+
+    Either way the split runs inside one ``foreachBatch`` with the
+    batch persisted, keeping the reference's strict one-pass
+    side-output semantics — otherwise each sink would re-read the
     source.
     """
-    from pyspark.sql import types as T
+    from ..operators.parse import explode_with_parent
+    from ..schemas import BEHAVIOR_LOG
 
-    schema = props_schema or T.StructType([T.StructField("k", T.LongType())])
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
 
-    def process(batch: DataFrame, epoch_id: int) -> None:
+    def process_nested(batch: DataFrame, epoch_id: int) -> None:
         batch.persist()
         try:
-            clean, dirty = parse_json_dead_letter(batch, "props", schema, out="data")
+            clean, dirty = parse_json_dead_letter(batch, log_col, BEHAVIOR_LOG, out="data")
+            reg.write_batch(dirty, "dirty_log")
+            clean = clean.select("data.*").persist()
+            start = clean.filter(F.col("start").isNotNull()).select(
+                "common.*", "start.*", "ts"
+            )
+            reg.write_batch(start, "dwd_start_log")
+            pages = clean.filter(F.col("start").isNull())
+            reg.write_batch(pages.select("common.*", "page.*", "ts"), "dwd_page_log")
+            displays = explode_with_parent(
+                pages.select(
+                    F.col("common.mid").alias("mid"), "page", "displays", "ts"
+                ),
+                "displays",
+                {"page_id": F.col("page.page_id")},
+                out="display",
+            ).select("mid", "display.*", "page_id", "ts")
+            reg.write_batch(displays, "dwd_display_log")
+            clean.unpersist()
+        finally:
+            batch.unpersist()
+
+    def process_fixture(batch: DataFrame, epoch_id: int) -> None:
+        batch.persist()
+        try:
+            clean, dirty = parse_json_dead_letter(batch, "props", props_schema, out="data")
             branches = split_stream(
                 clean,
                 {
@@ -73,6 +114,7 @@ def base_log_app(
         finally:
             batch.unpersist()
 
+    process = process_fixture if props_schema is not None else process_nested
     return (
         src.writeStream.foreachBatch(process)
         .option("checkpointLocation", os.path.join(ckpt, "base_log_app"))
@@ -515,7 +557,7 @@ def doc_incremental_dedup_app(
                 .filter(F.col("jaccard") >= jaccard_min)
                 .select(F.col("doc_b").alias("doc_id"))
             )
-            if os.path.exists(bands_path):
+            if hfs.exists(sess, bands_path):
                 corp_bands = _read_store(sess, bands_path, epoch_id)
                 corp_sh = _read_store(sess, sh_path, epoch_id)
                 # the new side is batch-bounded by contract — broadcast
@@ -651,11 +693,9 @@ def compact_signature_store(
     maintenance schedule between micro-batches, like any table
     OPTIMIZE.
     """
-    import shutil
-
     for sub in ("sig_bands", "sig_shingles"):
         path = os.path.join(store_root, sub)
-        if not os.path.exists(path):
+        if not hfs.exists(spark, path):
             continue
         df = spark.read.parquet(path)
         gens = sorted(r["epoch"] for r in df.select("epoch").distinct().collect())
@@ -671,4 +711,4 @@ def compact_signature_store(
         )
         merged.write.mode("overwrite").parquet(os.path.join(path, f"epoch={new_gen}"))
         for g in to_merge:
-            shutil.rmtree(os.path.join(path, f"epoch={g}"), ignore_errors=True)
+            hfs.delete(spark, os.path.join(path, f"epoch={g}"))

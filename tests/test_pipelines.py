@@ -14,7 +14,7 @@ import os
 
 import pytest
 
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F, types as T
 
 from gmall_flink_0526_spark.operators.joins import interval_join
 from gmall_flink_0526_spark.session import load_tables
@@ -43,7 +43,53 @@ def events(spark):
     return load_tables(spark, SF_SMOKE, "events")["events"]
 
 
-def test_base_log_app(spark, reg, tmp_path):
+def test_base_log_app_nested(spark, reg, tmp_path):
+    """The authentic nested path: behavior-log JSON lines split on
+    start/page presence, displays[] exploded with the parent stamped
+    (BaseLogApp.java:99-151)."""
+    from gmall_flink_0526_spark.plans.logs import synth_behavior_log
+
+    ev = events(spark)
+    lines = synth_behavior_log(ev, corrupt_mod=50)
+    reg.register("ods_base_log", schema="event_id long, ts timestamp, log string")
+    write_replay(
+        lines, reg.channels["ods_base_log"].path, n_files=3, order_by=["ts", "event_id"]
+    )
+    q = pipelines.base_log_app(spark, reg, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    clean = ev.filter(F.col("event_id") % 50 != 0)
+    n_start = clean.filter(F.col("event_type") == "signup").count()
+    n_page = clean.filter(F.col("event_type") != "signup").count()
+    start = reg.read_batch(spark, "dwd_start_log")
+    page = reg.read_batch(spark, "dwd_page_log")
+    display = reg.read_batch(spark, "dwd_display_log")
+    dirty = reg.read_batch(spark, "dirty_log")
+    assert start.count() == n_start
+    assert page.count() == n_page
+    assert dirty.count() == ev.count() - n_start - n_page
+    # displays fan out 1..(event_id%4) per page log, parent page_id
+    # stamped onto every exploded element
+    exp_disp = (
+        clean.filter(F.col("event_type") != "signup")
+        .select((F.col("event_id") % 4).alias("k"))
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    assert display.count() == exp_disp
+    assert display.filter(F.col("page_id").isNull()).count() == 0
+    assert (
+        display.join(page.select("page_id").distinct(), "page_id", "left_anti").count()
+        == 0
+    )
+    # the start branch carries the parsed start payload, not raw JSON
+    assert {"entry", "open_ad_id", "loading_time", "mid", "uid", "ts"} <= set(
+        start.columns
+    )
+
+
+def test_base_log_app_fixture_mode(spark, reg, tmp_path):
     # every 50th props payload truncated -> must land in the dead letter
     ev = events(spark).withColumn(
         "props",
@@ -56,7 +102,9 @@ def test_base_log_app(spark, reg, tmp_path):
         schema="event_id long, ts timestamp, user_id long, event_type string, value double, props string",
     )
     write_replay(ev, reg.channels["ods_base_log"].path, n_files=3, order_by=["ts", "event_id"])
-    q = pipelines.base_log_app(spark, reg, str(tmp_path / "ckpt"))
+    q = pipelines.base_log_app(
+        spark, reg, str(tmp_path / "ckpt"), props_schema=T.StructType([T.StructField("k", T.LongType())])
+    )
     q.processAllAvailable()
     q.stop()
 
@@ -352,7 +400,12 @@ def test_ods_to_dws_chain(spark, reg, tmp_path):
         ev.unionByName(flush), reg.channels["ods_base_log"].path, n_files=3,
         order_by=["ts", "event_id"],
     )
-    q1 = pipelines.base_log_app(spark, reg, str(tmp_path / "ckpt"))
+    q1 = pipelines.base_log_app(
+        spark,
+        reg,
+        str(tmp_path / "ckpt"),
+        props_schema=T.StructType([T.StructField("k", T.LongType())]),
+    )
     q1.processAllAvailable()
     q1.stop()
 
@@ -791,6 +844,106 @@ def test_doc_incremental_dedup_store_idempotent_on_restart(spark, reg, tmp_path)
     assert out.count() == out.select("doc_id").distinct().count()
 
 
+def test_doc_incremental_dedup_recovers_from_half_written_epoch(spark, tmp_path):
+    """The epoch-idempotence contract at its exact crash point
+    (streaming/pipelines.doc_incremental_dedup_app docstring): a batch
+    attempt that died AFTER the output write and the band write but
+    BEFORE the shingle write — and before the checkpoint commit — must
+    be fully rewritten on restart, not doubled, and the half-written
+    epoch must never feed its own dedup decision. Final state must
+    equal an uninterrupted run bit-for-bit on the kept set."""
+    import shutil
+
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    stream_in = docs.select(
+        "doc_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("ts"),
+        "text",
+    )
+    schema = "doc_id long, ts timestamp, text string"
+    split = F.col("doc_id") % 3  # deterministic batch contents for A == B
+
+    def run_all(root):
+        r = ChannelRegistry(str(root))
+        r.register("ods_documents", schema=schema)
+        write_replay(
+            stream_in, r.channels["ods_documents"].path, n_files=3,
+            order_by=["doc_id"], file_of=split,
+        )
+        r.register("dwd_documents_unique")
+        return r
+
+    # -- baseline: uninterrupted run over all 3 batches ----------------
+    regA = run_all(tmp_path / "A")
+    qa = pipelines.doc_incremental_dedup_app(
+        spark, regA, str(tmp_path / "A" / "ckpt"), str(tmp_path / "A" / "store")
+    )
+    qa.processAllAvailable()
+    qa.stop()
+    baseline = {
+        r.doc_id
+        for r in spark.read.parquet(regA.channels["dwd_documents_unique"].path)
+        .select("doc_id").collect()
+    }
+
+    # -- crashed run: hide batch 2's file, run epochs 0-1 to completion
+    regB = run_all(tmp_path / "B")
+    src_path = regB.channels["ods_documents"].path
+    files = sorted(
+        (
+            f
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ),
+        key=lambda f: os.path.getmtime(os.path.join(src_path, f)),
+    )
+    hidden = files[-1]
+    shutil.move(os.path.join(src_path, hidden), str(tmp_path / "hidden.parquet"))
+    qb = pipelines.doc_incremental_dedup_app(
+        spark, regB, str(tmp_path / "B" / "ckpt"), str(tmp_path / "B" / "store")
+    )
+    qb.processAllAvailable()
+    qb.stop()
+
+    # -- simulate the dead batch-2 attempt: output + bands written with
+    #    bogus content, shingles NOT, checkpoint NOT committed ---------
+    out_path = regB.channels["dwd_documents_unique"].path
+    spark.createDataFrame(
+        [(999_999, None, "poison")], schema
+    ).write.mode("overwrite").parquet(os.path.join(out_path, "epoch=2"))
+    spark.createDataFrame(
+        [(999_999, 0, "deadbeef")], "doc_id long, band int, bk string"
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "B" / "store" / "sig_bands" / "epoch=2")
+    )
+
+    # -- reveal batch 2's file and restart from the same checkpoint ----
+    shutil.move(str(tmp_path / "hidden.parquet"), os.path.join(src_path, hidden))
+    qb2 = pipelines.doc_incremental_dedup_app(
+        spark, regB, str(tmp_path / "B" / "ckpt"), str(tmp_path / "B" / "store")
+    )
+    qb2.processAllAvailable()
+    qb2.stop()
+
+    got = spark.read.parquet(out_path)
+    # the retried epoch REWROTE its directory: the poison row is gone
+    # from output and store, and no doc appears twice
+    assert got.filter(F.col("doc_id") == 999_999).count() == 0
+    assert got.count() == got.select("doc_id").distinct().count()
+    bands = spark.read.parquet(str(tmp_path / "B" / "store" / "sig_bands"))
+    sh = spark.read.parquet(str(tmp_path / "B" / "store" / "sig_shingles"))
+    assert bands.filter(F.col("doc_id") == 999_999).count() == 0
+    # bands/shingles lockstep restored (the crash left them one-sided)
+    assert {r.doc_id for r in bands.select("doc_id").distinct().collect()} == {
+        r.doc_id for r in sh.select("doc_id").distinct().collect()
+    }
+    # recovered run == uninterrupted run
+    assert {r.doc_id for r in got.select("doc_id").collect()} == baseline
+
+
 def test_doc_quality_gate_app_converges_to_batch(spark, reg, tmp_path):
     """Streaming quality gate + exact dedup == the batch twin: docs
     passing both gates, one survivor per content digest (first arrival
@@ -833,6 +986,93 @@ def test_doc_quality_gate_app_converges_to_batch(spark, reg, tmp_path):
     # the gates really cut something, and the output carries quality
     assert 0 < got.count() < docs.count()
     assert "quality" in got.columns
+
+
+def test_compaction_interleaved_with_stream_preserves_kept_set(spark, tmp_path):
+    """The maintenance schedule the compactor docstring promises: run 3
+    micro-batches, compact the signature store into a base generation,
+    resume the SAME stream for 3 more batches. The app's
+    ``epoch < current`` pruning must read the negative-epoch base like
+    any prior epoch, so the final kept set equals an uninterrupted
+    6-batch run with no compaction."""
+    import shutil
+
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    stream_in = docs.select(
+        "doc_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("ts"),
+        "text",
+    )
+    schema = "doc_id long, ts timestamp, text string"
+    split = F.col("doc_id") % 6
+
+    def setup(root):
+        r = ChannelRegistry(str(root))
+        r.register("ods_documents", schema=schema)
+        write_replay(
+            stream_in, r.channels["ods_documents"].path, n_files=6,
+            order_by=["doc_id"], file_of=split,
+        )
+        r.register("dwd_documents_unique")
+        return r
+
+    def run(r, root):
+        q = pipelines.doc_incremental_dedup_app(
+            spark, r, str(root / "ckpt"), str(root / "store")
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # uninterrupted 6-epoch baseline
+    regA = setup(tmp_path / "A")
+    run(regA, tmp_path / "A")
+    baseline = {
+        r.doc_id
+        for r in spark.read.parquet(regA.channels["dwd_documents_unique"].path)
+        .select("doc_id").collect()
+    }
+
+    # compacted run: 3 epochs -> compact -> 3 epochs
+    regB = setup(tmp_path / "B")
+    src_path = regB.channels["ods_documents"].path
+    files = sorted(
+        (
+            f
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ),
+        key=lambda f: os.path.getmtime(os.path.join(src_path, f)),
+    )
+    for f in files[3:]:
+        shutil.move(os.path.join(src_path, f), str(tmp_path / f))
+    run(regB, tmp_path / "B")
+    pipelines.compact_signature_store(spark, str(tmp_path / "B" / "store"), upto_epoch=2)
+    bands_epochs = {
+        r["epoch"]
+        for r in spark.read.parquet(str(tmp_path / "B" / "store" / "sig_bands"))
+        .select("epoch").distinct().collect()
+    }
+    assert bands_epochs == {-1}  # epochs 0-2 merged into one base
+    for f in files[3:]:
+        shutil.move(str(tmp_path / f), os.path.join(src_path, f))
+    run(regB, tmp_path / "B")
+
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(regB.channels["dwd_documents_unique"].path)
+        .select("doc_id").collect()
+    }
+    assert got == baseline
+    # the store ends with the base plus exactly the post-compaction epochs
+    final_epochs = {
+        r["epoch"]
+        for r in spark.read.parquet(str(tmp_path / "B" / "store" / "sig_bands"))
+        .select("epoch").distinct().collect()
+    }
+    assert final_epochs == {-1, 3, 4, 5}
 
 
 def test_signature_store_compaction_preserves_decisions(spark, reg, tmp_path):
