@@ -1,0 +1,35 @@
+"""Filesystem helpers routed through Hadoop's FileSystem API.
+
+The incremental-dedup signature store is the engine's one piece of
+persistent mutable state; at 100 TB it lives on HDFS/S3/GCS, not a
+local disk. Python's ``os.path`` / ``shutil`` silently operate on the
+driver's local filesystem only, so every existence check or delete on
+a store path goes through the JVM's ``org.apache.hadoop.fs.FileSystem``
+— the resolver Spark itself uses, which honors the session's
+``fs.defaultFS`` and per-scheme (``s3a://``, ``hdfs://``) config. On a
+bare local session the default scheme is ``file://``, so behavior in
+tests is identical to the old os-path code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete, no error if absent (shutil.rmtree
+    ignore_errors semantics, any Hadoop-supported filesystem)."""
+    fs, p = _fs_and_path(spark, path)
+    fs.delete(p, True)
