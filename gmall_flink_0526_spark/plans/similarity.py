@@ -564,10 +564,16 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus_b = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     brute = S.topk_neighbors(probes_b, corpus_b, TOP_K).select("qid", "cid")
+    # both top-k sets descend from the same embeddings lineage — rename
+    # BOTH right-side keys before joining so resolution never relies on
+    # dataset-id disambiguation across a derived self-join
+    ivf_r = ivf.select(F.col("qid").alias("iqid"), F.col("cid").alias("icid"))
     return (
-        brute.join(ivf.withColumnRenamed("cid", "icid"),
-                   (brute["qid"] == ivf["qid"]) & (brute["cid"] == F.col("icid")), "left")
-        .drop(ivf["qid"])
+        brute.join(
+            ivf_r,
+            (F.col("qid") == F.col("iqid")) & (F.col("cid") == F.col("icid")),
+            "left",
+        )
         .groupBy("qid")
         .agg(
             F.count("icid").alias("hit_ct"),

@@ -170,6 +170,19 @@ def write_replay(
 
     if file_of is not None:
         indexed = df.withColumn("_f", file_of.cast("int")).persist()
+        # the per-file filter loop below writes only _f in [0, n_files):
+        # anything outside (a negative id under %, an off-by-one
+        # assignment) would be SILENTLY dropped from the replay — fail
+        # loudly instead (use F.pmod to normalize negative keys)
+        n_oob = indexed.filter(
+            F.col("_f").isNull() | (F.col("_f") < 0) | (F.col("_f") >= n_files)
+        ).count()
+        if n_oob:
+            indexed.unpersist(False)
+            raise ValueError(
+                f"write_replay: file_of assigns {n_oob} row(s) outside "
+                f"[0, {n_files}) — those rows would be dropped from the replay"
+            )
     else:
         indexed = (
             df.repartitionByRange(n_files, *[F.col(c) for c in order_by])

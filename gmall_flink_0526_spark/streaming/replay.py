@@ -62,8 +62,22 @@ def drain(q, timeout: float = 600, settle_s: float = 1.5, n_files: int | None = 
         import re as _re
 
         while time.time() < deadline:
+            # a failed query never reaches its end offset — surface its
+            # real error now instead of masking it as a drain timeout
+            if q.exception() is not None:
+                raise q.exception()
             lp = q.lastProgress
             if lp:
+                # the offset condition below reads source 0 only: a
+                # multi-source query (stream-stream join) routed through
+                # offsets mode would stop when ONE side finishes,
+                # silently truncating output — fail loudly instead
+                if len(lp["sources"]) != 1:
+                    raise ValueError(
+                        f"drain(n_files=...) supports exactly one source, "
+                        f"query {q.name!r} has {len(lp['sources'])}; use "
+                        "drain_mode='all_available' or settle mode"
+                    )
                 # endOffset is an opaque offset: a dict in some PySpark
                 # versions, a JSON-encoded string in others
                 raw = lp["sources"][0].get("endOffset")
@@ -80,6 +94,8 @@ def drain(q, timeout: float = 600, settle_s: float = 1.5, n_files: int | None = 
     stable_since = None
     last_batch = -1
     while time.time() < deadline:
+        if q.exception() is not None:
+            raise q.exception()
         lp = q.lastProgress or {}
         batch, n_in = lp.get("batchId", -1), lp.get("numInputRows")
         if lp and not q.status["isDataAvailable"] and (batch == last_batch or n_in == 0):
