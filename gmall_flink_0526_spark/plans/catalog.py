@@ -74,55 +74,65 @@ def oracle_sql() -> dict[str, str]:
 _LOADED = False
 
 # Catalog order is external-certification order: the round driver's
-# correctness gate checks roughly the first 50 registered queries, so
-# queries WITHOUT a driver-green row yet go first. Everything after the
-# priority block keeps module registration order; already-certified
-# queries falling past the window stand on their green history
-# (CORRECTNESS_r01/r02.json).
+# correctness gate checks roughly the first 50 registered queries.
+# ROTATION POLICY (round 4 on): each round the window holds (a) every
+# query whose semantics or implementation changed this round, (b) every
+# new query, then (c) the half of the catalog whose last green row is
+# oldest — so with a ~50-entry window over ~90 queries, no query's
+# certification is ever more than one round stale, and changed code is
+# always re-proven the round it changes. Queries past the window stand
+# on their most recent green row (CORRECTNESS_r0N.json history).
 _PRIORITY = (
-    # streaming replays (oracle'd, never driver-checked)
-    "uv_first_visit_stream",
-    "is_new_fix_stream",
-    "bounce_stats_stream",
-    "dedup_incremental_stream",
-    "session_stats_stream",
-    "visitor_stats_stream",
-    "order_wide_stream",
-    "payment_wide_stream",
-    "base_db_stream",
-    # multimodal (driver-green in r1 only, window-dropped in r2)
-    "media_catalog",
-    "media_decode",
-    "media_features_head",
-    "media_resize_audit",
-    "media_frame_sample",
-    "media_ann_topk",
-    # LLM-prep suite (added late in r2, unproven)
-    "dataset_split",
-    "doc_chunking",
-    "decontaminate",
-    "sequence_packing",
-    "pii_scrub",
-    "stratified_sample",
-    "repetition_ratio",
+    # -- changed/new this round (hot-bucket cap in LSH candidate
+    #    generation touches the whole LSH dedup family; lsh_bucket_audit
+    #    is new; ann_recall_ivf's join was re-aliased) ----------------
+    "lsh_bucket_audit",
+    "log_split_stream",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_incremental",
     "simhash_near_dup",
-    "corpus_build",
-    "chunk_dedup",
-    "near_dup_rate_by_source",
-    "value_percentiles",
-    "funnel_conversion",
-    "retention_cohorts",
-    # similarity tail (unproven)
-    "ann_topk_vectorized",
-    "ann_topk_ivf_kmeans",
-    "embedding_norm_stats",
-    "rhp_signature",
-    "rhp_near_dup",
-    "ann_topk_rhp",
-    "embedding_coverage",
-    "ann_recall_ivf",
     "dedup_method_agreement",
-    "lang_id_confusion",
+    "near_dup_rate_by_source",
+    "dedup_incremental_stream",
+    "ann_recall_ivf",
+    # -- oldest-green half: certified in r2, window-rotated out in r3 --
+    "uv_first_visit",
+    "is_new_fix",
+    "bounce_stats",
+    "session_stats",
+    "visitor_stats_hourly",
+    "visitor_stats_union",
+    "log_split_counts",
+    "log_explode_displays",
+    "json_dead_letter",
+    "config_routing",
+    "cdc_delete_filter",
+    "cdc_envelope_parse",
+    "cdc_materialize",
+    "sql_entry",
+    "jdbc_round_trip",
+    "keyword_stats",
+    "keyword_stats_cjk",
+    "token_stats",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprint",
+    "embedding_near_dup",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "order_status_stats",
+    "order_status_overlap",
+    "top_revenue_orders",
+    "top_parts_per_brand",
+    "returnflag_pivot",
+    "sales_cube",
+    "product_stats_approx",
 )
 
 
