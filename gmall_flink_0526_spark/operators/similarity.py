@@ -293,3 +293,37 @@ def rhp_band_sigs(
         staged.select("vec_id", F.explode(band_structs).alias("bb"))
         .select("vec_id", "bb.band", "bb.bsig")
     )
+
+
+def rhp_candidate_pairs(sigs: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """Candidate pairs from an (already persisted) RHP signature table:
+    banded self-join on (band, bsig), id-ordered, distinct.
+
+    ``max_bucket``: same quadratic-blowup guard as the MinHash/SimHash
+    paths (operators.dedup.MAX_BUCKET) — a signature bucket shared by m
+    vectors costs m*(m-1)/2 pairs, and with only 2^rows possible band
+    values a dense embedding cluster (near-identical augmentations,
+    templated content embedded alike) concentrates into a handful of
+    buckets. Measured on a 10x clustered probe corpus: the uncapped
+    self-join emitted 7.6M pairs from 20k vectors (SCALE.md). Unlike a
+    boilerplate MinHash bucket, a hot RHP bucket can be genuine signal
+    density, so the cap's catcher is different: capped buckets should
+    fall back to representative-based dedup (cluster to a centroid,
+    dedup against the representative) rather than pairwise verify —
+    ann_topk_ivf_kmeans has the machinery. The guard is opt-in here
+    (None = uncapped) because near-dup and top-k consumers make that
+    trade differently."""
+    from .dedup import drop_hot_buckets
+
+    sigs = drop_hot_buckets(sigs, ("band", "bsig"), max_bucket)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )

@@ -367,7 +367,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
-    sh = D.doc_shingles(t["documents"], "doc_id", "text")
+    # persist the shingle stage: the 16 minhash branches each reference
+    # the shingle array, and without a materialization barrier Catalyst
+    # collapses the staged projections and re-evaluates the tokenizer
+    # ~11x per row (measured 27 s -> 1.4 s at sf0.1 for the band table)
+    sh = scoped_persist(D.doc_shingles(t["documents"], "doc_id", "text"))
     bsz = D.lsh_band_keys(sh).groupBy("band", "bk").agg(F.count("*").alias("sz"))
     return bsz.groupBy("sz").agg(
         F.count("*").alias("n_buckets"),

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators import dedup as D
 from ..operators import similarity as S
 from ..session import load_tables
 from .catalog import register
@@ -351,9 +352,14 @@ def rhp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rhp_near_dup",
     oracle=f"""
     WITH {SQL_RHP_SIGS},
+    csig AS (
+      SELECT vec_id, band, bsig FROM (
+        SELECT s.*, COUNT(*) OVER (PARTITION BY band, bsig) AS bct FROM sigs s
+      ) WHERE bct <= {D.MAX_BUCKET}
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM sigs a JOIN sigs b
+      FROM csig a JOIN csig b
         ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b,
@@ -367,8 +373,13 @@ def rhp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signature self-join (collision probability rises steeply with "
     "cosine), verified by exact cosine. The all-pairs scan never "
     "materializes; candidate volume is sum(bucket^2) over signature "
-    "buckets, the same bound as MinHash-LSH. Threshold tuned to the "
-    "near-random fixture (see SCALE.md).",
+    "buckets, the same bound as MinHash-LSH — and hot buckets past "
+    "MAX_BUCKET are dropped before the self-join (a dense embedding "
+    "cluster concentrates into a handful of the 2^rows possible band "
+    "values; measured 7.6M pairs from 20k clustered vectors uncapped, "
+    "SCALE.md). Capped buckets are representative-dedup territory "
+    "(cluster via the IVF fit, dedup against centroids). Threshold "
+    "tuned to the near-random fixture.",
     tags=("similarity", "lsh", "dedup"),
 )
 def rhp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,17 +388,7 @@ def rhp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
     sigs = scoped_persist(S.rhp_band_sigs(emb, dim=RHP_DIM))
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    cand = S.rhp_candidate_pairs(sigs, max_bucket=D.MAX_BUCKET)
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     return (

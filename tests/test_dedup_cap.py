@@ -84,6 +84,46 @@ def test_incremental_cap_is_corpus_side_and_overlap_bounded(spark):
         sh.unpersist()
 
 
+def test_rhp_cap_drops_dense_cluster_bucket(spark):
+    # a dense embedding cluster (250 near-identical vectors) lands on
+    # one RHP band signature per band -> quadratic candidates; the cap
+    # drops those buckets while honest sparse-bucket pairs survive
+    from gmall_flink_0526_spark.operators import similarity as S
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # exactly identical vectors (re-embedded duplicate content): all 250
+    # share every band signature, so every cluster bucket is hot. Noise
+    # would flip borderline sign bits and shed sub-cap variant buckets —
+    # a legitimate escape, but not what this test pins.
+    base = [float(x) for x in rng.normal(0, 1, 16)]
+    rows = [(i, base) for i in range(250)]
+    # two honest near-identical outliers + scattered vectors
+    out = rng.normal(0, 1, 16) * -1.0
+    rows += [(1000, [float(x) for x in out]), (1001, [float(x) for x in out * 1.01])]
+    rows += [(1100 + i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sigs = S.rhp_band_sigs(emb, dim=16).persist()
+    try:
+        uncapped = {
+            (r["vec_a"], r["vec_b"])
+            for r in S.rhp_candidate_pairs(sigs, max_bucket=None).collect()
+        }
+        capped = {
+            (r["vec_a"], r["vec_b"])
+            for r in S.rhp_candidate_pairs(sigs, max_bucket=200).collect()
+        }
+        assert len(uncapped) >= 250 * 249 // 2  # quadratic without the guard
+        # every cluster-internal pair is gone; every pair whose docs sit
+        # in honest (sub-cap) buckets survives — (1000, 1001) collide
+        # somewhere because they are near-identical
+        assert all(a >= 1000 and b >= 1000 for a, b in capped)
+        assert (1000, 1001) in capped
+    finally:
+        sigs.unpersist()
+
+
 def test_simhash_cap_drops_boilerplate_bucket(spark):
     docs = _corpus(spark)
     fp = D.simhash(docs, "doc_id", "text", bits=32).persist()
