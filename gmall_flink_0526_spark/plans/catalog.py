@@ -84,9 +84,11 @@ _LOADED = False
 # on their most recent green row (CORRECTNESS_r0N.json history).
 _PRIORITY = (
     # -- changed/new this round (hot-bucket cap in LSH candidate
-    #    generation touches the whole LSH dedup family; lsh_bucket_audit
+    #    generation touches the whole LSH dedup family, and rhp_near_dup
+    #    gained the same cap mirrored in its oracle; lsh_bucket_audit
     #    is new; ann_recall_ivf's join was re-aliased) ----------------
     "lsh_bucket_audit",
+    "rhp_near_dup",
     "log_split_stream",
     "dedup_minhash_lsh",
     "dedup_clusters",
@@ -132,6 +134,10 @@ _PRIORITY = (
     "top_parts_per_brand",
     "returnflag_pivot",
     "sales_cube",
+    # product_stats_approx (rows-only, no oracle by design) sits at
+    # position 51: with a ~50-entry driver window it rotates out this
+    # round — the weakest check is the right one to stand on its prior
+    # green row when a changed query (rhp_near_dup) needs the slot.
     "product_stats_approx",
 )
 
