@@ -49,6 +49,10 @@ def main() -> None:
     load_tables(spark, SF_DIR, "lineitem")["lineitem"].write.format("noop").mode(
         "overwrite"
     ).save()
+    # footer/schema first-touch for every table, so the cost doesn't
+    # land on whichever query the certification rotation put first
+    for name, df in load_tables(spark, SF_DIR).items():
+        df.limit(1).write.format("noop").mode("overwrite").save()
     spark.range(CPUS * 4).repartition(CPUS).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
