@@ -130,6 +130,13 @@ def main() -> None:
             "rhp_near_dup",
             "ann_topk_vectorized",
             "lsh_bucket_audit",
+            # dataset-engineering family: map-only / single-shuffle
+            # claims (SCALE.md "Dataset engineering") measured, not argued
+            "corpus_build",
+            "chunk_dedup",
+            "decontaminate",
+            "sequence_packing",
+            "tfidf_top_terms",
         ]
         # warmup: touch both dirs' footers + one tiny plan per shape
         for sf_dir in ("/root/testdata/sf0.1", sf1):
