@@ -131,21 +131,32 @@ def lsh_band_keys(sh: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bk")
 
 
-def lsh_pairs_from_bands(bands: DataFrame, max_bucket: int | None = MAX_BUCKET) -> DataFrame:
-    """Candidate pairs from an (already materialized/persisted) band-key
+def lsh_pairs_from_bands(
+    bands: DataFrame,
+    max_bucket: int | None = MAX_BUCKET,
+    *,
+    keys: tuple[str, ...] = ("band", "bk"),
+    id_col: str = "doc_id",
+    out: tuple[str, str] = ("doc_a", "doc_b"),
+) -> DataFrame:
+    """Candidate pairs from an (already materialized/persisted) bucket-key
     table: hot buckets dropped (see :data:`MAX_BUCKET`), then self-join
-    on (band, bucket key), id-ordered, distinct."""
-    bands = drop_hot_buckets(bands, ("band", "bk"), max_bucket)
+    on the bucket key, id-ordered, distinct.
+
+    The ``keys``/``id_col``/``out`` parameters make this the one banded
+    self-join for every LSH family — MinHash (band, bk)/doc_id and
+    random-hyperplane (band, bsig)/vec_id share the cap wiring."""
+    bands = drop_hot_buckets(bands, keys, max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias(out[0]), F.col(f"b.{id_col}").alias(out[1])
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 

@@ -313,17 +313,12 @@ def rhp_candidate_pairs(sigs: DataFrame, max_bucket: int | None = None) -> DataF
     ann_topk_ivf_kmeans has the machinery. The guard is opt-in here
     (None = uncapped) because near-dup and top-k consumers make that
     trade differently."""
-    from .dedup import drop_hot_buckets
+    from .dedup import lsh_pairs_from_bands
 
-    sigs = drop_hot_buckets(sigs, ("band", "bsig"), max_bucket)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
+    return lsh_pairs_from_bands(
+        sigs,
+        max_bucket,
+        keys=("band", "bsig"),
+        id_col="vec_id",
+        out=("vec_a", "vec_b"),
     )

@@ -84,9 +84,12 @@ _LOADED = False
 # on their most recent green row (CORRECTNESS_r0N.json history).
 _PRIORITY = (
     # -- changed/new this round (hot-bucket cap in LSH candidate
-    #    generation touches the whole LSH dedup family, and rhp_near_dup
-    #    gained the same cap mirrored in its oracle; lsh_bucket_audit
-    #    is new; ann_recall_ivf's join was re-aliased) ----------------
+    #    generation touches the whole LSH dedup family INCLUDING
+    #    corpus_build's gate and rhp_near_dup, whose oracles mirror the
+    #    cap; dedup_incremental_stream's oracle was rewritten to the
+    #    app's epoch-scoped cap; the three JVM replay apps changed
+    #    state partitioning; lsh_bucket_audit is new; ann_recall_ivf's
+    #    join was re-aliased) ------------------------------------------
     "lsh_bucket_audit",
     "rhp_near_dup",
     "log_split_stream",
@@ -98,6 +101,10 @@ _PRIORITY = (
     "dedup_method_agreement",
     "near_dup_rate_by_source",
     "dedup_incremental_stream",
+    "corpus_build",
+    "order_wide_stream",
+    "payment_wide_stream",
+    "base_db_stream",
     "ann_recall_ivf",
     # -- oldest-green half: certified in r2, window-rotated out in r3 --
     "uv_first_visit",
@@ -135,9 +142,9 @@ _PRIORITY = (
     "returnflag_pivot",
     "sales_cube",
     # product_stats_approx (rows-only, no oracle by design) sits at
-    # position 51: with a ~50-entry driver window it rotates out this
-    # round — the weakest check is the right one to stand on its prior
-    # green row when a changed query (rhp_near_dup) needs the slot.
+    # position 51 of these 51 names: with a ~50-entry driver window it
+    # rotates out this round — the weakest check is the right one to
+    # stand on its prior green row when changed queries need the slots.
     "product_stats_approx",
 )
 

@@ -570,16 +570,6 @@ def synth_behavior_log(events: DataFrame, corrupt_mod: int | None = None) -> Dat
     )
 
 
-_LOG_ROOTS: list[str] = []
-
-
-def _cleanup_log_roots() -> None:
-    import shutil
-
-    for root in _LOG_ROOTS:
-        shutil.rmtree(root, ignore_errors=True)
-
-
 @register(
     "log_split_stream",
     oracle=f"""
@@ -616,21 +606,17 @@ def _cleanup_log_roots() -> None:
     tags=("routing", "split", "parse", "streaming", "logs"),
 )
 def log_split_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
     import os
-    import tempfile
 
     from ..sources.registry import ChannelRegistry, write_replay
     from ..streaming.pipelines import base_log_app
+    from ..streaming.replay import temp_replay_root
 
     ev = load_tables(spark, sf_dir, "events")["events"].filter(
         F.col("event_id") % REPLAY_MOD == 0
     )
     lines = synth_behavior_log(ev, corrupt_mod=CORRUPT_MOD)
-    root = tempfile.mkdtemp(prefix="gmall_logsplit_")
-    if not _LOG_ROOTS:
-        atexit.register(_cleanup_log_roots)
-    _LOG_ROOTS.append(root)
+    root = temp_replay_root("gmall_logsplit_")
     reg = ChannelRegistry(root)
     reg.register("ods_base_log", schema="event_id long, ts timestamp, log string")
     write_replay(

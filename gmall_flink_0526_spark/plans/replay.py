@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import load_tables
 from ..streaming import stateful
-from ..streaming.replay import replay_stateful
+from ..streaming.replay import replay_stateful, temp_replay_root
 from .catalog import register
 from .logs import SESSION_GAP_MIN
 
@@ -130,66 +130,88 @@ def bounce_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- streaming incremental dedup under the oracle -----------------------
 
-_DEDUP_ROOTS: list[str] = []
-
-
-def _cleanup_dedup_roots() -> None:
-    import shutil
-
-    for root in _DEDUP_ROOTS:
-        shutil.rmtree(root, ignore_errors=True)
-
-
 _N_DEDUP_BATCHES = 3
 
 
 def _incdedup_oracle() -> str:
-    from .dedup import JACCARD_THRESHOLD, SQL_LSH_CANDIDATES, SQL_SHINGLES3
+    """Unrolled greedy replay of doc_incremental_dedup_app in SQL.
+
+    Mirrors the app's hot-bucket cap at its EXACT scopes — not the
+    one-shot queries' global cap: in-batch candidates cap by
+    batch-local bucket occupancy ((f, b, bk), `lsh_pairs_from_bands`
+    over one micro-batch's bands), and cross-corpus candidates cap by
+    the KEPT-store's occupancy of the touched buckets
+    (`lsh_candidates_against`'s corpus-side guard; the batch side is
+    uncapped by the micro-batch contract). A 250-copy boilerplate
+    block split across epochs therefore behaves identically on both
+    engines: each sub-cap batch slice still self-dedups, and the store
+    bucket only goes quiet once the kept survivors exceed the cap.
+    """
+    from ..operators.dedup import MAX_BUCKET
+    from .dedup import JACCARD_THRESHOLD, SQL_LSH_BANDS, SQL_SHINGLES3
 
     n = _N_DEDUP_BATCHES
-    kept_cte = []
-    for f in range(n):
-        prior = "\n      UNION ALL ".join(
-            f"SELECT doc_id FROM kept{p}" for p in range(f)
-        )
-        cross = (
-            f"""
-    AND NOT EXISTS (
-      SELECT 1 FROM vps WHERE vps.x = dd.doc_id
-        AND vps.y IN ({prior})
-    )"""
-            if f
-            else ""
-        )
-        kept_cte.append(
-            f"""kept{f} AS (
-  SELECT dd.doc_id FROM d dd WHERE dd.f = {f}
-    AND dd.doc_id NOT IN (SELECT doc_id FROM selfdrop){cross}
+
+    def verified(cand: str, drop_col: str) -> str:
+        return f"""
+  SELECT DISTINCT {cand}.{drop_col} AS doc_id
+  FROM {cand} JOIN sh va ON {cand}.doc_a = va.doc_id
+              JOIN sh vb ON {cand}.doc_b = vb.doc_id
+  WHERE CAST(len(list_intersect(va.s, vb.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(va.s, vb.s))) >= {JACCARD_THRESHOLD}"""
+
+    epoch_ctes = []
+    kept0 = """kept0 AS (
+  SELECT doc_id FROM d WHERE f = 0
+    AND doc_id NOT IN (SELECT doc_id FROM selfdrop)
+)"""
+    epoch_ctes.append(kept0)
+    for f in range(1, n):
+        prior = " UNION ALL ".join(f"SELECT doc_id FROM kept{p}" for p in range(f))
+        epoch_ctes.append(
+            f"""store{f} AS (
+  SELECT bd.* FROM bd WHERE bd.doc_id IN ({prior})
+),
+socc{f} AS (
+  SELECT b, bk FROM store{f} GROUP BY b, bk HAVING COUNT(*) <= {MAX_BUCKET}
+),
+xc{f} AS (
+  SELECT DISTINCT nb.doc_id AS doc_a, sb.doc_id AS doc_b
+  FROM bd nb
+  JOIN store{f} sb ON nb.b = sb.b AND nb.bk = sb.bk AND nb.doc_id != sb.doc_id
+  JOIN socc{f} ON sb.b = socc{f}.b AND sb.bk = socc{f}.bk
+  WHERE nb.f = {f}
+),
+xdrop{f} AS ({verified(f"xc{f}", "doc_a")}
+),
+kept{f} AS (
+  SELECT doc_id FROM d WHERE f = {f}
+    AND doc_id NOT IN (SELECT doc_id FROM selfdrop)
+    AND doc_id NOT IN (SELECT doc_id FROM xdrop{f})
 )"""
         )
     union = "\nUNION ALL ".join(f"SELECT doc_id FROM kept{f}" for f in range(n))
     return f"""
     WITH {SQL_SHINGLES3},
-    {SQL_LSH_CANDIDATES},
-    vp AS (
-      SELECT cand.doc_a, cand.doc_b FROM cand
-      JOIN sh a ON cand.doc_a = a.doc_id
-      JOIN sh b ON cand.doc_b = b.doc_id
-      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
-    ),
-    vps AS (
-      SELECT doc_a AS x, doc_b AS y FROM vp
-      UNION ALL SELECT doc_b AS x, doc_a AS y FROM vp
-    ),
+    {SQL_LSH_BANDS.strip().strip(',')},
     d AS (SELECT doc_id, doc_id % {n} AS f FROM documents),
-    selfdrop AS (
-      SELECT DISTINCT vp.doc_b AS doc_id
-      FROM vp JOIN d da ON vp.doc_a = da.doc_id
-              JOIN d db ON vp.doc_b = db.doc_id
-      WHERE da.f = db.f
+    bd AS (
+      SELECT bands.doc_id, bands.b, bands.bk, d.f
+      FROM bands JOIN d ON bands.doc_id = d.doc_id
     ),
-    {",".join(kept_cte)}
+    bok AS (
+      SELECT f, b, bk FROM bd GROUP BY f, b, bk HAVING COUNT(*) <= {MAX_BUCKET}
+    ),
+    scand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM bd a
+      JOIN bok ON a.f = bok.f AND a.b = bok.b AND a.bk = bok.bk
+      JOIN bd c ON a.f = c.f AND a.b = c.b AND a.bk = c.bk
+                AND a.doc_id < c.doc_id
+    ),
+    selfdrop AS ({verified("scand", "doc_b")}
+    ),
+    {",".join(epoch_ctes)}
     {union}
     """
 
@@ -210,18 +232,13 @@ def _incdedup_oracle() -> str:
     tags=("dedup", "lsh", "streaming", "incremental"),
 )
 def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
     import os
-    import tempfile
 
     from ..sources.registry import ChannelRegistry, write_replay
     from ..streaming.pipelines import doc_incremental_dedup_app
 
     docs = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="gmall_incdedup_")
-    if not _DEDUP_ROOTS:
-        atexit.register(_cleanup_dedup_roots)
-    _DEDUP_ROOTS.append(root)
+    root = temp_replay_root("gmall_incdedup_")
     reg = ChannelRegistry(root)
     reg.register("ods_documents", schema="doc_id long, text string")
     write_replay(
@@ -377,16 +394,6 @@ def visitor_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("event_type") != "_sentinel")
 
 
-_OW_ROOTS: list[str] = []
-
-
-def _cleanup_ow_roots() -> None:
-    import shutil
-
-    for root in _OW_ROOTS:
-        shutil.rmtree(root, ignore_errors=True)
-
-
 @register(
     "order_wide_stream",
     oracle="""
@@ -417,9 +424,7 @@ def _cleanup_ow_roots() -> None:
     tags=("join", "interval", "streaming", "events"),
 )
 def order_wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
     import os
-    import tempfile
 
     from ..sources.registry import ChannelRegistry, write_replay
     from ..streaming.pipelines import order_wide_app
@@ -446,10 +451,7 @@ def order_wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             far = far.withColumn(name, F.lit(val))
         return df.unionByName(far.select(*df.columns))
 
-    root = tempfile.mkdtemp(prefix="gmall_owstream_")
-    if not _OW_ROOTS:
-        atexit.register(_cleanup_ow_roots)
-    _OW_ROOTS.append(root)
+    root = temp_replay_root("gmall_owstream_")
     reg = ChannelRegistry(root)
     reg.register("dwd_order_info", schema="order_id long, ts timestamp")
     reg.register("dwd_order_detail", schema="detail_order_id long, ts timestamp, value double")
@@ -532,10 +534,7 @@ def base_db_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("after", "o_orderkey"), F.element_at("before", "o_orderkey")
         ).cast("long"),
     )
-    root = tempfile.mkdtemp(prefix="gmall_basedb_")
-    if not _OW_ROOTS:
-        atexit.register(_cleanup_ow_roots)
-    _OW_ROOTS.append(root)
+    root = temp_replay_root("gmall_basedb_")
     reg = ChannelRegistry(root)
     reg.register(
         "ods_base_db",
@@ -593,9 +592,7 @@ def base_db_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "interval", "streaming", "events"),
 )
 def payment_wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
     import os
-    import tempfile
 
     from ..sources.registry import ChannelRegistry, write_replay
     from ..streaming.pipelines import payment_wide_app
@@ -618,10 +615,7 @@ def payment_wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             far = far.withColumn(name, F.lit(val))
         return df.unionByName(far.select(*df.columns))
 
-    root = tempfile.mkdtemp(prefix="gmall_pwstream_")
-    if not _OW_ROOTS:
-        atexit.register(_cleanup_ow_roots)
-    _OW_ROOTS.append(root)
+    root = temp_replay_root("gmall_pwstream_")
     reg = ChannelRegistry(root)
     reg.register("dwd_payment_info", schema="payment_order_id long, ts timestamp")
     reg.register("dwm_order_wide", schema="order_id long, ts timestamp, value double")

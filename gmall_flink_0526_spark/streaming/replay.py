@@ -37,6 +37,22 @@ def _cleanup_channels() -> None:
 atexit.register(_cleanup_channels)
 
 
+_TEMP_ROOTS: list[str] = []
+
+
+def temp_replay_root(prefix: str) -> str:
+    """mkdtemp + atexit cleanup — the shared idiom for catalog replay
+    queries that materialize a fresh channel dir per call (the cached
+    channels above are for replays reused across queries)."""
+    root = tempfile.mkdtemp(prefix=prefix)
+    if not _TEMP_ROOTS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _TEMP_ROOTS]
+        )
+    _TEMP_ROOTS.append(root)
+    return root
+
+
 def drain(q, timeout: float = 600, settle_s: float = 1.5, n_files: int | None = None) -> None:
     """Wait until a file-source streaming query has consumed every file.
 

@@ -135,3 +135,63 @@ def test_simhash_cap_drops_boilerplate_bucket(spark):
         assert capped.filter(F.col("doc_a") < 1000).count() == 0
     finally:
         fp.unpersist()
+
+
+def test_incdedup_stream_oracle_matches_app_on_boilerplate_corpus(spark, tmp_path):
+    """The streaming incremental-dedup ORACLE must mirror the app's cap
+    at its exact scopes — batch-local for in-batch pairs, kept-store
+    for cross pairs — not the one-shot queries' global cap.
+
+    250 identical docs split ~84/83/83 across the 3 epochs is the
+    distinguishing corpus: per-epoch occupancy stays under MAX_BUCKET
+    (in-batch dedup fires, each slice keeps its min id) and the kept
+    store holds a single survivor (cross dedup drops the later slices'
+    minima too), so the app keeps exactly ONE boilerplate doc. A
+    global-occupancy cap (250 > MAX_BUCKET) would instead have dropped
+    every candidate pair and kept all 250."""
+    from gmall_flink_0526_spark.plans.catalog import CATALOG
+    from gmall_flink_0526_spark.plans import queries as _load  # populate CATALOG
+
+    from .conftest import assert_matches_oracle, duck_con
+
+    _load()
+    base = "terms of service all rights reserved cookie policy navigation home about "
+    rows = [(i, base * 3) for i in range(250)]
+    uniq = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "spark execution plans turn logical operators into physical stages",
+        "watermarks bound state for event time joins and window aggregates",
+        "parquet footers carry schema and statistics for pruning scans",
+        "shuffle partitions decide how wide exchanges hash their rows",
+        "broadcast joins replicate the small side to every executor task",
+    ]
+    rows += [(1000 + i, t) for i, t in enumerate(uniq)]
+    # a cross-epoch honest near-dup pair (sub-cap bucket): 2000 % 3 = 2
+    # arrives an epoch after 2001 % 3 = 1 and must be cross-dropped
+    nd = "completely original sentence about incremental signatures and stores today"
+    rows += [(2000, nd + " now"), (2001, nd + " now please")]
+    # single parquet FILE like the driver testdata (a Spark directory
+    # write would break duck_con's read_parquet on the same path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]},
+            schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    spec = CATALOG["dedup_incremental_stream"]
+    out = spec.fn(spark, str(tmp_path)).persist()
+    try:
+        kept = {r["doc_id"] for r in out.collect()}
+        boiler = {i for i in kept if i < 250}
+        assert boiler == {0}, f"expected one boilerplate survivor, got {sorted(boiler)}"
+        assert all(1000 + i in kept for i in range(len(uniq)))
+        # 2001 (epoch 1) survives; 2000 (epoch 2) is a cross-store dup
+        assert 2001 in kept and 2000 not in kept
+        assert_matches_oracle(out, duck_con(str(tmp_path)), spec.oracle, name="incdedup")
+    finally:
+        out.unpersist()

@@ -138,9 +138,11 @@ def main() -> None:
             "sequence_packing",
             "tfidf_top_terms",
         ]
-        # warmup: touch both dirs' footers + one tiny plan per shape
+        # warmup: touch both dirs' footers (BOTH tables — otherwise the
+        # embeddings first-touch lands on the first ANN query's timing)
         for sf_dir in ("/root/testdata/sf0.1", sf1):
-            load_tables(spark, sf_dir, "documents")["documents"].limit(1).count()
+            for t in load_tables(spark, sf_dir, "documents", "embeddings").values():
+                t.limit(1).count()
 
         timings: dict[str, dict[str, float]] = {}
         for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1)):
