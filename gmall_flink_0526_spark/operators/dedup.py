@@ -33,9 +33,14 @@ HASH_PREFIX = 16  # hex chars of md5 kept per minhash
 # m*(m-1)/2 candidate pairs — quadratic work AQE can only parallelize,
 # never shrink. Buckets past this occupancy are boilerplate by
 # definition (identical navigation chrome, license headers, templated
-# pages) and are DROPPED from candidate generation; chunk-level exact
-# dedup (plans/llmprep.chunk_dedup) is the designated catcher for what
-# the cap skips. Every production-scale LSH dedup does this.
+# pages) and are CAPPED to representative-based dedup: instead of the
+# m*(m-1)/2 self-join pairs, a hot bucket contributes the m-1 pairs
+# (rep, member) against its min-id representative — linear, and a
+# bucket of 200+ NEAR-duplicates (not exact copies) still dedups
+# against the representative instead of silently passing through.
+# Exact/chunk dedup (plans/llmprep.chunk_dedup) catches what the
+# representative misses (member-to-member dups not similar to the
+# rep). Every production-scale LSH dedup caps this way.
 MAX_BUCKET = 200
 
 
@@ -48,6 +53,10 @@ def drop_hot_buckets(
     key the candidate self-join hashes on, so the exchange introduced
     here is the one the join needs anyway. ``max_bucket=None`` disables
     the guard (test/diagnostic use only).
+
+    This is the blunt form of the guard — the candidate generators use
+    :func:`hot_bucket_split`, which keeps a per-bucket representative
+    so hot-bucket members still dedup against one row.
     """
     if max_bucket is None:
         return bands
@@ -57,6 +66,49 @@ def drop_hot_buckets(
         .filter(F.col("_bct") <= max_bucket)
         .drop("_bct")
     )
+
+
+def hot_bucket_split(
+    bands: DataFrame,
+    keys: tuple[str, ...],
+    id_col: str,
+    max_bucket: int,
+    carry: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Split a bucket-key table into (normal rows, hot-bucket rep pairs).
+
+    Normal rows (bucket occupancy <= ``max_bucket``) go to the usual
+    self-join. Each hot bucket is collapsed to the m-1 representative
+    pairs ``(rep=min id, member)`` — linear in bucket size — returned
+    as a frame with columns ``(_rep_id, <id_col>)`` plus, for every
+    name in ``carry``, the member's column and the representative's as
+    ``_rep_<name>`` (taken from the min-id row via a struct-min, so
+    the representative's payload rides along for verification).
+
+    Both the occupancy count and the struct-min run in ONE window over
+    the same bucket key the candidate self-join shuffles on — the
+    exchange introduced here is the one the join needs anyway.
+    """
+    w = Window.partitionBy(*keys)
+    rep_struct = F.min(F.struct(F.col(id_col), *[F.col(c) for c in carry])).over(w)
+    ann = (
+        bands.withColumn("_bct", F.count("*").over(w))
+        .withColumn("_repst", rep_struct)
+    )
+    normal = ann.filter(F.col("_bct") <= max_bucket).drop("_bct", "_repst")
+    rep_pairs = (
+        ann.filter(
+            (F.col("_bct") > max_bucket)
+            & (F.col(id_col) > F.col("_repst")[id_col])
+        )
+        .select(
+            F.col("_repst")[id_col].alias("_rep_id"),
+            F.col(id_col),
+            *[F.col("_repst")[c].alias(f"_rep_{c}") for c in carry],
+            *[F.col(c) for c in carry],
+        )
+    )
+    return normal, rep_pairs
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -140,25 +192,31 @@ def lsh_pairs_from_bands(
     out: tuple[str, str] = ("doc_a", "doc_b"),
 ) -> DataFrame:
     """Candidate pairs from an (already materialized/persisted) bucket-key
-    table: hot buckets dropped (see :data:`MAX_BUCKET`), then self-join
-    on the bucket key, id-ordered, distinct.
+    table: hot buckets capped to their min-id representative's m-1
+    pairs (see :data:`MAX_BUCKET` / :func:`hot_bucket_split`), normal
+    buckets self-joined on the bucket key, id-ordered, distinct.
 
     The ``keys``/``id_col``/``out`` parameters make this the one banded
     self-join for every LSH family — MinHash (band, bk)/doc_id and
     random-hyperplane (band, bsig)/vec_id share the cap wiring."""
-    bands = drop_hot_buckets(bands, keys, max_bucket)
+    if max_bucket is None:
+        rep_pairs = None
+    else:
+        bands, rep = hot_bucket_split(bands, keys, id_col, max_bucket)
+        rep_pairs = rep.select(
+            F.col("_rep_id").alias(out[0]), F.col(id_col).alias(out[1])
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for k in keys:
         cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-    return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias(out[0]), F.col(f"b.{id_col}").alias(out[1])
-        )
-        .distinct()
+    pairs = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias(out[0]), F.col(f"b.{id_col}").alias(out[1])
     )
+    if rep_pairs is not None:
+        pairs = pairs.unionByName(rep_pairs)
+    return pairs.distinct()
 
 
 def lsh_candidate_pairs(sh: DataFrame) -> DataFrame:
@@ -189,19 +247,29 @@ def lsh_candidates_against(
 
     The hot-bucket cap applies to the CORPUS side: the store is what
     grows without bound, and a boilerplate store bucket of m docs costs
-    batch x m pairs per micro-batch forever. The batch side is bounded
-    by the micro-batch contract and stays uncapped. To keep the store
-    un-shuffled (the property that holds at 100 TB), the occupancy
-    count runs AFTER a broadcast semi-join down to the buckets the
-    batch touches — every corpus row of a touched bucket survives that
-    semi-join, so the restricted count equals the true store occupancy
-    for exactly the buckets that matter, at overlap cost."""
+    batch x m pairs per micro-batch forever. A hot corpus bucket is
+    capped to its min-id REPRESENTATIVE row (not dropped): each new
+    doc still pairs against one stored row per hot bucket, so a store
+    bucket of 200+ near-duplicates keeps deduping incoming copies at
+    batch x 1 cost instead of silently letting them through. The batch
+    side is bounded by the micro-batch contract and stays uncapped. To
+    keep the store un-shuffled (the property that holds at 100 TB),
+    the occupancy count runs AFTER a broadcast semi-join down to the
+    buckets the batch touches — every corpus row of a touched bucket
+    survives that semi-join, so the restricted count equals the true
+    store occupancy for exactly the buckets that matter, at overlap
+    cost."""
     if max_bucket is not None:
         touched = F.broadcast(new_bands.select("band", "bk").distinct())
-        corpus_bands = drop_hot_buckets(
-            corpus_bands.join(touched, ["band", "bk"], "left_semi"),
-            ("band", "bk"),
-            max_bucket,
+        w = Window.partitionBy("band", "bk")
+        corpus_bands = (
+            corpus_bands.join(touched, ["band", "bk"], "left_semi")
+            .withColumn("_bct", F.count("*").over(w))
+            .withColumn("_rep", F.min("doc_id").over(w))
+            .filter(
+                (F.col("_bct") <= max_bucket) | (F.col("doc_id") == F.col("_rep"))
+            )
+            .drop("_bct", "_rep")
         )
     a = new_bands.alias("a")
     b = corpus_bands.alias("b")
@@ -299,8 +367,11 @@ def simhash_near_dup_pairs(
     equi-join hash-partitioned on the band key, never all-pairs (the
     multi-index simhash recipe). Verify = popcount(xor) on candidates
     only. ``fp`` needs columns (doc_id, simhash). Hot (band, value)
-    buckets past ``max_bucket`` are dropped before the self-join — the
-    same quadratic-blowup guard as the MinHash path (:data:`MAX_BUCKET`).
+    buckets past ``max_bucket`` are capped to their min-id
+    representative's m-1 pairs (carrying the representative's
+    fingerprint for the Hamming verify) — the same quadratic-blowup
+    guard as the MinHash path (:data:`MAX_BUCKET` /
+    :func:`hot_bucket_split`).
     """
     width = bits // bands
     mask = (1 << width) - 1
@@ -319,23 +390,33 @@ def simhash_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.b", "bb.bv")
-    banded = drop_hot_buckets(banded, ("b", "bv"), max_bucket)
+    if max_bucket is None:
+        rep_cand = None
+    else:
+        banded, rep = hot_bucket_split(
+            banded, ("b", "bv"), "doc_id", max_bucket, carry=("simhash",)
+        )
+        rep_cand = rep.select(
+            F.col("_rep_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("_rep_simhash").alias("sa"),
+            F.col("simhash").alias("sb"),
+        )
     a, c = banded.alias("a"), banded.alias("c")
-    cand = (
-        a.join(
-            c,
-            (F.col("a.b") == F.col("c.b"))
-            & (F.col("a.bv") == F.col("c.bv"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("c.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("c.simhash").alias("sb"),
-        )
-        .distinct()
+    cand = a.join(
+        c,
+        (F.col("a.b") == F.col("c.b"))
+        & (F.col("a.bv") == F.col("c.bv"))
+        & (F.col("a.doc_id") < F.col("c.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("c.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sa"),
+        F.col("c.simhash").alias("sb"),
     )
+    if rep_cand is not None:
+        cand = cand.unionByName(rep_cand)
+    cand = cand.distinct()
     return (
         cand.withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
         .filter(F.col("hamming") <= max_hamming)

@@ -87,6 +87,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 2,
+    fit_limit: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's k-means: seeds = the ``k`` lowest-id
     vectors, then ``iters`` assign/recompute rounds. Component means
@@ -95,16 +96,22 @@ def kmeans_fit(
     ``[(cluster_id, centroid), ...]``; clusters that go empty drop out
     (both engines recompute by GROUP BY, so the policy agrees).
 
+    ``fit_limit``: train on the ``fit_limit`` lowest-id vectors only —
+    the standard IVF recipe (fit the coarse quantizer on a sample,
+    assign the full corpus once with the broadcast-sized centroids).
+    Lowest-N is a deterministic, oracle-derivable sample (ORDER BY id
+    LIMIT N — a top-N merge, never a global sort); at 100 TB a
+    content-hash predicate samples the same way. ``None`` = full-scan
+    fit.
+
     Driver round-trips: one seed collect + one k×dim collect per
-    iteration — all config-sized. At 100 TB the fit runs on a sample
-    (the standard IVF recipe: train the coarse quantizer on a sample,
-    assign the full corpus with the broadcast-sized centroids); the
-    full-scan fit here keeps the oracle bit-exact at test scale.
+    iteration — all config-sized.
     """
-    seeds = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    src = emb if fit_limit is None else emb.orderBy(id_col).limit(fit_limit)
+    seeds = src.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [(i, [float(x) for x in r[0]]) for i, r in enumerate(seeds)]
     for _ in range(iters):
-        assigned = with_cluster(emb, vec_col, cents)
+        assigned = with_cluster(src, vec_col, cents)
         comp = assigned.select("c", F.posexplode(F.col(vec_col)).alias("pos", "v"))
         rows = (
             comp.groupBy("c", "pos")
@@ -305,14 +312,12 @@ def rhp_candidate_pairs(sigs: DataFrame, max_bucket: int | None = None) -> DataF
     values a dense embedding cluster (near-identical augmentations,
     templated content embedded alike) concentrates into a handful of
     buckets. Measured on a 10x clustered probe corpus: the uncapped
-    self-join emitted 7.6M pairs from 20k vectors (SCALE.md). Unlike a
-    boilerplate MinHash bucket, a hot RHP bucket can be genuine signal
-    density, so the cap's catcher is different: capped buckets should
-    fall back to representative-based dedup (cluster to a centroid,
-    dedup against the representative) rather than pairwise verify —
-    ann_topk_ivf_kmeans has the machinery. The guard is opt-in here
-    (None = uncapped) because near-dup and top-k consumers make that
-    trade differently."""
+    self-join emitted 7.6M pairs from 20k vectors (SCALE.md). The cap
+    IS representative-based (dedup.hot_bucket_split): a hot bucket
+    contributes its m-1 (min-id rep, member) pairs instead of m*(m-1)/2,
+    so a dense cluster still dedups against one representative at
+    linear cost. The guard is opt-in here (None = uncapped) because
+    near-dup and top-k consumers make that trade differently."""
     from .dedup import lsh_pairs_from_bands
 
     return lsh_pairs_from_bands(

@@ -58,19 +58,27 @@ SQL_LSH_BANDS = f"""
 
 # Candidate generation mirrors the Spark side's hot-bucket guard
 # (operators/dedup.MAX_BUCKET): bucket keys with occupancy past the cap
-# are boilerplate and are dropped before the self-join, on BOTH engines,
-# so the cap is part of the query's defined semantics, not a divergence.
+# are capped to their min-id representative's (rep, member) pairs —
+# linear instead of quadratic — on BOTH engines, so the cap is part of
+# the query's defined semantics, not a divergence. A hot bucket of
+# near-duplicates therefore still dedups against one representative.
 SQL_LSH_CANDIDATES = f"""
   {SQL_LSH_BANDS.strip().strip(',')},
-  bok AS (
-    SELECT b, bk FROM bands GROUP BY b, bk HAVING COUNT(*) <= {D.MAX_BUCKET}
+  bstat AS (
+    SELECT b, bk, COUNT(*) AS bct, MIN(doc_id) AS rep
+    FROM bands GROUP BY b, bk
   ),
   cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
     FROM bands a
-    JOIN bok ON a.b = bok.b AND a.bk = bok.bk
+    JOIN bstat ON a.b = bstat.b AND a.bk = bstat.bk
+              AND bstat.bct <= {D.MAX_BUCKET}
     JOIN bands c
       ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+    UNION
+    SELECT t.rep AS doc_a, bands.doc_id AS doc_b
+    FROM bands JOIN bstat t ON bands.b = t.b AND bands.bk = t.bk
+    WHERE t.bct > {D.MAX_BUCKET} AND bands.doc_id > t.rep
   )
 """
 
@@ -303,16 +311,18 @@ NEW_MOD = 5  # fixture split: doc_id % 5 == 0 is the "incoming batch"
     oracle=f"""
     WITH {SQL_SHINGLES3},
     {SQL_LSH_BANDS},
-    cok AS (
-      SELECT b, bk FROM bands WHERE doc_id % {NEW_MOD} != 0
-      GROUP BY b, bk HAVING COUNT(*) <= {D.MAX_BUCKET}
+    cstat AS (
+      SELECT b, bk, COUNT(*) AS bct, MIN(doc_id) AS rep
+      FROM bands WHERE doc_id % {NEW_MOD} != 0
+      GROUP BY b, bk
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       FROM bands a
       JOIN bands c ON a.b = c.b AND a.bk = c.bk
-      JOIN cok ON cok.b = c.b AND cok.bk = c.bk
+      JOIN cstat ON cstat.b = c.b AND cstat.bk = c.bk
       WHERE a.doc_id % {NEW_MOD} = 0 AND c.doc_id % {NEW_MOD} != 0
+        AND (cstat.bct <= {D.MAX_BUCKET} OR c.doc_id = cstat.rep)
     )
     SELECT doc_a, doc_b,
            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -351,18 +361,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT sz AS bucket_size,
            COUNT(*) AS n_buckets,
            CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs,
-           sz > {D.MAX_BUCKET} AS dropped
+           CAST(SUM(CASE WHEN sz > {D.MAX_BUCKET}
+                         THEN sz - 1 ELSE sz * (sz - 1) // 2 END)
+                AS BIGINT) AS kept_pairs,
+           sz > {D.MAX_BUCKET} AS capped
     FROM bsz
     GROUP BY sz
     """,
     doc="LSH bucket-occupancy audit — the observability half of the "
     "hot-bucket guard (operators/dedup.MAX_BUCKET): the band-key "
     "occupancy histogram, the m*(m-1)/2 candidate-pair cost each "
-    "occupancy level implies, and which levels the cap drops. At scale "
-    "this is the report that says how much quadratic boilerplate work "
-    "the guard saved and how many buckets were sacrificed to chunk-"
-    "level dedup (chunk_dedup) instead. Two grouped aggregations over "
-    "the band table, bucket-keyed then size-keyed.",
+    "occupancy level implies, which levels the cap collapses to "
+    "representative pairs, and the m-1 pairs each capped bucket keeps "
+    "(kept_pairs vs cand_pairs is the quadratic work the guard saved). "
+    "Two grouped aggregations over the band table, bucket-keyed then "
+    "size-keyed.",
     tags=("dedup", "lsh", "audit"),
 )
 def lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,11 +389,20 @@ def lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bsz.groupBy("sz").agg(
         F.count("*").alias("n_buckets"),
         F.sum(F.expr("sz * (sz - 1) div 2")).cast("long").alias("cand_pairs"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN sz > {D.MAX_BUCKET} THEN sz - 1"
+                " ELSE sz * (sz - 1) div 2 END"
+            )
+        )
+        .cast("long")
+        .alias("kept_pairs"),
     ).select(
         F.col("sz").alias("bucket_size"),
         "n_buckets",
         "cand_pairs",
-        (F.col("sz") > D.MAX_BUCKET).alias("dropped"),
+        "kept_pairs",
+        (F.col("sz") > D.MAX_BUCKET).alias("capped"),
     )
 
 

@@ -182,15 +182,23 @@ def _sql_hex_val(expr: str, nhex: int) -> str:
     ), banded AS (
       SELECT doc_id, simhash, b, (simhash >> (b * {PAIR_BITS // 4})) & {(1 << (PAIR_BITS // 4)) - 1} AS bv
       FROM fp, (SELECT unnest(range(0, 4)) AS b) bb
-    ), bok AS (
-      SELECT b, bv FROM banded GROUP BY b, bv HAVING COUNT(*) <= {D.MAX_BUCKET}
+    ), bstat AS (
+      SELECT b, bv, COUNT(*) AS bct, MIN(doc_id) AS rep,
+             arg_min(simhash, doc_id) AS rep_sh
+      FROM banded GROUP BY b, bv
     ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
-                      a.simhash AS sa, c.simhash AS sb
+      SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             a.simhash AS sa, c.simhash AS sb
       FROM banded a
-      JOIN bok ON a.b = bok.b AND a.bv = bok.bv
+      JOIN bstat ON a.b = bstat.b AND a.bv = bstat.bv
+                AND bstat.bct <= {D.MAX_BUCKET}
       JOIN banded c
         ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+      UNION
+      SELECT t.rep AS doc_a, banded.doc_id AS doc_b,
+             t.rep_sh AS sa, banded.simhash AS sb
+      FROM banded JOIN bstat t ON banded.b = t.b AND banded.bv = t.bv
+      WHERE t.bct > {D.MAX_BUCKET} AND banded.doc_id > t.rep
     )
     SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
     FROM cand
@@ -490,6 +498,17 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUALITY_MIN = 0.5
 
+# chunk-level boilerplate gate, composed into corpus_build: a chunk
+# digest shared by more than BOILER_DOC_MIN distinct docs is
+# boilerplate; a doc whose chunks are >= BOILER_RATIO_MAX boilerplate
+# is dropped. This is the chunk_dedup machinery run as a gate — the
+# catcher for repeated content the (representative-capped) LSH stage
+# can only pair linearly: member-to-member near-dups inside a hot
+# bucket that are not near the representative.
+CD_TOKENS, CD_STRIDE = 16, 8  # finer than training chunks: boilerplate granularity
+BOILER_DOC_MIN = 5
+BOILER_RATIO_MAX = 0.6
+
 
 def _corpus_build_oracle() -> str:
     from .dedup import CC_PARTITIONS  # noqa: F401  (parity of constants)
@@ -535,10 +554,34 @@ def _corpus_build_oracle() -> str:
              {stop_ratio} AS stop_ratio_v,
              {quality} AS quality
       FROM toks
+    ),
+    expanded AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t), 1) + 1, {CD_STRIDE})) AS cs
+      FROM toks WHERE len(t) > 0
+    ),
+    cchunks AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(t, cs, cs + {CD_TOKENS - 1}), ' '))
+               AS chunk_digest
+      FROM expanded
+    ),
+    cshared AS (
+      SELECT chunk_digest, COUNT(DISTINCT doc_id) AS nd
+      FROM cchunks GROUP BY chunk_digest
+    ),
+    boiler AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN nd > {BOILER_DOC_MIN} THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS br
+      FROM cchunks JOIN cshared USING (chunk_digest)
+      GROUP BY doc_id
     )
     SELECT s.doc_id, s.n_tokens, s.quality
     FROM scored s JOIN survivors USING (doc_id)
+    LEFT JOIN boiler b USING (doc_id)
     WHERE s.stop_ratio_v >= 0.05 AND s.quality >= {QUALITY_MIN}
+      AND COALESCE(b.br, 0.0) < {BOILER_RATIO_MAX}
     """
 
 
@@ -547,12 +590,16 @@ def _corpus_build_oracle() -> str:
     oracle=_corpus_build_oracle(),
     doc="End-to-end training-corpus build — the composition a 100 TB "
     "pipeline actually ships: language gate (stopword-ratio >= 0.05 -> "
-    "'en'), quality gate (>= 0.5), and near-dup elimination (LSH "
+    "'en'), quality gate (>= 0.5), near-dup elimination (LSH "
     "candidates -> Jaccard verify -> connected components -> min-id "
-    "survivor per cluster), finished with one doc-keyed hash join. "
-    "Every upstream stage is bucketed/bounded (no all-pairs anywhere) "
-    "and the gates are map-only expressions, so the whole build is "
-    "LSH-join cost plus one id-keyed join at corpus scale.",
+    "survivor per cluster), AND the chunk-level boilerplate gate "
+    "(chunk_dedup's machinery: docs whose 16-token chunks are >= 60% "
+    "shared-by->5-docs boilerplate are dropped — the catcher for "
+    "repeated content the representative-capped LSH stage pairs only "
+    "linearly), finished with doc-keyed hash joins. Every upstream "
+    "stage is bucketed/bounded (no all-pairs anywhere) and the gates "
+    "are map-only or single-shuffle, so the whole build is LSH-join "
+    "cost plus id/digest-keyed joins at corpus scale.",
     tags=("llm-prep", "dedup", "text", "composition"),
 )
 def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,14 +629,35 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         textops.stop_ratio(toks).alias("stop_ratio_v"),
         textops.quality_score(toks, F.col("text")).alias("quality"),
     )
+    # chunk-level boilerplate gate (chunk_dedup composed in): two
+    # digest/doc-keyed shuffles over the fine-grained chunk table —
+    # the same bounded shape as chunk_dedup itself
+    chunks = textops.chunk_docs(
+        spread(docs, "doc_id"), chunk_tokens=CD_TOKENS, stride=CD_STRIDE
+    ).select("doc_id", "chunk_digest")
+    shared = chunks.groupBy("chunk_digest").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    boiler = (
+        chunks.join(shared, "chunk_digest")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum((F.col("nd") > BOILER_DOC_MIN).cast("int"))
+                / F.count("*")
+            ).alias("br")
+        )
+    )
     return (
         scored.join(survivors, "doc_id")
-        .filter((F.col("stop_ratio_v") >= 0.05) & (F.col("quality") >= QUALITY_MIN))
+        .join(boiler, "doc_id", "left")
+        .filter(
+            (F.col("stop_ratio_v") >= 0.05)
+            & (F.col("quality") >= QUALITY_MIN)
+            & (F.coalesce(F.col("br"), F.lit(0.0)) < BOILER_RATIO_MAX)
+        )
         .select("doc_id", "n_tokens", "quality")
     )
-
-
-CD_TOKENS, CD_STRIDE = 16, 8  # finer than training chunks: boilerplate granularity
 
 
 @register(
@@ -675,16 +743,26 @@ def _method_agreement_oracle() -> str:
              (simhash >> (b * {PAIR_BITS // 4})) & {(1 << (PAIR_BITS // 4)) - 1} AS bv
       FROM fp, (SELECT unnest(range(0, 4)) AS b) bb
     ),
-    bok2 AS (
-      SELECT b, bv FROM banded GROUP BY b, bv HAVING COUNT(*) <= {D.MAX_BUCKET}
+    bstat2 AS (
+      SELECT b, bv, COUNT(*) AS bct, MIN(doc_id) AS rep,
+             arg_min(simhash, doc_id) AS rep_sh
+      FROM banded GROUP BY b, bv
     ),
     sh_pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-      FROM banded a
-      JOIN bok2 ON a.b = bok2.b AND a.bv = bok2.bv
-      JOIN banded c
-        ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
-      WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+               a.simhash AS sa, c.simhash AS sb
+        FROM banded a
+        JOIN bstat2 ON a.b = bstat2.b AND a.bv = bstat2.bv
+                   AND bstat2.bct <= {D.MAX_BUCKET}
+        JOIN banded c
+          ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+        UNION
+        SELECT t.rep AS doc_a, banded.doc_id AS doc_b,
+               t.rep_sh AS sa, banded.simhash AS sb
+        FROM banded JOIN bstat2 t ON banded.b = t.b AND banded.bv = t.bv
+        WHERE t.bct > {D.MAX_BUCKET} AND banded.doc_id > t.rep
+      ) WHERE bit_count(xor(sa, sb)) <= 3
     )
     SELECT
       COUNT(*) FILTER (WHERE m.doc_a IS NOT NULL AND s2.doc_a IS NOT NULL) AS n_both,

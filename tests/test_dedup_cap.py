@@ -2,10 +2,12 @@
 
 An LSH bucket shared by m documents yields m*(m-1)/2 candidate pairs;
 AQE parallelizes that work but cannot shrink it, so boilerplate band
-keys must be DROPPED before the candidate self-join (every
-production-scale LSH dedup does this; exact/chunk dedup catches what
-the cap skips). These tests synthesize a boilerplate corpus and assert
-the cap actually fires and bounds the pair count.
+keys are CAPPED before the candidate self-join: a hot bucket
+contributes only its m-1 (min-id representative, member) pairs —
+linear cost, and a bucket of 200+ NEAR-duplicates (not exact copies)
+still dedups against the representative instead of silently passing
+through. These tests synthesize a boilerplate corpus and assert the
+cap fires, bounds the pair count, and keeps the representative pairs.
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ def _corpus(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-def test_minhash_cap_drops_boilerplate_bucket(spark):
+def test_minhash_cap_collapses_boilerplate_bucket_to_rep_pairs(spark):
     sh = D.doc_shingles(_corpus(spark), "doc_id", "text").persist()
     try:
         bands = D.lsh_band_keys(sh).persist()
@@ -41,10 +43,12 @@ def test_minhash_cap_drops_boilerplate_bucket(spark):
         }
         # without the guard the boilerplate bucket is quadratic
         assert len(uncapped) >= N_BOILER * (N_BOILER - 1) // 2
-        # with it, exactly the hot-bucket (= boilerplate) pairs vanish
-        # and every honest-bucket pair survives — the cap must not eat
-        # real signal
-        assert capped == {(a, b) for a, b in uncapped if a >= 1000 and b >= 1000}
+        # with it, the hot bucket collapses to its m-1 representative
+        # pairs (rep = min id = 0) and every honest-bucket pair
+        # survives — the cap bounds the work without eating signal
+        rep_pairs = {(0, i) for i in range(1, N_BOILER)}
+        honest = {(a, b) for a, b in uncapped if a >= 1000 and b >= 1000}
+        assert capped == honest | rep_pairs
         bands.unpersist()
     finally:
         sh.unpersist()
@@ -76,9 +80,11 @@ def test_incremental_cap_is_corpus_side_and_overlap_bounded(spark):
         }
         # uncapped: the boilerplate doc hits every stored boilerplate copy
         assert len(uncapped) >= N_BOILER - 1
-        # capped: pairs into the hot CORPUS bucket are gone; candidates
-        # through honest corpus buckets survive untouched
-        assert capped == {(a, b) for a, b in uncapped if b >= 1000}
+        # capped: the hot CORPUS bucket keeps only its min-id
+        # representative row (doc 1), so the batch's boilerplate doc
+        # still pairs against it — batch x 1 instead of batch x m —
+        # and candidates through honest corpus buckets survive
+        assert capped == {(a, b) for a, b in uncapped if b >= 1000} | {(0, 1)}
         bands.unpersist()
     finally:
         sh.unpersist()
@@ -115,16 +121,23 @@ def test_rhp_cap_drops_dense_cluster_bucket(spark):
             for r in S.rhp_candidate_pairs(sigs, max_bucket=200).collect()
         }
         assert len(uncapped) >= 250 * 249 // 2  # quadratic without the guard
-        # every cluster-internal pair is gone; every pair whose docs sit
-        # in honest (sub-cap) buckets survives — (1000, 1001) collide
-        # somewhere because they are near-identical
-        assert all(a >= 1000 and b >= 1000 for a, b in capped)
+        # the dense cluster collapses to its min-id representative's
+        # pairs: every hot-bucket candidate has the rep (vec 0) on the
+        # left — with only 2^rows possible band values a couple of
+        # scattered vectors also collide into the hot bucket and pair
+        # against the rep (the cosine verify downstream rejects them).
+        # Every pair whose vecs sit in honest (sub-cap) buckets
+        # survives — (1000, 1001) collide somewhere because they are
+        # near-identical
+        cluster_pairs = {(a, b) for a, b in capped if a < 1000 or b < 1000}
+        assert {(0, i) for i in range(1, 250)} <= cluster_pairs
+        assert all(a == 0 for a, _ in cluster_pairs)
         assert (1000, 1001) in capped
     finally:
         sigs.unpersist()
 
 
-def test_simhash_cap_drops_boilerplate_bucket(spark):
+def test_simhash_cap_collapses_boilerplate_bucket_to_rep_pairs(spark):
     docs = _corpus(spark)
     fp = D.simhash(docs, "doc_id", "text", bits=32).persist()
     try:
@@ -132,9 +145,93 @@ def test_simhash_cap_drops_boilerplate_bucket(spark):
         capped = D.simhash_near_dup_pairs(fp, bits=32, max_hamming=3, bands=4)
         # identical docs share a fingerprint -> one quadratic bucket per band
         assert uncapped.count() >= N_BOILER * (N_BOILER - 1) // 2
-        assert capped.filter(F.col("doc_a") < 1000).count() == 0
+        # the hot bucket keeps its representative pairs (0, i) at
+        # Hamming 0 — identical fingerprints verify trivially
+        boiler = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in capped.filter(F.col("doc_a") < 1000).collect()
+        }
+        assert boiler == {(0, i, 0) for i in range(1, N_BOILER)}
     finally:
         fp.unpersist()
+
+
+def test_mutated_boilerplate_block_dedups_to_one_representative(spark, tmp_path):
+    """The cap's semantic hole, closed: a block of 250 NEAR-duplicate
+    (non-identical — each copy carries a unique trailing token) docs
+    exceeds MAX_BUCKET, so the old drop-style cap would have skipped
+    candidate generation entirely and exact dedup could not catch the
+    mutated copies — 250 survivors. With representative capping, every
+    member pairs against the hot bucket's min-id rep (verified empiric
+    fixture: all 4 band buckets are hot with rep 0 and every doc sits
+    in at least one), Jaccard ~0.93 verifies, connected components
+    collapse the block, and the end-to-end ``dedup_survivors`` output
+    keeps exactly ONE boilerplate doc. Checked against the DuckDB
+    oracle so the rule is defined semantics on both engines."""
+    from gmall_flink_0526_spark.plans.catalog import CATALOG
+    from gmall_flink_0526_spark.plans import queries as _load
+
+    from .conftest import assert_matches_oracle, duck_con
+
+    _load()
+    base = (
+        "terms of service all rights reserved cookie policy navigation home about "
+        "contact privacy legal copyright twenty twenty four company incorporated "
+        "all trademarks acknowledged subscribe newsletter footer links sitemap "
+    ) * 3
+    rows = [(i, base + f"variant{i:04d}") for i in range(N_BOILER)]
+    rows += [
+        (1000, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1001, "the quick brown fox jumps over the lazy dog near the river bank now"),
+        (1002, "completely unrelated text about spark execution plans and shuffles here"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "source": ["web"] * len(rows),
+            },
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string()), ("source", pa.string())]
+            ),
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    spec = CATALOG["dedup_survivors"]
+    out = spec.fn(spark, str(tmp_path)).persist()
+    try:
+        kept = {r["doc_id"] for r in out.collect()}
+        boiler = {i for i in kept if i < N_BOILER}
+        assert boiler == {0}, f"expected one boilerplate survivor, got {sorted(boiler)}"
+        # honest docs all survive: 1000/1001 are near-dups at Jaccard
+        # ~0.85 but deterministically collide in none of the 4 bands
+        # (a genuine LSH false negative, identical on both engines),
+        # and 1002 stands alone
+        assert {1000, 1001, 1002} <= kept
+        assert_matches_oracle(
+            out, duck_con(str(tmp_path)), spec.oracle, name="mutated_boiler"
+        )
+    finally:
+        out.unpersist()
+    # corpus_build composes the chunk-level boilerplate gate on top of
+    # the representative-capped LSH stage: every boilerplate doc —
+    # including the LSH survivor, which is itself >= 60% chunks shared
+    # by 250 docs — is out of the shipped corpus, and the rule is
+    # oracle-defined on both engines
+    cb = CATALOG["corpus_build"]
+    cb_out = cb.fn(spark, str(tmp_path)).persist()
+    try:
+        cb_kept = {r["doc_id"] for r in cb_out.collect()}
+        assert not (cb_kept & set(range(N_BOILER)))
+        assert_matches_oracle(
+            cb_out, duck_con(str(tmp_path)), cb.oracle, name="mutated_boiler_cb"
+        )
+    finally:
+        cb_out.unpersist()
 
 
 def test_incdedup_stream_oracle_matches_app_on_boilerplate_corpus(spark, tmp_path):
@@ -146,9 +243,10 @@ def test_incdedup_stream_oracle_matches_app_on_boilerplate_corpus(spark, tmp_pat
     distinguishing corpus: per-epoch occupancy stays under MAX_BUCKET
     (in-batch dedup fires, each slice keeps its min id) and the kept
     store holds a single survivor (cross dedup drops the later slices'
-    minima too), so the app keeps exactly ONE boilerplate doc. A
-    global-occupancy cap (250 > MAX_BUCKET) would instead have dropped
-    every candidate pair and kept all 250."""
+    minima too), so the app keeps exactly ONE boilerplate doc. An
+    oracle that mis-scoped the cap globally (250 > MAX_BUCKET) would
+    fire the representative path instead of the sub-cap self-join and
+    diverge from the app's epoch-scoped plan."""
     from gmall_flink_0526_spark.plans.catalog import CATALOG
     from gmall_flink_0526_spark.plans import queries as _load  # populate CATALOG
 
@@ -166,8 +264,9 @@ def test_incdedup_stream_oracle_matches_app_on_boilerplate_corpus(spark, tmp_pat
         "broadcast joins replicate the small side to every executor task",
     ]
     rows += [(1000 + i, t) for i, t in enumerate(uniq)]
-    # a cross-epoch honest near-dup pair (sub-cap bucket): 2000 % 3 = 2
-    # arrives an epoch after 2001 % 3 = 1 and must be cross-dropped
+    # a cross-epoch honest near-dup pair (sub-cap bucket): 2001 % 3 = 0
+    # lands in epoch 0, and 2000 % 3 = 2 arrives two epochs later —
+    # the later copy must be cross-dropped against the stored one
     nd = "completely original sentence about incremental signatures and stores today"
     rows += [(2000, nd + " now"), (2001, nd + " now please")]
     # single parquet FILE like the driver testdata (a Spark directory
@@ -190,7 +289,7 @@ def test_incdedup_stream_oracle_matches_app_on_boilerplate_corpus(spark, tmp_pat
         boiler = {i for i in kept if i < 250}
         assert boiler == {0}, f"expected one boilerplate survivor, got {sorted(boiler)}"
         assert all(1000 + i in kept for i in range(len(uniq)))
-        # 2001 (epoch 1) survives; 2000 (epoch 2) is a cross-store dup
+        # 2001 (epoch 0) survives; 2000 (epoch 2) is a cross-store dup
         assert 2001 in kept and 2000 not in kept
         assert_matches_oracle(out, duck_con(str(tmp_path)), spec.oracle, name="incdedup")
     finally:

@@ -152,11 +152,13 @@ def main() -> None:
                 timings.setdefault(name, {})[sf_label] = round(time.time() - t0, 2)
                 timings[name][f"{sf_label}_rows"] = n
 
-        # bucket histogram + what the cap saved at sf1
+        # bucket histogram + what the cap saved at sf1 (capped buckets
+        # keep their m-1 representative pairs; saved = quadratic minus
+        # the linear rep pairs kept)
         audit = qs["lsh_bucket_audit"](spark, sf1).orderBy(F.desc("bucket_size"))
         hist = [r.asDict() for r in audit.limit(8).collect()]
-        dropped = [h for h in hist if h["dropped"]]
-        saved_pairs = sum(h["cand_pairs"] for h in dropped)
+        dropped = [h for h in hist if h["capped"]]
+        saved_pairs = sum(h["cand_pairs"] - h["kept_pairs"] for h in dropped)
 
         # connected-components round count is log(diameter): assert the
         # probe corpus (chains via mutation-of-mutation) stays shallow
@@ -166,7 +168,7 @@ def main() -> None:
             "vecs": args.vecs,
             "gen_sec": gen_s,
             "timings": timings,
-            "hot_buckets_dropped": len(dropped),
+            "hot_buckets_capped": len(dropped),
             "quadratic_pairs_saved": int(saved_pairs),
             "top_buckets": [
                 {k: (int(v) if not isinstance(v, bool) else v) for k, v in h.items()}
