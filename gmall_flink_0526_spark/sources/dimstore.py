@@ -17,20 +17,28 @@ definition, so that cost is bounded.
 Reads for J3 enrichment go through :meth:`read`, re-scanned each
 micro-batch — replacing the reference's Redis look-aside cache and its
 invalidation (J4, RT/utils/DimUtil.java:52-60) outright.
+
+Every filesystem operation (existence check, swap delete/rename) goes
+through Hadoop's ``FileSystem`` (:mod:`..sources.fs`), exactly like
+the incremental-dedup signature store: the dim store is persistent
+mutable state, and on a cluster it lives on HDFS/S3/GCS where
+``os.path``/``shutil`` silently act on the driver's local disk.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from . import fs as hfs
 
 
 class DimStore:
     def __init__(self, root: str):
+        # no eager mkdir: parquet writes create parents on any
+        # Hadoop-supported filesystem
         self.root = root
-        os.makedirs(root, exist_ok=True)
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -39,7 +47,7 @@ class DimStore:
         """K4 — auto-DDL: create the dim table if missing, all-string
         columns + pk, like the reference's generated Phoenix DDL."""
         p = self.path(table)
-        if not os.path.exists(p):
+        if not hfs.exists(spark, p):
             schema_df.limit(0).write.mode("overwrite").parquet(p)
 
     def merge(
@@ -73,20 +81,19 @@ class DimStore:
             .filter(F.col("_rn") == 1)
             .drop("_rn", seq_col)
         )
-        if os.path.exists(p):
+        if hfs.exists(spark, p):
             current = spark.read.parquet(p)
             keep = current.join(w_batch.select(pk), on=pk, how="left_anti")
             merged = keep.unionByName(w_batch, allowMissingColumns=True)
         else:
             merged = w_batch
+        # write-aside + swap: the merged plan READS p, so it must fully
+        # materialize to tmp before p is replaced (on Delta this whole
+        # method is a single MERGE INTO and the swap disappears)
         tmp = p + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(p):
-            shutil.rmtree(p)
-        os.rename(tmp, p)
+        hfs.delete(spark, p)
+        hfs.rename(spark, tmp, p)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.path(table))
-
-    def tables(self) -> list[str]:
-        return [d for d in os.listdir(self.root) if not d.endswith(".tmp")]

@@ -33,3 +33,13 @@ def delete(spark: SparkSession, path: str) -> None:
     ignore_errors semantics, any Hadoop-supported filesystem)."""
     fs, p = _fs_and_path(spark, path)
     fs.delete(p, True)
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Atomic-where-the-FS-supports-it rename (HDFS: atomic; S3A:
+    copy+delete under the hood — the same trade every Hadoop commit
+    protocol makes). Raises if the filesystem refuses the rename."""
+    fs, s = _fs_and_path(spark, src)
+    d = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(s, d):
+        raise IOError(f"rename failed: {src} -> {dst}")
