@@ -16,7 +16,14 @@ similarity" contract):
   firing: the quadratic bucket is DROPPED, and the probe reports the
   pair count the cap saved;
 - pointer-jumping connected components stays in O(log n) rounds;
-- the vectorized ANN top-k scales linearly with the corpus.
+- the vectorized ANN top-k scales linearly with the corpus;
+- the STREAMING incremental-dedup app (doc_incremental_dedup_app, the
+  engine's flagship continuous-ingest shape) replayed over the same
+  corpus in N micro-batch epochs — with the boilerplate block split
+  across epochs like the adversarial oracle fixture — keeps per-epoch
+  wall time flat as the signature store grows (cost ∝ batch x bucket
+  overlap, never store²), and one compaction cycle collapses the
+  epoch directories into a single base generation.
 
 Usage:  python tools/scale_probe.py [--docs 50000] [--vecs 20000]
 Prints one JSON line with timings + bucket stats; paste into SCALE.md.
@@ -88,10 +95,92 @@ def gen_embeddings(n_vecs: int, dim: int, rng: np.random.Generator):
     ]
 
 
+def probe_incremental_stream(spark, sf_dir: str, n_epochs: int) -> dict:
+    """Replay ``sf_dir``'s documents through the REAL streaming
+    incremental-dedup app in ``n_epochs`` micro-batches (doc_id %
+    n_epochs — the boilerplate block's contiguous ids split across
+    every epoch, the adversarial fixture shape), then run one
+    compaction cycle. Returns per-epoch trigger wall-times (from the
+    engine's own progress events), per-epoch store growth, and the
+    compaction time + resulting generation count."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.session import load_tables
+    from gmall_flink_0526_spark.sources.registry import ChannelRegistry, write_replay
+    from gmall_flink_0526_spark.streaming.pipelines import (
+        compact_signature_store,
+        doc_incremental_dedup_app,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="gmall_incprobe_")
+    try:
+        reg = ChannelRegistry(root)
+        reg.register("ods_documents", schema="doc_id long, text string")
+        write_replay(
+            docs,
+            reg.channels["ods_documents"].path,
+            n_files=n_epochs,
+            order_by=["doc_id"],
+            file_of=F.col("doc_id") % n_epochs,
+        )
+        reg.register("dwd_documents_unique")
+        store = os.path.join(root, "store")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        t0 = time.time()
+        try:
+            # same state-partition trade as the certified replay query
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = doc_incremental_dedup_app(
+                spark, reg, os.path.join(root, "ckpt"), store
+            )
+            q.processAllAvailable()
+            progress = [
+                {
+                    "epoch": p["batchId"],
+                    "rows": p["numInputRows"],
+                    "sec": round(p["durationMs"]["triggerExecution"] / 1000.0, 2),
+                }
+                for p in (json.loads(x.json) for x in q.recentProgress)
+                if p["numInputRows"] > 0
+            ]
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        total_s = round(time.time() - t0, 2)
+        bands = spark.read.parquet(os.path.join(store, "sig_bands"))
+        growth = {
+            int(r["epoch"]): int(r["ct"])
+            for r in bands.groupBy("epoch").agg(F.count("*").alias("ct")).collect()
+        }
+        kept = spark.read.parquet(reg.channels["dwd_documents_unique"].path).count()
+        t0 = time.time()
+        compact_signature_store(spark, store, upto_epoch=n_epochs - 1)
+        compact_s = round(time.time() - t0, 2)
+        gens = sorted(
+            int(r["epoch"])
+            for r in spark.read.parquet(os.path.join(store, "sig_bands"))
+            .select("epoch")
+            .distinct()
+            .collect()
+        )
+        return {
+            "epochs": progress,
+            "total_sec": total_s,
+            "kept_docs": int(kept),
+            "store_rows_per_epoch": growth,
+            "compact_sec": compact_s,
+            "generations_after_compaction": gens,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=50_000)
     ap.add_argument("--vecs", type=int, default=20_000)
+    ap.add_argument("--stream-epochs", type=int, default=6)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     args = ap.parse_args()
 
@@ -160,6 +249,14 @@ def main() -> None:
         dropped = [h for h in hist if h["capped"]]
         saved_pairs = sum(h["cand_pairs"] - h["kept_pairs"] for h in dropped)
 
+        # streaming incremental dedup at both scales: per-epoch times
+        # should stay flat within a run and scale ~linearly with the
+        # per-epoch batch size across runs
+        inc = {
+            label: probe_incremental_stream(spark, sf_dir, args.stream_epochs)
+            for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1))
+        }
+
         # connected-components round count is log(diameter): assert the
         # probe corpus (chains via mutation-of-mutation) stays shallow
         out = {
@@ -168,6 +265,7 @@ def main() -> None:
             "vecs": args.vecs,
             "gen_sec": gen_s,
             "timings": timings,
+            "incremental_stream": inc,
             "hot_buckets_capped": len(dropped),
             "quadratic_pairs_saved": int(saved_pairs),
             "top_buckets": [
