@@ -235,6 +235,51 @@ def near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def quantize_int8(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/transfer
+    prep step for ANN at corpus scale (an int8 code table is 4x
+    smaller than float32 and what a 100 TB embedding store actually
+    serves; IVF/PQ systems quantize exactly this way).
+
+    scale = max|x| / 127; code = clamp(floor(x/scale + 0.5), ±127).
+    The floor(+0.5) form is round-half-up-toward-+inf BY CONSTRUCTION
+    on every engine — no dependence on a round() builtin's tie rule —
+    so codes and reconstruction errors are bit-identical to any IEEE
+    oracle. Map-only: zero shuffles, scales as a scan.
+
+    Output: (id, scale, codes array<int>, max_abs_err) — max_abs_err
+    is the per-vector worst-case reconstruction error |x - code*scale|.
+    """
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    staged = emb.select(
+        F.col(id_col), v, (absmax / F.lit(127.0)).alias("scale")
+    )
+    sc = F.col("scale")
+
+    def code(x):
+        return F.when(sc == 0.0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127), F.floor(x.cast("double") / sc + F.lit(0.5)).cast("int")
+                ),
+            )
+        )
+
+    coded = staged.withColumn("codes", F.transform(v, code))
+    err = F.array_max(
+        F.zip_with(
+            v, F.col("codes"), lambda x, c: F.abs(x.cast("double") - c * sc)
+        )
+    )
+    return coded.select(
+        F.col(id_col), "scale", "codes", err.alias("max_abs_err")
+    )
+
+
 # -- random-hyperplane LSH (SimHash for cosine space) --------------------
 
 RHP_BITS = 16

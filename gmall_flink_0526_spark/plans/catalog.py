@@ -108,6 +108,7 @@ _PRIORITY = (
     "base_db_stream",
     "cdc_materialize",
     "log_split_stream",
+    "embedding_quantize",  # NEW in r5: int8 quantization audit
     # -- rows-only tail slot, rotated back IN this round: the only
     #    no-oracle query must not stand on a stale green row forever --
     "product_stats_approx",
@@ -144,12 +145,12 @@ _PRIORITY = (
     "ann_topk_rhp",
     "embedding_norm_stats",
     "embedding_coverage",
+    # -- overflow past the ~50-entry driver window (57 candidates for
+    #    50 slots): these seven are the catalog's most battle-tested
+    #    map-only/TPC-H-twin/cube queries — green in r2 AND r3,
+    #    unchanged since, and re-oracle-checked at sf0.001 by the full
+    #    pytest sweep every round. They lead the r6 window. -----------
     "sales_rollup",
-    # -- overflow past the ~50-entry driver window (56 candidates for
-    #    50 slots): these six are the catalog's most battle-tested
-    #    map-only/TPC-H-twin queries — green in r2 AND r3, unchanged
-    #    since, and re-oracle-checked at sf0.001 by the full pytest
-    #    sweep every round. They lead the r6 window. ------------------
     "shipping_priority",
     "pricing_summary",
     "record_merge",

@@ -520,6 +520,75 @@ def embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_Q8_CODE = (
+    "greatest(-127, least(127, floor(CAST({x} AS DOUBLE) / sc + 0.5)))"
+)
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS sc
+      FROM embeddings
+    ), e AS (
+      SELECT label, sc,
+             CASE WHEN sc = 0 THEN CAST(0 AS BIGINT) ELSE
+               CAST(list_sum(list_transform(embedding,
+                    x -> CAST({_SQL_Q8_CODE.format(x='x')} AS BIGINT))) AS BIGINT)
+             END AS code_sum,
+             CASE WHEN sc = 0 THEN 0.0 ELSE
+               list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE) - {_SQL_Q8_CODE.format(x='x')} * sc)))
+             END AS max_abs_err
+      FROM s
+    )
+    SELECT label,
+           COUNT(*) AS vec_ct,
+           {{avg_sc}} AS avg_scale,
+           {{avg_err}} AS avg_err,
+           MAX(max_abs_err) AS max_err,
+           CAST(SUM(code_sum) AS BIGINT) AS code_sum
+    FROM e GROUP BY label
+    """.format(
+        avg_sc="CAST(SUM(CAST(sc AS DECIMAL(30,6))) AS DOUBLE) / COUNT(sc)",
+        avg_err="CAST(SUM(CAST(max_abs_err AS DECIMAL(30,6))) AS DOUBLE) / COUNT(max_abs_err)",
+    ),
+    doc="Symmetric int8 embedding quantization audit — the 4x-smaller "
+    "code table a 100 TB embedding store actually serves (the IVF/PQ "
+    "storage prep step): per-vector scale = max|x|/127, code = "
+    "clamp(floor(x/scale + 0.5), ±127) — the floor form is round-half-"
+    "up by construction on every engine, no round() tie-rule "
+    "dependence — then per-label reconstruction-error stats (decimal-"
+    "exact means) and an integer code checksum pinning every code "
+    "cross-engine. Map-only scan + one label-keyed shuffle.",
+    tags=("similarity", "quantization", "llm-prep"),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import exact_avg
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    q = S.quantize_int8(emb, "embedding", "vec_id")
+    joined = q.join(emb.select("vec_id", "label"), "vec_id")
+    code_sum = F.aggregate(
+        F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c
+    )
+    return (
+        joined.withColumn("code_sum_v", code_sum)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("vec_ct"),
+            exact_avg(F.col("scale")).alias("avg_scale"),
+            exact_avg(F.col("max_abs_err")).alias("avg_err"),
+            F.max("max_abs_err").alias("max_err"),
+            F.sum("code_sum_v").cast("long").alias("code_sum"),
+        )
+    )
+
+
 @register(
     "ann_recall_ivf",
     oracle=f"""
