@@ -109,6 +109,7 @@ _PRIORITY = (
     "cdc_materialize",
     "log_split_stream",
     "embedding_quantize",  # NEW in r5: int8 quantization audit
+    "ann_recall_int8",  # NEW in r5: quantized-retrieval recall audit
     # -- rows-only tail slot, rotated back IN this round: the only
     #    no-oracle query must not stand on a stale green row forever --
     "product_stats_approx",
@@ -143,13 +144,13 @@ _PRIORITY = (
     "ann_topk_vectorized",
     "rhp_signature",
     "ann_topk_rhp",
-    "embedding_norm_stats",
     "embedding_coverage",
-    # -- overflow past the ~50-entry driver window (57 candidates for
-    #    50 slots): these seven are the catalog's most battle-tested
-    #    map-only/TPC-H-twin/cube queries — green in r2 AND r3,
-    #    unchanged since, and re-oracle-checked at sf0.001 by the full
-    #    pytest sweep every round. They lead the r6 window. -----------
+    # -- overflow past the ~50-entry driver window (58 candidates for
+    #    50 slots): these eight are the catalog's most battle-tested
+    #    map-only/simple-agg/TPC-H-twin/cube queries — green in r2 AND
+    #    r3, unchanged since, and re-oracle-checked at sf0.001 by the
+    #    full pytest sweep every round. They lead the r6 window. ------
+    "embedding_norm_stats",
     "sales_rollup",
     "shipping_priority",
     "pricing_summary",

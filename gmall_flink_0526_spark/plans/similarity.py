@@ -590,6 +590,88 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_int8",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS sc
+      FROM embeddings
+    ), r AS (
+      SELECT vec_id,
+             CASE WHEN sc = 0 THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding,
+                       x -> {_SQL_Q8_CODE.format(x='x')} * sc) END AS rv
+      FROM s
+    ), probes AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_PROBES}
+    ), qscored AS (
+      SELECT qid, r.vec_id AS cid, {_sql_cosine('qv', 'r.rv')} AS cos_sim
+      FROM r CROSS JOIN probes WHERE r.vec_id != qid
+    ), qranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM qscored
+    ), qtop AS (SELECT qid, cid FROM qranked WHERE rn <= {TOP_K}),
+    bscored AS (
+      SELECT qid, vec_id AS cid, {_sql_cosine('qv', 'embedding')} AS cos_sim
+      FROM embeddings CROSS JOIN probes
+      WHERE vec_id != qid
+    ), branked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM bscored
+    ), brute AS (SELECT qid, cid FROM branked WHERE rn <= {TOP_K})
+    SELECT b.qid,
+           COUNT(i.cid) AS hit_ct,
+           COUNT(i.cid) / {TOP_K}.0 AS recall
+    FROM brute b LEFT JOIN qtop i ON b.qid = i.qid AND b.cid = i.cid
+    GROUP BY b.qid
+    """,
+    doc="Quantized-retrieval quality audit — recall@k of cosine top-k "
+    "over the int8-RECONSTRUCTED corpus (embedding_quantize's codes "
+    "times scale; float probes, quantized corpus — exactly how a "
+    "serving system searches an int8 store) against the exact "
+    "brute-force ranking. Completes the quantization story: "
+    "embedding_quantize pins the 4x storage codes, this pins what "
+    "those codes cost in retrieval quality, both oracle-derived from "
+    "the same floor-based rounding rule.",
+    tags=("similarity", "ann", "quantization", "audit"),
+)
+def ann_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = scoped_persist(t["embeddings"])
+    recon = S.quantize_int8(emb, "embedding", "vec_id").select(
+        "vec_id",
+        F.transform(F.col("codes"), lambda c: c.cast("double") * F.col("scale")).alias(
+            "rv"
+        ),
+    )
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    corpus_q = recon.select(F.col("vec_id").alias("cid"), F.col("rv").alias("cv"))
+    qtop = S.topk_neighbors(probes, corpus_q, TOP_K).select("qid", "cid")
+    corpus_b = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    brute = S.topk_neighbors(probes, corpus_b, TOP_K).select("qid", "cid")
+    qtop_r = qtop.select(F.col("qid").alias("iqid"), F.col("cid").alias("icid"))
+    return (
+        brute.join(
+            qtop_r,
+            (F.col("qid") == F.col("iqid")) & (F.col("cid") == F.col("icid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("icid").alias("hit_ct"),
+            (F.count("icid") / F.lit(float(TOP_K))).alias("recall"),
+        )
+    )
+
+
+@register(
     "ann_recall_ivf",
     oracle=f"""
     WITH {_SQL_KMEANS_CTES},
