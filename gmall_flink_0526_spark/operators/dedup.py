@@ -155,16 +155,22 @@ def minhash_signature(shingles_col, k: int = MINHASH_K):
     return F.array(*[_seeded_minhash(shingles_col, i) for i in range(k)])
 
 
-def lsh_band_keys(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, bk): banded MinHash bucket keys over a shingle
-    DataFrame (doc_id, s). This is the signature table a production
-    corpus materializes ONCE and keeps — both one-shot self-join dedup
-    and incremental new-vs-corpus dedup are joins against it."""
-    sigs = (
+def minhash_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh): the k-minhash signature table over a shingle
+    DataFrame (doc_id, s). Split out of :func:`lsh_band_keys` so
+    consumers that need BOTH the signatures and the band keys (the
+    estimator-calibration audit) materialize the expensive signature
+    stage exactly once."""
+    return (
         sh.filter(F.size("s") > 0)
         .select("doc_id", minhash_signature(F.col("s")).alias("mh"))
         .filter(F.col("mh")[0].isNotNull())
     )
+
+
+def band_keys_from_sigs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, bk) from an (already materialized) signature
+    table (doc_id, mh) — the banding half of :func:`lsh_band_keys`."""
     return sigs.select(
         "doc_id",
         F.explode(
@@ -181,6 +187,14 @@ def lsh_band_keys(sh: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bk")
+
+
+def lsh_band_keys(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bk): banded MinHash bucket keys over a shingle
+    DataFrame (doc_id, s). This is the signature table a production
+    corpus materializes ONCE and keeps — both one-shot self-join dedup
+    and incremental new-vs-corpus dedup are joins against it."""
+    return band_keys_from_sigs(minhash_sigs(sh))
 
 
 def lsh_pairs_from_bands(

@@ -454,3 +454,155 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.count("_m").alias("n_near_dup"))
     )
+
+
+@register(
+    "minhash_estimate_audit",
+    oracle=f"""
+    WITH {SQL_SHINGLES3},
+    {SQL_LSH_CANDIDATES},
+    agr AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_filter(list_transform(range(1, {D.MINHASH_K} + 1),
+                                                 i -> a.m[i] = b.m[i]),
+                                  x -> x)) AS INTEGER) AS agree_ct
+      FROM cand JOIN mh a ON cand.doc_a = a.doc_id
+                JOIN mh b ON cand.doc_b = b.doc_id
+    ),
+    vj AS (
+      SELECT cand.doc_a, cand.doc_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                JOIN sh b ON cand.doc_b = b.doc_id
+    )
+    SELECT agree_ct,
+           agree_ct / {D.MINHASH_K}.0 AS est_jaccard,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(jaccard AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+             AS mean_jaccard
+    FROM agr JOIN vj USING (doc_a, doc_b)
+    GROUP BY agree_ct
+    """,
+    doc=f"MinHash estimator calibration — same cross-method-audit family "
+    "as ann_recall_ivf and lang_id_confusion: for every LSH candidate "
+    "pair, the signature-agreement estimate (matching positions / "
+    f"{D.MINHASH_K}) is binned against the decimal-accumulated mean of "
+    "the EXACT shingle Jaccard. The curve that decides whether k=16 "
+    "signatures are enough before a 100 TB dedup run trusts them. "
+    "Shapes: the signature table is materialized once and feeds both "
+    "banding and agreement (minhash_sigs/band_keys_from_sigs); the "
+    "audit itself is two pair-keyed joins over the capped candidate "
+    "set — audit cost tracks candidates, never corpus².",
+    tags=("dedup", "lsh", "audit"),
+)
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    sh = scoped_persist(D.doc_shingles(t["documents"], "doc_id", "text"))
+    # one signature pass feeds banding AND per-position agreement
+    sigs = scoped_persist(D.minhash_sigs(sh))
+    pairs = D.lsh_pairs_from_bands(scoped_persist(D.band_keys_from_sigs(sigs)))
+    est = (
+        pairs.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("ma")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mb")), "doc_b")
+        .withColumn(
+            "agree_ct",
+            F.size(F.filter(F.zip_with("ma", "mb", lambda x, y: x == y), lambda b: b)),
+        )
+        .select("doc_a", "doc_b", "agree_ct")
+    )
+    verified = D.jaccard_verify(sh, pairs)
+    return (
+        est.join(verified, ["doc_a", "doc_b"])
+        .groupBy("agree_ct")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (F.sum(F.col("jaccard").cast("decimal(30,6)")).cast("double") / F.count("*")).alias(
+                "mean_jaccard"
+            ),
+        )
+        .select(
+            "agree_ct",
+            (F.col("agree_ct") / F.lit(float(D.MINHASH_K))).alias("est_jaccard"),
+            "n_pairs",
+            "mean_jaccard",
+        )
+    )
+
+
+DUP_COV_HIGH = 0.5
+
+
+@register(
+    "duplicate_ngram_coverage",
+    oracle=f"""
+    WITH {SQL_SHINGLES3},
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    exh AS (SELECT doc_id, substr(md5(g), 1, 16) AS gh FROM ex),
+    cnt AS (SELECT gh, COUNT(*) AS doc_ct FROM exh GROUP BY gh),
+    cov AS (
+      SELECT doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN doc_ct >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_shingles
+      FROM exh JOIN cnt USING (gh)
+      GROUP BY doc_id
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(CAST(dup_shingles AS DOUBLE) / n_shingles
+                         AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+             AS mean_dup_cov,
+           CAST(SUM(CASE WHEN CAST(dup_shingles AS DOUBLE) / n_shingles
+                              >= {DUP_COV_HIGH} THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_high
+    FROM cov JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="Duplicate-n-gram coverage per source — the Gopher/RefinedWeb "
+    "boilerplate signal: for each document, the fraction of its "
+    "distinct 3-gram shingles that also occur in at least one OTHER "
+    "document; aggregated per provenance source (decimal-exact mean + "
+    f"count of docs above {DUP_COV_HIGH}). Unlike the pairwise dedup "
+    "queries this is an inverted-index shape — explode to (doc, "
+    "shingle-hash), one count shuffle on the fixed-width 16-hex hash "
+    "key, one join back, one doc-keyed agg — linear in total shingles "
+    "with no self-join, so it runs corpus-wide at 100 TB where "
+    "pairwise metrics must be capped. Docs with fewer than 3 tokens "
+    "have no shingles and are excluded by construction.",
+    tags=("dedup", "text", "audit"),
+)
+def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import spread
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    sh = D.doc_shingles(docs, "doc_id", "text")
+    # fixed-width hash keys: the shuffle moves 16-hex strings, not
+    # full shingle text (scoped: exh feeds both the count and the join)
+    exh = scoped_persist(
+        spread(sh.select("doc_id", F.explode("s").alias("g")), "doc_id").select(
+            "doc_id", F.substring(F.md5("g"), 1, 16).alias("gh")
+        )
+    )
+    cnt = exh.groupBy("gh").agg(F.count("*").alias("doc_ct"))
+    cov = (
+        exh.join(cnt, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("doc_ct") >= 2, 1).otherwise(0)).alias("dup_shingles"),
+        )
+        .withColumn("dup_cov", F.col("dup_shingles").cast("double") / F.col("n_shingles"))
+    )
+    return (
+        cov.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum(F.col("dup_cov").cast("decimal(30,6)")).cast("double") / F.count("*")).alias(
+                "mean_dup_cov"
+            ),
+            F.sum(F.when(F.col("dup_cov") >= DUP_COV_HIGH, 1).otherwise(0)).alias("docs_high"),
+        )
+    )

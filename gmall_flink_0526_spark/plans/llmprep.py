@@ -810,3 +810,153 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("sa").isNull(), 1)).alias("n_minhash_only"),
         F.count(F.when(F.col("doc_a").isNull(), 1)).alias("n_simhash_only"),
     )
+
+
+# -- mixture weights + length histogram ---------------------------------
+#
+# The two corpus-shaping audits a pre-training run decides its data
+# recipe from: how to re-weight provenance sources toward a target
+# mixture, and how document lengths distribute over power-of-two
+# context buckets (the padded-batching waste that motivates
+# sequence_packing's concat-then-chunk policy).
+
+
+@register(
+    "domain_mixture_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+             COUNT(*) AS n_sources
+      FROM per
+    )
+    SELECT source, n_docs, tokens,
+           CAST(tokens AS DOUBLE) / total_tokens AS natural_share,
+           1.0 / n_sources AS target_share,
+           least(1.0, (1.0 / n_sources)
+                        / (CAST(tokens AS DOUBLE) / total_tokens))
+             AS sample_weight,
+           CAST(floor(tokens * least(1.0, (1.0 / n_sources)
+                        / (CAST(tokens AS DOUBLE) / total_tokens)))
+                AS BIGINT) AS expected_tokens
+    FROM per CROSS JOIN tot
+    """,
+    doc="Domain-mixture rebalancing weights — the data-recipe step "
+    "(DoReMi/Pile-style): per provenance source, token mass and its "
+    "natural share of the corpus, then the downsampling weight "
+    "min(1, target_share / natural_share) that moves the mixture "
+    "toward a uniform target without upsampling, and the token count "
+    "the weighted corpus would contribute. One map-side-combinable "
+    "agg over the corpus + a broadcast scalar for the totals — the "
+    "cheapest query in the family at any scale. All shares are single "
+    "IEEE divisions of exact integer sums, so every engine reproduces "
+    "the exact doubles.",
+    tags=("llm-prep", "audit"),
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    per = (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(textops.tokenize(F.col("text")))).cast("long").alias("tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    natural = F.col("tokens").cast("double") / F.col("total_tokens")
+    target = F.lit(1.0) / F.col("n_sources")
+    weight = F.least(F.lit(1.0), target / natural)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            natural.alias("natural_share"),
+            target.alias("target_share"),
+            weight.alias("sample_weight"),
+            F.floor(F.col("tokens") * weight).cast("long").alias("expected_tokens"),
+        )
+    )
+
+
+@register(
+    "packing_length_histogram",
+    oracle=f"""
+    WITH d AS (SELECT len({SQL_TOKS}) AS n FROM documents),
+    b AS (
+      SELECT n,
+             CASE WHEN n <= 1 THEN CAST(1 AS BIGINT)
+                  ELSE (CAST(1 AS BIGINT) << length(bin(n - 1))) END AS bucket
+      FROM d
+    ),
+    hist AS (
+      SELECT bucket,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS tokens_sum,
+             CAST(SUM(bucket - n) AS BIGINT) AS pad_waste
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(tokens_sum) AS BIGINT) AS total_tokens FROM hist)
+    SELECT bucket, n_docs, tokens_sum, pad_waste,
+           CAST(tokens_sum AS DOUBLE) / total_tokens AS token_share,
+           CAST(CAST(SUM(tokens_sum) OVER (ORDER BY bucket) AS BIGINT) AS DOUBLE)
+             / total_tokens AS cum_token_share
+    FROM hist CROSS JOIN tot
+    """,
+    doc="Sequence-length histogram over power-of-two context buckets — "
+    "the padded-batching audit read next to sequence_packing: per "
+    "bucket (smallest 2^k >= token count, computed with exact integer "
+    "bit-length arithmetic, never float log2), document count, token "
+    "mass, the padding tokens a pad-to-bucket batching policy would "
+    "waste, and the exact/cumulative token share. One grouped agg; "
+    "the window runs over the ~20 post-aggregation bucket rows, never "
+    "the corpus, and the total rides a broadcast scalar.",
+    tags=("llm-prep", "packing", "audit"),
+)
+def packing_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    n = F.size(textops.tokenize(F.col("text")))
+    # shiftleft's numBits must be a column here, so spell it in SQL
+    # (cast through a staged column to keep tokenize to one run per row)
+    b = (
+        t["documents"]
+        .select(n.cast("long").alias("n"))
+        .withColumn(
+            "bucket",
+            F.when(F.col("n") <= 1, F.lit(1).cast("long")).otherwise(
+                F.expr("CAST(shiftleft(1L, length(bin(n - 1))) AS BIGINT)")
+            ),
+        )
+    )
+    hist = b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("long").alias("tokens_sum"),
+        F.sum(F.col("bucket") - F.col("n")).cast("long").alias("pad_waste"),
+    )
+    tot = hist.agg(F.sum("tokens_sum").cast("long").alias("total_tokens"))
+    # the cumulative window sees only the ~20 aggregated bucket rows —
+    # a single-partition window over a histogram, not over data
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_docs",
+            "tokens_sum",
+            "pad_waste",
+            (F.col("tokens_sum").cast("double") / F.col("total_tokens")).alias("token_share"),
+            (
+                F.sum("tokens_sum").over(w).cast("double") / F.col("total_tokens")
+            ).alias("cum_token_share"),
+        )
+    )

@@ -111,13 +111,23 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
     (b) no row-at-a-time Python UDF anywhere (BatchEvalPython) — every
     Python stage must be Arrow-batched (ArrowEvalPython / MapInPandas /
     FlatMapGroupsInPandas)."""
-    # ann_recall_ivf embeds the brute-force baseline by design — the
-    # audit needs the exact ranking to measure IVF recall against
-    allowed_cartesian = {"ann_topk_bruteforce", "ann_topk_vectorized", "ann_recall_ivf"}
+    # the recall audits embed the brute-force baseline by design — the
+    # audit needs the exact ranking to measure IVF/int8 recall against
+    allowed_cartesian = {
+        "ann_topk_bruteforce",
+        "ann_topk_vectorized",
+        "ann_recall_ivf",
+        "ann_recall_int8",
+    }
     # a crossJoin against a BROADCAST 1-ROW aggregate (scalar fan-in,
-    # e.g. tfidf's n_docs) plans as BroadcastNestedLoopJoin — O(n) over
-    # one broadcast row, the intended scale shape, not a real NLJ
-    allowed_scalar_bnlj = {"tfidf_top_terms"}
+    # e.g. tfidf's n_docs, the mixture/histogram totals) plans as
+    # BroadcastNestedLoopJoin — O(n) over one broadcast row, the
+    # intended scale shape, not a real NLJ
+    allowed_scalar_bnlj = {
+        "tfidf_top_terms",
+        "domain_mixture_weights",
+        "packing_length_histogram",
+    }
     skip = {"jdbc_round_trip"}  # writes a DB as a side effect
     for name in plans.queries():
         if name.endswith("_stream") or name in skip:
