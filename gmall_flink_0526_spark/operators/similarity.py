@@ -116,7 +116,16 @@ def kmeans_fit(
         rows = (
             comp.groupBy("c", "pos")
             .agg(
-                (F.sum(F.col("v").cast(KMEANS_DEC)).cast("double") / F.count("*")).alias("m")
+                # float widens to double BEFORE the decimal cast: a
+                # direct float->decimal uses the float's shortest
+                # decimal repr on the JVM but the exact binary
+                # expansion in DuckDB (measured: 158/32k elements
+                # round differently) — via double both engines round
+                # the same value, so centroids are bit-identical
+                (
+                    F.sum(F.col("v").cast("double").cast(KMEANS_DEC)).cast("double")
+                    / F.count("*")
+                ).alias("m")
             )
             .collect()
         )

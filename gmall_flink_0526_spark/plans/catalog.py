@@ -114,6 +114,8 @@ _PRIORITY = (
     "duplicate_ngram_coverage",  # NEW in r5: boilerplate coverage signal
     "domain_mixture_weights",  # NEW in r5: data-recipe mixture weights
     "packing_length_histogram",  # NEW in r5: context-bucket audit
+    "embedding_cluster_stats",  # NEW in r5: k-means occupancy/inertia
+    "embedding_semdedup",  # NEW in r5: learned-cluster semantic dedup
     # -- rows-only tail slot, rotated back IN this round: the only
     #    no-oracle query must not stand on a stale green row forever --
     "product_stats_approx",
@@ -135,8 +137,6 @@ _PRIORITY = (
     "media_decode",
     "media_frame_sample",
     "media_ann_topk",
-    "dataset_split",
-    "doc_chunking",
     "decontaminate",
     "sequence_packing",
     "pii_scrub",
@@ -145,10 +145,11 @@ _PRIORITY = (
     "chunk_dedup",
     "ann_topk_vectorized",
     "embedding_coverage",
-    # -- overflow past the ~50-entry driver window (62 candidates for
-    #    50 slots): eight are the catalog's most battle-tested
+    # -- overflow past the ~50-entry driver window (64 candidates for
+    #    50 slots): ten are the catalog's most battle-tested
     #    map-only/simple-agg/TPC-H-twin/cube queries — green in r2 AND
-    #    r3, unchanged since; four more (rhp_signature, ann_topk_rhp,
+    #    r3, unchanged since (dataset_split and doc_chunking join that
+    #    class this round); four more (rhp_signature, ann_topk_rhp,
     #    media_resize_audit, media_features_head) are r3-green queries
     #    whose underlying machinery IS r5-certified through in-window
     #    siblings (rhp_near_dup exercises the same signature+banded
@@ -159,6 +160,8 @@ _PRIORITY = (
     "ann_topk_rhp",
     "media_resize_audit",
     "media_features_head",
+    "dataset_split",
+    "doc_chunking",
     "embedding_norm_stats",
     "sales_rollup",
     "shipping_priority",

@@ -193,7 +193,7 @@ def _sql_recompute(a_name: str, ctr_name: str) -> str:
     return f"""
     m_{ctr_name} AS (
       SELECT c, x.pos AS pos,
-             CAST(SUM(CAST(x.v AS {_DEC})) AS DOUBLE) / COUNT(*) AS m
+             CAST(SUM(CAST(CAST(x.v AS DOUBLE) AS {_DEC})) AS DOUBLE) / COUNT(*) AS m
       FROM (SELECT c,
                    unnest(list_transform(range(1, len(embedding) + 1),
                           i -> {{'pos': i, 'v': embedding[i]}})) AS x
@@ -748,4 +748,114 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("icid").alias("hit_ct"),
             (F.count("icid") / F.lit(float(TOP_K))).alias("recall"),
         )
+    )
+
+
+# -- SemDeDup: cluster-then-dedup curation over learned clusters --------
+#
+# Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"): k-means-cluster the embedding
+# space, then look for semantic duplicates only WITHIN a cluster —
+# the pairwise comparison is bucketed by a LEARNED partition instead
+# of a ground-truth label (embedding_near_dup's bucketing) or a hash
+# family (rhp_near_dup's). Both queries reuse the ann_topk_ivf_kmeans
+# fit (same KM_K/KM_ITERS/KM_FIT_N recipe, so the oracle re-derives
+# the identical centroids).
+
+SEMDEDUP_T = 0.45
+
+
+def _fit_and_assign(spark: SparkSession, sf_dir: str):
+    from ..operators.cache import scoped_persist
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = scoped_persist(t["embeddings"])
+    cents = S.kmeans_fit(emb, "embedding", "vec_id", k=KM_K, iters=KM_ITERS, fit_limit=KM_FIT_N)
+    assigned = scoped_persist(S.with_cluster(emb, "embedding", cents))
+    return assigned, cents
+
+
+@register(
+    "embedding_cluster_stats",
+    oracle=f"""
+    WITH {_SQL_KMEANS_CTES}
+    SELECT CAST(a.c AS INTEGER) AS c,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST({_sql_sqdist('a.embedding', 't.cv')} AS DECIMAL(30,6)))
+                AS DOUBLE) / COUNT(*) AS mean_sqdist
+    FROM afinal a JOIN ctr2 t ON a.c = t.c
+    GROUP BY a.c
+    """,
+    doc="Cluster-occupancy/inertia audit over the fitted k-means "
+    "partition — the report SemDeDup-style curation reads before "
+    "trusting its clusters: per cluster, member count and the "
+    "decimal-exact mean squared distance to the centroid. A skewed "
+    "occupancy or an inflated inertia says the fit (or k) is wrong "
+    "before any dedup runs — same role lsh_bucket_audit plays for the "
+    "hash families. One broadcast join against the k-row centroid "
+    "table + one grouped agg.",
+    tags=("similarity", "kmeans", "audit"),
+)
+def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, cents = _fit_and_assign(spark, sf_dir)
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in cv]) for c, cv in cents], "c int, cv array<double>"
+    )
+    return (
+        assigned.withColumn("c", F.col("c").cast("int"))
+        .join(F.broadcast(cent_df), "c")
+        .withColumn("sqd", S.sq_dist(F.col("embedding"), F.col("cv")))
+        .groupBy("c")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.sum(F.col("sqd").cast("decimal(30,6)")).cast("double") / F.count("*")).alias(
+                "mean_sqdist"
+            ),
+        )
+    )
+
+
+@register(
+    "embedding_semdedup",
+    oracle=f"""
+    WITH {_SQL_KMEANS_CTES}
+    SELECT CAST(a.c AS INTEGER) AS c,
+           a.vec_id AS ida, b.vec_id AS idb,
+           {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM afinal a JOIN afinal b ON a.c = b.c AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= {SEMDEDUP_T}
+    """,
+    doc=f"SemDeDup semantic near-duplicate pairs: cosine >= "
+    f"{SEMDEDUP_T} evaluated only within a LEARNED k-means cluster — "
+    "the label-free web-scale recipe (embedding_near_dup needs a "
+    "ground-truth bucket column; this derives its buckets from the "
+    "data). Candidates are an equi-join on the cluster id, so cost is "
+    "sum(cluster size²), never corpus²; at 100 TB k grows with the "
+    "corpus to hold cluster sizes bounded (the SemDeDup paper's own "
+    "regime), and the min-id side of each pair is the canonical "
+    "survivor exactly as in the LSH families.",
+    tags=("similarity", "kmeans", "dedup"),
+)
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import spread
+
+    assigned, _ = _fit_and_assign(spark, sf_dir)
+    a = spread(
+        assigned.select(
+            F.col("c").cast("int").alias("c"),
+            F.col("vec_id").alias("ida"),
+            F.col("embedding").alias("va"),
+        ),
+        "ida",
+    )
+    b = assigned.select(
+        F.col("c").cast("int").alias("cb"),
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("vb"),
+    )
+    return (
+        a.join(b, (F.col("c") == F.col("cb")) & (F.col("ida") < F.col("idb")))
+        .withColumn("cos_sim", S.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= SEMDEDUP_T)
+        .select("c", "ida", "idb", "cos_sim")
     )

@@ -226,6 +226,14 @@ def main() -> None:
             "decontaminate",
             "sequence_packing",
             "tfidf_top_terms",
+            # r5 additions: the inverted-index coverage signal must stay
+            # linear in total shingles; SemDeDup's pairwise stage must
+            # track sum(cluster size^2) as the corpus (and its cluster
+            # count's occupancy) grows; the calibration audit must track
+            # the capped candidate count
+            "duplicate_ngram_coverage",
+            "embedding_semdedup",
+            "minhash_estimate_audit",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
