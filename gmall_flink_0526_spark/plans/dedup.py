@@ -577,7 +577,12 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"]
-    sh = D.doc_shingles(docs, "doc_id", "text")
+    # persist the shingle arrays BEFORE the explode, like every LSH
+    # consumer: feeding the staged tokenize->shingle chain straight
+    # into Generate re-inlines it (measured: 20 s vs 2.4 s + 0.4 s at
+    # sf0.1 — the same materialization-barrier lesson as
+    # lsh_bucket_audit in r4)
+    sh = scoped_persist(D.doc_shingles(docs, "doc_id", "text"))
     # fixed-width hash keys: the shuffle moves 16-hex strings, not
     # full shingle text (scoped: exh feeds both the count and the join)
     exh = scoped_persist(

@@ -626,3 +626,57 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("o_totalprice")).alias("amount"),
         )
     )
+
+
+@register(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {sql_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS line_ct
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape — the 6-table join chain (region -> nation -> "
+    "customer/supplier -> orders -> lineitem) with the correlated "
+    "same-nation predicate between customer and supplier. The widest "
+    "join surface in the catalog: region/nation/supplier ride "
+    "broadcasts by stats, the two fact tables join on their natural "
+    "keys, and the date range prunes orders at the scan. Revenue "
+    "accumulates in decimal (functions/exact) so both engines emit "
+    "the identical doubles.",
+    tags=("agg", "join", "tpch"),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("line_ct"),
+        )
+    )
