@@ -117,6 +117,7 @@ _PRIORITY = (
     "embedding_cluster_stats",  # NEW in r5: k-means occupancy/inertia
     "embedding_semdedup",  # NEW in r5: learned-cluster semantic dedup
     "local_supplier_volume",  # NEW in r5: TPC-H Q5 6-table join chain
+    "doc_quality_gate_stream",  # NEW in r5: quality-gate app under the oracle
     # -- rows-only tail slot, rotated back IN this round: the only
     #    no-oracle query must not stand on a stale green row forever --
     "product_stats_approx",
@@ -140,16 +141,15 @@ _PRIORITY = (
     "media_ann_topk",
     "decontaminate",
     "sequence_packing",
-    "repetition_ratio",
     "stratified_sample",
     "chunk_dedup",
     "ann_topk_vectorized",
     "embedding_coverage",
-    # -- overflow past the ~50-entry driver window (65 candidates for
-    #    50 slots): eleven are the catalog's most battle-tested
+    # -- overflow past the ~50-entry driver window (66 candidates for
+    #    50 slots): twelve are the catalog's most battle-tested
     #    map-only/simple-agg/TPC-H-twin/cube queries — green in r2 AND
-    #    r3, unchanged since (dataset_split, doc_chunking and pii_scrub
-    #    join that class this round); four more (rhp_signature, ann_topk_rhp,
+    #    r3, unchanged since (dataset_split, doc_chunking, pii_scrub and
+    #    repetition_ratio join that class this round); four more (rhp_signature, ann_topk_rhp,
     #    media_resize_audit, media_features_head) are r3-green queries
     #    whose underlying machinery IS r5-certified through in-window
     #    siblings (rhp_near_dup exercises the same signature+banded
@@ -163,6 +163,7 @@ _PRIORITY = (
     "dataset_split",
     "doc_chunking",
     "pii_scrub",
+    "repetition_ratio",
     "embedding_norm_stats",
     "sales_rollup",
     "shipping_priority",

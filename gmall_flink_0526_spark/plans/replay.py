@@ -656,3 +656,114 @@ def payment_wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("pay_time"),
         )
     )
+
+
+from .text import SQL_STOPS as _SQL_STOPS, SQL_TOKS as _SQL_TOKS  # noqa: E402
+
+
+@register(
+    "doc_quality_gate_stream",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, text,
+             CAST(len(toks) AS DOUBLE) AS n,
+             CAST(len(list_filter(toks, x -> x IN {_SQL_STOPS})) AS DOUBLE)
+               / len(toks) AS stop_score,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS mean_len
+      FROM t
+    ),
+    g AS (
+      SELECT text,
+             least(n / 200.0, 1.0) * 0.4 + stop_score * 0.3
+               + (1.0 - least(abs(mean_len - 5.0) / 10.0, 1.0)) * 0.3 AS quality
+      FROM c
+      WHERE stop_score >= 0.05
+        AND least(n / 200.0, 1.0) * 0.4 + stop_score * 0.3
+              + (1.0 - least(abs(mean_len - 5.0) / 10.0, 1.0)) * 0.3 >= 0.5
+    ),
+    d AS (
+      SELECT md5(text) AS h, MIN(length(text)) AS len, MIN(quality) AS q
+      FROM g GROUP BY md5(text)
+    )
+    SELECT COUNT(*) AS kept_ct,
+           (SELECT COUNT(*) FROM documents) - COUNT(*) AS rejected_ct,
+           CAST(SUM(len) AS BIGINT) AS len_checksum,
+           CAST(SUM(CAST(q AS DECIMAL(30,6))) AS DOUBLE) AS quality_sum
+    FROM d
+    """,
+    doc="The ingest-time corpus front gate under the external oracle — "
+    "the REAL doc_quality_gate_app (language + quality thresholds as "
+    "map-only stream expressions, then exact digest dedup via native "
+    "dropDuplicates with watermark-bounded state) replayed over the "
+    "documents fixture in 3 micro-batches. The checked aggregate is "
+    "deliberately digest-keyed (count, per-digest text-length and "
+    "quality checksums): which of two same-text twins survives the "
+    "in-batch dropDuplicates race is nondeterministic, but every "
+    "text-derived value is twin-invariant, so the oracle re-derives "
+    "the gate + first-per-digest semantics exactly.",
+    tags=("streaming", "llm-prep", "replay", "quality"),
+)
+def doc_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators import textops
+    from ..operators.partitioning import spread
+    from ..sources.registry import ChannelRegistry, write_replay
+    from ..streaming.pipelines import doc_quality_gate_app
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    lines = spread(docs, "doc_id").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    )
+    root = temp_replay_root("gmall_qgate_")
+    reg = ChannelRegistry(root)
+    reg.register(
+        "ods_documents",
+        schema="doc_id long, text string, lang string, source string, "
+        "n_chars long, ts timestamp",
+    )
+    write_replay(
+        lines.select("doc_id", "text", "lang", "source", "n_chars", "ts"),
+        reg.channels["ods_documents"].path,
+        n_files=3,
+        order_by=["ts", "doc_id"],
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # dropDuplicates state partitions are commit units, not compute
+        # (the r4 replay lesson): 8, not the session default — in a
+        # vanilla 200-partition session the 3-batch replay otherwise
+        # pays 600 state-store commits
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = doc_quality_gate_app(spark, reg, os.path.join(root, "ckpt"))
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = textops.with_tokens(reg.read_batch(spark, "dwd_documents_quality"))
+    per_digest = (
+        out.select(
+            F.md5("text").alias("h"),
+            F.length("text").alias("len"),
+            textops.quality_score(F.col("toks"), F.col("text")).alias("q"),
+        )
+        .groupBy("h")
+        .agg(F.min("len").alias("len"), F.min("q").alias("q"))
+    )
+    total = docs.agg(F.count("*").alias("total_ct"))
+    return (
+        per_digest.agg(
+            F.count("*").alias("kept_ct"),
+            F.sum("len").cast("long").alias("len_checksum"),
+            F.sum(F.col("q").cast("decimal(30,6)")).cast("double").alias("quality_sum"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "kept_ct",
+            (F.col("total_ct") - F.col("kept_ct")).alias("rejected_ct"),
+            "len_checksum",
+            "quality_sum",
+        )
+    )
