@@ -118,6 +118,7 @@ _PRIORITY = (
     "embedding_semdedup",  # NEW in r5: learned-cluster semantic dedup
     "local_supplier_volume",  # NEW in r5: TPC-H Q5 6-table join chain
     "doc_quality_gate_stream",  # NEW in r5: quality-gate app under the oracle
+    "semdedup_survivors",  # NEW in r5: the pruned SemDeDup corpus
     # -- rows-only tail slot, rotated back IN this round: the only
     #    no-oracle query must not stand on a stale green row forever --
     "product_stats_approx",
@@ -141,15 +142,14 @@ _PRIORITY = (
     "media_ann_topk",
     "decontaminate",
     "sequence_packing",
-    "stratified_sample",
     "chunk_dedup",
     "ann_topk_vectorized",
     "embedding_coverage",
-    # -- overflow past the ~50-entry driver window (66 candidates for
-    #    50 slots): twelve are the catalog's most battle-tested
+    # -- overflow past the ~50-entry driver window (67 candidates for
+    #    50 slots): thirteen are the catalog's most battle-tested
     #    map-only/simple-agg/TPC-H-twin/cube queries — green in r2 AND
-    #    r3, unchanged since (dataset_split, doc_chunking, pii_scrub and
-    #    repetition_ratio join that class this round); four more (rhp_signature, ann_topk_rhp,
+    #    r3, unchanged since (dataset_split, doc_chunking, pii_scrub,
+    #    repetition_ratio and stratified_sample join that class this round); four more (rhp_signature, ann_topk_rhp,
     #    media_resize_audit, media_features_head) are r3-green queries
     #    whose underlying machinery IS r5-certified through in-window
     #    siblings (rhp_near_dup exercises the same signature+banded
@@ -164,6 +164,7 @@ _PRIORITY = (
     "doc_chunking",
     "pii_scrub",
     "repetition_ratio",
+    "stratified_sample",
     "embedding_norm_stats",
     "sales_rollup",
     "shipping_priority",

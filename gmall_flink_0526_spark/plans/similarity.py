@@ -923,3 +923,87 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= SEMDEDUP_T)
         .select("c", "ida", "idb", "cos_sim")
     )
+
+
+@register(
+    "semdedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_KMEANS_CTES},
+    cstat AS (
+      SELECT c, COUNT(*) AS cct, MIN(vec_id) AS rep FROM afinal GROUP BY c
+    ),
+    cand AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM afinal a
+      JOIN cstat ON a.c = cstat.c AND cstat.cct <= {SEMDEDUP_MAX_CLUSTER}
+      JOIN afinal b ON a.c = b.c AND a.vec_id < b.vec_id
+      UNION
+      SELECT t.rep AS ida, f.vec_id AS idb
+      FROM afinal f JOIN cstat t ON f.c = t.c
+      WHERE t.cct > {SEMDEDUP_MAX_CLUSTER} AND f.vec_id > t.rep
+    ),
+    anorm AS (
+      SELECT vec_id, embedding,
+             sqrt({SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM afinal
+    ),
+    pairs AS (
+      SELECT cand.ida, cand.idb
+      FROM cand JOIN anorm a ON cand.ida = a.vec_id
+                JOIN anorm b ON cand.idb = b.vec_id
+      WHERE {SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+              >= {SEMDEDUP_T}
+    ),
+    e AS (SELECT ida AS s, idb AS d FROM pairs
+          UNION ALL SELECT idb, ida FROM pairs),
+    reach(n, r) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.n
+    ),
+    comp AS (SELECT n AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY n)
+    SELECT vec_id, TRUE AS was_clustered FROM comp WHERE vec_id = cluster_id
+    UNION ALL
+    SELECT emb.vec_id, FALSE AS was_clustered FROM embeddings emb
+    WHERE emb.vec_id NOT IN (SELECT vec_id FROM comp)
+    """,
+    doc="The SemDeDup recipe's actual output — the pruned embedding "
+    "corpus: every vector not in any semantic near-dup group, plus one "
+    "canonical min-id representative per group. Same composition as "
+    "dedup_survivors (pairs -> connected components -> one doc-keyed "
+    "left join against the corpus), with the pair stage being "
+    "embedding_semdedup's capped within-cluster join — so the whole "
+    "chain stays bounded at 100 TB for the same reasons, and the "
+    "min-id canonicalization matches every other dedup family.",
+    tags=("similarity", "kmeans", "dedup", "graph"),
+)
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from ..operators.partitioning import spread
+
+    assigned, _ = _fit_and_assign(spark, sf_dir)
+    ckeys = assigned.select(F.col("c").cast("int").alias("c"), "vec_id")
+    pairs = D.lsh_pairs_from_bands(
+        ckeys,
+        max_bucket=SEMDEDUP_MAX_CLUSTER,
+        keys=("c",),
+        id_col="vec_id",
+        out=("ida", "idb"),
+    )
+    nrm = F.sqrt(S.norm_sq(F.col("embedding")))
+    a = assigned.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"), nrm.alias("na"))
+    b = assigned.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"), nrm.alias("nb"))
+    verified = (
+        spread(pairs, "ida")
+        .join(a, "ida")
+        .join(b, "idb")
+        .filter(S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= SEMDEDUP_T)
+        .select("ida", "idb")
+    )
+    comp = connected_components(verified, "ida", "idb", num_partitions=8)
+    vecs = load_tables(spark, sf_dir, "embeddings")["embeddings"].select("vec_id")
+    return (
+        vecs.join(comp, vecs["vec_id"] == comp["node"], "left")
+        .filter(F.col("node").isNull() | (F.col("node") == F.col("comp")))
+        .select("vec_id", F.col("node").isNotNull().alias("was_clustered"))
+    )
