@@ -77,11 +77,15 @@ _LOADED = False
 # correctness gate checks roughly the first 50 registered queries.
 # ROTATION POLICY (round 4 on): each round the window holds (a) every
 # query whose semantics or implementation changed this round, (b) every
-# new query, then (c) the half of the catalog whose last green row is
-# oldest — so with a ~50-entry window over ~90 queries, no query's
-# certification is ever more than one round stale, and changed code is
-# always re-proven the round it changes. Queries past the window stand
-# on their most recent green row (CORRECTNESS_r0N.json history).
+# new query, then (c) as many of the oldest-green queries as fit —
+# changed code is always re-proven the round it changes. When new +
+# changed queries crowd out part of the oldest-green set (round 5:
+# ten new queries), the displaced queries move to the documented
+# overflow block below, lead the NEXT round's window, and are covered
+# this round by (1) the full sf0.001 oracle sweep in pytest and
+# (2) an in-repo full-catalog run of the driver-style gate at sf0.01
+# (`tools/vanilla_gate.py`, result recorded in BASELINE.md) — so no
+# query ever stands on an unchecked stale row, even past the window.
 _PRIORITY = (
     # -- changed this round (r5): the hot-bucket cap became
     #    REPRESENTATIVE-based (operators/dedup.hot_bucket_split) and
