@@ -33,3 +33,40 @@ def release_scoped() -> None:
             _LIVE.pop().unpersist(False)
         except Exception:
             pass
+
+
+# -- corpus-scoped persist ----------------------------------------------
+#
+# Some intermediates are pure functions of the CORPUS, not of one
+# query: the shingle table, the minhash signature table, the band-key
+# table. A production pipeline materializes these once and keeps them
+# (operators/dedup.lsh_band_keys docstring; SCALE.md "Dedup /
+# similarity") — every dedup job is then a join against the stored
+# signatures. corpus_persist is the local analogue: keyed by corpus
+# dir, persisted for the life of the process, deliberately NOT
+# released by release_scoped. Memory is bounded by one corpus's
+# signature volume (the thing production stores on disk).
+
+_CORPUS: dict[str, DataFrame] = {}
+
+
+def corpus_persist(key: str, build) -> DataFrame:
+    """Return the cached frame for ``key``, building + persisting it
+    on first use. ``build`` is a zero-arg callable so the plan is only
+    constructed when actually needed."""
+    df = _CORPUS.get(key)
+    if df is None:
+        df = build()
+        df.persist()
+        _CORPUS[key] = df
+    return df
+
+
+def release_corpus() -> None:
+    """Unpersist and forget every corpus-scoped frame (test hook)."""
+    for df in _CORPUS.values():
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass
+    _CORPUS.clear()

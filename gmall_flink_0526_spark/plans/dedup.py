@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as D
-from ..operators.cache import scoped_persist
+from ..operators.cache import corpus_persist, scoped_persist
 from ..session import load_tables
 from .catalog import register
 from .text import SQL_TOKS
@@ -20,6 +20,35 @@ JACCARD_THRESHOLD = 0.5
 # a small fixed width; at 100 TB pass a count sized to the edge volume
 # (the operator parameter exists for exactly that).
 CC_PARTITIONS = 8
+
+# -- corpus-scoped intermediates ----------------------------------------
+#
+# The shingle / signature / band-key tables are pure functions of the
+# corpus dir — the tables a production corpus materializes ONCE and
+# keeps (SCALE.md). Cached across catalog queries via corpus_persist:
+# ten LSH-family queries stop re-tokenizing and re-hashing the same
+# corpus, exactly as ten production jobs would all join the one stored
+# signature table.
+
+
+def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return corpus_persist(
+        f"shingles3:{sf_dir}", lambda: D.doc_shingles(docs, "doc_id", "text")
+    )
+
+
+def corpus_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_persist(
+        f"sigs:{sf_dir}", lambda: D.minhash_sigs(corpus_shingles(spark, sf_dir))
+    )
+
+
+def corpus_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_persist(
+        f"bands:{sf_dir}", lambda: D.band_keys_from_sigs(corpus_sigs(spark, sf_dir))
+    )
+
 
 # -- shared oracle CTEs -------------------------------------------------
 
@@ -122,12 +151,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, "documents")
-    # shingles feed both candidate generation and verification — persist
-    # (scoped: released when the next catalog query starts) so the
-    # expensive tokenize/shingle pass runs once
-    sh = scoped_persist(D.doc_shingles(t["documents"], "doc_id", "text"))
-    pairs = D.lsh_candidate_pairs(sh)
+    # shingles and band keys come from the corpus-scoped cache: the
+    # tokenize/shingle/signature passes run once per corpus per
+    # process, as production's stored signature table would
+    sh = corpus_shingles(spark, sf_dir)
+    pairs = D.lsh_pairs_from_bands(corpus_band_keys(spark, sf_dir))
     verified = D.jaccard_verify(sh, pairs)
     return verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
@@ -162,9 +190,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    # the shingle frame feeds BOTH sides of the verify join — persist
-    # (scoped) or the tokenize/shingle pass runs twice
-    sh = scoped_persist(D.doc_shingles(docs, "doc_id", "text"))
+    sh = corpus_shingles(spark, sf_dir)
     return D.jaccard_verify(sh, blocked).filter(F.col("jaccard") >= 0.02)
 
 
@@ -203,10 +229,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components, with_cluster_sizes
 
-    t = load_tables(spark, sf_dir, "documents")
-    sh = scoped_persist(D.doc_shingles(t["documents"], "doc_id", "text"))
+    sh = corpus_shingles(spark, sf_dir)
     pairs = (
-        D.jaccard_verify(sh, D.lsh_candidate_pairs(sh))
+        D.jaccard_verify(sh, D.lsh_pairs_from_bands(corpus_band_keys(spark, sf_dir)))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
@@ -253,9 +278,9 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     t = load_tables(spark, sf_dir, "documents")
-    sh = scoped_persist(D.doc_shingles(t["documents"], "doc_id", "text"))
+    sh = corpus_shingles(spark, sf_dir)
     pairs = (
-        D.jaccard_verify(sh, D.lsh_candidate_pairs(sh))
+        D.jaccard_verify(sh, D.lsh_pairs_from_bands(corpus_band_keys(spark, sf_dir)))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
@@ -343,9 +368,8 @@ NEW_MOD = 5  # fixture split: doc_id % 5 == 0 is the "incoming batch"
     tags=("dedup", "lsh", "incremental"),
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, "documents")
-    sh = scoped_persist(D.doc_shingles(t["documents"], "doc_id", "text"))
-    bands = scoped_persist(D.lsh_band_keys(sh))
+    sh = corpus_shingles(spark, sf_dir)
+    bands = corpus_band_keys(spark, sf_dir)
     new_b = bands.filter(F.col("doc_id") % NEW_MOD == 0)
     corp_b = bands.filter(F.col("doc_id") % NEW_MOD != 0)
     cand = D.lsh_candidates_against(new_b, corp_b)
@@ -379,13 +403,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh", "audit"),
 )
 def lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, "documents")
-    # persist the shingle stage: the 16 minhash branches each reference
-    # the shingle array, and without a materialization barrier Catalyst
-    # collapses the staged projections and re-evaluates the tokenizer
-    # ~11x per row (measured 27 s -> 1.4 s at sf0.1 for the band table)
-    sh = scoped_persist(D.doc_shingles(t["documents"], "doc_id", "text"))
-    bsz = D.lsh_band_keys(sh).groupBy("band", "bk").agg(F.count("*").alias("sz"))
+    # the corpus-scoped band table IS the materialization barrier the
+    # 16-minhash stage needs (the r4 lesson: without it Catalyst
+    # re-evaluates the tokenizer ~11x per row — 27 s vs 1.4 s at sf0.1)
+    bsz = corpus_band_keys(spark, sf_dir).groupBy("band", "bk").agg(F.count("*").alias("sz"))
     return bsz.groupBy("sz").agg(
         F.count("*").alias("n_buckets"),
         F.sum(F.expr("sz * (sz - 1) div 2")).cast("long").alias("cand_pairs"),
@@ -437,9 +458,9 @@ def lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"]
-    sh = scoped_persist(D.doc_shingles(docs, "doc_id", "text"))
+    sh = corpus_shingles(spark, sf_dir)
     vp = (
-        D.jaccard_verify(sh, D.lsh_candidate_pairs(sh))
+        D.jaccard_verify(sh, D.lsh_pairs_from_bands(corpus_band_keys(spark, sf_dir)))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     partners = (
@@ -497,11 +518,10 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh", "audit"),
 )
 def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, "documents")
-    sh = scoped_persist(D.doc_shingles(t["documents"], "doc_id", "text"))
-    # one signature pass feeds banding AND per-position agreement
-    sigs = scoped_persist(D.minhash_sigs(sh))
-    pairs = D.lsh_pairs_from_bands(scoped_persist(D.band_keys_from_sigs(sigs)))
+    sh = corpus_shingles(spark, sf_dir)
+    # one corpus-scoped signature pass feeds banding AND agreement
+    sigs = corpus_sigs(spark, sf_dir)
+    pairs = D.lsh_pairs_from_bands(corpus_band_keys(spark, sf_dir))
     est = (
         pairs.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("ma")), "doc_a")
         .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mb")), "doc_b")
@@ -577,12 +597,11 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"]
-    # persist the shingle arrays BEFORE the explode, like every LSH
-    # consumer: feeding the staged tokenize->shingle chain straight
-    # into Generate re-inlines it (measured: 20 s vs 2.4 s + 0.4 s at
-    # sf0.1 — the same materialization-barrier lesson as
-    # lsh_bucket_audit in r4)
-    sh = scoped_persist(D.doc_shingles(docs, "doc_id", "text"))
+    # the corpus-scoped shingle table doubles as the materialization
+    # barrier the explode needs: feeding the staged tokenize->shingle
+    # chain straight into Generate re-inlines it (measured: 20 s vs
+    # 2.4 s + 0.4 s at sf0.1)
+    sh = corpus_shingles(spark, sf_dir)
     # fixed-width hash keys: the shuffle moves 16-hex strings, not
     # full shingle text (scoped: exh feeds both the count and the join)
     exh = scoped_persist(

@@ -22,6 +22,7 @@ from ..operators.cache import scoped_persist
 from ..operators.partitioning import spread
 from ..session import load_tables
 from .catalog import register
+from .dedup import corpus_band_keys, corpus_shingles
 from .text import SQL_TOKS
 
 # hex nibble -> int, the DuckDB twin of Spark's conv(hex, 16, 10)
@@ -608,9 +609,9 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"]
-    sh = scoped_persist(D.doc_shingles(docs, "doc_id", "text"))
+    sh = corpus_shingles(spark, sf_dir)
     pairs = (
-        D.jaccard_verify(sh, D.lsh_candidate_pairs(sh))
+        D.jaccard_verify(sh, D.lsh_pairs_from_bands(corpus_band_keys(spark, sf_dir)))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
@@ -790,9 +791,9 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"]
-    sh = scoped_persist(D.doc_shingles(docs, "doc_id", "text"))
+    sh = corpus_shingles(spark, sf_dir)
     mh_pairs = (
-        D.jaccard_verify(sh, D.lsh_candidate_pairs(sh))
+        D.jaccard_verify(sh, D.lsh_pairs_from_bands(corpus_band_keys(spark, sf_dir)))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
