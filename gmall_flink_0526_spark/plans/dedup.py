@@ -31,22 +31,31 @@ CC_PARTITIONS = 8
 # signature table.
 
 
+def _ckey(spark: SparkSession, kind: str, sf_dir: str) -> str:
+    # cache entries are per-SparkSession (applicationId): a frame
+    # persisted in a stopped session must never be served to a new one
+    return f"{spark.sparkContext.applicationId}:{kind}:{sf_dir}"
+
+
 def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return corpus_persist(
-        f"shingles3:{sf_dir}", lambda: D.doc_shingles(docs, "doc_id", "text")
+        _ckey(spark, "shingles3", sf_dir),
+        lambda: D.doc_shingles(docs, "doc_id", "text"),
     )
 
 
 def corpus_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_persist(
-        f"sigs:{sf_dir}", lambda: D.minhash_sigs(corpus_shingles(spark, sf_dir))
+        _ckey(spark, "sigs", sf_dir),
+        lambda: D.minhash_sigs(corpus_shingles(spark, sf_dir)),
     )
 
 
 def corpus_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_persist(
-        f"bands:{sf_dir}", lambda: D.band_keys_from_sigs(corpus_sigs(spark, sf_dir))
+        _ckey(spark, "bands", sf_dir),
+        lambda: D.band_keys_from_sigs(corpus_sigs(spark, sf_dir)),
     )
 
 
