@@ -201,3 +201,27 @@ def test_incremental_dedup_stream_stores_broadcast_batch_side(spark, tmp_path):
         cross.explain("formatted")
     p = buf.getvalue()
     assert "BroadcastHashJoin" in p
+
+
+def test_local_supplier_volume_pushdown_no_cartesian(spark):
+    """TPC-H Q5 twin: the order-date range must reach the orders scan
+    and the 6-table chain must plan equi-joins only."""
+    p = plan_of(spark, "local_supplier_volume")
+    assert "GreaterThanOrEqual(o_orderdate" in p and "LessThan(o_orderdate" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_duplicate_ngram_coverage_prunes_scan(spark):
+    """The inverted-index coverage signal reads only (doc_id, text)
+    for the shingle side — text payloads never ride the shuffle."""
+    p = plan_of(spark, "duplicate_ngram_coverage")
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and all("n_chars" not in g and "lang" not in g for g in m)
+
+
+def test_embedding_semdedup_no_cartesian(spark):
+    """SemDeDup's within-cluster join must stay an equi-join on the
+    cluster id (plus the capped representative union) — never a
+    cross join over the corpus."""
+    p = plan_of(spark, "embedding_semdedup")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
