@@ -165,3 +165,45 @@ def test_minhash_signature_matches_python_model(spark, shingle_sets):
             for seed in range(MINHASH_K)
         ]
         assert list(r["mh"]) == want
+
+
+def test_product_stats_approx_bounded_against_exact(spark):
+    """product_stats_approx is the catalog's only rows-only query (HLL
+    sketches are not cross-engine reproducible), so pin it here
+    instead: per brand, the HLL++ distinct-order estimate must sit
+    within 10% of the exact count (default rsd 5%; small-cardinality
+    groups are near-exact), and the non-sketch column must match the
+    exact aggregation exactly."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark import plans
+    from gmall_flink_0526_spark.session import load_tables
+
+    from .conftest import SF_SMOKE
+
+    approx = {
+        r["p_brand"]: r
+        for r in plans.queries()["product_stats_approx"](spark, SF_SMOKE).collect()
+    }
+    t = load_tables(spark, SF_SMOKE, "lineitem", "part")
+    exact = {
+        r["p_brand"]: r
+        for r in (
+            t["lineitem"]
+            .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(
+                F.countDistinct("l_orderkey").alias("order_ct"),
+                F.count("*").alias("line_ct"),
+            )
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for brand, a in approx.items():
+        e = exact[brand]
+        assert a["line_ct"] == e["line_ct"], brand
+        assert abs(a["order_ct_approx"] - e["order_ct"]) <= max(2, 0.10 * e["order_ct"]), (
+            brand,
+            a["order_ct_approx"],
+            e["order_ct"],
+        )
