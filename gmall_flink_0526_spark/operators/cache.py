@@ -44,29 +44,48 @@ def release_scoped() -> None:
 # similarity") — every dedup job is then a join against the stored
 # signatures. corpus_persist is the local analogue: keyed by corpus
 # dir, persisted for the life of the process, deliberately NOT
-# released by release_scoped. Memory is bounded by one corpus's
-# signature volume (the thing production stores on disk).
+# released by release_scoped. Memory is bounded by ONE corpus's
+# signature volume (the thing production stores on disk): the cache
+# holds a single (session, corpus dir) scope at a time — the catalog
+# never interleaves corpora, so when a query first touches a NEW
+# corpus dir (or a new SparkSession: a frame persisted in a stopped
+# session must never be served to, or leak into, a new one) every
+# entry of the previous scope is unpersisted and forgotten. Without
+# the eviction, a long-lived process iterating corpus dirs or cycling
+# sessions accumulates dead persisted frames — the same leak class
+# scoped_persist exists to stop.
 
-_CORPUS: dict[str, DataFrame] = {}
+_CORPUS: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
-def corpus_persist(key: str, build) -> DataFrame:
-    """Return the cached frame for ``key``, building + persisting it
-    on first use. ``build`` is a zero-arg callable so the plan is only
-    constructed when actually needed."""
-    df = _CORPUS.get(key)
+def corpus_persist(spark, kind: str, corpus_dir: str, build) -> DataFrame:
+    """Return the cached ``kind`` frame for ``corpus_dir`` in the
+    session ``spark``, building + persisting it on first use.
+    ``build`` is a zero-arg callable so the plan is only constructed
+    when actually needed. First use of a new (session, corpus dir)
+    scope releases every other scope's frames."""
+    scope = (spark.sparkContext.applicationId, corpus_dir)
+    if scope not in _CORPUS:
+        release_corpus()
+        _CORPUS[scope] = {}
+    frames = _CORPUS[scope]
+    df = frames.get(kind)
     if df is None:
         df = build()
         df.persist()
-        _CORPUS[key] = df
+        frames[kind] = df
     return df
 
 
 def release_corpus() -> None:
-    """Unpersist and forget every corpus-scoped frame (test hook)."""
-    for df in _CORPUS.values():
-        try:
-            df.unpersist(False)
-        except Exception:
-            pass
+    """Unpersist and forget every corpus-scoped frame. Called
+    automatically when a new (session, corpus dir) scope starts; also
+    a test hook. Unpersisting a frame whose session has stopped raises
+    — swallowed, the JVM-side blocks died with the session."""
+    for frames in _CORPUS.values():
+        for df in frames.values():
+            try:
+                df.unpersist(False)
+            except Exception:
+                pass
     _CORPUS.clear()

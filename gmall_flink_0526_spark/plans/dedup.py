@@ -31,30 +31,24 @@ CC_PARTITIONS = 8
 # signature table.
 
 
-def _ckey(spark: SparkSession, kind: str, sf_dir: str) -> str:
-    # cache entries are per-SparkSession (applicationId): a frame
-    # persisted in a stopped session must never be served to a new one
-    return f"{spark.sparkContext.applicationId}:{kind}:{sf_dir}"
-
-
 def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return corpus_persist(
-        _ckey(spark, "shingles3", sf_dir),
+        spark, "shingles3", sf_dir,
         lambda: D.doc_shingles(docs, "doc_id", "text"),
     )
 
 
 def corpus_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_persist(
-        _ckey(spark, "sigs", sf_dir),
+        spark, "sigs", sf_dir,
         lambda: D.minhash_sigs(corpus_shingles(spark, sf_dir)),
     )
 
 
 def corpus_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_persist(
-        _ckey(spark, "bands", sf_dir),
+        spark, "bands", sf_dir,
         lambda: D.band_keys_from_sigs(corpus_sigs(spark, sf_dir)),
     )
 
@@ -172,32 +166,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH {SQL_SHINGLES3}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    WITH {SQL_SHINGLES3},
+    sstat AS (
+      SELECT source, COUNT(*) AS sct, MIN(doc_id) AS rep
+      FROM documents GROUP BY source
+    ),
+    bpairs AS (
+      SELECT da.doc_id AS doc_a, db.doc_id AS doc_b
+      FROM documents da
+      JOIN sstat ON da.source = sstat.source AND sstat.sct <= {D.MAX_BUCKET}
+      JOIN documents db ON da.source = db.source AND da.doc_id < db.doc_id
+      UNION
+      SELECT t.rep AS doc_a, d.doc_id AS doc_b
+      FROM documents d JOIN sstat t ON d.source = t.source
+      WHERE t.sct > {D.MAX_BUCKET} AND d.doc_id > t.rep
+    )
+    SELECT bpairs.doc_a, bpairs.doc_b,
            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-    FROM sh a
-    JOIN documents da ON a.doc_id = da.doc_id
-    JOIN sh b ON a.doc_id < b.doc_id
-    JOIN documents db ON b.doc_id = db.doc_id AND da.source = db.source
+    FROM bpairs JOIN sh a ON bpairs.doc_a = a.doc_id
+                JOIN sh b ON bpairs.doc_b = b.doc_id
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              / len(list_distinct(list_concat(a.s, b.s))) >= 0.02
     """,
-    doc="n-gram Jaccard similarity within source buckets (blocked "
-    "pairwise comparison — the bucketed variant of brute-force "
-    "pairwise, bounded by bucket size).",
+    doc="n-gram Jaccard similarity within source buckets — blocked "
+    "pairwise comparison, with the SAME representative hot-bucket cap "
+    "as every LSH family (operators/dedup.MAX_BUCKET): a source block "
+    "past the cap contributes its min-id representative's m-1 pairs "
+    "instead of m(m-1)/2, on BOTH engines. Source blocks grow "
+    "LINEARLY with the corpus (unlike content-hash buckets), so the "
+    "uncapped form is Θ(Σ per-source²) — the one quadratic the rest "
+    "of the engine was engineered to avoid; with the cap the pair "
+    "count is Σ min(block, cap)·cap-ish, i.e. linear in corpus size.",
     tags=("dedup", "jaccard"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
-    docs = t["documents"]
-    blocked = (
-        docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
-        .join(
-            docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
-            (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b")
+    docs = t["documents"].select("source", "doc_id")
+    # the one banded self-join, keyed by provenance source: normal
+    # blocks full-pairwise, hot blocks rep-capped — identical wiring
+    # to the (band, bk) / cluster-id families
+    blocked = D.lsh_pairs_from_bands(
+        docs, keys=("source",), id_col="doc_id", out=("doc_a", "doc_b")
     )
     sh = corpus_shingles(spark, sf_dir)
     return D.jaccard_verify(sh, blocked).filter(F.col("jaccard") >= 0.02)

@@ -166,22 +166,26 @@ _DEC = "DECIMAL(30,6)"
 
 # The fit is DETERMINISTIC (fixed seeds, decimal-exact means), so its
 # k x dim float result is a pure function of the parquet dir + the
-# constants above — memoize it per sf_dir. Four catalog queries
-# (ann_topk_ivf_kmeans, ann_recall_ivf, embedding_cluster_stats,
-# embedding_semdedup) share one fit instead of re-running the
-# 2-iteration driver loop each; the cached centroids are plain Python
-# floats, independent of any SparkSession. Correctness is unchanged:
-# cached == recomputed, and every query's oracle re-derives the same
-# fit from scratch in SQL.
-_KM_FIT_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+# fit parameters — memoize it per (session, sf_dir, k). The IVF
+# queries (ann_topk_ivf_kmeans, ann_recall_ivf) share one fixed-k fit
+# and the SemDeDup family shares one corpus-scaled fit instead of
+# re-running the 2-iteration driver loop each; the cached centroids
+# are plain Python floats. The applicationId in the key scopes the
+# cache to one SparkSession: if the parquet under sf_dir is
+# regenerated, a fresh session (the fixture pattern) re-derives —
+# cached centroids can never outlive the session that fit them.
+# Correctness is unchanged: cached == recomputed, and every query's
+# oracle re-derives the same fit from scratch in SQL.
+_KM_FIT_CACHE: dict[tuple[str, str, int], list[tuple[int, list[float]]]] = {}
 
 
-def kmeans_fit_cached(spark: SparkSession, sf_dir: str, emb: DataFrame):
-    if sf_dir not in _KM_FIT_CACHE:
-        _KM_FIT_CACHE[sf_dir] = S.kmeans_fit(
-            emb, "embedding", "vec_id", k=KM_K, iters=KM_ITERS, fit_limit=KM_FIT_N
+def kmeans_fit_cached(spark: SparkSession, sf_dir: str, emb: DataFrame, k: int = KM_K):
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    if key not in _KM_FIT_CACHE:
+        _KM_FIT_CACHE[key] = S.kmeans_fit(
+            emb, "embedding", "vec_id", k=k, iters=KM_ITERS, fit_limit=KM_FIT_N
         )
-    return _KM_FIT_CACHE[sf_dir]
+    return _KM_FIT_CACHE[key]
 
 
 def _sql_sqdist(a: str, b: str) -> str:

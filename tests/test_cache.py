@@ -1,6 +1,7 @@
 """Cache-scope lifecycle: query-scoped frames die at the next query's
-entry; corpus-scoped frames (the signature-table analogue) survive it
-and only release_corpus clears them."""
+entry; corpus-scoped frames (the signature-table analogue) survive it,
+and first touch of a DIFFERENT corpus scope evicts them — the cache
+holds at most one (session, corpus dir) worth of persisted frames."""
 
 from __future__ import annotations
 
@@ -9,7 +10,7 @@ from gmall_flink_0526_spark.operators import cache
 
 def test_scoped_released_but_corpus_survives(spark):
     df_scoped = cache.scoped_persist(spark.range(10))
-    df_corpus = cache.corpus_persist("test:corpus:a", lambda: spark.range(20))
+    df_corpus = cache.corpus_persist(spark, "shingles", "/corpus/a", lambda: spark.range(20))
     assert df_scoped.storageLevel.useMemory
     assert df_corpus.storageLevel.useMemory
 
@@ -17,13 +18,46 @@ def test_scoped_released_but_corpus_survives(spark):
     assert not df_scoped.storageLevel.useMemory
     assert df_corpus.storageLevel.useMemory  # corpus frame survives
 
-    # same key returns the SAME frame without rebuilding
-    again = cache.corpus_persist("test:corpus:a", lambda: (_ for _ in ()).throw(AssertionError))
+    # same (session, dir, kind) returns the SAME frame without rebuilding
+    again = cache.corpus_persist(
+        spark, "shingles", "/corpus/a", lambda: (_ for _ in ()).throw(AssertionError)
+    )
     assert again is df_corpus
 
     cache.release_corpus()
     assert not df_corpus.storageLevel.useMemory
     # after release, the key rebuilds
-    rebuilt = cache.corpus_persist("test:corpus:a", lambda: spark.range(5))
+    rebuilt = cache.corpus_persist(spark, "shingles", "/corpus/a", lambda: spark.range(5))
     assert rebuilt is not df_corpus
+    cache.release_corpus()
+
+
+def test_new_corpus_dir_evicts_previous_scope(spark):
+    """Touching corpus B releases corpus A's frames (the catalog never
+    interleaves corpora, so holding both is pure leak — VERDICT r5)."""
+    a_sh = cache.corpus_persist(spark, "shingles", "/corpus/a", lambda: spark.range(20))
+    a_bd = cache.corpus_persist(spark, "bands", "/corpus/a", lambda: spark.range(21))
+    assert a_sh.storageLevel.useMemory and a_bd.storageLevel.useMemory
+
+    b_sh = cache.corpus_persist(spark, "shingles", "/corpus/b", lambda: spark.range(30))
+    assert b_sh.storageLevel.useMemory
+    assert not a_sh.storageLevel.useMemory  # whole A scope evicted
+    assert not a_bd.storageLevel.useMemory
+
+    # returning to A rebuilds (and in turn evicts B)
+    a_again = cache.corpus_persist(spark, "shingles", "/corpus/a", lambda: spark.range(22))
+    assert a_again is not a_sh
+    assert not b_sh.storageLevel.useMemory
+    cache.release_corpus()
+
+
+def test_same_scope_kinds_accumulate_without_eviction(spark):
+    """Within one scope, kinds share the dict: building bands must not
+    evict the shingles they were derived from."""
+    sh = cache.corpus_persist(spark, "shingles", "/corpus/a", lambda: spark.range(20))
+    bd = cache.corpus_persist(spark, "bands", "/corpus/a", lambda: spark.range(21))
+    sg = cache.corpus_persist(spark, "sigs", "/corpus/a", lambda: spark.range(22))
+    assert sh.storageLevel.useMemory
+    assert bd.storageLevel.useMemory
+    assert sg.storageLevel.useMemory
     cache.release_corpus()

@@ -294,3 +294,63 @@ def test_incdedup_stream_oracle_matches_app_on_boilerplate_corpus(spark, tmp_pat
         assert_matches_oracle(out, duck_con(str(tmp_path)), spec.oracle, name="incdedup")
     finally:
         out.unpersist()
+
+
+def test_ngram_jaccard_source_block_cap_fires_and_matches_oracle(spark, tmp_path):
+    """`ngram_jaccard_pairs` blocks on the provenance source — a key
+    whose occupancy grows LINEARLY with the corpus, so the uncapped
+    self-join was the engine's last Θ(Σ per-block²) pair generator.
+    This corpus makes one hot source (250 mutated near-dup copies,
+    > MAX_BUCKET) and one honest sub-cap source; the capped query must
+    pair hot-source members only against the block's min-id rep (m-1
+    pairs, not m(m-1)/2), keep the honest source's full pairwise
+    output, and match the DuckDB oracle that defines the same rule."""
+    from gmall_flink_0526_spark.plans.catalog import CATALOG
+    from gmall_flink_0526_spark.plans import queries as _load
+
+    from .conftest import assert_matches_oracle, duck_con
+
+    _load()
+    base = (
+        "terms of service all rights reserved cookie policy navigation home about "
+        "contact privacy legal copyright subscribe newsletter footer links sitemap "
+    ) * 2
+    rows = [(i, base + f"variant{i:04d}", "hot") for i in range(N_BOILER)]
+    rows += [
+        (1000, "the quick brown fox jumps over the lazy dog near the river bank today", "ok"),
+        (1001, "the quick brown fox jumps over the lazy dog near the river bank now", "ok"),
+        (1002, "completely unrelated text about spark execution plans and shuffles", "ok"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "source": [r[2] for r in rows],
+            },
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string()), ("source", pa.string())]
+            ),
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    spec = CATALOG["ngram_jaccard_pairs"]
+    out = spec.fn(spark, str(tmp_path)).persist()
+    try:
+        pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+        hot = {(a, b) for a, b in pairs if a < N_BOILER and b < N_BOILER}
+        # linear: every hot pair has the rep (doc 0) on the left
+        assert hot == {(0, i) for i in range(1, N_BOILER)}
+        # honest block keeps full pairwise (1000/1001 near-dups pass
+        # the 0.02 floor; 1002 shares enough unigram-shingle overlap
+        # only if jaccard >= 0.02 — whatever the values, both engines
+        # agree, which the oracle compare pins)
+        assert (1000, 1001) in pairs
+        assert_matches_oracle(
+            out, duck_con(str(tmp_path)), spec.oracle, name="ngram_src_cap"
+        )
+    finally:
+        out.unpersist()
