@@ -164,6 +164,11 @@ KM_ITERS = 2
 KM_FIT_N = 1024
 _DEC = "DECIMAL(30,6)"
 
+# SemDeDup target mean cluster occupancy — defined up here because the
+# adaptive-k oracle CTE below bakes it in; rationale with the rest of
+# the SemDeDup constants further down.
+SEMDEDUP_TARGET_CLUSTER = 64
+
 # The fit is DETERMINISTIC (fixed seeds, decimal-exact means), so its
 # k x dim float result is a pure function of the parquet dir + the
 # fit parameters — memoize it per (session, sf_dir, k). The IVF
@@ -233,6 +238,31 @@ _SQL_KMEANS_CTES = f"""
     seeds AS (
       SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS c, embedding AS cv
       FROM (SELECT vec_id, embedding FROM fitsrc ORDER BY vec_id LIMIT {KM_K})
+    ),
+    {_sql_assign('fitsrc', 'seeds', 'a0')},
+    {_sql_recompute('a0', 'ctr1')},
+    {_sql_assign('fitsrc', 'ctr1', 'a1')},
+    {_sql_recompute('a1', 'ctr2')},
+    {_sql_assign('embeddings', 'ctr2', 'afinal')}
+"""
+
+# The SemDeDup family's fit: identical Lloyd recipe, but the seed
+# count is DERIVED FROM THE DATA — k = max(KM_K, ceil(n / target)),
+# computed in SQL from COUNT(*) so both engines scale k the same way
+# on any corpus (plans/similarity._semdedup_k is the Spark twin).
+_SQL_KMEANS_CTES_SEM = f"""
+    kparam AS (
+      SELECT GREATEST({KM_K}, CAST(CEIL(COUNT(*) / {SEMDEDUP_TARGET_CLUSTER}.0) AS BIGINT)) AS k
+      FROM embeddings
+    ),
+    fitsrc AS (
+      SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KM_FIT_N}
+    ),
+    seeds AS (
+      SELECT rn - 1 AS c, embedding AS cv
+      FROM (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+            FROM fitsrc), kparam
+      WHERE rn <= k
     ),
     {_sql_assign('fitsrc', 'seeds', 'a0')},
     {_sql_recompute('a0', 'ctr1')},
@@ -786,16 +816,32 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the identical centroids).
 
 SEMDEDUP_T = 0.45
-# Hot-cluster guard, same contract as operators/dedup.MAX_BUCKET: a
-# fixed k means cluster size grows with the corpus, and the
-# within-cluster self-join is quadratic in it (measured: 13.8 s ->
-# 205 s / 20M pairs at the 10x probe before the cap). Clusters past
-# the cap collapse to their min-id representative's m-1 pairs —
-# linear — on BOTH engines, so the cap is defined semantics. 512 keeps
-# every sf0.1 cluster (~250 members) uncapped; the production answer
-# is also to grow k with the corpus (the SemDeDup paper's regime),
-# which embedding_cluster_stats exists to calibrate.
+# Hot-cluster guard, same contract as operators/dedup.MAX_BUCKET: the
+# within-cluster self-join is quadratic in cluster size (measured:
+# 13.8 s -> 205 s / 20M pairs at the 10x probe before the cap).
+# Clusters past the cap collapse to their min-id representative's m-1
+# pairs — linear — on BOTH engines, so the cap is defined semantics.
+# Since round 6 k GROWS with the corpus (below), so mean occupancy
+# stays ~SEMDEDUP_TARGET_CLUSTER at any scale and the cap is the
+# BACKSTOP for skewed clusters, not the primary defense.
 SEMDEDUP_MAX_CLUSTER = 512
+
+# The SemDeDup paper's regime: the cluster COUNT scales with the
+# corpus so the cluster SIZE does not. k = max(KM_K, ceil(n / target))
+# — at the driver's correctness scales (50 / 500 vectors) this floors
+# to KM_K=8, bit-identical to the fixed-k fit; at sf0.1 it is 32 and
+# at the 10x probe ~313, holding mean occupancy ~64 while a fixed k=8
+# would balloon it 10x per scale-up. The fit still runs on the
+# KM_FIT_N deterministic sample; only the seed count grows. The
+# retrieval-tuned IVF queries keep their fixed KM_K — recall@k is
+# calibrated against bucket fan-out there, occupancy here
+# (embedding_cluster_stats audits both regimes). The constant itself
+# (SEMDEDUP_TARGET_CLUSTER = 64) lives next to KM_FIT_N because the
+# oracle CTE template bakes it in at module build.
+
+
+def _semdedup_k(n: int) -> int:
+    return max(KM_K, -(-n // SEMDEDUP_TARGET_CLUSTER))
 
 
 def _fit_and_assign(spark: SparkSession, sf_dir: str):
@@ -803,7 +849,9 @@ def _fit_and_assign(spark: SparkSession, sf_dir: str):
 
     t = load_tables(spark, sf_dir, "embeddings")
     emb = scoped_persist(t["embeddings"])
-    cents = kmeans_fit_cached(spark, sf_dir, emb)
+    # one count against the (persisted) corpus sizes k — corpus
+    # metadata, the same class of scalar the fit's seed collect is
+    cents = kmeans_fit_cached(spark, sf_dir, emb, k=_semdedup_k(emb.count()))
     assigned = scoped_persist(S.with_cluster(emb, "embedding", cents))
     return assigned, cents
 
@@ -811,7 +859,7 @@ def _fit_and_assign(spark: SparkSession, sf_dir: str):
 @register(
     "embedding_cluster_stats",
     oracle=f"""
-    WITH {_SQL_KMEANS_CTES}
+    WITH {_SQL_KMEANS_CTES_SEM}
     SELECT CAST(a.c AS INTEGER) AS c,
            COUNT(*) AS n_vecs,
            CAST(SUM(CAST({_sql_sqdist('a.embedding', 't.cv')} AS DECIMAL(30,6)))
@@ -851,7 +899,7 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_semdedup",
     oracle=f"""
-    WITH {_SQL_KMEANS_CTES},
+    WITH {_SQL_KMEANS_CTES_SEM},
     cstat AS (
       SELECT c, COUNT(*) AS cct, MIN(vec_id) AS rep FROM afinal GROUP BY c
     ),
@@ -932,7 +980,7 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semdedup_survivors",
     oracle=f"""
-    WITH RECURSIVE {_SQL_KMEANS_CTES},
+    WITH RECURSIVE {_SQL_KMEANS_CTES_SEM},
     cstat AS (
       SELECT c, COUNT(*) AS cct, MIN(vec_id) AS rep FROM afinal GROUP BY c
     ),

@@ -354,3 +354,67 @@ def test_ngram_jaccard_source_block_cap_fires_and_matches_oracle(spark, tmp_path
         )
     finally:
         out.unpersist()
+
+
+def test_semdedup_adaptive_k_grows_with_corpus_and_matches_oracle(spark, tmp_path):
+    """SemDeDup's k is derived from the corpus — k = max(KM_K,
+    ceil(n / SEMDEDUP_TARGET_CLUSTER)) — so mean cluster occupancy
+    stays ~target as the corpus grows instead of cluster sizes
+    ballooning toward the quadratic the hot-cluster cap exists to
+    stop. 640 vectors -> k = 10 (> the fixed KM_K = 8): the audit must
+    report 10 seeded clusters with ~64 mean occupancy, and the DuckDB
+    oracle must derive the SAME k from COUNT(*) and land on identical
+    clusters (the rule is defined semantics, not a Spark heuristic)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gmall_flink_0526_spark.plans.catalog import CATALOG
+    from gmall_flink_0526_spark.plans import queries as _load
+    from gmall_flink_0526_spark.plans.similarity import _semdedup_k
+
+    from .conftest import assert_matches_oracle, duck_con
+
+    _load()
+    assert _semdedup_k(640) == 10 and _semdedup_k(500) == 8
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1.0, size=(10, 16))
+    rows_vec = []
+    for i in range(640):
+        c = i % 10
+        rows_vec.append(centers[c] * 0.4 + rng.normal(0, 0.05, 16))
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(640), pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in rows_vec], pa.list_(pa.float32())
+                ),
+                "label": pa.array([i % 10 for i in range(640)], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    spec = CATALOG["embedding_cluster_stats"]
+    out = spec.fn(spark, str(tmp_path)).persist()
+    try:
+        stats = {r["c"]: r["n_vecs"] for r in out.collect()}
+        assert len(stats) == 10  # k grew past the fixed KM_K = 8
+        assert sum(stats.values()) == 640
+        assert max(stats.values()) <= 3 * 64  # occupancy ~target, not n/8
+        assert_matches_oracle(
+            out, duck_con(str(tmp_path)), spec.oracle, name="semdedup_adaptive_k"
+        )
+    finally:
+        out.unpersist()
+    # the pair stage over the same adaptive fit also agrees cross-engine
+    sd = CATALOG["embedding_semdedup"]
+    sd_out = sd.fn(spark, str(tmp_path)).persist()
+    try:
+        assert_matches_oracle(
+            sd_out, duck_con(str(tmp_path)), sd.oracle, name="semdedup_adaptive_pairs"
+        )
+    finally:
+        sd_out.unpersist()
