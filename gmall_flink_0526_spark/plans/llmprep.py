@@ -510,6 +510,18 @@ CD_TOKENS, CD_STRIDE = 16, 8  # finer than training chunks: boilerplate granular
 BOILER_DOC_MIN = 5
 BOILER_RATIO_MAX = 0.6
 
+# Shingle-level duplicate-coverage gate (duplicate_ngram_coverage
+# composed in, SCALE.md "hot-bucket residue"): a doc whose distinct
+# 3-gram shingles are >= DUP_COV_MAX shared-by->BOILER_DOC_MIN-docs is
+# corpus-repeated content even when NO pairwise stage pairs it — the
+# residue shape is a doc inside a capped hot bucket that is below the
+# Jaccard threshold against the representative and whose repeats dodge
+# the 16-token chunk alignment (mutations every < CD_TOKENS tokens).
+# The inverted-index shape needs no pairs at all, so it holds at
+# 100 TB where pairwise must cap. Real-data headroom: max many-doc
+# coverage at sf0.01 is 0.09, so 0.5 fires only on genuine boilerplate.
+DUP_COV_MAX = 0.5
+
 
 def _corpus_build_oracle() -> str:
     from .dedup import CC_PARTITIONS  # noqa: F401  (parity of constants)
@@ -577,12 +589,24 @@ def _corpus_build_oracle() -> str:
                / COUNT(*) AS br
       FROM cchunks JOIN cshared USING (chunk_digest)
       GROUP BY doc_id
+    ),
+    shex AS (SELECT doc_id, substr(md5(g), 1, 16) AS gh
+             FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+    shcnt AS (SELECT gh, COUNT(*) AS doc_ct FROM shex GROUP BY gh),
+    shcov AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN doc_ct > {BOILER_DOC_MIN} THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS scov
+      FROM shex JOIN shcnt USING (gh)
+      GROUP BY doc_id
     )
     SELECT s.doc_id, s.n_tokens, s.quality
     FROM scored s JOIN survivors USING (doc_id)
     LEFT JOIN boiler b USING (doc_id)
+    LEFT JOIN shcov sc USING (doc_id)
     WHERE s.stop_ratio_v >= 0.05 AND s.quality >= {QUALITY_MIN}
       AND COALESCE(b.br, 0.0) < {BOILER_RATIO_MAX}
+      AND COALESCE(sc.scov, 0.0) < {DUP_COV_MAX}
     """
 
 
@@ -593,14 +617,17 @@ def _corpus_build_oracle() -> str:
     "pipeline actually ships: language gate (stopword-ratio >= 0.05 -> "
     "'en'), quality gate (>= 0.5), near-dup elimination (LSH "
     "candidates -> Jaccard verify -> connected components -> min-id "
-    "survivor per cluster), AND the chunk-level boilerplate gate "
+    "survivor per cluster), the chunk-level boilerplate gate "
     "(chunk_dedup's machinery: docs whose 16-token chunks are >= 60% "
-    "shared-by->5-docs boilerplate are dropped — the catcher for "
-    "repeated content the representative-capped LSH stage pairs only "
-    "linearly), finished with doc-keyed hash joins. Every upstream "
-    "stage is bucketed/bounded (no all-pairs anywhere) and the gates "
-    "are map-only or single-shuffle, so the whole build is LSH-join "
-    "cost plus id/digest-keyed joins at corpus scale.",
+    "shared-by->5-docs boilerplate are dropped), AND the shingle-level "
+    "duplicate-coverage gate (duplicate_ngram_coverage's inverted "
+    "index: docs whose 3-gram shingles are >= 50% shared-by->5-docs "
+    "are dropped — the pair-free catcher for hot-bucket residue that "
+    "is below the Jaccard bar against the representative and dodges "
+    "chunk alignment), finished with doc-keyed hash joins. Every "
+    "upstream stage is bucketed/bounded (no all-pairs anywhere) and "
+    "the gates are map-only or single-shuffle, so the whole build is "
+    "LSH-join cost plus id/digest-keyed joins at corpus scale.",
     tags=("llm-prep", "dedup", "text", "composition"),
 )
 def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,13 +676,36 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("br")
         )
     )
+    # shingle-level duplicate-coverage gate (duplicate_ngram_coverage
+    # composed in): explode the corpus-cached shingle table to
+    # fixed-width 16-hex hash keys, count docs per shingle, one
+    # doc-keyed agg — linear in total shingles, no pairs (scoped: shex
+    # feeds both the count and the join back)
+    shex = scoped_persist(
+        spread(sh.select("doc_id", F.explode("s").alias("g")), "doc_id").select(
+            "doc_id", F.substring(F.md5("g"), 1, 16).alias("gh")
+        )
+    )
+    shcnt = shex.groupBy("gh").agg(F.count("*").alias("doc_ct"))
+    shcov = (
+        shex.join(shcnt, "gh")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum((F.col("doc_ct") > BOILER_DOC_MIN).cast("int"))
+                / F.count("*")
+            ).alias("scov")
+        )
+    )
     return (
         scored.join(survivors, "doc_id")
         .join(boiler, "doc_id", "left")
+        .join(shcov, "doc_id", "left")
         .filter(
             (F.col("stop_ratio_v") >= 0.05)
             & (F.col("quality") >= QUALITY_MIN)
             & (F.coalesce(F.col("br"), F.lit(0.0)) < BOILER_RATIO_MAX)
+            & (F.coalesce(F.col("scov"), F.lit(0.0)) < DUP_COV_MAX)
         )
         .select("doc_id", "n_tokens", "quality")
     )

@@ -185,6 +185,33 @@ def test_mutated_boilerplate_block_dedups_to_one_representative(spark, tmp_path)
         (1001, "the quick brown fox jumps over the lazy dog near the river bank now"),
         (1002, "completely unrelated text about spark execution plans and shuffles here"),
     ]
+    # hot-bucket RESIDUE (SCALE.md's documented cap limitation): ten
+    # docs that are ~40% the boilerplate block's text + a tail shared
+    # among the ten with a mutation every 10 tokens. Jaccard vs the
+    # block rep ~0.36 (below the 0.5 bar -> the rep pairs never verify)
+    # and every 16-token chunk window spans a mutation (the chunk gate
+    # ratio lands ~0.36 < 0.6) — yet ~80% of each doc's shingles occur
+    # in > 5 docs, so corpus_build's shingle-coverage gate drops them
+    # without needing any pair. A control doc with the same 40%
+    # boilerplate head but a fully unique tail stays under the 0.5
+    # coverage bar and must SURVIVE — the gate keys on corpus-wide
+    # repetition, not on touching boilerplate.
+    res_head = base.split()[:40]
+    tail = (
+        "the quick brown fox jumps over the lazy dog near the river bank today "
+        "while morning light settles over the quiet valley and the old mill wheel "
+        "turns slowly beside the stream where children often play during summer "
+        "afternoons and travelers rest under the shade of ancient oak trees"
+    ).split()
+    for j in range(500, 510):
+        t = list(res_head)
+        for rep in range(3):  # long enough to clear the quality gate
+            t += [w if p % 10 != 7 else f"mut{j}r{rep}p{p}" for p, w in enumerate(tail)]
+        rows.append((j, " ".join(t)))
+    ctl = list(res_head)
+    for rep in range(4):
+        ctl += [f"u{rep}p{p}" if p % 3 == 0 else w for p, w in enumerate(tail)]
+    rows.append((600, " ".join(ctl)))
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -227,6 +254,16 @@ def test_mutated_boilerplate_block_dedups_to_one_representative(spark, tmp_path)
     try:
         cb_kept = {r["doc_id"] for r in cb_out.collect()}
         assert not (cb_kept & set(range(N_BOILER)))
+        # the residue block is out of the shipped corpus — including
+        # any member the PAIRWISE stage kept (`kept` is
+        # dedup_survivors' output on this same corpus: members that
+        # pair among themselves collapse to min-id survivors, members
+        # below the bar against everything survive LSH entirely) —
+        # because the coverage gate needs no pairs at all
+        assert kept & set(range(500, 510)), "fixture broken: LSH dropped all residue"
+        assert not (cb_kept & set(range(500, 510)))
+        # ...while the same-shaped control with a unique tail ships
+        assert 600 in cb_kept
         assert_matches_oracle(
             cb_out, duck_con(str(tmp_path)), cb.oracle, name="mutated_boiler_cb"
         )
