@@ -87,79 +87,11 @@ _LOADED = False
 # (`tools/vanilla_gate.py`, result recorded in BASELINE.md) — so no
 # query ever stands on an unchecked stale row, even past the window.
 _PRIORITY = (
-    # -- changed this round (r5): the hot-bucket cap became
-    #    REPRESENTATIVE-based (operators/dedup.hot_bucket_split) and
-    #    every LSH-family oracle was rewritten to mirror it — the whole
-    #    family re-proves; lsh_bucket_audit gained kept_pairs/capped
-    #    columns; corpus_build gained the chunk-level boilerplate gate;
-    #    the IVF k-means fit moved to a deterministic sample
-    #    (KM_FIT_N), re-proving both kmeans queries; DimStore moved to
-    #    Hadoop FileSystem ops (base_db_stream / cdc_materialize);
-    #    log_split_stream's REPLAY_MOD became env-overridable ----------
-    "lsh_bucket_audit",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_survivors",
-    "dedup_incremental",
-    "dedup_incremental_stream",
-    "near_dup_rate_by_source",
-    "simhash_near_dup",
-    "dedup_method_agreement",
-    "rhp_near_dup",
-    "corpus_build",
-    "ann_topk_ivf_kmeans",
-    "ann_recall_ivf",
-    "base_db_stream",
-    "cdc_materialize",
-    "log_split_stream",
-    "embedding_quantize",  # NEW in r5: int8 quantization audit
-    "ann_recall_int8",  # NEW in r5: quantized-retrieval recall audit
-    "minhash_estimate_audit",  # NEW in r5: estimator calibration curve
-    "duplicate_ngram_coverage",  # NEW in r5: boilerplate coverage signal
-    "domain_mixture_weights",  # NEW in r5: data-recipe mixture weights
-    "packing_length_histogram",  # NEW in r5: context-bucket audit
-    "embedding_cluster_stats",  # NEW in r5: k-means occupancy/inertia
-    "embedding_semdedup",  # NEW in r5: learned-cluster semantic dedup
-    "local_supplier_volume",  # NEW in r5: TPC-H Q5 6-table join chain
-    "doc_quality_gate_stream",  # NEW in r5: quality-gate app under the oracle
-    "semdedup_survivors",  # NEW in r5: the pruned SemDeDup corpus
-    # -- rows-only tail slot, rotated back IN this round: the only
-    #    no-oracle query must not stand on a stale green row forever --
-    "product_stats_approx",
-    # -- the r3-green half (window-rotated out in r4), oldest first ----
-    "uv_first_visit_stream",
-    "is_new_fix_stream",
-    "bounce_stats_stream",
-    "session_stats_stream",
-    "visitor_stats_stream",
-    "order_wide_join",
-    "payment_wide_join",
-    "dim_enrichment",
-    "product_stats",
-    "lang_id_confusion",
-    "funnel_conversion",
-    "retention_cohorts",
-    "value_percentiles",
-    "media_catalog",
-    "media_decode",
-    "media_frame_sample",
-    "media_ann_topk",
-    "decontaminate",
-    "sequence_packing",
-    "chunk_dedup",
-    "ann_topk_vectorized",
-    "embedding_coverage",
-    # -- overflow past the ~50-entry driver window (67 candidates for
-    #    50 slots): thirteen are the catalog's most battle-tested
-    #    map-only/simple-agg/TPC-H-twin/cube queries — green in r2 AND
-    #    r3, unchanged since (dataset_split, doc_chunking, pii_scrub,
-    #    repetition_ratio and stratified_sample join that class this round); four more (rhp_signature, ann_topk_rhp,
-    #    media_resize_audit, media_features_head) are r3-green queries
-    #    whose underlying machinery IS r5-certified through in-window
-    #    siblings (rhp_near_dup exercises the same signature+banded
-    #    path; the other four media queries exercise the same
-    #    mapInPandas plumbing). All are re-oracle-checked at sf0.001 by
-    #    the full pytest sweep every round. They lead the r6 window. --
+    # -- the r3-stale backlog leads, exactly as the r5 rotation comment
+    #    promised: these 17 queries' last driver-recorded green row is
+    #    r3 (they were covered in r4/r5 only by the in-repo gates + the
+    #    sf0.001 pytest sweep). After this round no catalog query's
+    #    driver row is older than r5. ---------------------------------
     "rhp_signature",
     "ann_topk_rhp",
     "media_resize_audit",
@@ -177,6 +109,91 @@ _PRIORITY = (
     "date_derive",
     "snake_to_camel",
     "province_stats",
+    # -- changed this round (r6): ngram_jaccard_pairs gained the
+    #    representative cap over its source blocks (the last uncapped
+    #    pair generator); corpus_build gained the shingle-coverage
+    #    residue gate; the SemDeDup family's k now scales with the
+    #    corpus (adaptive fit, oracle-mirrored); the two IVF k-means
+    #    queries re-prove because the shared fit cache was re-keyed. --
+    "ngram_jaccard_pairs",
+    "corpus_build",
+    "embedding_semdedup",
+    "semdedup_survivors",
+    "embedding_cluster_stats",
+    "ann_topk_ivf_kmeans",
+    "ann_recall_ivf",
+    # -- the oldest-green remainder: last driver row r4, oldest first.
+    #    26 of the 34 fit the ~50-slot window; the 8 deferred to the
+    #    overflow block below have their machinery certified through
+    #    in-window siblings and lead r7. ------------------------------
+    "order_status_overlap",
+    "returnflag_pivot",
+    "top_parts_per_brand",
+    "sql_entry",
+    "order_status_stats",
+    "top_revenue_orders",
+    "sales_cube",
+    "json_dead_letter",
+    "log_split_counts",
+    "config_routing",
+    "visitor_stats_hourly",
+    "uv_first_visit",
+    "is_new_fix",
+    "bounce_stats",
+    "session_stats",
+    "visitor_stats_union",
+    "log_explode_displays",
+    "cdc_envelope_parse",
+    "cdc_delete_filter",
+    "jdbc_round_trip",
+    "keyword_stats",
+    "keyword_stats_cjk",
+    "token_stats",
+    "tfidf_top_terms",
+    "order_wide_stream",
+    "payment_wide_stream",
+    # -- overflow past the ~50-entry driver window: the 8 deferred
+    #    r4-green queries (dedup_exact / simhash_fingerprint /
+    #    doc_fingerprint / lang_id / quality_score are map-only or
+    #    single-shuffle shapes exercised this round inside corpus_build
+    #    and the cap fixtures; ann_topk_bruteforce / ann_topk_ivf share
+    #    the in-window kmeans queries' join topology;
+    #    embedding_near_dup shares the semdedup verify). All are
+    #    re-oracle-checked at sf0.001 by the full pytest sweep and at
+    #    sf0.01 by the in-repo vanilla gate every round. They lead the
+    #    r7 window, then the r5-green block rotates back. -------------
+    "dedup_exact",
+    "simhash_fingerprint",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_score",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "embedding_near_dup",
+    # -- r5-green block (re-certified last round), oldest-window-first;
+    #    product_stats_approx is the rows-only tail (rotated in r5) --
+    "product_stats_approx",
+    "lsh_bucket_audit",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_incremental",
+    "dedup_incremental_stream",
+    "near_dup_rate_by_source",
+    "simhash_near_dup",
+    "dedup_method_agreement",
+    "rhp_near_dup",
+    "base_db_stream",
+    "cdc_materialize",
+    "log_split_stream",
+    "embedding_quantize",
+    "ann_recall_int8",
+    "minhash_estimate_audit",
+    "duplicate_ngram_coverage",
+    "domain_mixture_weights",
+    "packing_length_histogram",
+    "local_supplier_volume",
+    "doc_quality_gate_stream",
 )
 
 
