@@ -207,3 +207,42 @@ def test_product_stats_approx_bounded_against_exact(spark):
             a["order_ct_approx"],
             e["order_ct"],
         )
+
+
+def test_value_percentiles_approx_swap_bounded_against_exact(spark):
+    """value_percentiles documents its 100 TB shape as the same query
+    with approx_percentile (t-digest) in place of percentile_disc.
+    Pin that swap's error contract the way product_stats_approx's HLL
+    swap is pinned: per event_type, the approx estimate at quantile q
+    with accuracy A must sit within the EXACT values at quantiles
+    q ± 1/A (the rank-error guarantee), computed driver-side from the
+    group's sorted values."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.session import load_tables
+
+    from .conftest import SF_SMOKE
+
+    acc = 100  # rank error <= 1/100
+    ev = load_tables(spark, SF_SMOKE, "events")["events"]
+    approx = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], acc).alias("aps"),
+        )
+        .collect()
+    }
+    vals = {
+        r["event_type"]: sorted(r["vs"])
+        for r in ev.groupBy("event_type").agg(F.collect_list("value").alias("vs")).collect()
+    }
+    assert set(approx) == set(vals)
+    for et, row in approx.items():
+        vs = vals[et]
+        for q, a in zip((0.5, 0.9, 0.99), row["aps"]):
+            lo_i = max(0, math.floor((q - 1.0 / acc) * (len(vs) - 1)))
+            hi_i = min(len(vs) - 1, math.ceil((q + 1.0 / acc) * (len(vs) - 1)))
+            assert vs[lo_i] <= a <= vs[hi_i], (et, q, a, vs[lo_i], vs[hi_i])

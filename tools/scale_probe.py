@@ -95,6 +95,69 @@ def gen_embeddings(n_vecs: int, dim: int, rng: np.random.Generator):
     ]
 
 
+def gen_warehouse(spark, out_dir: str, scale: int = 10) -> None:
+    """Synthesize a ~sf1 TPC-H-ish warehouse (10x the sf0.1 row counts,
+    same schemas) entirely JVM-side — spark.range + hash-derived
+    columns, no Python row materialization. Key spaces line up
+    (l_orderkey covers o_orderkey, o_custkey covers c_custkey, ...) so
+    the catalog's join-chain queries produce full-size joins."""
+    from pyspark.sql import functions as F
+
+    n_li, n_ord = 600_000 * scale, 150_000 * scale
+    n_cust, n_supp = 15_000 * scale, 1_000 * scale
+
+    def h(m: int, salt: str):
+        return F.abs(F.hash(F.col("id").cast("string"), F.lit(salt))) % m
+
+    def pick(salt: str, *vals: str):
+        return F.element_at(
+            F.array(*[F.lit(v) for v in vals]), (h(len(vals), salt) + 1).cast("int")
+        )
+
+    day = F.lit(86400)
+    epoch_1992 = F.lit(694224000)  # 1992-01-01 UTC
+    spark.range(n_ord).select(
+        (F.col("id") + 1).alias("o_orderkey"),
+        (h(n_cust, "oc") + 1).alias("o_custkey"),
+        pick("os", "O", "F", "P").alias("o_orderstatus"),
+        (h(100_000, "tp").cast("double") / 100.0 + 100.0).alias("o_totalprice"),
+        F.timestamp_seconds(epoch_1992 + h(2555, "od") * day).alias("o_orderdate"),
+        F.concat(F.lit("P"), (h(5, "pr") + 1).cast("string")).alias("o_orderpriority"),
+    ).repartition(16).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    spark.range(n_li).select(
+        (F.col("id") % n_ord + 1).alias("l_orderkey"),
+        (h(20_000 * scale, "lp") + 1).alias("l_partkey"),
+        (h(n_supp, "ls") + 1).alias("l_suppkey"),
+        (h(7, "ln") + 1).cast("int").alias("l_linenumber"),
+        (h(50, "lq").cast("double") + 1.0).alias("l_quantity"),
+        (h(90_000, "le").cast("double") / 100.0 + 100.0).alias("l_extendedprice"),
+        (h(11, "ld").cast("double") / 100.0).alias("l_discount"),
+        (h(9, "lt").cast("double") / 100.0).alias("l_tax"),
+        pick("lr", "A", "N", "R").alias("l_returnflag"),
+        pick("ll", "O", "F").alias("l_linestatus"),
+        F.timestamp_seconds(epoch_1992 + h(2555, "lsd") * day).alias("l_shipdate"),
+    ).repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    spark.range(n_cust).select(
+        (F.col("id") + 1).alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("id").cast("string")).alias("c_name"),
+        h(25, "cn").cast("int").alias("c_nationkey"),
+        (h(1_000_000, "cb").cast("double") / 100.0).alias("c_acctbal"),
+        pick("cm", "BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE").alias(
+            "c_mktsegment"
+        ),
+    ).repartition(4).write.mode("overwrite").parquet(os.path.join(out_dir, "customer.parquet"))
+    spark.range(n_supp).select(
+        (F.col("id") + 1).alias("s_suppkey"),
+        F.concat(F.lit("Supplier#"), F.col("id").cast("string")).alias("s_name"),
+        h(25, "sn").cast("int").alias("s_nationkey"),
+        (h(1_000_000, "sb").cast("double") / 100.0).alias("s_acctbal"),
+    ).repartition(2).write.mode("overwrite").parquet(os.path.join(out_dir, "supplier.parquet"))
+    for t in ("nation", "region"):
+        spark.read.parquet(f"/root/testdata/sf0.1/{t}.parquet").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"{t}.parquet"))
+
+
 def probe_incremental_stream(spark, sf_dir: str, n_epochs: int) -> dict:
     """Replay ``sf_dir``'s documents through the REAL streaming
     incremental-dedup app in ``n_epochs`` micro-batches (doc_id %
@@ -234,6 +297,9 @@ def main() -> None:
             "duplicate_ngram_coverage",
             "embedding_semdedup",
             "minhash_estimate_audit",
+            # r6: the source-blocked pairwise query gained the rep cap —
+            # its ratio must now track data size, not per-source²
+            "ngram_jaccard_pairs",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
@@ -257,6 +323,47 @@ def main() -> None:
         dropped = [h for h in hist if h["capped"]]
         saved_pairs = sum(h["cand_pairs"] - h["kept_pairs"] for h in dropped)
 
+        # SemDeDup adaptive-k audit (r6): k grows with the corpus, so
+        # mean cluster occupancy must stay ~SEMDEDUP_TARGET_CLUSTER at
+        # both scales with the hot-cluster cap rarely firing — the cap
+        # is the backstop now, not the defense
+        from gmall_flink_0526_spark.plans.similarity import SEMDEDUP_MAX_CLUSTER
+
+        semdedup_occ = {}
+        for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1)):
+            occ = qs["embedding_cluster_stats"](spark, sf_dir).collect()
+            ns = sorted(int(r["n_vecs"]) for r in occ)
+            semdedup_occ[sf_label] = {
+                "k": len(ns),
+                "mean_occ": round(sum(ns) / len(ns), 1),
+                "max_occ": ns[-1],
+                "capped_clusters": sum(1 for n in ns if n > SEMDEDUP_MAX_CLUSTER),
+            }
+
+        # TPC-H join chain at 10x (r6): synthesize the warehouse and
+        # time the widest join surface (Q5 6-table chain) plus the
+        # flagship scan-agg; record the broadcast/SMJ split of the plan
+        wh = tempfile.mkdtemp(prefix="gmall_wh10_")
+        try:
+            t0 = time.time()
+            gen_warehouse(spark, wh, scale=10)
+            wh_gen_s = round(time.time() - t0, 2)
+            warehouse = {"gen_sec": wh_gen_s}
+            for name in ("local_supplier_volume", "pricing_summary"):
+                for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", wh)):
+                    t0 = time.time()
+                    n = qs[name](spark, sf_dir).count()
+                    warehouse.setdefault(name, {})[sf_label] = round(time.time() - t0, 2)
+                    warehouse[name][f"{sf_label}_rows"] = n
+            plan = qs["local_supplier_volume"](spark, wh)._jdf.queryExecution().executedPlan().toString()
+            warehouse["q5_sf1_joins"] = {
+                "broadcast_hash": plan.count("BroadcastHashJoin"),
+                "sort_merge": plan.count("SortMergeJoin"),
+                "shuffled_hash": plan.count("ShuffledHashJoin"),
+            }
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
         # streaming incremental dedup at both scales: per-epoch times
         # should stay flat within a run and scale ~linearly with the
         # per-epoch batch size across runs
@@ -273,6 +380,8 @@ def main() -> None:
             "vecs": args.vecs,
             "gen_sec": gen_s,
             "timings": timings,
+            "semdedup_occupancy": semdedup_occ,
+            "warehouse_10x": warehouse,
             "incremental_stream": inc,
             "hot_buckets_capped": len(dropped),
             "quadratic_pairs_saved": int(saved_pairs),
