@@ -168,6 +168,13 @@ _DEC = "DECIMAL(30,6)"
 # adaptive-k oracle CTE below bakes it in; rationale with the rest of
 # the SemDeDup constants further down.
 SEMDEDUP_TARGET_CLUSTER = 64
+# ...and the fit SAMPLE scales with k: a fixed KM_FIT_N sample would
+# eventually hold fewer points than clusters once k = n/64 outgrows
+# it, so the SemDeDup fit trains on the max(KM_FIT_N, 4k) lowest
+# vec_ids — at least FIT_PER_CLUSTER points per seeded cluster, still
+# a deterministic oracle-derivable top-N, still sample-sized relative
+# to the corpus (4k = n/16 at the growth margin).
+FIT_PER_CLUSTER = 4
 
 # The fit is DETERMINISTIC (fixed seeds, decimal-exact means), so its
 # k x dim float result is a pure function of the parquet dir + the
@@ -181,14 +188,20 @@ SEMDEDUP_TARGET_CLUSTER = 64
 # cached centroids can never outlive the session that fit them.
 # Correctness is unchanged: cached == recomputed, and every query's
 # oracle re-derives the same fit from scratch in SQL.
-_KM_FIT_CACHE: dict[tuple[str, str, int], list[tuple[int, list[float]]]] = {}
+_KM_FIT_CACHE: dict[tuple[str, str, int, int], list[tuple[int, list[float]]]] = {}
 
 
-def kmeans_fit_cached(spark: SparkSession, sf_dir: str, emb: DataFrame, k: int = KM_K):
-    key = (spark.sparkContext.applicationId, sf_dir, k)
+def kmeans_fit_cached(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    k: int = KM_K,
+    fit_limit: int = KM_FIT_N,
+):
+    key = (spark.sparkContext.applicationId, sf_dir, k, fit_limit)
     if key not in _KM_FIT_CACHE:
         _KM_FIT_CACHE[key] = S.kmeans_fit(
-            emb, "embedding", "vec_id", k=k, iters=KM_ITERS, fit_limit=KM_FIT_N
+            emb, "embedding", "vec_id", k=k, iters=KM_ITERS, fit_limit=fit_limit
         )
     return _KM_FIT_CACHE[key]
 
@@ -256,7 +269,10 @@ _SQL_KMEANS_CTES_SEM = f"""
       FROM embeddings
     ),
     fitsrc AS (
-      SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KM_FIT_N}
+      SELECT vec_id, embedding
+      FROM (SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS frn
+            FROM embeddings), kparam
+      WHERE frn <= GREATEST({KM_FIT_N}, {FIT_PER_CLUSTER} * k)
     ),
     seeds AS (
       SELECT rn - 1 AS c, embedding AS cv
@@ -851,7 +867,10 @@ def _fit_and_assign(spark: SparkSession, sf_dir: str):
     emb = scoped_persist(t["embeddings"])
     # one count against the (persisted) corpus sizes k — corpus
     # metadata, the same class of scalar the fit's seed collect is
-    cents = kmeans_fit_cached(spark, sf_dir, emb, k=_semdedup_k(emb.count()))
+    k = _semdedup_k(emb.count())
+    cents = kmeans_fit_cached(
+        spark, sf_dir, emb, k=k, fit_limit=max(KM_FIT_N, FIT_PER_CLUSTER * k)
+    )
     assigned = scoped_persist(S.with_cluster(emb, "embedding", cents))
     return assigned, cents
 
