@@ -117,6 +117,7 @@ _PRIORITY = (
     #    queries re-prove because the shared fit cache was re-keyed. --
     "ngram_jaccard_pairs",
     "corpus_build",
+    "dup_coverage_histogram",  # NEW in r6: the coverage gate's audit
     "embedding_semdedup",
     "semdedup_survivors",
     "embedding_cluster_stats",
@@ -151,7 +152,6 @@ _PRIORITY = (
     "token_stats",
     "tfidf_top_terms",
     "order_wide_stream",
-    "payment_wide_stream",
     # -- overflow past the ~50-entry driver window: the 8 deferred
     #    r4-green queries (dedup_exact / simhash_fingerprint /
     #    doc_fingerprint / lang_id / quality_score are map-only or
@@ -161,7 +161,12 @@ _PRIORITY = (
     #    embedding_near_dup shares the semdedup verify). All are
     #    re-oracle-checked at sf0.001 by the full pytest sweep and at
     #    sf0.01 by the in-repo vanilla gate every round. They lead the
-    #    r7 window, then the r5-green block rotates back. -------------
+    #    r7 window, then the r5-green block rotates back.
+    #    payment_wide_stream joined them when dup_coverage_histogram
+    #    took its slot: its batch twin payment_wide_join is r5-green
+    #    and its replay machinery runs in-window via order_wide_stream
+    #    (same interval-join pipeline, different bounds). -------------
+    "payment_wide_stream",
     "dedup_exact",
     "simhash_fingerprint",
     "doc_fingerprint",

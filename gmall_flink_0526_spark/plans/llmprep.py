@@ -22,7 +22,7 @@ from ..operators.cache import scoped_persist
 from ..operators.partitioning import spread
 from ..session import load_tables
 from .catalog import register
-from .dedup import corpus_band_keys, corpus_shingles
+from .dedup import SQL_SHINGLES3, corpus_band_keys, corpus_shingles
 from .text import SQL_TOKS
 
 # hex nibble -> int, the DuckDB twin of Spark's conv(hex, 16, 10)
@@ -708,6 +708,65 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.coalesce(F.col("scov"), F.lit(0.0)) < DUP_COV_MAX)
         )
         .select("doc_id", "n_tokens", "quality")
+    )
+
+
+@register(
+    "dup_coverage_histogram",
+    oracle=f"""
+    WITH {SQL_SHINGLES3},
+    shex AS (SELECT doc_id, substr(md5(g), 1, 16) AS gh
+             FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+    shcnt AS (SELECT gh, COUNT(*) AS doc_ct FROM shex GROUP BY gh),
+    shcov AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN doc_ct > {BOILER_DOC_MIN} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) AS scov
+      FROM shex JOIN shcnt USING (gh)
+      GROUP BY doc_id
+    )
+    SELECT CAST(FLOOR(scov * 10) AS INTEGER) AS cov_bucket,
+           COUNT(*) AS n_docs,
+           CAST(FLOOR(scov * 10) AS INTEGER) >= {int(DUP_COV_MAX * 10)} AS gated
+    FROM shcov
+    GROUP BY 1
+    """,
+    doc="Calibration audit for corpus_build's shingle-coverage gate — "
+    "the same role lsh_bucket_audit plays for the hash caps and "
+    "embedding_cluster_stats for the learned clusters: the corpus "
+    "distribution of per-doc many-doc shingle coverage (fraction of a "
+    f"doc's distinct 3-gram shingles shared by more than "
+    f"{BOILER_DOC_MIN} docs), bucketed at 0.1 width, with the gate's "
+    "verdict per bucket. Reads the DUP_COV_MAX margin off real data "
+    "before the gate ships (sf0.01: everything in bucket 0, far from "
+    "the 0.5 bar). Same inverted-index shape as the gate itself — "
+    "linear in total shingles, no pairs.",
+    tags=("llm-prep", "dedup", "audit"),
+)
+def dup_coverage_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = corpus_shingles(spark, sf_dir)
+    shex = scoped_persist(
+        spread(sh.select("doc_id", F.explode("s").alias("g")), "doc_id").select(
+            "doc_id", F.substring(F.md5("g"), 1, 16).alias("gh")
+        )
+    )
+    shcnt = shex.groupBy("gh").agg(F.count("*").alias("doc_ct"))
+    shcov = (
+        shex.join(shcnt, "gh")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum((F.col("doc_ct") > BOILER_DOC_MIN).cast("int"))
+                / F.count("*")
+            ).alias("scov")
+        )
+    )
+    bucket = F.floor(F.col("scov") * 10).cast("int")
+    return (
+        shcov.select(bucket.alias("cov_bucket"))
+        .groupBy("cov_bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("gated", F.col("cov_bucket") >= int(DUP_COV_MAX * 10))
     )
 
 
