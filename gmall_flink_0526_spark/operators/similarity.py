@@ -59,26 +59,78 @@ def sq_dist(a: Column, b: Column) -> Column:
 KMEANS_DEC = "decimal(30,6)"  # functions.exact's portable accumulator
 
 
+# Literal-fold assignment is codegen-friendly up to this many
+# centroids; past it the single projection holding k sq-dist folds
+# grows into an expression tree whole-stage codegen bails on (the
+# corpus-scaled SemDeDup fit reaches k in the hundreds) and the
+# broadcast-join argmin below takes over.
+KM_LITERAL_MAX = 32
+
+
 def with_cluster(
-    df: DataFrame, vec_col: str, cents: list[tuple[int, list[float]]], out: str = "c"
+    df: DataFrame,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    out: str = "c",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2; ties →
-    lowest cluster id). Centroids are literal arrays baked into the
-    expression — the broadcast-free analogue of a map-side lookup, fine
-    for the IVF regime where k is small. The distance array is staged
-    as a column so argmin doesn't re-evaluate the folds."""
-    dists = F.array(
-        *[
-            sq_dist(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv]))
-            for _, cv in cents
-        ]
+    lowest cluster id). Two physically different, value-identical
+    strategies:
+
+    - k <= KM_LITERAL_MAX: centroids are literal arrays baked into one
+      projection — the broadcast-free analogue of a map-side lookup,
+      zero extra shuffles, ideal for the IVF regime where k is small.
+    - k > KM_LITERAL_MAX: centroids become a broadcast k-row frame;
+      score = one map-side fold per (row, centroid), argmin = min over
+      a (dist, cluster, payload) struct grouped by ``id_col``. The
+      grouped min PARTIAL-aggregates map-side, so the exchange carries
+      one row per vector, not k — the shape that holds when k grows
+      with the corpus (SemDeDup) while the small-k plan would sink
+      into interpreted evaluation.
+
+    Both paths fold squared distances elementwise in the same order,
+    so the doubles — and therefore the assignment and every oracle
+    comparison downstream — are identical.
+    """
+    if len(cents) <= KM_LITERAL_MAX:
+        dists = F.array(
+            *[
+                sq_dist(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv]))
+                for _, cv in cents
+            ]
+        )
+        cvals = F.array(*[F.lit(int(c)) for c, _ in cents])
+        staged = df.withColumn("_kd", dists)
+        return staged.withColumn(
+            out,
+            F.element_at(
+                cvals, F.array_position(F.col("_kd"), F.array_min(F.col("_kd"))).cast("int")
+            ),
+        ).drop("_kd")
+    cdf = df.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in cv]) for c, cv in cents], "_kc int, _cv array<double>"
     )
-    cvals = F.array(*[F.lit(int(c)) for c, _ in cents])
-    staged = df.withColumn("_kd", dists)
-    return staged.withColumn(
-        out,
-        F.element_at(cvals, F.array_position(F.col("_kd"), F.array_min(F.col("_kd"))).cast("int")),
-    ).drop("_kd")
+    others = [n for n in df.columns if n != id_col]
+    scored = df.crossJoin(F.broadcast(cdf)).withColumn(
+        "_kd", sq_dist(F.col(vec_col), F.col("_cv"))
+    )
+    m = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                F.col("_kd").alias("_kd"),
+                F.col("_kc").alias("_kc"),
+                *[F.col(n).alias(n) for n in others],
+            )
+        ).alias("_m")
+    )
+    return m.select(
+        *[
+            F.col(id_col) if n == id_col else F.col(f"_m.{n}").alias(n)
+            for n in df.columns
+        ],
+        F.col("_m._kc").alias(out),
+    )
 
 
 def kmeans_fit(
@@ -111,7 +163,7 @@ def kmeans_fit(
     seeds = src.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [(i, [float(x) for x in r[0]]) for i, r in enumerate(seeds)]
     for _ in range(iters):
-        assigned = with_cluster(src, vec_col, cents)
+        assigned = with_cluster(src, vec_col, cents, id_col=id_col)
         comp = assigned.select("c", F.posexplode(F.col(vec_col)).alias("pos", "v"))
         rows = (
             comp.groupBy("c", "pos")

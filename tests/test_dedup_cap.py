@@ -455,3 +455,50 @@ def test_semdedup_adaptive_k_grows_with_corpus_and_matches_oracle(spark, tmp_pat
         )
     finally:
         sd_out.unpersist()
+
+
+def test_semdedup_join_path_assignment_matches_oracle_past_literal_k(spark, tmp_path):
+    """2240 vectors -> k = 35 > KM_LITERAL_MAX, so the fit and the
+    final assignment run through with_cluster's broadcast-join argmin
+    strategy; the DuckDB oracle re-derives the same fit from scratch —
+    if the join path's doubles or tie-breaks diverged from the
+    literal-fold contract, the cluster stats would not hash-match."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmall_flink_0526_spark.operators import similarity as sim
+    from gmall_flink_0526_spark.plans.catalog import CATALOG
+    from gmall_flink_0526_spark.plans import queries as _load
+    from gmall_flink_0526_spark.plans.similarity import _semdedup_k
+
+    from .conftest import assert_matches_oracle, duck_con
+
+    _load()
+    n = 2240
+    assert _semdedup_k(n) == 35 > sim.KM_LITERAL_MAX
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(0, 1.0, size=(12, 8))
+    vecs = [centers[i % 12] * 0.5 + rng.normal(0, 0.08, 8) for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([i % 12 for i in range(n)], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    spec = CATALOG["embedding_cluster_stats"]
+    out = spec.fn(spark, str(tmp_path)).persist()
+    try:
+        assert out.count() > sim.KM_LITERAL_MAX  # non-empty, large-k fit
+        assert_matches_oracle(
+            out, duck_con(str(tmp_path)), spec.oracle, name="join_path_k35"
+        )
+    finally:
+        out.unpersist()

@@ -246,3 +246,30 @@ def test_value_percentiles_approx_swap_bounded_against_exact(spark):
             lo_i = max(0, math.floor((q - 1.0 / acc) * (len(vs) - 1)))
             hi_i = min(len(vs) - 1, math.ceil((q + 1.0 / acc) * (len(vs) - 1)))
             assert vs[lo_i] <= a <= vs[hi_i], (et, q, a, vs[lo_i], vs[hi_i])
+
+
+def test_with_cluster_join_path_matches_literal_path(spark):
+    """with_cluster has two physical strategies (literal folds for
+    small k, broadcast-join argmin past KM_LITERAL_MAX); the doubles
+    fold in the same order on both, so assignments must be IDENTICAL —
+    including ties resolving to the lowest cluster id."""
+    import numpy as np
+
+    from gmall_flink_0526_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(200)]
+    # duplicated vectors + duplicated centroids force distance ties
+    rows += [(1000 + i, rows[i][1]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(c, [float(x) for x in rng.normal(0, 1, 8)]) for c in range(40)]
+    cents[37] = (37, cents[3][1])  # exact tie between clusters 3 and 37
+    assert len(cents) > sim.KM_LITERAL_MAX  # join path
+    joined = {r["vec_id"]: r["c"] for r in sim.with_cluster(emb, "embedding", cents).collect()}
+    old = sim.KM_LITERAL_MAX
+    sim.KM_LITERAL_MAX = len(cents)  # force the literal path
+    try:
+        lit = {r["vec_id"]: r["c"] for r in sim.with_cluster(emb, "embedding", cents).collect()}
+    finally:
+        sim.KM_LITERAL_MAX = old
+    assert joined == lit
