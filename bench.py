@@ -64,6 +64,18 @@ def main() -> None:
     spark.range(CPUS * 4).repartition(CPUS).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # ... and the tokenizer expression chain (regex split + filter +
+    # higher-order folds) over a 64-doc slice: its one-time codegen
+    # compile costs ~2-3 s and otherwise lands on whichever documents
+    # query the certification rotation put first (measured r6:
+    # dataset_split 2.2 s cold at window position 5 vs 0.4 s warm)
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.operators import textops
+
+    textops.with_tokens(
+        load_tables(spark, SF_DIR, "documents")["documents"].limit(64)
+    ).select(F.explode("toks").alias("t")).write.format("noop").mode("overwrite").save()
     # ... and the streaming machinery (micro-batch engine, state-store
     # codegen, applyInPandasWithState worker path) with a 64-row replay,
     # so the first *_stream query measures its operator, not first-touch
