@@ -225,3 +225,54 @@ def test_embedding_semdedup_no_cartesian(spark):
     cross join over the corpus."""
     p = plan_of(spark, "embedding_semdedup")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_jaccard_pairs_sourcekeyed_no_cartesian(spark):
+    """The source-blocked pairwise query must plan the rep-capped
+    self-join as an equi-join hashed on the source key — the window
+    that computes occupancy + representative shares that same
+    partitioning, and no cartesian ever appears."""
+    p = plan_of(spark, "ngram_jaccard_pairs")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "hashpartitioning(source" in p  # cap window + self-join key
+
+
+def test_dup_coverage_histogram_prunes_scan(spark):
+    """The coverage audit reads only (doc_id, text); provenance and
+    size columns never reach the shuffle."""
+    p = plan_of(spark, "dup_coverage_histogram")
+    ms = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert ms and all("n_chars" not in g and "lang" not in g and "source" not in g for g in ms)
+
+
+def test_with_cluster_join_path_partial_aggregates(spark):
+    """Past KM_LITERAL_MAX the assignment is a broadcast k-row
+    nested-loop (the intended O(n·k) map-side scoring — same class as
+    the allowed scalar fan-ins) and the argmin is a grouped min that
+    MUST partial-aggregate: two HashAggregates around the exchange,
+    so the shuffle carries one row per vector, never n·k."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    from gmall_flink_0526_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(9)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(c, [float(x) for x in rng.normal(0, 1, 8)]) for c in range(40)]
+    assert len(cents) > sim.KM_LITERAL_MAX
+    df = sim.with_cluster(emb, "embedding", cents)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in p  # broadcast k-row scoring
+    # partial min BEFORE the exchange (struct-with-payload min plans
+    # as SortAggregate), final min after — one exchanged row per vector
+    assert "partial_min(struct(_kd" in p
+    assert len(re.findall(r"\(\d+\) (?:Sort|Hash)Aggregate", p)) >= 2
+    assert "CartesianProduct" not in p
