@@ -93,6 +93,14 @@ def with_cluster(
     so the doubles — and therefore the assignment and every oracle
     comparison downstream — are identical.
     """
+    # a pre-existing ``out`` column is REPLACED on both paths
+    # (re-assignment after a refit), and the internal scratch names
+    # must not collide with user columns on either
+    if out in df.columns:
+        df = df.drop(out)
+    reserved = {"_kc", "_cv", "_kd", "_m"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"with_cluster: reserved column names in input: {sorted(reserved)}")
     if len(cents) <= KM_LITERAL_MAX:
         dists = F.array(
             *[

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as D
-from ..operators.cache import corpus_persist, scoped_persist
+from ..operators.cache import corpus_persist
 from ..session import load_tables
 from .catalog import register
 from .text import SQL_TOKS
@@ -51,6 +51,65 @@ def corpus_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "bands", sf_dir,
         lambda: D.band_keys_from_sigs(corpus_sigs(spark, sf_dir)),
     )
+
+
+def corpus_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gh): the corpus shingle table exploded to fixed-width
+    16-hex md5 keys — the inverted-index base shared by the
+    duplicate-coverage signal, corpus_build's coverage gate and its
+    histogram audit. Corpus-scoped like the signature tables: built
+    once per corpus per process, shuffles move 16-hex keys instead of
+    shingle text."""
+    from ..operators.partitioning import spread
+
+    def build():
+        sh = corpus_shingles(spark, sf_dir)
+        return spread(sh.select("doc_id", F.explode("s").alias("g")), "doc_id").select(
+            "doc_id", F.substring(F.md5("g"), 1, 16).alias("gh")
+        )
+
+    return corpus_persist(spark, "shingle_hashes", sf_dir, build)
+
+
+def shingle_many_doc_cov(spark: SparkSession, sf_dir: str, min_docs: int) -> DataFrame:
+    """(doc_id, scov): per-doc fraction of distinct shingles occurring
+    in more than ``min_docs`` documents — the statistic behind
+    corpus_build's coverage gate and dup_coverage_histogram. One count
+    shuffle on the hash key + one doc-keyed agg; linear in total
+    shingles, no pairs."""
+    exh = corpus_shingle_hashes(spark, sf_dir)
+    cnt = exh.groupBy("gh").agg(F.count("*").alias("doc_ct"))
+    return (
+        exh.join(cnt, "gh")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum((F.col("doc_ct") > min_docs).cast("int")) / F.count("*")
+            ).alias("scov")
+        )
+    )
+
+
+# Shared oracle CTEs for the inverted-index shape (require ``sh`` from
+# SQL_SHINGLES3 in scope).
+SQL_SHEX = """
+  shex AS (SELECT doc_id, substr(md5(g), 1, 16) AS gh
+           FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+  shcnt AS (SELECT gh, COUNT(*) AS doc_ct FROM shex GROUP BY gh)
+"""
+
+
+def sql_shingle_cov(min_docs: int) -> str:
+    """The shcov CTE twin of :func:`shingle_many_doc_cov`."""
+    return f"""
+  shcov AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN doc_ct > {min_docs} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS scov
+    FROM shex JOIN shcnt USING (gh)
+    GROUP BY doc_id
+  )
+"""
 
 
 # -- shared oracle CTEs -------------------------------------------------
@@ -169,7 +228,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {SQL_SHINGLES3},
     sstat AS (
       SELECT source, COUNT(*) AS sct, MIN(doc_id) AS rep
-      FROM documents GROUP BY source
+      FROM documents WHERE source IS NOT NULL GROUP BY source
     ),
     bpairs AS (
       SELECT da.doc_id AS doc_a, db.doc_id AS doc_b
@@ -202,7 +261,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
-    docs = t["documents"].select("source", "doc_id")
+    # NULL provenance is unblockable, not a block of its own: an
+    # equality self-join drops NULL keys, but hot_bucket_split's
+    # window would group them into one bucket and the rep branch has
+    # no equality join to drop them — filter first so both engines
+    # define the same rule (the oracle's joins drop NULLs natively)
+    docs = t["documents"].filter(F.col("source").isNotNull()).select("source", "doc_id")
     # the one banded self-join, keyed by provenance source: normal
     # blocks full-pairwise, hot blocks rep-capped — identical wiring
     # to the (band, bk) / cluster-id families
@@ -576,15 +640,13 @@ DUP_COV_HIGH = 0.5
     "duplicate_ngram_coverage",
     oracle=f"""
     WITH {SQL_SHINGLES3},
-    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-    exh AS (SELECT doc_id, substr(md5(g), 1, 16) AS gh FROM ex),
-    cnt AS (SELECT gh, COUNT(*) AS doc_ct FROM exh GROUP BY gh),
+    {SQL_SHEX},
     cov AS (
       SELECT doc_id,
              COUNT(*) AS n_shingles,
              CAST(SUM(CASE WHEN doc_ct >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                AS dup_shingles
-      FROM exh JOIN cnt USING (gh)
+      FROM shex JOIN shcnt USING (gh)
       GROUP BY doc_id
     )
     SELECT d.source,
@@ -612,22 +674,14 @@ DUP_COV_HIGH = 0.5
     tags=("dedup", "text", "audit"),
 )
 def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.partitioning import spread
-
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"]
-    # the corpus-scoped shingle table doubles as the materialization
-    # barrier the explode needs: feeding the staged tokenize->shingle
-    # chain straight into Generate re-inlines it (measured: 20 s vs
-    # 2.4 s + 0.4 s at sf0.1)
-    sh = corpus_shingles(spark, sf_dir)
-    # fixed-width hash keys: the shuffle moves 16-hex strings, not
-    # full shingle text (scoped: exh feeds both the count and the join)
-    exh = scoped_persist(
-        spread(sh.select("doc_id", F.explode("s").alias("g")), "doc_id").select(
-            "doc_id", F.substring(F.md5("g"), 1, 16).alias("gh")
-        )
-    )
+    # the corpus-scoped shingle-hash table is the materialization
+    # barrier the explode needs (feeding the staged tokenize->shingle
+    # chain straight into Generate re-inlines it — measured 20 s vs
+    # 2.4 s + 0.4 s at sf0.1) AND the shared inverted-index base for
+    # corpus_build's coverage gate + dup_coverage_histogram
+    exh = corpus_shingle_hashes(spark, sf_dir)
     cnt = exh.groupBy("gh").agg(F.count("*").alias("doc_ct"))
     cov = (
         exh.join(cnt, "gh")

@@ -22,7 +22,14 @@ from ..operators.cache import scoped_persist
 from ..operators.partitioning import spread
 from ..session import load_tables
 from .catalog import register
-from .dedup import SQL_SHINGLES3, corpus_band_keys, corpus_shingles
+from .dedup import (
+    SQL_SHEX,
+    SQL_SHINGLES3,
+    corpus_band_keys,
+    corpus_shingles,
+    shingle_many_doc_cov,
+    sql_shingle_cov,
+)
 from .text import SQL_TOKS
 
 # hex nibble -> int, the DuckDB twin of Spark's conv(hex, 16, 10)
@@ -590,16 +597,8 @@ def _corpus_build_oracle() -> str:
       FROM cchunks JOIN cshared USING (chunk_digest)
       GROUP BY doc_id
     ),
-    shex AS (SELECT doc_id, substr(md5(g), 1, 16) AS gh
-             FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
-    shcnt AS (SELECT gh, COUNT(*) AS doc_ct FROM shex GROUP BY gh),
-    shcov AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN doc_ct > {BOILER_DOC_MIN} THEN 1 ELSE 0 END) AS DOUBLE)
-               / COUNT(*) AS scov
-      FROM shex JOIN shcnt USING (gh)
-      GROUP BY doc_id
-    )
+    {SQL_SHEX},
+    {sql_shingle_cov(BOILER_DOC_MIN)}
     SELECT s.doc_id, s.n_tokens, s.quality
     FROM scored s JOIN survivors USING (doc_id)
     LEFT JOIN boiler b USING (doc_id)
@@ -677,26 +676,9 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # shingle-level duplicate-coverage gate (duplicate_ngram_coverage
-    # composed in): explode the corpus-cached shingle table to
-    # fixed-width 16-hex hash keys, count docs per shingle, one
-    # doc-keyed agg — linear in total shingles, no pairs (scoped: shex
-    # feeds both the count and the join back)
-    shex = scoped_persist(
-        spread(sh.select("doc_id", F.explode("s").alias("g")), "doc_id").select(
-            "doc_id", F.substring(F.md5("g"), 1, 16).alias("gh")
-        )
-    )
-    shcnt = shex.groupBy("gh").agg(F.count("*").alias("doc_ct"))
-    shcov = (
-        shex.join(shcnt, "gh")
-        .groupBy("doc_id")
-        .agg(
-            (
-                F.sum((F.col("doc_ct") > BOILER_DOC_MIN).cast("int"))
-                / F.count("*")
-            ).alias("scov")
-        )
-    )
+    # composed in): the shared corpus-scoped inverted index — linear
+    # in total shingles, no pairs
+    shcov = shingle_many_doc_cov(spark, sf_dir, BOILER_DOC_MIN)
     return (
         scored.join(survivors, "doc_id")
         .join(boiler, "doc_id", "left")
@@ -715,16 +697,8 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dup_coverage_histogram",
     oracle=f"""
     WITH {SQL_SHINGLES3},
-    shex AS (SELECT doc_id, substr(md5(g), 1, 16) AS gh
-             FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
-    shcnt AS (SELECT gh, COUNT(*) AS doc_ct FROM shex GROUP BY gh),
-    shcov AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN doc_ct > {BOILER_DOC_MIN} THEN 1 ELSE 0 END)
-                  AS DOUBLE) / COUNT(*) AS scov
-      FROM shex JOIN shcnt USING (gh)
-      GROUP BY doc_id
-    )
+    {SQL_SHEX},
+    {sql_shingle_cov(BOILER_DOC_MIN)}
     SELECT CAST(FLOOR(scov * 10) AS INTEGER) AS cov_bucket,
            COUNT(*) AS n_docs,
            CAST(FLOOR(scov * 10) AS INTEGER) >= {int(DUP_COV_MAX * 10)} AS gated
@@ -744,23 +718,7 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm-prep", "dedup", "audit"),
 )
 def dup_coverage_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = corpus_shingles(spark, sf_dir)
-    shex = scoped_persist(
-        spread(sh.select("doc_id", F.explode("s").alias("g")), "doc_id").select(
-            "doc_id", F.substring(F.md5("g"), 1, 16).alias("gh")
-        )
-    )
-    shcnt = shex.groupBy("gh").agg(F.count("*").alias("doc_ct"))
-    shcov = (
-        shex.join(shcnt, "gh")
-        .groupBy("doc_id")
-        .agg(
-            (
-                F.sum((F.col("doc_ct") > BOILER_DOC_MIN).cast("int"))
-                / F.count("*")
-            ).alias("scov")
-        )
-    )
+    shcov = shingle_many_doc_cov(spark, sf_dir, BOILER_DOC_MIN)
     bucket = F.floor(F.col("scov") * 10).cast("int")
     return (
         shcov.select(bucket.alias("cov_bucket"))

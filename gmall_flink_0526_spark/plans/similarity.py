@@ -860,14 +860,21 @@ def _semdedup_k(n: int) -> int:
     return max(KM_K, -(-n // SEMDEDUP_TARGET_CLUSTER))
 
 
+# the corpus row count that sizes k is corpus metadata like the fit
+# itself — memoized per (session, sf_dir) so the three SemDeDup-family
+# queries don't each pay a full embeddings scan for the same scalar
+_EMB_N_CACHE: dict[tuple[str, str], int] = {}
+
+
 def _fit_and_assign(spark: SparkSession, sf_dir: str):
     from ..operators.cache import scoped_persist
 
     t = load_tables(spark, sf_dir, "embeddings")
     emb = scoped_persist(t["embeddings"])
-    # one count against the (persisted) corpus sizes k — corpus
-    # metadata, the same class of scalar the fit's seed collect is
-    k = _semdedup_k(emb.count())
+    nkey = (spark.sparkContext.applicationId, sf_dir)
+    if nkey not in _EMB_N_CACHE:
+        _EMB_N_CACHE[nkey] = emb.count()
+    k = _semdedup_k(_EMB_N_CACHE[nkey])
     cents = kmeans_fit_cached(
         spark, sf_dir, emb, k=k, fit_limit=max(KM_FIT_N, FIT_PER_CLUSTER * k)
     )

@@ -502,3 +502,50 @@ def test_semdedup_join_path_assignment_matches_oracle_past_literal_k(spark, tmp_
         )
     finally:
         out.unpersist()
+
+
+def test_ngram_jaccard_null_source_block_is_unblockable(spark, tmp_path):
+    """NULL provenance must be unblockable, not a hot block of its own:
+    the rep-cap branch is a window (which groups NULL keys) + filter
+    with no equality join to drop them, so without the explicit NULL
+    filter a >MAX_BUCKET NULL-source block emitted Spark-only rep
+    pairs that the oracle's equality joins never produce. 210 NULL-
+    source near-dup docs must contribute ZERO pairs on both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmall_flink_0526_spark.plans.catalog import CATALOG
+    from gmall_flink_0526_spark.plans import queries as _load
+
+    from .conftest import assert_matches_oracle, duck_con
+
+    _load()
+    base = "terms of service all rights reserved cookie policy navigation home about " * 3
+    rows = [(i, base + f"v{i:04d}", None) for i in range(210)]  # > MAX_BUCKET
+    rows += [
+        (1000, "the quick brown fox jumps over the lazy dog near the river bank today", "ok"),
+        (1001, "the quick brown fox jumps over the lazy dog near the river bank now", "ok"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "source": [r[2] for r in rows],
+            },
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string()), ("source", pa.string())]
+            ),
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    spec = CATALOG["ngram_jaccard_pairs"]
+    out = spec.fn(spark, str(tmp_path)).persist()
+    try:
+        pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+        assert pairs == {(1000, 1001)}  # nothing from the NULL block
+        assert_matches_oracle(
+            out, duck_con(str(tmp_path)), spec.oracle, name="ngram_null_source"
+        )
+    finally:
+        out.unpersist()

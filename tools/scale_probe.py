@@ -107,7 +107,9 @@ def gen_warehouse(spark, out_dir: str, scale: int = 10) -> None:
     n_cust, n_supp = 15_000 * scale, 1_000 * scale
 
     def h(m: int, salt: str):
-        return F.abs(F.hash(F.col("id").cast("string"), F.lit(salt))) % m
+        # pmod, not abs(...)%m: abs(Int.MinValue) wraps negative in
+        # non-ANSI mode and a negative index would crash element_at
+        return F.pmod(F.hash(F.col("id").cast("string"), F.lit(salt)), F.lit(m))
 
     def pick(salt: str, *vals: str):
         return F.element_at(
@@ -349,17 +351,25 @@ def main() -> None:
             gen_warehouse(spark, wh, scale=10)
             wh_gen_s = round(time.time() - t0, 2)
             warehouse = {"gen_sec": wh_gen_s}
+            q5_sf1 = None
             for name in ("local_supplier_volume", "pricing_summary"):
                 for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", wh)):
                     t0 = time.time()
-                    n = qs[name](spark, sf_dir).count()
+                    df = qs[name](spark, sf_dir)
+                    n = df.count()
                     warehouse.setdefault(name, {})[sf_label] = round(time.time() - t0, 2)
                     warehouse[name][f"{sf_label}_rows"] = n
-            plan = qs["local_supplier_volume"](spark, wh)._jdf.queryExecution().executedPlan().toString()
+                    if name == "local_supplier_volume" and sf_label == "sf1":
+                        q5_sf1 = df
+            # the plan AFTER execution: AQE's final strategies (its
+            # runtime SMJ->broadcast conversions are exactly what a
+            # 10x probe should observe), not the static planner's
+            plan = q5_sf1._jdf.queryExecution().executedPlan().toString()
             warehouse["q5_sf1_joins"] = {
                 "broadcast_hash": plan.count("BroadcastHashJoin"),
                 "sort_merge": plan.count("SortMergeJoin"),
                 "shuffled_hash": plan.count("ShuffledHashJoin"),
+                "aqe_final": "isFinalPlan=true" in plan,
             }
         finally:
             shutil.rmtree(wh, ignore_errors=True)
