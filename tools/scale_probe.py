@@ -160,6 +160,55 @@ def gen_warehouse(spark, out_dir: str, scale: int = 10) -> None:
         ).parquet(os.path.join(out_dir, f"{t}.parquet"))
 
 
+def probe_skew(spark, n_fact: int = 6_000_000, n_dim: int = 150_000) -> dict:
+    """Measure the engine's two skew answers on a deliberately skewed
+    big-big join (30% of the fact rows share ONE key; broadcast
+    disabled to model the regime where both sides are too large to
+    broadcast): (a) AQE's runtime skew-join splitting — the default
+    session posture, (b) `salted_join` — the manual cure for when the
+    join must stay shuffled or the skew is extreme, against (c) the
+    naive shuffled join with both disabled, where one task drags the
+    whole stage. All three must return identical aggregates."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.operators.partitioning import salted_join
+
+    fact = spark.range(n_fact).select(
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+        .otherwise(F.pmod(F.hash(F.col("id").cast("string")), F.lit(n_dim)) + 1)
+        .alias("k"),
+        (F.col("id") % 1000).alias("x"),
+    )
+    dim = spark.range(n_dim + 1).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+
+    def run(df) -> tuple[float, int, float]:
+        t0 = time.time()
+        row = df.groupBy().agg(F.count("*").alias("n"), F.sum("v").alias("s")).collect()[0]
+        return round(time.time() - t0, 2), int(row["n"]), float(row["s"])
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+    out = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        sec, n, s = run(fact.join(dim, "k"))
+        out["naive_shuffled"] = {"sec": sec, "rows": n}
+        sec, n2, s2 = run(salted_join(fact, dim, ["k"], buckets=32))
+        out["salted_join"] = {"sec": sec, "rows": n2}
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        sec, n3, s3 = run(fact.join(dim, "k"))
+        out["aqe_skew_split"] = {"sec": sec, "rows": n3}
+        assert n == n2 == n3 and s == s2 == s3, "skew variants disagree"
+        out["agree"] = True
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+    return out
+
+
 def probe_incremental_stream(spark, sf_dir: str, n_epochs: int) -> dict:
     """Replay ``sf_dir``'s documents through the REAL streaming
     incremental-dedup app in ``n_epochs`` micro-batches (doc_id %
@@ -374,6 +423,10 @@ def main() -> None:
         finally:
             shutil.rmtree(wh, ignore_errors=True)
 
+        # skewed big-big join: the naive shuffled join's hot partition
+        # vs AQE's runtime skew split vs salted_join (r6)
+        skew = probe_skew(spark)
+
         # streaming incremental dedup at both scales: per-epoch times
         # should stay flat within a run and scale ~linearly with the
         # per-epoch batch size across runs
@@ -392,6 +445,7 @@ def main() -> None:
             "timings": timings,
             "semdedup_occupancy": semdedup_occ,
             "warehouse_10x": warehouse,
+            "skew_join": skew,
             "incremental_stream": inc,
             "hot_buckets_capped": len(dropped),
             "quadratic_pairs_saved": int(saved_pairs),
