@@ -118,6 +118,8 @@ _PRIORITY = (
     "ngram_jaccard_pairs",
     "corpus_build",
     "dup_coverage_histogram",  # NEW in r6: the coverage gate's audit
+    "semdedup_threshold_sweep",  # NEW in r6: SEMDEDUP_T calibration
+    "dedup_token_retention",  # NEW in r6: per-source dedup cost report
     "embedding_semdedup",
     "semdedup_survivors",
     "embedding_cluster_stats",
@@ -149,8 +151,6 @@ _PRIORITY = (
     "jdbc_round_trip",
     "keyword_stats",
     "keyword_stats_cjk",
-    "token_stats",
-    "tfidf_top_terms",
     "order_wide_stream",
     # -- overflow past the ~50-entry driver window: the 8 deferred
     #    r4-green queries (dedup_exact / simhash_fingerprint /
@@ -165,8 +165,14 @@ _PRIORITY = (
     #    payment_wide_stream joined them when dup_coverage_histogram
     #    took its slot: its batch twin payment_wide_join is r5-green
     #    and its replay machinery runs in-window via order_wide_stream
-    #    (same interval-join pipeline, different bounds). -------------
+    #    (same interval-join pipeline, different bounds). token_stats
+    #    and tfidf_top_terms yielded to the threshold-sweep/token-
+    #    retention additions: the U1 tokenizer surface they cover runs
+    #    in-window through keyword_stats / keyword_stats_cjk and every
+    #    text gate inside corpus_build. ------------------------------
     "payment_wide_stream",
+    "token_stats",
+    "tfidf_top_terms",
     "dedup_exact",
     "simhash_fingerprint",
     "doc_fingerprint",

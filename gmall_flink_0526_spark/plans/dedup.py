@@ -377,6 +377,83 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_token_retention",
+    oracle=f"""
+    WITH RECURSIVE {SQL_SHINGLES3},
+    {SQL_LSH_CANDIDATES},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                JOIN sh b ON cand.doc_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    ),
+    e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(n, r) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n),
+    kept AS (
+      SELECT doc_id FROM comp WHERE doc_id = cluster_id
+      UNION ALL
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
+    ),
+    tok AS (SELECT doc_id, len(t) AS n_toks FROM toks)
+    SELECT d.source,
+           COUNT(*) AS docs_total,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN n_toks ELSE 0 END) AS BIGINT)
+             AS tokens_kept
+    FROM documents d
+    JOIN tok USING (doc_id)
+    LEFT JOIN kept k USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="What deduplication costs each source's token mixture — the "
+    "report a data-recipe owner reads next to domain_mixture_weights "
+    "before retraining on a deduped corpus: per provenance source, "
+    "document and token counts before and after LSH dedup "
+    "(survivors = min-id representative per near-dup cluster + every "
+    "unclustered doc, exactly dedup_survivors' rule). Same bounded "
+    "pair/CC machinery as the dedup itself plus one doc-keyed left "
+    "join and one grouped agg — nothing here outgrows the dedup run "
+    "it reports on.",
+    tags=("dedup", "lsh", "graph", "audit"),
+)
+def dedup_token_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textops
+    from ..operators.graph import connected_components
+    from ..operators.partitioning import spread
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"]
+    sh = corpus_shingles(spark, sf_dir)
+    pairs = (
+        D.jaccard_verify(sh, D.lsh_pairs_from_bands(corpus_band_keys(spark, sf_dir)))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b", num_partitions=CC_PARTITIONS)
+    tokc = textops.with_tokens(spread(docs.select("doc_id", "source", "text"), "doc_id")).select(
+        "doc_id", "source", F.size("toks").alias("n_toks")
+    )
+    j = tokc.join(comp, tokc["doc_id"] == comp["node"], "left")
+    kept = F.col("node").isNull() | (F.col("node") == F.col("comp"))
+    return j.groupBy("source").agg(
+        F.count("*").alias("docs_total"),
+        F.sum(kept.cast("bigint")).alias("docs_kept"),
+        F.sum(F.col("n_toks").cast("bigint")).alias("tokens_total"),
+        F.sum(F.when(kept, F.col("n_toks")).otherwise(0).cast("bigint")).alias("tokens_kept"),
+    )
+
+
+@register(
     "simhash_fingerprint",
     oracle=f"""
     WITH toks AS (

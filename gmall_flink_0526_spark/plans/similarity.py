@@ -1003,6 +1003,97 @@ def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The sweep's candidate thresholds — spans the paper's reported range
+# around the shipped SEMDEDUP_T.
+SWEEP_THRESHOLDS = (0.45, 0.55, 0.65, 0.75, 0.85)
+
+
+@register(
+    "semdedup_threshold_sweep",
+    oracle=f"""
+    WITH {_SQL_KMEANS_CTES_SEM},
+    cstat AS (
+      SELECT c, COUNT(*) AS cct, MIN(vec_id) AS rep FROM afinal GROUP BY c
+    ),
+    cand AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM afinal a
+      JOIN cstat ON a.c = cstat.c AND cstat.cct <= {SEMDEDUP_MAX_CLUSTER}
+      JOIN afinal b ON a.c = b.c AND a.vec_id < b.vec_id
+      UNION
+      SELECT t.rep AS ida, f.vec_id AS idb
+      FROM afinal f JOIN cstat t ON f.c = t.c
+      WHERE t.cct > {SEMDEDUP_MAX_CLUSTER} AND f.vec_id > t.rep
+    ),
+    anorm AS (
+      SELECT vec_id, embedding,
+             sqrt({SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM afinal
+    ),
+    scored AS (
+      SELECT cand.ida, cand.idb,
+             {SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+               AS cos_sim
+      FROM cand JOIN anorm a ON cand.ida = a.vec_id
+                JOIN anorm b ON cand.idb = b.vec_id
+    ),
+    t AS (SELECT unnest([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}]) AS thresh)
+    SELECT thresh,
+           CAST(SUM(CASE WHEN cos_sim >= thresh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN cos_sim >= thresh THEN idb END) AS BIGINT)
+             AS docs_pruned
+    FROM t CROSS JOIN scored
+    GROUP BY thresh
+    """,
+    doc="Threshold-sensitivity sweep for SemDeDup — the calibration "
+    "run that picks SEMDEDUP_T before a corpus-wide dedup ships: for "
+    f"each candidate threshold in {SWEEP_THRESHOLDS}, the surviving "
+    "near-dup pair count and the number of documents the prune would "
+    "remove (distinct non-min pair members). ONE pass over the capped "
+    "within-cluster candidate set scores every pair, then a 5-way "
+    "literal-array explode fans the thresholds out map-side — cost is "
+    "the same single candidate join as embedding_semdedup, never "
+    "5 passes, and the fit rides the memoized adaptive-k centroids.",
+    tags=("similarity", "kmeans", "dedup", "audit"),
+)
+def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import spread
+
+    assigned, _ = _fit_and_assign(spark, sf_dir)
+    ckeys = assigned.select(F.col("c").cast("int").alias("c"), "vec_id")
+    pairs = D.lsh_pairs_from_bands(
+        ckeys,
+        max_bucket=SEMDEDUP_MAX_CLUSTER,
+        keys=("c",),
+        id_col="vec_id",
+        out=("ida", "idb"),
+    )
+    nrm = F.sqrt(S.norm_sq(F.col("embedding")))
+    a = assigned.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"), nrm.alias("na"))
+    b = assigned.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"), nrm.alias("nb"))
+    scored = (
+        spread(pairs, "ida")
+        .join(a, "ida")
+        .join(b, "idb")
+        .withColumn("cos_sim", S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .select("idb", "cos_sim")
+    )
+    hit = F.col("cos_sim") >= F.col("thresh")
+    return (
+        scored.select(
+            "idb",
+            "cos_sim",
+            F.explode(F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])).alias("thresh"),
+        )
+        .groupBy("thresh")
+        .agg(
+            F.sum(hit.cast("bigint")).alias("n_pairs"),
+            F.countDistinct(F.when(hit, F.col("idb"))).alias("docs_pruned"),
+        )
+    )
+
+
 @register(
     "semdedup_survivors",
     oracle=f"""
