@@ -120,6 +120,7 @@ _PRIORITY = (
     "dup_coverage_histogram",  # NEW in r6: the coverage gate's audit
     "semdedup_threshold_sweep",  # NEW in r6: SEMDEDUP_T calibration
     "dedup_token_retention",  # NEW in r6: per-source dedup cost report
+    "embedding_incremental_near_dup",  # NEW in r6: incremental SemDeDup
     "embedding_semdedup",
     "semdedup_survivors",
     "embedding_cluster_stats",
@@ -136,7 +137,6 @@ _PRIORITY = (
     "order_status_stats",
     "top_revenue_orders",
     "sales_cube",
-    "json_dead_letter",
     "log_split_counts",
     "config_routing",
     "visitor_stats_hourly",
@@ -169,8 +169,12 @@ _PRIORITY = (
     #    and tfidf_top_terms yielded to the threshold-sweep/token-
     #    retention additions: the U1 tokenizer surface they cover runs
     #    in-window through keyword_stats / keyword_stats_cjk and every
-    #    text gate inside corpus_build. ------------------------------
+    #    text gate inside corpus_build. json_dead_letter yielded to
+    #    embedding_incremental_near_dup: its P1 parse + dead-letter
+    #    path runs in-window through log_split_counts (and the
+    #    r5-green log_split_stream replays the same route end-to-end).
     "payment_wide_stream",
+    "json_dead_letter",
     "token_stats",
     "tfidf_top_terms",
     "dedup_exact",

@@ -188,7 +188,7 @@ FIT_PER_CLUSTER = 4
 # cached centroids can never outlive the session that fit them.
 # Correctness is unchanged: cached == recomputed, and every query's
 # oracle re-derives the same fit from scratch in SQL.
-_KM_FIT_CACHE: dict[tuple[str, str, int, int], list[tuple[int, list[float]]]] = {}
+_KM_FIT_CACHE: dict[tuple[str, str, int, int, str], list[tuple[int, list[float]]]] = {}
 
 
 def kmeans_fit_cached(
@@ -197,8 +197,13 @@ def kmeans_fit_cached(
     emb: DataFrame,
     k: int = KM_K,
     fit_limit: int = KM_FIT_N,
+    subset: str = "all",
 ):
-    key = (spark.sparkContext.applicationId, sf_dir, k, fit_limit)
+    # ``subset`` names WHICH rows of sf_dir ``emb`` holds (the
+    # incremental fit trains on the stored-corpus side only) — it must
+    # be part of the key or a same-(k, fit_limit) fit on a different
+    # row subset would serve stale centroids
+    key = (spark.sparkContext.applicationId, sf_dir, k, fit_limit, subset)
     if key not in _KM_FIT_CACHE:
         _KM_FIT_CACHE[key] = S.kmeans_fit(
             emb, "embedding", "vec_id", k=k, iters=KM_ITERS, fit_limit=fit_limit
@@ -263,15 +268,21 @@ _SQL_KMEANS_CTES = f"""
 # count is DERIVED FROM THE DATA — k = max(KM_K, ceil(n / target)),
 # computed in SQL from COUNT(*) so both engines scale k the same way
 # on any corpus (plans/similarity._semdedup_k is the Spark twin).
-_SQL_KMEANS_CTES_SEM = f"""
+# ``where`` restricts which rows train the fit (the incremental query
+# fits on the stored-corpus side only); assignment always covers the
+# full table.
+
+
+def _sql_kmeans_ctes_subset(where: str) -> str:
+    return f"""
     kparam AS (
       SELECT GREATEST({KM_K}, CAST(CEIL(COUNT(*) / {SEMDEDUP_TARGET_CLUSTER}.0) AS BIGINT)) AS k
-      FROM embeddings
+      FROM embeddings WHERE {where}
     ),
     fitsrc AS (
       SELECT vec_id, embedding
       FROM (SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) AS frn
-            FROM embeddings), kparam
+            FROM embeddings WHERE {where}), kparam
       WHERE frn <= GREATEST({KM_FIT_N}, {FIT_PER_CLUSTER} * k)
     ),
     seeds AS (
@@ -286,6 +297,9 @@ _SQL_KMEANS_CTES_SEM = f"""
     {_sql_recompute('a1', 'ctr2')},
     {_sql_assign('embeddings', 'ctr2', 'afinal')}
 """
+
+
+_SQL_KMEANS_CTES_SEM = _sql_kmeans_ctes_subset("TRUE")
 
 
 @register(
@@ -1175,4 +1189,93 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.join(comp, vecs["vec_id"] == comp["node"], "left")
         .filter(F.col("node").isNull() | (F.col("node") == F.col("comp")))
         .select("vec_id", F.col("node").isNotNull().alias("was_clustered"))
+    )
+
+
+# Mirrors plans.dedup.NEW_MOD's fixture split for the embedding side.
+
+
+@register(
+    "embedding_incremental_near_dup",
+    oracle=f"""
+    WITH {_sql_kmeans_ctes_subset("vec_id % 5 != 0")},
+    cstat AS (
+      SELECT c, COUNT(*) AS cct, MIN(vec_id) AS rep
+      FROM afinal WHERE vec_id % 5 != 0 GROUP BY c
+    ),
+    cand AS (
+      SELECT n.vec_id AS ida, s.vec_id AS idb
+      FROM afinal n
+      JOIN afinal s ON n.c = s.c
+      JOIN cstat ON s.c = cstat.c
+      WHERE n.vec_id % 5 = 0 AND s.vec_id % 5 != 0
+        AND (cstat.cct <= {SEMDEDUP_MAX_CLUSTER} OR s.vec_id = cstat.rep)
+    ),
+    anorm AS (
+      SELECT vec_id, embedding,
+             sqrt({SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM afinal
+    )
+    SELECT cand.ida, cand.idb,
+           {SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+             AS cos_sim
+    FROM cand JOIN anorm a ON cand.ida = a.vec_id
+              JOIN anorm b ON cand.idb = b.vec_id
+    WHERE {SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+            >= {SEMDEDUP_T}
+    """,
+    doc="Incremental SemDeDup — the embedding twin of "
+    "dedup_incremental's continuous-ingest shape: an incoming vector "
+    "batch (vec_id % 5 == 0 stands in for 'today's embeddings') is "
+    "checked against the stored corpus by assigning BOTH sides with "
+    "centroids fit on the STORED side only (production fits the "
+    "quantizer at bootstrap and assigns forever; k and the fit sample "
+    "scale with the stored corpus), then cosine-verifying only "
+    "new-vs-corpus candidates within a shared cluster. The corpus "
+    "side of a hot cluster collapses to its min-id representative — "
+    "the same corpus-side cap as lsh_candidates_against — so cost is "
+    "proportional to the batch and its cluster overlap, never "
+    "corpus².",
+    tags=("similarity", "kmeans", "dedup", "incremental"),
+)
+def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+    from ..operators.partitioning import spread
+    from .dedup import NEW_MOD
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = scoped_persist(t["embeddings"])
+    corp = emb.filter(F.col("vec_id") % NEW_MOD != 0)
+    nkey = (spark.sparkContext.applicationId, f"{sf_dir}#corpus")
+    if nkey not in _EMB_N_CACHE:
+        _EMB_N_CACHE[nkey] = corp.count()
+    k = _semdedup_k(_EMB_N_CACHE[nkey])
+    cents = kmeans_fit_cached(
+        spark, sf_dir, corp, k=k,
+        fit_limit=max(KM_FIT_N, FIT_PER_CLUSTER * k), subset="corpus",
+    )
+    assigned = scoped_persist(S.with_cluster(emb, "embedding", cents))
+    nrm = F.sqrt(S.norm_sq(F.col("embedding")))
+    corp_a = assigned.filter(F.col("vec_id") % NEW_MOD != 0)
+    # per-cluster occupancy + representative of the STORED side: k
+    # rows, broadcast back — the corpus-side cap keeps the store's
+    # rep row so a hot cluster still dedups incoming copies at
+    # batch x 1 forever
+    cst = corp_a.groupBy("c").agg(F.count("*").alias("cct"), F.min("vec_id").alias("rep"))
+    corp_k = (
+        corp_a.join(F.broadcast(cst), "c")
+        .filter(
+            (F.col("cct") <= SEMDEDUP_MAX_CLUSTER) | (F.col("vec_id") == F.col("rep"))
+        )
+        .select("c", F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"), nrm.alias("nb"))
+    )
+    new_a = assigned.filter(F.col("vec_id") % NEW_MOD == 0).select(
+        "c", F.col("vec_id").alias("ida"), F.col("embedding").alias("va"), nrm.alias("na")
+    )
+    return (
+        spread(new_a, "ida")
+        .join(corp_k, "c")
+        .withColumn("cos_sim", S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos_sim") >= SEMDEDUP_T)
+        .select("ida", "idb", "cos_sim")
     )
