@@ -121,6 +121,7 @@ _PRIORITY = (
     "semdedup_threshold_sweep",  # NEW in r6: SEMDEDUP_T calibration
     "dedup_token_retention",  # NEW in r6: per-source dedup cost report
     "embedding_incremental_near_dup",  # NEW in r6: incremental SemDeDup
+    "embedding_incremental_stream",  # NEW in r6: its REAL streaming app
     "embedding_semdedup",
     "semdedup_survivors",
     "embedding_cluster_stats",
@@ -146,7 +147,6 @@ _PRIORITY = (
     "session_stats",
     "visitor_stats_union",
     "log_explode_displays",
-    "cdc_envelope_parse",
     "cdc_delete_filter",
     "jdbc_round_trip",
     "keyword_stats",
@@ -173,8 +173,12 @@ _PRIORITY = (
     #    embedding_incremental_near_dup: its P1 parse + dead-letter
     #    path runs in-window through log_split_counts (and the
     #    r5-green log_split_stream replays the same route end-to-end).
+    #    cdc_envelope_parse yielded to embedding_incremental_stream:
+    #    the S3 envelope path runs in-window through cdc_delete_filter
+    #    and the r5-green base_db_stream / cdc_materialize apps.
     "payment_wide_stream",
     "json_dead_letter",
+    "cdc_envelope_parse",
     "token_stats",
     "tfidf_top_terms",
     "dedup_exact",

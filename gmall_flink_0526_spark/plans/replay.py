@@ -767,3 +767,142 @@ def doc_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_sum",
         )
     )
+
+
+# -- streaming incremental SemDeDup under the oracle --------------------
+
+_N_EMB_BATCHES = 3
+
+
+def _emb_incdedup_oracle() -> str:
+    """Unrolled greedy replay of emb_incremental_dedup_app in SQL.
+
+    The quantizer is fit on EPOCH 0's vectors only (the app's
+    bootstrap batch: vec_id % 3 == 0 under the replay split), every
+    vector is assigned with those centroids, and the app's cap scopes
+    are mirrored exactly: in-batch candidates cap by BATCH-LOCAL
+    cluster occupancy ((f, c)), cross-corpus candidates cap by the
+    KEPT-store's per-cluster occupancy with the min-id representative
+    always kept pairing — the same two scopes as the MinHash replay
+    oracle, over learned clusters instead of band buckets."""
+    from .similarity import SEMDEDUP_MAX_CLUSTER, SEMDEDUP_T, SQL_DOT, _sql_kmeans_ctes_subset
+
+    n = _N_EMB_BATCHES
+    cos = f"{SQL_DOT.format(a='x.embedding', b='y.embedding')} / (x.nrm * y.nrm)"
+
+    epoch_ctes = []
+    epoch_ctes.append(
+        """kept0 AS (
+  SELECT vec_id FROM av WHERE f = 0
+    AND vec_id NOT IN (SELECT vec_id FROM selfdrop)
+)"""
+    )
+    for f in range(1, n):
+        prior = " UNION ALL ".join(f"SELECT vec_id FROM kept{p}" for p in range(f))
+        epoch_ctes.append(
+            f"""store{f} AS (
+  SELECT av.* FROM av WHERE av.vec_id IN ({prior})
+),
+sstat{f} AS (
+  SELECT c, COUNT(*) AS cct, MIN(vec_id) AS rep FROM store{f} GROUP BY c
+),
+xc{f} AS (
+  SELECT DISTINCT nv.vec_id AS ida, sv.vec_id AS idb
+  FROM av nv
+  JOIN store{f} sv ON nv.c = sv.c
+  JOIN sstat{f} t ON sv.c = t.c
+  WHERE nv.f = {f} AND (t.cct <= {SEMDEDUP_MAX_CLUSTER} OR sv.vec_id = t.rep)
+),
+xdrop{f} AS (
+  SELECT DISTINCT xc{f}.ida AS vec_id
+  FROM xc{f} JOIN av x ON xc{f}.ida = x.vec_id
+             JOIN av y ON xc{f}.idb = y.vec_id
+  WHERE {cos} >= {SEMDEDUP_T}
+),
+kept{f} AS (
+  SELECT vec_id FROM av WHERE f = {f}
+    AND vec_id NOT IN (SELECT vec_id FROM selfdrop)
+    AND vec_id NOT IN (SELECT vec_id FROM xdrop{f})
+)"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT vec_id FROM kept{f}" for f in range(n))
+    return f"""
+    WITH {_sql_kmeans_ctes_subset(f"vec_id % {n} = 0")},
+    av AS (
+      SELECT vec_id, CAST(c AS INTEGER) AS c, embedding,
+             vec_id % {n} AS f,
+             sqrt({SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM afinal
+    ),
+    bstat AS (
+      SELECT f, c, COUNT(*) AS cct, MIN(vec_id) AS rep FROM av GROUP BY f, c
+    ),
+    scand AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM av a
+      JOIN bstat ON a.f = bstat.f AND a.c = bstat.c
+                AND bstat.cct <= {SEMDEDUP_MAX_CLUSTER}
+      JOIN av b ON a.f = b.f AND a.c = b.c AND a.vec_id < b.vec_id
+      UNION
+      SELECT t.rep AS ida, av.vec_id AS idb
+      FROM av JOIN bstat t ON av.f = t.f AND av.c = t.c
+      WHERE t.cct > {SEMDEDUP_MAX_CLUSTER} AND av.vec_id > t.rep
+    ),
+    selfdrop AS (
+      SELECT DISTINCT scand.idb AS vec_id
+      FROM scand JOIN av x ON scand.ida = x.vec_id
+                 JOIN av y ON scand.idb = y.vec_id
+      WHERE {cos} >= {SEMDEDUP_T}
+    ),
+    {",".join(epoch_ctes)}
+    {union}
+    """
+
+
+@register(
+    "embedding_incremental_stream",
+    oracle=_emb_incdedup_oracle(),
+    doc="Streaming incremental SemDeDup under the external oracle: the "
+    "real foreachBatch app (streaming/pipelines.emb_incremental_"
+    "dedup_app — bootstrap quantizer fit on the first batch, "
+    "epoch-idempotent kept-vector store, cluster-keyed cross join "
+    "with corpus-side rep cap) replays `embeddings` in 3 micro-"
+    "batches split by vec_id % 3, and the oracle unrolls the same "
+    "greedy rule in SQL: per batch, drop in-batch cosine-verified "
+    "larger ids within a cluster, then drop any vector verifying "
+    ">= threshold against a previously KEPT vector in its cluster. "
+    "The embedding twin of dedup_incremental_stream — the engine's "
+    "continuous-ingest shape for the semantic-dedup family.",
+    tags=("similarity", "kmeans", "dedup", "streaming", "incremental"),
+)
+def embedding_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.registry import ChannelRegistry, write_replay
+    from ..streaming.pipelines import emb_incremental_dedup_app
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    root = temp_replay_root("gmall_embinc_")
+    reg = ChannelRegistry(root)
+    reg.register("ods_embeddings", schema="vec_id long, embedding array<float>")
+    write_replay(
+        emb,
+        reg.channels["ods_embeddings"].path,
+        n_files=_N_EMB_BATCHES,
+        order_by=["vec_id"],
+        file_of=F.col("vec_id") % _N_EMB_BATCHES,
+    )
+    reg.register("dwd_embeddings_unique")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = emb_incremental_dedup_app(
+            spark, reg, os.path.join(root, "ckpt"), os.path.join(root, "store")
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return reg.read_batch(spark, "dwd_embeddings_unique").select("vec_id")

@@ -602,6 +602,152 @@ def doc_incremental_dedup_app(
     )
 
 
+def emb_incremental_dedup_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    store_root: str,
+    source: str = "ods_embeddings",
+    out_channel: str = "dwd_embeddings_unique",
+):
+    """Streaming incremental SemDeDup — the embedding twin of
+    ``doc_incremental_dedup_app``: the FIRST micro-batch fits the
+    coarse quantizer (adaptive k from the batch size, deterministic
+    seeds/sample, so a retried bootstrap epoch refits identically) and
+    persists the centroids; every batch is assigned with the stored
+    centroids, in-batch same-cluster pairs past the cosine threshold
+    drop the larger id (batch-local hot-cluster rep cap), and the
+    batch is checked against the accumulated KEPT-vector store within
+    shared clusters (corpus-side rep cap: a hot stored cluster keeps
+    pairing new vectors against its min-id row). Survivors append to
+    the epoch-idempotent store — ``mode("overwrite")`` into
+    ``epoch=<id>`` dirs with ``epoch < current`` pruning, the same
+    crash contract as the MinHash app; ``kept`` is localCheckpoint-ed
+    before any store write for the same lineage reason. Cost per
+    batch is batch x cluster-overlap; the stored corpus is touched
+    only through its cluster-keyed rows, never rescanned."""
+    from ..operators import similarity as S
+
+    vec_path = os.path.join(store_root, "vec_store")
+    cent_path = os.path.join(store_root, "centroids")
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+
+    def _read_store(sess: SparkSession, path: str, epoch_id: int) -> DataFrame:
+        return sess.read.parquet(path).filter(F.col("epoch") < epoch_id).drop("epoch")
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        # runtime import: plans.similarity owns the SemDeDup constants
+        # and already imports streaming modules transitively
+        from ..operators import dedup as D
+        from ..plans.similarity import (
+            FIT_PER_CLUSTER,
+            KM_FIT_N,
+            KM_ITERS,
+            SEMDEDUP_MAX_CLUSTER,
+            SEMDEDUP_T,
+            _semdedup_k,
+        )
+
+        sess = batch.sparkSession
+        batch = batch.persist()
+        assigned = None
+        try:
+            if hfs.exists(sess, cent_path):
+                cents = sorted(
+                    (int(r["c"]), [float(x) for x in r["cv"]])
+                    for r in sess.read.parquet(cent_path).collect()
+                )
+            else:
+                # bootstrap on the first batch; idempotent overwrite
+                k = _semdedup_k(batch.count())
+                cents = S.kmeans_fit(
+                    batch, "embedding", "vec_id", k=k, iters=KM_ITERS,
+                    fit_limit=max(KM_FIT_N, FIT_PER_CLUSTER * k),
+                )
+                sess.createDataFrame(
+                    [(c, cv) for c, cv in cents], "c int, cv array<double>"
+                ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+            assigned = S.with_cluster(batch, "embedding", cents).persist()
+            nrm = F.sqrt(S.norm_sq(F.col("embedding")))
+            ck = assigned.select(F.col("c").cast("int").alias("c"), "vec_id")
+            pairs = D.lsh_pairs_from_bands(
+                ck, max_bucket=SEMDEDUP_MAX_CLUSTER,
+                keys=("c",), id_col="vec_id", out=("ida", "idb"),
+            )
+            a = assigned.select(
+                F.col("vec_id").alias("ida"), F.col("embedding").alias("va"), nrm.alias("na")
+            )
+            b = assigned.select(
+                F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"), nrm.alias("nb")
+            )
+            self_dup = (
+                pairs.join(a, "ida")
+                .join(b, "idb")
+                .filter(
+                    S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+                    >= SEMDEDUP_T
+                )
+                .select(F.col("idb").alias("vec_id"))
+            )
+            if hfs.exists(sess, vec_path):
+                store = _read_store(sess, vec_path, epoch_id)
+                cst = store.groupBy("c").agg(
+                    F.count("*").alias("cct"), F.min("vec_id").alias("rep")
+                )
+                store_k = (
+                    store.join(F.broadcast(cst), "c")
+                    .filter(
+                        (F.col("cct") <= SEMDEDUP_MAX_CLUSTER)
+                        | (F.col("vec_id") == F.col("rep"))
+                    )
+                    .select(
+                        "c",
+                        F.col("vec_id").alias("idb"),
+                        F.col("embedding").alias("vb"),
+                        nrm.alias("nb"),
+                    )
+                )
+                new_s = assigned.select(
+                    F.col("c").cast("int").alias("c"),
+                    F.col("vec_id").alias("ida"),
+                    F.col("embedding").alias("va"),
+                    nrm.alias("na"),
+                )
+                # batch side broadcast: the stored corpus is joined
+                # map-side, never shuffled (the asymmetry that holds
+                # at scale — the store grows, a micro-batch does not)
+                cross_dup = (
+                    F.broadcast(new_s)
+                    .join(store_k, "c")
+                    .filter(
+                        S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+                        >= SEMDEDUP_T
+                    )
+                    .select(F.col("ida").alias("vec_id"))
+                )
+                dups = self_dup.union(cross_dup)
+            else:
+                dups = self_dup
+            kept = assigned.join(dups.distinct(), "vec_id", "left_anti").localCheckpoint()
+            out_ch = reg._get(out_channel)
+            kept.select("vec_id").write.mode("overwrite").parquet(
+                os.path.join(out_ch.path, f"epoch={epoch_id}")
+            )
+            kept.select("vec_id", "embedding", F.col("c").cast("int").alias("c")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(vec_path, f"epoch={epoch_id}"))
+        finally:
+            if assigned is not None:
+                assigned.unpersist()
+            batch.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(ckpt, "emb_incremental_dedup"))
+        .start()
+    )
+
+
 def doc_dedup_app(
     spark: SparkSession,
     reg: ChannelRegistry,

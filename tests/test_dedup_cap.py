@@ -549,3 +549,67 @@ def test_ngram_jaccard_null_source_block_is_unblockable(spark, tmp_path):
         )
     finally:
         out.unpersist()
+
+
+def test_emb_incremental_stream_dedups_dense_block_across_epochs(spark, tmp_path):
+    """The embedding incremental app's distinguishing corpus, mirroring
+    the MinHash one: 300 near-identical vectors whose ids spread across
+    all 3 replay epochs (vec_id % 3) — in-batch dedup keeps each
+    epoch's min id, cross-store dedup drops the later epochs' minima
+    against the stored epoch-0 representative, so exactly ONE dense
+    vector survives. An across-epoch honest pair (2001 in epoch 0,
+    2000 arriving in epoch 2) pins the cross-store drop direction.
+    Oracle-matched, so the bootstrap-fit + cap scopes are defined
+    semantics on both engines."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gmall_flink_0526_spark.plans.catalog import CATALOG
+    from gmall_flink_0526_spark.plans import queries as _load
+
+    from .conftest import assert_matches_oracle, duck_con
+
+    _load()
+    rng = np.random.default_rng(23)
+    base = rng.normal(0, 1, 8)
+    # honest one-hot vectors take the LOWEST epoch-0 ids (3j) so the
+    # bootstrap fit seeds 8 DISTINCT centroids — seeding from the
+    # near-identical dense block instead splits the blob across
+    # near-identical centroids, which is defined (oracle-matched)
+    # behavior but not the single-cluster scenario this test pins
+    rows = []
+    for j in range(8):
+        v = [0.0] * 8
+        v[j] = 1.0 + float(rng.normal(0, 0.01))
+        rows.append((3 * j, v))
+    rows += [
+        (100 + i, [float(x) for x in base + rng.normal(0, 0.01, 8)]) for i in range(300)
+    ]
+    nd = -base  # far from the dense block
+    rows.append((2001, [float(x) for x in nd]))          # 2001 % 3 = 0 -> epoch 0
+    rows.append((2000, [float(x) for x in nd * 1.01]))   # 2000 % 3 = 2 -> epoch 2
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    spec = CATALOG["embedding_incremental_stream"]
+    out = spec.fn(spark, str(tmp_path)).persist()
+    try:
+        kept = {r["vec_id"] for r in out.collect()}
+        dense = {i for i in kept if 100 <= i < 400}
+        # epoch 0's dense minimum (102: 100 lands in epoch 1, 101 in
+        # epoch 2) survives; every later copy cross-drops against it
+        assert dense == {102}, f"expected one dense survivor, got {sorted(dense)[:10]}"
+        assert {3 * j for j in range(8)} <= kept  # honest vectors all ship
+        assert 2001 in kept and 2000 not in kept  # cross-epoch drop direction
+        assert_matches_oracle(
+            out, duck_con(str(tmp_path)), spec.oracle, name="emb_inc_stream"
+        )
+    finally:
+        out.unpersist()
