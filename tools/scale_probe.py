@@ -351,6 +351,15 @@ def main() -> None:
             # r6: the source-blocked pairwise query gained the rep cap —
             # its ratio must now track data size, not per-source²
             "ngram_jaccard_pairs",
+            # r6 additions: the sweep rides the same capped candidate
+            # set as embedding_semdedup; token retention is the dedup
+            # chain + one agg; the incremental embedding check is
+            # batch x cluster-overlap; the coverage histogram shares
+            # the corpus-scoped inverted index
+            "semdedup_threshold_sweep",
+            "dedup_token_retention",
+            "embedding_incremental_near_dup",
+            "dup_coverage_histogram",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
@@ -424,8 +433,13 @@ def main() -> None:
             shutil.rmtree(wh, ignore_errors=True)
 
         # skewed big-big join: the naive shuffled join's hot partition
-        # vs AQE's runtime skew split vs salted_join (r6)
-        skew = probe_skew(spark)
+        # vs AQE's runtime skew split vs salted_join (r6). One small
+        # warm pass first — SMJ codegen compile (~3 s) otherwise lands
+        # on whichever variant runs first and fakes a skew penalty —
+        # then the measured run at a scale where the hot partition
+        # (12M rows) actually dominates the stage
+        probe_skew(spark, n_fact=2_000_000)
+        skew = probe_skew(spark, n_fact=40_000_000)
 
         # streaming incremental dedup at both scales: per-epoch times
         # should stay flat within a run and scale ~linearly with the
