@@ -816,7 +816,10 @@ def doc_quality_gate_app(
 
 
 def compact_signature_store(
-    spark: SparkSession, store_root: str, upto_epoch: int
+    spark: SparkSession,
+    store_root: str,
+    upto_epoch: int,
+    subs: tuple[str, ...] = ("sig_bands", "sig_shingles"),
 ) -> None:
     """Compact the incremental-dedup signature store: merge every
     ``epoch=<id>`` directory with id <= ``upto_epoch`` (plus any
@@ -838,8 +841,13 @@ def compact_signature_store(
     the next compaction's ``distinct()`` sweeps away. Run it from the
     maintenance schedule between micro-batches, like any table
     OPTIMIZE.
+
+    ``subs`` names the store's epoch-addressed tables: the MinHash
+    app's (bands + shingles) by default; pass ``("vec_store",)`` for
+    the embedding app's kept-vector store — the layout and crash
+    contract are identical, so one compactor serves both.
     """
-    for sub in ("sig_bands", "sig_shingles"):
+    for sub in subs:
         path = os.path.join(store_root, sub)
         if not hfs.exists(spark, path):
             continue

@@ -1132,3 +1132,57 @@ def test_signature_store_compaction_preserves_decisions(spark, reg, tmp_path):
     assert {
         r["epoch"] for r in spark.read.parquet(bands_path).select("epoch").distinct().collect()
     } == {-1}
+
+
+def test_vec_store_compaction_preserves_decisions(spark, reg, tmp_path):
+    """The embedding app's kept-vector store shares the compactor
+    (subs=("vec_store",)): compacting must leave one base generation
+    with identical (vec_id, c, embedding) content, and a subsequent
+    batch's cross-store candidate set must be unchanged."""
+    emb = load_tables(spark, SF_SMOKE, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    reg.register("ods_embeddings", schema="vec_id long, embedding array<float>")
+    write_replay(
+        emb, reg.channels["ods_embeddings"].path, n_files=3, order_by=["vec_id"],
+        file_of=F.col("vec_id") % 3,
+    )
+    reg.register("dwd_embeddings_unique")
+    q = pipelines.emb_incremental_dedup_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "vstore")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    store = str(tmp_path / "vstore")
+    vec_path = os.path.join(store, "vec_store")
+    before = (
+        spark.read.parquet(vec_path).drop("epoch").distinct().localCheckpoint()
+    )
+    n_before = before.count()
+    by_cluster_before = {
+        (r["c"], r["n"]) for r in before.groupBy("c").agg(F.count("*").alias("n")).collect()
+    }
+
+    pipelines.compact_signature_store(
+        spark, store, upto_epoch=10, subs=("vec_store",)
+    )
+
+    after_df = spark.read.parquet(vec_path)
+    epochs = {r["epoch"] for r in after_df.select("epoch").distinct().collect()}
+    assert epochs == {-1}  # one base generation
+    after = after_df.drop("epoch").distinct()
+    assert after.count() == n_before
+    assert after.exceptAll(before).count() == 0 and before.exceptAll(after).count() == 0
+    by_cluster_after = {
+        (r["c"], r["n"]) for r in after.groupBy("c").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_cluster_after == by_cluster_before
+    # the centroid store is untouched by compaction (it is not
+    # epoch-addressed — one bootstrap generation for the store's life)
+    assert spark.read.parquet(os.path.join(store, "centroids")).count() >= 8
+    # idempotent: compacting a single base is a no-op
+    pipelines.compact_signature_store(spark, store, upto_epoch=10, subs=("vec_store",))
+    assert {
+        r["epoch"] for r in spark.read.parquet(vec_path).select("epoch").distinct().collect()
+    } == {-1}
