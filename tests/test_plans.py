@@ -122,11 +122,21 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
     # a crossJoin against a BROADCAST 1-ROW aggregate (scalar fan-in,
     # e.g. tfidf's n_docs, the mixture/histogram totals) plans as
     # BroadcastNestedLoopJoin — O(n) over one broadcast row, the
-    # intended scale shape, not a real NLJ
+    # intended scale shape, not a real NLJ. The SemDeDup family joins
+    # this class whenever its corpus-scaled k exceeds KM_LITERAL_MAX
+    # (with_cluster's broadcast k-row argmin — config-sized build
+    # side, partial-agged exchange); at SF_SMOKE k floors to 8 so the
+    # literal path plans instead, but the allowance keeps this test
+    # honest at any scale factor.
     allowed_scalar_bnlj = {
         "tfidf_top_terms",
         "domain_mixture_weights",
         "packing_length_histogram",
+        "embedding_cluster_stats",
+        "embedding_semdedup",
+        "semdedup_survivors",
+        "semdedup_threshold_sweep",
+        "embedding_incremental_near_dup",
     }
     skip = {"jdbc_round_trip"}  # writes a DB as a side effect
     for name in plans.queries():
