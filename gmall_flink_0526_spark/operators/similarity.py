@@ -141,6 +141,29 @@ def with_cluster(
     )
 
 
+def keep_cluster_reps(
+    df: DataFrame,
+    cap: int,
+    id_col: str = "vec_id",
+    cluster_col: str = "c",
+) -> DataFrame:
+    """Corpus-side hot-cluster guard for incremental checks: keep every
+    row of sub-``cap`` clusters, but collapse a hot cluster to its
+    min-id representative row — so an incoming batch still pairs
+    against ONE row of a hot stored cluster (batch x 1 forever)
+    instead of batch x m. One grouped agg (cluster-count rows,
+    broadcast back) + one filter; shared by the batch incremental
+    query and the streaming app's store read."""
+    cst = df.groupBy(cluster_col).agg(
+        F.count("*").alias("_cct"), F.min(id_col).alias("_rep")
+    )
+    return (
+        df.join(F.broadcast(cst), cluster_col)
+        .filter((F.col("_cct") <= cap) | (F.col(id_col) == F.col("_rep")))
+        .drop("_cct", "_rep")
+    )
+
+
 def kmeans_fit(
     emb: DataFrame,
     vec_col: str = "embedding",

@@ -53,6 +53,27 @@ def corpus_band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, comp): connected components over the corpus's verified
+    LSH near-dup pairs — the dedup decision itself, which
+    dedup_clusters, dedup_survivors, dedup_token_retention and
+    corpus_build all consume. Corpus-scoped like the signature tables:
+    the heavy Jaccard-verify stage and the iterative CC loop run once
+    per corpus per process instead of once per consumer."""
+    from ..operators.graph import connected_components
+
+    def build():
+        sh = corpus_shingles(spark, sf_dir)
+        pairs = (
+            D.jaccard_verify(sh, D.lsh_pairs_from_bands(corpus_band_keys(spark, sf_dir)))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b")
+        )
+        return connected_components(pairs, "doc_a", "doc_b", num_partitions=CC_PARTITIONS)
+
+    return corpus_persist(spark, "components", sf_dir, build)
+
+
 def corpus_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, gh): the corpus shingle table exploded to fixed-width
     16-hex md5 keys — the inverted-index base shared by the
@@ -310,16 +331,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh", "graph"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components, with_cluster_sizes
+    from ..operators.graph import with_cluster_sizes
 
-    sh = corpus_shingles(spark, sf_dir)
-    pairs = (
-        D.jaccard_verify(sh, D.lsh_pairs_from_bands(corpus_band_keys(spark, sf_dir)))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
+    return with_cluster_sizes(
+        corpus_components(spark, sf_dir), num_partitions=CC_PARTITIONS
     )
-    comp = connected_components(pairs, "doc_a", "doc_b", num_partitions=CC_PARTITIONS)
-    return with_cluster_sizes(comp, num_partitions=CC_PARTITIONS)
 
 
 @register(
@@ -358,16 +374,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh", "graph"),
 )
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components
-
     t = load_tables(spark, sf_dir, "documents")
-    sh = corpus_shingles(spark, sf_dir)
-    pairs = (
-        D.jaccard_verify(sh, D.lsh_pairs_from_bands(corpus_band_keys(spark, sf_dir)))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
-    comp = connected_components(pairs, "doc_a", "doc_b", num_partitions=CC_PARTITIONS)
+    comp = corpus_components(spark, sf_dir)
     docs = t["documents"].select("doc_id")
     return (
         docs.join(comp, docs["doc_id"] == comp["node"], "left")
@@ -428,18 +436,11 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_token_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textops
-    from ..operators.graph import connected_components
     from ..operators.partitioning import spread
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"]
-    sh = corpus_shingles(spark, sf_dir)
-    pairs = (
-        D.jaccard_verify(sh, D.lsh_pairs_from_bands(corpus_band_keys(spark, sf_dir)))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
-    comp = connected_components(pairs, "doc_a", "doc_b", num_partitions=CC_PARTITIONS)
+    comp = corpus_components(spark, sf_dir)
     tokc = textops.with_tokens(spread(docs.select("doc_id", "source", "text"), "doc_id")).select(
         "doc_id", "source", F.size("toks").alias("n_toks")
     )

@@ -630,18 +630,11 @@ def _corpus_build_oracle() -> str:
     tags=("llm-prep", "dedup", "text", "composition"),
 )
 def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import connected_components
-    from .dedup import CC_PARTITIONS, JACCARD_THRESHOLD
+    from .dedup import corpus_components
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"]
-    sh = corpus_shingles(spark, sf_dir)
-    pairs = (
-        D.jaccard_verify(sh, D.lsh_pairs_from_bands(corpus_band_keys(spark, sf_dir)))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
-    comp = connected_components(pairs, "doc_a", "doc_b", num_partitions=CC_PARTITIONS)
+    comp = corpus_components(spark, sf_dir)
     ids = docs.select("doc_id")
     survivors = (
         ids.join(comp, ids["doc_id"] == comp["node"], "left")

@@ -8,6 +8,7 @@ from ..operators import dedup as D
 from ..operators import similarity as S
 from ..session import load_tables
 from .catalog import register
+from .dedup import NEW_MOD
 
 N_PROBES = 8
 TOP_K = 5
@@ -880,17 +881,26 @@ def _semdedup_k(n: int) -> int:
 _EMB_N_CACHE: dict[tuple[str, str], int] = {}
 
 
-def _fit_and_assign(spark: SparkSession, sf_dir: str):
+def _fit_and_assign(spark: SparkSession, sf_dir: str, fit_filter=None, subset: str = "all"):
+    """Adaptive-k fit + full-corpus assignment for the SemDeDup family.
+
+    ``fit_filter`` restricts which rows TRAIN the fit (the incremental
+    query fits on the stored-corpus side only — production fits the
+    quantizer at bootstrap); k and the fit sample scale with the fit
+    rows, assignment always covers the whole table. ``subset`` names
+    the filter in the fit/count cache keys."""
     from ..operators.cache import scoped_persist
 
     t = load_tables(spark, sf_dir, "embeddings")
     emb = scoped_persist(t["embeddings"])
-    nkey = (spark.sparkContext.applicationId, sf_dir)
+    fit_src = emb if fit_filter is None else emb.filter(fit_filter)
+    nkey = (spark.sparkContext.applicationId, f"{sf_dir}#{subset}")
     if nkey not in _EMB_N_CACHE:
-        _EMB_N_CACHE[nkey] = emb.count()
+        _EMB_N_CACHE[nkey] = fit_src.count()
     k = _semdedup_k(_EMB_N_CACHE[nkey])
     cents = kmeans_fit_cached(
-        spark, sf_dir, emb, k=k, fit_limit=max(KM_FIT_N, FIT_PER_CLUSTER * k)
+        spark, sf_dir, fit_src, k=k,
+        fit_limit=max(KM_FIT_N, FIT_PER_CLUSTER * k), subset=subset,
     )
     assigned = scoped_persist(S.with_cluster(emb, "embedding", cents))
     return assigned, cents
@@ -1192,23 +1202,24 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Mirrors plans.dedup.NEW_MOD's fixture split for the embedding side.
+# The oracle below interpolates plans.dedup.NEW_MOD so engine and
+# oracle can never disagree on the new/corpus split.
 
 
 @register(
     "embedding_incremental_near_dup",
     oracle=f"""
-    WITH {_sql_kmeans_ctes_subset("vec_id % 5 != 0")},
+    WITH {_sql_kmeans_ctes_subset(f"vec_id % {NEW_MOD} != 0")},
     cstat AS (
       SELECT c, COUNT(*) AS cct, MIN(vec_id) AS rep
-      FROM afinal WHERE vec_id % 5 != 0 GROUP BY c
+      FROM afinal WHERE vec_id % {NEW_MOD} != 0 GROUP BY c
     ),
     cand AS (
       SELECT n.vec_id AS ida, s.vec_id AS idb
       FROM afinal n
       JOIN afinal s ON n.c = s.c
       JOIN cstat ON s.c = cstat.c
-      WHERE n.vec_id % 5 = 0 AND s.vec_id % 5 != 0
+      WHERE n.vec_id % {NEW_MOD} = 0 AND s.vec_id % {NEW_MOD} != 0
         AND (cstat.cct <= {SEMDEDUP_MAX_CLUSTER} OR s.vec_id = cstat.rep)
     ),
     anorm AS (
@@ -1239,36 +1250,16 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "kmeans", "dedup", "incremental"),
 )
 def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.cache import scoped_persist
     from ..operators.partitioning import spread
     from .dedup import NEW_MOD
 
-    t = load_tables(spark, sf_dir, "embeddings")
-    emb = scoped_persist(t["embeddings"])
-    corp = emb.filter(F.col("vec_id") % NEW_MOD != 0)
-    nkey = (spark.sparkContext.applicationId, f"{sf_dir}#corpus")
-    if nkey not in _EMB_N_CACHE:
-        _EMB_N_CACHE[nkey] = corp.count()
-    k = _semdedup_k(_EMB_N_CACHE[nkey])
-    cents = kmeans_fit_cached(
-        spark, sf_dir, corp, k=k,
-        fit_limit=max(KM_FIT_N, FIT_PER_CLUSTER * k), subset="corpus",
+    assigned, _ = _fit_and_assign(
+        spark, sf_dir, fit_filter=F.col("vec_id") % NEW_MOD != 0, subset="corpus"
     )
-    assigned = scoped_persist(S.with_cluster(emb, "embedding", cents))
     nrm = F.sqrt(S.norm_sq(F.col("embedding")))
-    corp_a = assigned.filter(F.col("vec_id") % NEW_MOD != 0)
-    # per-cluster occupancy + representative of the STORED side: k
-    # rows, broadcast back — the corpus-side cap keeps the store's
-    # rep row so a hot cluster still dedups incoming copies at
-    # batch x 1 forever
-    cst = corp_a.groupBy("c").agg(F.count("*").alias("cct"), F.min("vec_id").alias("rep"))
-    corp_k = (
-        corp_a.join(F.broadcast(cst), "c")
-        .filter(
-            (F.col("cct") <= SEMDEDUP_MAX_CLUSTER) | (F.col("vec_id") == F.col("rep"))
-        )
-        .select("c", F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"), nrm.alias("nb"))
-    )
+    corp_k = S.keep_cluster_reps(
+        assigned.filter(F.col("vec_id") % NEW_MOD != 0), SEMDEDUP_MAX_CLUSTER
+    ).select("c", F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"), nrm.alias("nb"))
     new_a = assigned.filter(F.col("vec_id") % NEW_MOD == 0).select(
         "c", F.col("vec_id").alias("ida"), F.col("embedding").alias("va"), nrm.alias("na")
     )

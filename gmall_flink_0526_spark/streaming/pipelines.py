@@ -501,6 +501,14 @@ def session_window_agg(
     )
 
 
+def read_epoch_store(sess: SparkSession, path: str, epoch_id: int) -> DataFrame:
+    """Read an epoch-addressed store pruned to STRICTLY earlier epochs
+    (partition pruning on the epoch=<id> dirs): a retried epoch never
+    sees its own first-attempt output — the crash contract both
+    incremental-dedup apps and the compactor share."""
+    return sess.read.parquet(path).filter(F.col("epoch") < epoch_id).drop("epoch")
+
+
 def doc_incremental_dedup_app(
     spark: SparkSession,
     reg: ChannelRegistry,
@@ -541,12 +549,6 @@ def doc_incremental_dedup_app(
     sh_path = os.path.join(store_root, "sig_shingles")
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
 
-    def _read_store(sess: SparkSession, path: str, epoch_id: int) -> DataFrame:
-        # epoch=<id> dirs surface as a partition column; prune to
-        # strictly earlier epochs so a retried epoch ignores its own
-        # first-attempt output (partition pruning, no data read)
-        return sess.read.parquet(path).filter(F.col("epoch") < epoch_id).drop("epoch")
-
     def process(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
         sh = D.doc_shingles(batch, "doc_id", "text").persist()
@@ -558,8 +560,8 @@ def doc_incremental_dedup_app(
                 .select(F.col("doc_b").alias("doc_id"))
             )
             if hfs.exists(sess, bands_path):
-                corp_bands = _read_store(sess, bands_path, epoch_id)
-                corp_sh = _read_store(sess, sh_path, epoch_id)
+                corp_bands = read_epoch_store(sess, bands_path, epoch_id)
+                corp_sh = read_epoch_store(sess, sh_path, epoch_id)
                 # the new side is batch-bounded by contract — broadcast
                 # it so the corpus signature table is map-side joined,
                 # never shuffled (the asymmetry that holds at 100 TB:
@@ -632,9 +634,6 @@ def emb_incremental_dedup_app(
     cent_path = os.path.join(store_root, "centroids")
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
 
-    def _read_store(sess: SparkSession, path: str, epoch_id: int) -> DataFrame:
-        return sess.read.parquet(path).filter(F.col("epoch") < epoch_id).drop("epoch")
-
     def process(batch: DataFrame, epoch_id: int) -> None:
         # runtime import: plans.similarity owns the SemDeDup constants
         # and already imports streaming modules transitively
@@ -690,22 +689,12 @@ def emb_incremental_dedup_app(
                 .select(F.col("idb").alias("vec_id"))
             )
             if hfs.exists(sess, vec_path):
-                store = _read_store(sess, vec_path, epoch_id)
-                cst = store.groupBy("c").agg(
-                    F.count("*").alias("cct"), F.min("vec_id").alias("rep")
-                )
-                store_k = (
-                    store.join(F.broadcast(cst), "c")
-                    .filter(
-                        (F.col("cct") <= SEMDEDUP_MAX_CLUSTER)
-                        | (F.col("vec_id") == F.col("rep"))
-                    )
-                    .select(
-                        "c",
-                        F.col("vec_id").alias("idb"),
-                        F.col("embedding").alias("vb"),
-                        nrm.alias("nb"),
-                    )
+                store = read_epoch_store(sess, vec_path, epoch_id)
+                store_k = S.keep_cluster_reps(store, SEMDEDUP_MAX_CLUSTER).select(
+                    "c",
+                    F.col("vec_id").alias("idb"),
+                    F.col("embedding").alias("vb"),
+                    nrm.alias("nb"),
                 )
                 new_s = assigned.select(
                     F.col("c").cast("int").alias("c"),
