@@ -57,6 +57,22 @@ def release_scoped() -> None:
 
 _CORPUS: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
+# Driver-side VALUES that are pure functions of the corpus (k-means
+# centroids, corpus row counts) share the scope — same lifecycle, same
+# eviction, so no per-module dict can outlive its (session, corpus).
+_CORPUS_VALS: dict[tuple[str, str], dict[str, object]] = {}
+
+
+def _scope(spark, corpus_dir: str) -> tuple[str, str]:
+    """Resolve (and on first use, open — evicting every other scope)
+    the (session, corpus dir) cache scope."""
+    scope = (spark.sparkContext.applicationId, corpus_dir)
+    if scope not in _CORPUS:
+        release_corpus()
+        _CORPUS[scope] = {}
+        _CORPUS_VALS[scope] = {}
+    return scope
+
 
 def corpus_persist(spark, kind: str, corpus_dir: str, build) -> DataFrame:
     """Return the cached ``kind`` frame for ``corpus_dir`` in the
@@ -64,11 +80,7 @@ def corpus_persist(spark, kind: str, corpus_dir: str, build) -> DataFrame:
     ``build`` is a zero-arg callable so the plan is only constructed
     when actually needed. First use of a new (session, corpus dir)
     scope releases every other scope's frames."""
-    scope = (spark.sparkContext.applicationId, corpus_dir)
-    if scope not in _CORPUS:
-        release_corpus()
-        _CORPUS[scope] = {}
-    frames = _CORPUS[scope]
+    frames = _CORPUS[_scope(spark, corpus_dir)]
     df = frames.get(kind)
     if df is None:
         df = build()
@@ -77,11 +89,22 @@ def corpus_persist(spark, kind: str, corpus_dir: str, build) -> DataFrame:
     return df
 
 
+def corpus_value(spark, kind: str, corpus_dir: str, build):
+    """Corpus-scoped memo for a plain driver-side VALUE (a fit result,
+    a row count): same (session, corpus dir) scope and eviction as
+    :func:`corpus_persist`, no persist — the value is just Python."""
+    vals = _CORPUS_VALS[_scope(spark, corpus_dir)]
+    if kind not in vals:
+        vals[kind] = build()
+    return vals[kind]
+
+
 def release_corpus() -> None:
-    """Unpersist and forget every corpus-scoped frame. Called
-    automatically when a new (session, corpus dir) scope starts; also
-    a test hook. Unpersisting a frame whose session has stopped raises
-    — swallowed, the JVM-side blocks died with the session."""
+    """Unpersist and forget every corpus-scoped frame (and drop every
+    corpus-scoped value). Called automatically when a new (session,
+    corpus dir) scope starts; also a test hook. Unpersisting a frame
+    whose session has stopped raises — swallowed, the JVM-side blocks
+    died with the session."""
     for frames in _CORPUS.values():
         for df in frames.values():
             try:
@@ -89,3 +112,4 @@ def release_corpus() -> None:
             except Exception:
                 pass
     _CORPUS.clear()
+    _CORPUS_VALS.clear()

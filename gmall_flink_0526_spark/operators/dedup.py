@@ -18,7 +18,7 @@ and all reductions are min/sum over arrays — JVM expressions, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .cache import scoped_persist
 from .partitioning import spread
@@ -44,30 +44,6 @@ HASH_PREFIX = 16  # hex chars of md5 kept per minhash
 MAX_BUCKET = 200
 
 
-def drop_hot_buckets(
-    bands: DataFrame, keys: tuple[str, ...], max_bucket: int | None
-) -> DataFrame:
-    """Drop rows belonging to bucket keys with occupancy > max_bucket.
-
-    One window count partitioned by the bucket key — the SAME shuffle
-    key the candidate self-join hashes on, so the exchange introduced
-    here is the one the join needs anyway. ``max_bucket=None`` disables
-    the guard (test/diagnostic use only).
-
-    This is the blunt form of the guard — the candidate generators use
-    :func:`hot_bucket_split`, which keeps a per-bucket representative
-    so hot-bucket members still dedup against one row.
-    """
-    if max_bucket is None:
-        return bands
-    w = Window.partitionBy(*keys)
-    return (
-        bands.withColumn("_bct", F.count("*").over(w))
-        .filter(F.col("_bct") <= max_bucket)
-        .drop("_bct")
-    )
-
-
 def hot_bucket_split(
     bands: DataFrame,
     keys: tuple[str, ...],
@@ -85,20 +61,34 @@ def hot_bucket_split(
     ``_rep_<name>`` (taken from the min-id row via a struct-min, so
     the representative's payload rides along for verification).
 
-    Both the occupancy count and the struct-min run in ONE window over
-    the same bucket key the candidate self-join shuffles on — the
-    exchange introduced here is the one the join needs anyway.
+    Occupancy + struct-min come from a grouped agg that PARTIAL-
+    aggregates map-side — a pathological mega-bucket contributes one
+    partial row per input partition instead of funneling every member
+    through one window task. Only the HOT buckets' stats (past the
+    cap — boilerplate tail, by construction a tiny fraction of
+    distinct bucket keys) are broadcast back, so the annotation join
+    is map-side and ``bands`` keeps its incoming partitioning; the
+    first exchange of bucket rows stays the candidate self-join's own,
+    which now never sees a hot bucket. NULL bucket keys never match
+    the broadcast side and land in ``normal``, where the equality
+    self-join drops them — same rule the oracles' joins apply natively
+    (callers with nullable keys filter first to keep the rule
+    explicit).
     """
-    w = Window.partitionBy(*keys)
-    rep_struct = F.min(F.struct(F.col(id_col), *[F.col(c) for c in carry])).over(w)
-    ann = (
-        bands.withColumn("_bct", F.count("*").over(w))
-        .withColumn("_repst", rep_struct)
+    hot = (
+        bands.groupBy(*keys)
+        .agg(
+            F.count("*").alias("_bct"),
+            F.min(F.struct(F.col(id_col), *[F.col(c) for c in carry])).alias("_repst"),
+        )
+        .filter(F.col("_bct") > max_bucket)
+        .drop("_bct")
     )
-    normal = ann.filter(F.col("_bct") <= max_bucket).drop("_bct", "_repst")
+    ann = bands.join(F.broadcast(hot), list(keys), "left")
+    normal = ann.filter(F.col("_repst").isNull()).select(*bands.columns)
     rep_pairs = (
         ann.filter(
-            (F.col("_bct") > max_bucket)
+            F.col("_repst").isNotNull()
             & (F.col(id_col) > F.col("_repst")[id_col])
         )
         .select(
@@ -272,18 +262,24 @@ def lsh_candidates_against(
     buckets the batch touches — every corpus row of a touched bucket
     survives that semi-join, so the restricted count equals the true
     store occupancy for exactly the buckets that matter, at overlap
-    cost."""
+    cost. The count is a grouped agg (map-side partial — a hot store
+    bucket contributes one partial row per partition, not m rows
+    through one window task) and only the HOT buckets' (key, rep)
+    rows come back broadcast, so the store side never exchanges —
+    the :func:`hot_bucket_split` form, keep-rep flavored."""
     if max_bucket is not None:
         touched = F.broadcast(new_bands.select("band", "bk").distinct())
-        w = Window.partitionBy("band", "bk")
+        corpus_touched = corpus_bands.join(touched, ["band", "bk"], "left_semi")
+        hot = (
+            corpus_touched.groupBy("band", "bk")
+            .agg(F.count("*").alias("_bct"), F.min("doc_id").alias("_rep"))
+            .filter(F.col("_bct") > max_bucket)
+            .select("band", "bk", "_rep")
+        )
         corpus_bands = (
-            corpus_bands.join(touched, ["band", "bk"], "left_semi")
-            .withColumn("_bct", F.count("*").over(w))
-            .withColumn("_rep", F.min("doc_id").over(w))
-            .filter(
-                (F.col("_bct") <= max_bucket) | (F.col("doc_id") == F.col("_rep"))
-            )
-            .drop("_bct", "_rep")
+            corpus_touched.join(F.broadcast(hot), ["band", "bk"], "left")
+            .filter(F.col("_rep").isNull() | (F.col("doc_id") == F.col("_rep")))
+            .drop("_rep")
         )
     a = new_bands.alias("a")
     b = corpus_bands.alias("b")

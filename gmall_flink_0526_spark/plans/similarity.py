@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as D
 from ..operators import similarity as S
+from ..operators.cache import corpus_value
 from ..session import load_tables
 from .catalog import register
 from .dedup import NEW_MOD
@@ -179,17 +180,15 @@ FIT_PER_CLUSTER = 4
 
 # The fit is DETERMINISTIC (fixed seeds, decimal-exact means), so its
 # k x dim float result is a pure function of the parquet dir + the
-# fit parameters — memoize it per (session, sf_dir, k). The IVF
-# queries (ann_topk_ivf_kmeans, ann_recall_ivf) share one fixed-k fit
-# and the SemDeDup family shares one corpus-scaled fit instead of
-# re-running the 2-iteration driver loop each; the cached centroids
-# are plain Python floats. The applicationId in the key scopes the
-# cache to one SparkSession: if the parquet under sf_dir is
-# regenerated, a fresh session (the fixture pattern) re-derives —
-# cached centroids can never outlive the session that fit them.
-# Correctness is unchanged: cached == recomputed, and every query's
-# oracle re-derives the same fit from scratch in SQL.
-_KM_FIT_CACHE: dict[tuple[str, str, int, int, str], list[tuple[int, list[float]]]] = {}
+# fit parameters — memoized in the (session, corpus dir)-scoped value
+# cache (operators/cache.corpus_value: same lifecycle + eviction as
+# the corpus-persisted frames, so centroids can never outlive their
+# session or survive a corpus switch). The IVF queries
+# (ann_topk_ivf_kmeans, ann_recall_ivf) share one fixed-k fit and the
+# SemDeDup family shares one corpus-scaled fit instead of re-running
+# the 2-iteration driver loop each; the cached centroids are plain
+# Python floats. Correctness is unchanged: cached == recomputed, and
+# every query's oracle re-derives the same fit from scratch in SQL.
 
 
 def kmeans_fit_cached(
@@ -204,12 +203,14 @@ def kmeans_fit_cached(
     # incremental fit trains on the stored-corpus side only) — it must
     # be part of the key or a same-(k, fit_limit) fit on a different
     # row subset would serve stale centroids
-    key = (spark.sparkContext.applicationId, sf_dir, k, fit_limit, subset)
-    if key not in _KM_FIT_CACHE:
-        _KM_FIT_CACHE[key] = S.kmeans_fit(
+    return corpus_value(
+        spark,
+        f"km_fit:{k}:{fit_limit}:{subset}",
+        sf_dir,
+        lambda: S.kmeans_fit(
             emb, "embedding", "vec_id", k=k, iters=KM_ITERS, fit_limit=fit_limit
-        )
-    return _KM_FIT_CACHE[key]
+        ),
+    )
 
 
 def _sql_sqdist(a: str, b: str) -> str:
@@ -876,9 +877,9 @@ def _semdedup_k(n: int) -> int:
 
 
 # the corpus row count that sizes k is corpus metadata like the fit
-# itself — memoized per (session, sf_dir) so the three SemDeDup-family
-# queries don't each pay a full embeddings scan for the same scalar
-_EMB_N_CACHE: dict[tuple[str, str], int] = {}
+# itself — memoized in the same (session, corpus dir) value scope so
+# the SemDeDup-family queries don't each pay a full embeddings scan
+# for the same scalar, and the entry evicts with its scope
 
 
 def _fit_and_assign(spark: SparkSession, sf_dir: str, fit_filter=None, subset: str = "all"):
@@ -894,10 +895,7 @@ def _fit_and_assign(spark: SparkSession, sf_dir: str, fit_filter=None, subset: s
     t = load_tables(spark, sf_dir, "embeddings")
     emb = scoped_persist(t["embeddings"])
     fit_src = emb if fit_filter is None else emb.filter(fit_filter)
-    nkey = (spark.sparkContext.applicationId, f"{sf_dir}#{subset}")
-    if nkey not in _EMB_N_CACHE:
-        _EMB_N_CACHE[nkey] = fit_src.count()
-    k = _semdedup_k(_EMB_N_CACHE[nkey])
+    k = _semdedup_k(corpus_value(spark, f"emb_n:{subset}", sf_dir, fit_src.count))
     cents = kmeans_fit_cached(
         spark, sf_dir, fit_src, k=k,
         fit_limit=max(KM_FIT_N, FIT_PER_CLUSTER * k), subset=subset,

@@ -820,16 +820,26 @@ def compact_signature_store(
     compaction), so the app's ``epoch < current`` pruning always reads
     them and never confuses a base with a live micro-batch epoch.
 
-    Crash safety, in order of failure point: the merged base is
-    ``localCheckpoint``-ed BEFORE writing (its plan reads the very
-    directories being replaced — the same lineage trap the app itself
-    guards against); a crash after the base write but before the old
-    directories are removed leaves DUPLICATE signatures, which the
-    dedup decision path tolerates (candidates and drop-sets are
-    ``distinct``-ed; duplicates cost compute, never correctness) and
-    the next compaction's ``distinct()`` sweeps away. Run it from the
-    maintenance schedule between micro-batches, like any table
-    OPTIMIZE.
+    The merge is pure DISK-TO-DISK: the merged generation streams to a
+    sibling temp directory (``<sub>.compact.tmp``, OUTSIDE the store's
+    partition discovery, so live readers never see a half-written
+    base), is renamed into place as the new ``epoch=<gen>`` directory
+    only once fully written, and then the merged directories are
+    dropped. Nothing is pinned in executor or driver memory — at a
+    100 TB store the compaction cost tracks the store's size on disk,
+    like any table OPTIMIZE. (An earlier design ``localCheckpoint``-ed
+    the merged frame to break lineage before overwriting the dirs it
+    read from; the temp-generation commit removes both the lineage
+    trap and the memory pin.)
+
+    Crash safety, in order of failure point: a crash while writing the
+    temp directory leaves an orphan the next compaction sweeps before
+    starting (the store itself is untouched); a crash after the rename
+    but before the old directories are removed leaves DUPLICATE
+    signatures, which the dedup decision path tolerates (candidates
+    and drop-sets are ``distinct``-ed; duplicates cost compute, never
+    correctness) and the next compaction's ``distinct()`` sweeps away.
+    Run it from the maintenance schedule between micro-batches.
 
     ``subs`` names the store's epoch-addressed tables: the MinHash
     app's (bands + shingles) by default; pass ``("vec_store",)`` for
@@ -840,6 +850,8 @@ def compact_signature_store(
         path = os.path.join(store_root, sub)
         if not hfs.exists(spark, path):
             continue
+        tmp = path + ".compact.tmp"
+        hfs.delete(spark, tmp)  # sweep an orphan from a crashed run
         df = spark.read.parquet(path)
         gens = sorted(r["epoch"] for r in df.select("epoch").distinct().collect())
         to_merge = [g for g in gens if g <= upto_epoch]
@@ -850,8 +862,8 @@ def compact_signature_store(
             df.filter(F.col("epoch").isin([int(g) for g in to_merge]))
             .drop("epoch")
             .distinct()
-            .localCheckpoint()
         )
-        merged.write.mode("overwrite").parquet(os.path.join(path, f"epoch={new_gen}"))
+        merged.write.mode("overwrite").parquet(tmp)
+        hfs.rename(spark, tmp, os.path.join(path, f"epoch={new_gen}"))
         for g in to_merge:
             hfs.delete(spark, os.path.join(path, f"epoch={g}"))

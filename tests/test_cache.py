@@ -61,3 +61,37 @@ def test_same_scope_kinds_accumulate_without_eviction(spark):
     assert bd.storageLevel.useMemory
     assert sg.storageLevel.useMemory
     cache.release_corpus()
+
+
+def test_corpus_value_shares_scope_and_eviction(spark):
+    """Driver-side values (fit results, corpus row counts) live in the
+    SAME (session, corpus dir) scope as the persisted frames: memoized
+    within the scope, dropped by release_corpus, and evicted when a
+    different corpus dir opens — so no value can outlive its corpus
+    (VERDICT r6 nit: the old module-level _EMB_N_CACHE could)."""
+    calls = []
+
+    def build():
+        calls.append(1)
+        return 42
+
+    assert cache.corpus_value(spark, "emb_n:all", "/corpus/a", build) == 42
+    assert cache.corpus_value(spark, "emb_n:all", "/corpus/a", build) == 42
+    assert len(calls) == 1  # memoized within the scope
+
+    # a frame opened in the same scope must not evict the value...
+    fr = cache.corpus_persist(spark, "shingles", "/corpus/a", lambda: spark.range(3))
+    assert cache.corpus_value(spark, "emb_n:all", "/corpus/a", build) == 42
+    assert len(calls) == 1
+
+    # ...and a value opened for a NEW corpus evicts the whole old
+    # scope, frames included (one corpus's worth of state, ever)
+    assert cache.corpus_value(spark, "emb_n:all", "/corpus/b", lambda: 7) == 7
+    assert not fr.storageLevel.useMemory
+    assert cache.corpus_value(spark, "emb_n:all", "/corpus/a", build) == 42
+    assert len(calls) == 2  # scope A was rebuilt from scratch
+
+    cache.release_corpus()
+    assert cache.corpus_value(spark, "emb_n:all", "/corpus/a", build) == 42
+    assert len(calls) == 3  # release dropped the value too
+    cache.release_corpus()

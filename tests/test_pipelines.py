@@ -1114,7 +1114,13 @@ def test_signature_store_compaction_preserves_decisions(spark, reg, tmp_path):
     )
     pairs_before = {tuple(r) for r in cand_before.collect()}
 
+    # compaction is disk-to-disk: it must not pin anything in executor
+    # memory (the pre-r7 localCheckpoint design left the whole merged
+    # store persisted — at a 100 TB store that is a memory-bound op)
+    pinned_before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     pipelines.compact_signature_store(spark, store, upto_epoch=10)
+    pinned_after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert pinned_after <= pinned_before
 
     after_df = spark.read.parquet(bands_path)
     epochs = {r["epoch"] for r in after_df.select("epoch").distinct().collect()}
@@ -1186,3 +1192,33 @@ def test_vec_store_compaction_preserves_decisions(spark, reg, tmp_path):
     assert {
         r["epoch"] for r in spark.read.parquet(vec_path).select("epoch").distinct().collect()
     } == {-1}
+
+
+def test_compaction_sweeps_orphan_tmp_then_commits(spark, tmp_path):
+    """Crash contract of the disk-to-disk compactor: a ``.compact.tmp``
+    left by a compaction that died mid-write is swept on the next run
+    (the store itself was never touched), and the new base generation
+    appears only via the rename commit — merged content identical to
+    the union of the merged epochs."""
+    store = str(tmp_path / "store")
+    p = os.path.join(store, "sig_bands")
+    rows = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("int").alias("band"),
+        F.concat(F.lit("k"), (F.col("id") % 7)).alias("bk"),
+    )
+    for e in range(3):
+        rows.filter(F.col("doc_id") % 3 == e).write.parquet(
+            os.path.join(p, f"epoch={e}")
+        )
+    # orphan from a "crashed" earlier compaction — wrong content on
+    # purpose; it must be swept, never committed
+    rows.limit(5).write.parquet(p + ".compact.tmp")
+
+    pipelines.compact_signature_store(spark, store, upto_epoch=10)
+
+    assert not os.path.exists(p + ".compact.tmp")
+    after = spark.read.parquet(p)
+    assert {r["epoch"] for r in after.select("epoch").distinct().collect()} == {-1}
+    got = {tuple(r) for r in after.drop("epoch").collect()}
+    assert got == {tuple(r) for r in rows.collect()}
