@@ -87,50 +87,103 @@ _LOADED = False
 # (`tools/vanilla_gate.py`, result recorded in BASELINE.md) — so no
 # query ever stands on an unchecked stale row, even past the window.
 _PRIORITY = (
-    # -- the r3-stale backlog leads, exactly as the r5 rotation comment
-    #    promised: these 17 queries' last driver-recorded green row is
-    #    r3 (they were covered in r4/r5 only by the in-repo gates + the
-    #    sf0.001 pytest sweep). After this round no catalog query's
-    #    driver row is older than r5. ---------------------------------
-    "rhp_signature",
-    "ann_topk_rhp",
-    "media_resize_audit",
-    "media_features_head",
-    "dataset_split",
-    "doc_chunking",
-    "pii_scrub",
-    "repetition_ratio",
-    "stratified_sample",
-    "embedding_norm_stats",
-    "sales_rollup",
-    "shipping_priority",
+    # -- the 13 r4-stale queries lead, exactly as the r6 rotation
+    #    comment promised (their machinery ran in-window r5/r6 through
+    #    siblings; they were covered by the sf0.001 pytest sweep + the
+    #    in-repo sf0.01 vanilla gate). After this round no catalog
+    #    query's driver row is older than r5. ------------------------
+    "payment_wide_stream",
+    "json_dead_letter",
+    "cdc_envelope_parse",
+    "token_stats",
+    "tfidf_top_terms",
+    "dedup_exact",
+    "simhash_fingerprint",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_score",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "embedding_near_dup",
+    # -- changed this round (r7) — changed code re-proves the round
+    #    it changes: hot_bucket_split moved to the grouped-agg +
+    #    hot-only-broadcast form (every LSH/SimHash/RHP/ngram family
+    #    member, corpus_build, the CC chain and the incrementals);
+    #    lsh_candidates_against's corpus-side cap converged on the same
+    #    form (the incremental pair); the k-means fit / corpus-count
+    #    memos moved into the evicting corpus cache scope (IVF k-means
+    #    + the whole SemDeDup family); compact_signature_store became
+    #    disk-to-disk temp-generation commit (both incremental
+    #    streams). ---------------------------------------------------
+    "dedup_minhash_lsh",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_token_retention",
+    "dedup_incremental",
+    "near_dup_rate_by_source",
+    "minhash_estimate_audit",
+    "corpus_build",
+    "dedup_method_agreement",
+    "simhash_near_dup",
+    "rhp_near_dup",
+    "ann_topk_ivf_kmeans",
+    "ann_recall_ivf",
+    "embedding_cluster_stats",
+    "embedding_semdedup",
+    "semdedup_threshold_sweep",
+    "semdedup_survivors",
+    "embedding_incremental_near_dup",
+    "dedup_incremental_stream",
+    "embedding_incremental_stream",
+    # -- oldest-green rotation: the r5-certified block, oldest slot
+    #    order first; ~16 fit the ~50-slot window. --------------------
+    "order_wide_join",
+    "payment_wide_join",
+    "dim_enrichment",
+    "product_stats",
+    "product_stats_approx",
+    "local_supplier_volume",
+    "log_split_stream",
+    "value_percentiles",
+    "funnel_conversion",
+    "retention_cohorts",
+    "cdc_materialize",
+    "lsh_bucket_audit",
+    "duplicate_ngram_coverage",
+    "ann_topk_vectorized",
+    "embedding_coverage",
+    "embedding_quantize",
+    "ann_recall_int8",
+    "lang_id_confusion",
+    "media_catalog",
+    "media_decode",
+    "media_frame_sample",
+    "media_ann_topk",
+    "uv_first_visit_stream",
+    "is_new_fix_stream",
+    "bounce_stats_stream",
+    "session_stats_stream",
+    "visitor_stats_stream",
+    "base_db_stream",
+    "doc_quality_gate_stream",
+    "decontaminate",
+    "sequence_packing",
+    "chunk_dedup",
+    "domain_mixture_weights",
+    "packing_length_histogram",
+    # -- past the window: the remaining r5-green queries (from
+    #    ann_recall_int8 on, by position) plus the r6-green block —
+    #    every one re-oracle-checked this round by the full pytest
+    #    sweep at sf0.001 and the full-catalog vanilla gate at sf0.01;
+    #    the displaced r5-green remainder leads the r8 window. --------
     "pricing_summary",
+    "province_stats",
     "record_merge",
     "date_derive",
     "snake_to_camel",
-    "province_stats",
-    # -- changed this round (r6): ngram_jaccard_pairs gained the
-    #    representative cap over its source blocks (the last uncapped
-    #    pair generator); corpus_build gained the shingle-coverage
-    #    residue gate; the SemDeDup family's k now scales with the
-    #    corpus (adaptive fit, oracle-mirrored); the two IVF k-means
-    #    queries re-prove because the shared fit cache was re-keyed. --
-    "ngram_jaccard_pairs",
-    "corpus_build",
-    "dup_coverage_histogram",  # NEW in r6: the coverage gate's audit
-    "semdedup_threshold_sweep",  # NEW in r6: SEMDEDUP_T calibration
-    "dedup_token_retention",  # NEW in r6: per-source dedup cost report
-    "embedding_incremental_near_dup",  # NEW in r6: incremental SemDeDup
-    "embedding_incremental_stream",  # NEW in r6: its REAL streaming app
-    "embedding_semdedup",
-    "semdedup_survivors",
-    "embedding_cluster_stats",
-    "ann_topk_ivf_kmeans",
-    "ann_recall_ivf",
-    # -- the oldest-green remainder: last driver row r4, oldest first.
-    #    26 of the 34 fit the ~50-slot window; the 8 deferred to the
-    #    overflow block below have their machinery certified through
-    #    in-window siblings and lead r7. ------------------------------
+    "shipping_priority",
+    "sales_rollup",
     "order_status_overlap",
     "returnflag_pivot",
     "top_parts_per_brand",
@@ -149,70 +202,20 @@ _PRIORITY = (
     "log_explode_displays",
     "cdc_delete_filter",
     "jdbc_round_trip",
+    "embedding_norm_stats",
+    "rhp_signature",
+    "ann_topk_rhp",
     "keyword_stats",
     "keyword_stats_cjk",
+    "media_resize_audit",
+    "media_features_head",
     "order_wide_stream",
-    # -- overflow past the ~50-entry driver window: the 8 deferred
-    #    r4-green queries (dedup_exact / simhash_fingerprint /
-    #    doc_fingerprint / lang_id / quality_score are map-only or
-    #    single-shuffle shapes exercised this round inside corpus_build
-    #    and the cap fixtures; ann_topk_bruteforce / ann_topk_ivf share
-    #    the in-window kmeans queries' join topology;
-    #    embedding_near_dup shares the semdedup verify). All are
-    #    re-oracle-checked at sf0.001 by the full pytest sweep and at
-    #    sf0.01 by the in-repo vanilla gate every round. They lead the
-    #    r7 window, then the r5-green block rotates back.
-    #    payment_wide_stream joined them when dup_coverage_histogram
-    #    took its slot: its batch twin payment_wide_join is r5-green
-    #    and its replay machinery runs in-window via order_wide_stream
-    #    (same interval-join pipeline, different bounds). token_stats
-    #    and tfidf_top_terms yielded to the threshold-sweep/token-
-    #    retention additions: the U1 tokenizer surface they cover runs
-    #    in-window through keyword_stats / keyword_stats_cjk and every
-    #    text gate inside corpus_build. json_dead_letter yielded to
-    #    embedding_incremental_near_dup: its P1 parse + dead-letter
-    #    path runs in-window through log_split_counts (and the
-    #    r5-green log_split_stream replays the same route end-to-end).
-    #    cdc_envelope_parse yielded to embedding_incremental_stream:
-    #    the S3 envelope path runs in-window through cdc_delete_filter
-    #    and the r5-green base_db_stream / cdc_materialize apps.
-    "payment_wide_stream",
-    "json_dead_letter",
-    "cdc_envelope_parse",
-    "token_stats",
-    "tfidf_top_terms",
-    "dedup_exact",
-    "simhash_fingerprint",
-    "doc_fingerprint",
-    "lang_id",
-    "quality_score",
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "embedding_near_dup",
-    # -- r5-green block (re-certified last round), oldest-window-first;
-    #    product_stats_approx is the rows-only tail (rotated in r5) --
-    "product_stats_approx",
-    "lsh_bucket_audit",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_survivors",
-    "dedup_incremental",
-    "dedup_incremental_stream",
-    "near_dup_rate_by_source",
-    "simhash_near_dup",
-    "dedup_method_agreement",
-    "rhp_near_dup",
-    "base_db_stream",
-    "cdc_materialize",
-    "log_split_stream",
-    "embedding_quantize",
-    "ann_recall_int8",
-    "minhash_estimate_audit",
-    "duplicate_ngram_coverage",
-    "domain_mixture_weights",
-    "packing_length_histogram",
-    "local_supplier_volume",
-    "doc_quality_gate_stream",
+    "dataset_split",
+    "doc_chunking",
+    "pii_scrub",
+    "repetition_ratio",
+    "stratified_sample",
+    "dup_coverage_histogram",
 )
 
 
