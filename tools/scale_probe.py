@@ -209,6 +209,128 @@ def probe_skew(spark, n_fact: int = 6_000_000, n_dim: int = 150_000) -> dict:
     return out
 
 
+def probe_tfidf_skew(spark, n_docs: int = 40_000, toks_per_doc: int = 250) -> dict:
+    """Attribute `tfidf_top_terms`' probe ratio (the steepest line in
+    the 10x table) to its linear explode volume vs its doc-keyed top-k
+    window. Two corpora with IDENTICAL total token volume and a large
+    open vocabulary (so per-doc distinct-token count ~ doc length, the
+    regime where the window partition can actually grow): UNIFORM
+    (every doc ``toks_per_doc`` tokens) vs SKEWED (20 giant docs hold
+    25% of all tokens — window partitions ~125k distinct terms each,
+    500x the uniform case). If the full-query ratio skewed/uniform
+    tracks the tf-stage-only ratio (~1x: same volume), the cost is
+    explode volume and the window is immaterial; a window bottleneck
+    would show the full-query ratio diverging while the tf stage
+    stays flat."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.operators.partitioning import spread
+    from gmall_flink_0526_spark.plans.text import TFIDF_TOP_K
+
+    total = n_docs * toks_per_doc
+    giant_share, n_giant = 0.25, 20
+
+    def synth(skewed: bool):
+        # open vocab: tokens are "t<hash % 100k>" so distinct-per-doc
+        # ~ length; deterministic from the id, generated distributed
+        if skewed:
+            giant_len = int(total * giant_share / n_giant)
+            short_len = int(total * (1 - giant_share) / (n_docs - n_giant))
+            lens = F.when(F.col("doc_id") < n_giant, F.lit(giant_len)).otherwise(
+                F.lit(short_len)
+            )
+        else:
+            lens = F.lit(toks_per_doc)
+        return (
+            spread(spark.range(n_docs).select(F.col("id").alias("doc_id")), "doc_id")
+            .select("doc_id", F.explode(F.sequence(F.lit(0), lens - 1)).alias("i"))
+            .select(
+                "doc_id",
+                F.concat(
+                    F.lit("t"),
+                    F.pmod(F.hash(F.col("doc_id") * 1_000_003 + F.col("i")), F.lit(100_000)),
+                ).alias("tok"),
+            )
+        )
+
+    def run(toks) -> dict:
+        from pyspark.sql import Window as W
+
+        tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
+        t0 = time.time()
+        n_tf = tf.count()
+        tf_sec = round(time.time() - t0, 2)
+        dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+        n_d = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+        scored = (
+            tf.join(dfreq, "tok")
+            .crossJoin(F.broadcast(n_d))
+            .withColumn("score", F.col("tf").cast("double") * F.col("n_docs") / F.col("df"))
+        )
+        w = W.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+        t0 = time.time()
+        n_out = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TFIDF_TOP_K)
+            .count()
+        )
+        rest_sec = round(time.time() - t0, 2)
+        big = tf.groupBy("doc_id").agg(F.count("*").alias("v")).agg(F.max("v")).collect()[0][0]
+        tf.unpersist()
+        return {
+            "tf_stage_sec": tf_sec,
+            "join_window_sec": rest_sec,
+            "tf_rows": int(n_tf),
+            "out_rows": int(n_out),
+            "max_doc_vocab": int(big),
+        }
+
+    # warm codegen so compile lands on neither variant
+    run(synth(False).filter(F.col("doc_id") < 500))
+    out = {"uniform": run(synth(False)), "skewed": run(synth(True))}
+    out["full_ratio_skewed_over_uniform"] = round(
+        (out["skewed"]["tf_stage_sec"] + out["skewed"]["join_window_sec"])
+        / max(out["uniform"]["tf_stage_sec"] + out["uniform"]["join_window_sec"], 1e-9),
+        2,
+    )
+    return out
+
+
+def probe_hot_bucket_rep(spark, sf1_dir: str) -> dict:
+    """The 600-copy boilerplate block under the r7 agg+broadcast rep
+    form: the hot bucket must still collapse to exactly its 599
+    (min-id representative, member) pairs — identical semantics to the
+    window form it replaced — and the annotation join must be a
+    BroadcastHashJoin (the bands side keeps its incoming
+    partitioning)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.operators import dedup as D
+
+    docs = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+    boiler_ids = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("text") == BOILER_TEXT).select("doc_id").collect()
+    )
+    rep = boiler_ids[0]
+    sh = D.doc_shingles(docs, "doc_id", "text")
+    pairs = D.lsh_pairs_from_bands(D.lsh_band_keys(sh))
+    bpairs = pairs.filter(
+        F.col("doc_a").isin(boiler_ids) & F.col("doc_b").isin(boiler_ids)
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in bpairs.collect()}
+    # AQE's FINAL plan (read after execution): the hot-stats
+    # annotation join must have gone broadcast
+    plan = bpairs._jdf.queryExecution().executedPlan().toString()
+    want = {(rep, m) for m in boiler_ids[1:]}
+    return {
+        "boiler_docs": len(boiler_ids),
+        "rep_pairs": len(got),
+        "pairs_identical_to_contract": got == want,
+        "broadcast_hash_joins_in_plan": plan.count("BroadcastHashJoin"),
+    }
+
+
 def probe_incremental_stream(spark, sf_dir: str, n_epochs: int) -> dict:
     """Replay ``sf_dir``'s documents through the REAL streaming
     incremental-dedup app in ``n_epochs`` micro-batches (doc_id %
@@ -268,9 +390,23 @@ def probe_incremental_stream(spark, sf_dir: str, n_epochs: int) -> dict:
             for r in bands.groupBy("epoch").agg(F.count("*").alias("ct")).collect()
         }
         kept = spark.read.parquet(reg.channels["dwd_documents_unique"].path).count()
+
+        def _store_bytes() -> int:
+            total = 0
+            for dirpath, _dirs, files in os.walk(store):
+                total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+            return total
+
+        bytes_before = _store_bytes()
+        pinned_before = int(spark.sparkContext._jsc.getPersistentRDDs().size())
         t0 = time.time()
         compact_signature_store(spark, store, upto_epoch=n_epochs - 1)
         compact_s = round(time.time() - t0, 2)
+        # disk-to-disk contract: the compactor must leave nothing NEW
+        # pinned in executor memory (the pre-r7 localCheckpoint design
+        # pinned the whole merged store) — its cost tracks the store's
+        # bytes on disk
+        pinned = int(spark.sparkContext._jsc.getPersistentRDDs().size()) - pinned_before
         gens = sorted(
             int(r["epoch"])
             for r in spark.read.parquet(os.path.join(store, "sig_bands"))
@@ -284,6 +420,9 @@ def probe_incremental_stream(spark, sf_dir: str, n_epochs: int) -> dict:
             "kept_docs": int(kept),
             "store_rows_per_epoch": growth,
             "compact_sec": compact_s,
+            "store_bytes_before_compaction": bytes_before,
+            "store_bytes_after_compaction": _store_bytes(),
+            "rdds_pinned_by_compaction": pinned,
             "generations_after_compaction": gens,
         }
     finally:
@@ -296,7 +435,14 @@ def main() -> None:
     ap.add_argument("--vecs", type=int, default=20_000)
     ap.add_argument("--stream-epochs", type=int, default=6)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated probe subset: tfidf_skew,hot_bucket,incremental "
+        "(default: the full probe)",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     from pyspark.sql import functions as F
 
@@ -306,6 +452,39 @@ def main() -> None:
 
     spark = get_spark("scale_probe", cpus=args.cpus)
     rng = np.random.default_rng(7)
+
+    if only is not None:
+        # quick subset mode: run just the named probes (the full probe
+        # regenerates the whole 10x corpus + warehouse, ~minutes)
+        out = {"probe": "subset", "only": sorted(only)}
+        sub_sf1 = None
+        try:
+            if {"hot_bucket", "incremental"} & only:
+                sub_sf1 = tempfile.mkdtemp(prefix="gmall_sf1_")
+                spark.createDataFrame(
+                    gen_documents(args.docs, rng),
+                    "doc_id long, text string, lang string, source string, n_chars long",
+                ).repartition(32).write.mode("overwrite").parquet(
+                    os.path.join(sub_sf1, "documents.parquet")
+                )
+            if "tfidf_skew" in only:
+                out["tfidf_skew"] = probe_tfidf_skew(spark)
+            if "hot_bucket" in only:
+                out["hot_bucket_rep"] = probe_hot_bucket_rep(spark, sub_sf1)
+            if "incremental" in only:
+                out["incremental_stream"] = {
+                    label: probe_incremental_stream(spark, d, args.stream_epochs)
+                    for label, d in (
+                        ("sf0.1", "/root/testdata/sf0.1"),
+                        ("sf1", sub_sf1),
+                    )
+                }
+        finally:
+            if sub_sf1:
+                shutil.rmtree(sub_sf1, ignore_errors=True)
+        print(json.dumps(out))
+        return
+
     sf1 = tempfile.mkdtemp(prefix="gmall_sf1_")
     try:
         t0 = time.time()
@@ -449,6 +628,11 @@ def main() -> None:
             for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1))
         }
 
+        # r7: tfidf cost attribution + the 600-copy block under the
+        # agg+broadcast rep form
+        tfidf_skew = probe_tfidf_skew(spark)
+        hot_rep = probe_hot_bucket_rep(spark, sf1)
+
         # connected-components round count is log(diameter): assert the
         # probe corpus (chains via mutation-of-mutation) stays shallow
         out = {
@@ -460,6 +644,8 @@ def main() -> None:
             "semdedup_occupancy": semdedup_occ,
             "warehouse_10x": warehouse,
             "skew_join": skew,
+            "tfidf_skew": tfidf_skew,
+            "hot_bucket_rep": hot_rep,
             "incremental_stream": inc,
             "hot_buckets_capped": len(dropped),
             "quadratic_pairs_saved": int(saved_pairs),
