@@ -216,8 +216,11 @@ def test_value_percentiles_approx_swap_bounded_against_exact(spark):
     swap is pinned: per event_type, the approx estimate at quantile q
     with accuracy A must sit within the EXACT values at quantiles
     q ± 1/A (the rank-error guarantee), computed driver-side from the
-    group's sorted values."""
+    group's sorted values. Runs at sf0.1 (100k events — the bench SF,
+    where the t-digest actually compresses; ADVICE r6) when present,
+    else the smoke SF."""
     import math
+    import os
 
     from pyspark.sql import functions as F
 
@@ -225,8 +228,11 @@ def test_value_percentiles_approx_swap_bounded_against_exact(spark):
 
     from .conftest import SF_SMOKE
 
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        sf_dir = SF_SMOKE
     acc = 100  # rank error <= 1/100
-    ev = load_tables(spark, SF_SMOKE, "events")["events"]
+    ev = load_tables(spark, sf_dir, "events")["events"]
     approx = {
         r["event_type"]: r
         for r in ev.groupBy("event_type")
