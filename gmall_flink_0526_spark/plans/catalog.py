@@ -136,6 +136,7 @@ _PRIORITY = (
     "embedding_incremental_near_dup",
     "dedup_incremental_stream",
     "embedding_incremental_stream",
+    "decontaminate_fuzzy",  # NEW in r7: LSH near-match decontamination
     # -- oldest-green rotation: the r5-certified block, oldest slot
     #    order first; ~16 fit the ~50-slot window. --------------------
     "order_wide_join",

@@ -23,6 +23,7 @@ from ..operators.partitioning import spread
 from ..session import load_tables
 from .catalog import register
 from .dedup import (
+    SQL_LSH_BANDS,
     SQL_SHEX,
     SQL_SHINGLES3,
     corpus_band_keys,
@@ -154,6 +155,99 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     return D.contaminated_docs(
         t["documents"], F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
+    )
+
+
+# Fuzzy decontamination verify threshold: ~10% token mutation of a
+# benchmark doc kills ~30% of its 3-shingles, leaving Jaccard ~0.55 —
+# the exact-shingle `decontaminate` still FLAGS such a doc (any one
+# surviving shingle hits) but cannot say it is a whole-document
+# near-copy; this query does. 0.5 matches the engine-wide near-dup
+# threshold so "contaminated" and "near-duplicate" mean the same
+# similarity everywhere.
+DECON_FUZZY_T = 0.5
+# The fuzzy query plays a DENSER synthetic benchmark (doc_id % 11)
+# than the exact query's % 97: near-match contamination needs a
+# mutated twin to land across the train/eval boundary, and at the
+# 500-doc correctness SFs a 1% eval set leaves the verified surface
+# empty — % 11 keeps real hits at every test scale. The shape is
+# eval-set-size independent either way.
+EVAL_MOD_FUZZY = 11
+
+
+@register(
+    "decontaminate_fuzzy",
+    oracle=f"""
+    WITH {SQL_SHINGLES3},
+    {SQL_LSH_BANDS.strip().strip(',')},
+    ev AS (SELECT * FROM bands WHERE doc_id % {EVAL_MOD_FUZZY} = 0),
+    evstat AS (
+      SELECT b, bk, COUNT(*) AS c, MIN(doc_id) AS rep FROM ev GROUP BY b, bk
+    ),
+    evk AS (
+      SELECT ev.* FROM ev JOIN evstat USING (b, bk)
+      WHERE evstat.c <= {D.MAX_BUCKET} OR ev.doc_id = evstat.rep
+    ),
+    cand AS (
+      SELECT DISTINCT tr.doc_id AS doc_a, evk.doc_id AS doc_b
+      FROM bands tr JOIN evk USING (b, bk)
+      WHERE tr.doc_id % {EVAL_MOD_FUZZY} != 0
+    ),
+    ver AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                JOIN sh b ON cand.doc_b = b.doc_id
+    )
+    SELECT doc_a AS doc_id, COUNT(*) AS eval_hits,
+           MAX(jaccard) AS max_jaccard, MIN(doc_b) AS first_eval_id
+    FROM ver WHERE jaccard >= {DECON_FUZZY_T} GROUP BY doc_a
+    """,
+    doc=f"NEAR-match benchmark decontamination: training docs whose "
+    f"whole-document Jaccard vs some eval doc (doc_id % {EVAL_MOD_FUZZY} == 0 "
+    "plays the benchmark) reaches the engine's near-dup threshold — "
+    "catches lightly-EDITED eval contamination that survives paraphrase "
+    "of any individual n-gram, where the exact-shingle `decontaminate` "
+    "only counts surviving shingles. Shape: the corpus-scoped band-key "
+    "table filtered both ways, eval side BROADCAST (a benchmark is "
+    "small by definition) so the candidate join is map-side against "
+    "the train side's incoming partitioning — cost is train x "
+    "per-bucket eval overlap, linear in the corpus, with the eval side "
+    "keep-rep capped per bucket (agg + hot-only broadcast, the "
+    "engine's one hot-key form) so a boilerplate bucket shared by "
+    "both sides cannot go train x eval-block quadratic. Verification "
+    "is exact Jaccard on candidates only, never doc x eval.",
+    tags=("llm-prep", "dedup", "decontamination"),
+)
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = corpus_shingles(spark, sf_dir)
+    bands = corpus_band_keys(spark, sf_dir)
+    is_eval = F.col("doc_id") % EVAL_MOD_FUZZY == 0
+    ev = bands.filter(is_eval)
+    st = ev.groupBy("band", "bk").agg(
+        F.count("*").alias("_c"), F.min("doc_id").alias("_rep")
+    )
+    hot = st.filter(F.col("_c") > D.MAX_BUCKET).select("band", "bk", "_rep")
+    ev = (
+        ev.join(F.broadcast(hot), ["band", "bk"], "left")
+        .filter(F.col("_rep").isNull() | (F.col("doc_id") == F.col("_rep")))
+        .drop("_rep")
+    )
+    cand = (
+        bands.filter(~is_eval)
+        .join(
+            F.broadcast(ev.select("band", "bk", F.col("doc_id").alias("_ev"))),
+            ["band", "bk"],
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("_ev").alias("doc_b"))
+        .distinct()
+    )
+    hits = D.jaccard_verify(sh, cand).filter(F.col("jaccard") >= DECON_FUZZY_T)
+    return hits.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("eval_hits"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.min("doc_b").alias("first_eval_id"),
     )
 
 
