@@ -138,7 +138,8 @@ _PRIORITY = (
     "embedding_incremental_stream",
     "decontaminate_fuzzy",  # NEW in r7: LSH near-match decontamination
     # -- oldest-green rotation: the r5-certified block, oldest slot
-    #    order first; ~16 fit the ~50-slot window. --------------------
+    #    order first; ~15 fit the ~50-slot window after the r7
+    #    additions. --------------------
     "order_wide_join",
     "payment_wide_join",
     "dim_enrichment",
