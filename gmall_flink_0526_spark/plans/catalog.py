@@ -155,6 +155,11 @@ _PRIORITY = (
     "duplicate_ngram_coverage",
     "ann_topk_vectorized",
     "embedding_coverage",
+    # -- past the ~50-slot window from here: the remaining r5-green
+    #    queries, then the r6-green block — every one re-oracle-checked
+    #    this round by the full pytest sweep at sf0.001 and the
+    #    full-catalog vanilla gate at sf0.01; the displaced r5-green
+    #    remainder leads the r8 window. -------------------------------
     "embedding_quantize",
     "ann_recall_int8",
     "lang_id_confusion",
@@ -174,11 +179,6 @@ _PRIORITY = (
     "chunk_dedup",
     "domain_mixture_weights",
     "packing_length_histogram",
-    # -- past the window: the remaining r5-green queries (from
-    #    ann_recall_int8 on, by position) plus the r6-green block —
-    #    every one re-oracle-checked this round by the full pytest
-    #    sweep at sf0.001 and the full-catalog vanilla gate at sf0.01;
-    #    the displaced r5-green remainder leads the r8 window. --------
     "pricing_summary",
     "province_stats",
     "record_merge",
