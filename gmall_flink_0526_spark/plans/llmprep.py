@@ -210,8 +210,14 @@ EVAL_MOD_FUZZY = 11
     "catches lightly-EDITED eval contamination that survives paraphrase "
     "of any individual n-gram, where the exact-shingle `decontaminate` "
     "only counts surviving shingles. Shape: the corpus-scoped band-key "
-    "table filtered both ways, eval side BROADCAST (a benchmark is "
-    "small by definition) so the candidate join is map-side against "
+    "table filtered both ways, eval side BROADCAST — a bounded "
+    "benchmark-sized eval set is this query's CONTRACT (like "
+    "dedup_incremental's bounded micro-batch); the % stand-in plays "
+    "that role at test scale but itself grows with the corpus, so a "
+    "production caller supplies the real fixed benchmark, and an eval "
+    "set past the broadcast bound means dropping the hint for a "
+    "shuffled equi-join of the same shape. Broadcast, the candidate "
+    "join is map-side against "
     "the train side's incoming partitioning — cost is train x "
     "per-bucket eval overlap, linear in the corpus, with the eval side "
     "keep-rep capped per bucket (agg + hot-only broadcast, the "

@@ -215,9 +215,11 @@ def probe_tfidf_skew(spark, n_docs: int = 40_000, toks_per_doc: int = 250) -> di
     window. Two corpora with IDENTICAL total token volume and a large
     open vocabulary (so per-doc distinct-token count ~ doc length, the
     regime where the window partition can actually grow): UNIFORM
-    (every doc ``toks_per_doc`` tokens) vs SKEWED (20 giant docs hold
-    25% of all tokens — window partitions ~125k distinct terms each,
-    500x the uniform case). If the full-query ratio skewed/uniform
+    (every doc ``toks_per_doc`` tokens) vs SKEWED (20 giant docs of
+    125k tokens hold 25% of all tokens — per-doc DISTINCT terms, the
+    window partition size, saturate toward the 100k vocabulary:
+    measured ~71.5k, ~300x the uniform case's 250). If the
+    full-query ratio skewed/uniform
     tracks the tf-stage-only ratio (~1x: same volume), the cost is
     explode volume and the window is immaterial; a window bottleneck
     would show the full-query ratio diverging while the tf stage
