@@ -37,3 +37,14 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def test_priority_list_is_exactly_the_catalog():
+    """The certification-order list must name every registered query
+    exactly once — a typo would silently demote a query to
+    registration-order tail and break the rotation contract."""
+    from gmall_flink_0526_spark.plans import catalog
+
+    plans.queries()  # force load
+    assert sorted(catalog._PRIORITY) == sorted(catalog.CATALOG)
+    assert len(set(catalog._PRIORITY)) == len(catalog._PRIORITY)
