@@ -279,3 +279,48 @@ def test_with_cluster_join_path_matches_literal_path(spark):
     finally:
         sim.KM_LITERAL_MAX = old
     assert joined == lit
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 99), st.integers(0, 9)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 6),
+)
+def test_hot_bucket_split_matches_python_model(spark, rows, cap):
+    """The engine's ONE hot-key form (grouped agg + hot-only broadcast,
+    operators/dedup.hot_bucket_split) vs a plain-Python model on random
+    (bucket_key, id, carry) tables with random caps: normal rows =
+    members of <=cap buckets verbatim; every >cap bucket contributes
+    exactly its m-1 (min-id rep, member) pairs with the rep's carry
+    payload. Duplicate ids inside a bucket are allowed by the model
+    (the band table can hold one row per (doc, band))."""
+    from collections import defaultdict
+
+    from gmall_flink_0526_spark.operators.dedup import hot_bucket_split
+
+    df = spark.createDataFrame(rows, "bk int, doc_id int, payload int")
+    normal, rep = hot_bucket_split(df, ("bk",), "doc_id", cap, carry=("payload",))
+
+    buckets = defaultdict(list)
+    for bk, doc, pay in rows:
+        buckets[bk].append((doc, pay))
+    exp_normal, exp_rep = [], []
+    for bk, members in buckets.items():
+        if len(members) <= cap:
+            exp_normal += [(bk, d, p) for d, p in members]
+        else:
+            rd, rp = min(members)
+            exp_rep += [
+                (rd, d, rp, p) for d, p in members if d > rd
+            ]
+
+    assert sorted(map(tuple, normal.collect())) == sorted(exp_normal)
+    got_rep = sorted(
+        (r["_rep_id"], r["doc_id"], r["_rep_payload"], r["payload"])
+        for r in rep.collect()
+    )
+    assert got_rep == sorted(exp_rep)
