@@ -541,6 +541,10 @@ def main() -> None:
             "dedup_token_retention",
             "embedding_incremental_near_dup",
             "dup_coverage_histogram",
+            # r7: near-match decontamination — candidates are train x
+            # per-bucket eval overlap over the corpus band table, so
+            # the ratio must track data size like the LSH family
+            "decontaminate_fuzzy",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
