@@ -1222,3 +1222,32 @@ def test_compaction_sweeps_orphan_tmp_then_commits(spark, tmp_path):
     assert {r["epoch"] for r in after.select("epoch").distinct().collect()} == {-1}
     got = {tuple(r) for r in after.drop("epoch").collect()}
     assert got == {tuple(r) for r in rows.collect()}
+
+
+def test_incremental_apps_bound_checkpoint_retention(spark, reg, tmp_path):
+    """Each micro-batch localCheckpoints its kept frame to cut lineage
+    from the store it is about to write. Measured lifecycle (traced
+    per-epoch): the previous epoch's checkpoint blocks are released as
+    the stream advances — retention is bounded at ONE batch, never one
+    RDD per epoch. Pin that bound: after an N-epoch replay at most one
+    extra RDD may remain pinned (the final epoch's kept, which nothing
+    supersedes); a regression to per-epoch accumulation fails this."""
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    reg.register("ods_documents", schema="doc_id long, text string")
+    write_replay(
+        docs, reg.channels["ods_documents"].path, n_files=3, order_by=["doc_id"],
+        file_of=F.col("doc_id") % 3,
+    )
+    reg.register("dwd_documents_unique")
+    pinned_before = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+    q = pipelines.doc_incremental_dedup_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store")
+    )
+    q.processAllAvailable()
+    q.stop()
+    pinned_after = int(spark.sparkContext._jsc.getPersistentRDDs().size())
+    assert pinned_after <= pinned_before + 1
+    # and the stream still produced its kept output
+    assert spark.read.parquet(reg.channels["dwd_documents_unique"].path).count() > 0
