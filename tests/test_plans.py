@@ -286,3 +286,15 @@ def test_with_cluster_join_path_partial_aggregates(spark):
     assert "partial_min(struct(_kd" in p
     assert len(re.findall(r"\(\d+\) (?:Sort|Hash)Aggregate", p)) >= 2
     assert "CartesianProduct" not in p
+
+
+def test_decontaminate_fuzzy_broadcasts_eval_side(spark):
+    """The near-match decontamination joins the train-side band table
+    map-side against the BROADCAST eval bands (bounded-benchmark
+    contract): the candidate join must be a BroadcastHashJoin — the
+    train side keeps its incoming partitioning — with no cartesian and
+    no sort-merge anywhere in the plan."""
+    p = plan_of(spark, "decontaminate_fuzzy")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # hot-stats cap + eval candidates
