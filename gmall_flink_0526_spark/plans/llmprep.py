@@ -698,7 +698,22 @@ def _corpus_build_oracle() -> str:
       GROUP BY doc_id
     ),
     {SQL_SHEX},
-    {sql_shingle_cov(BOILER_DOC_MIN)}
+    {sql_shingle_cov(BOILER_DOC_MIN)},
+    sh5 AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= {DECON_NGRAM}
+                  THEN list_transform(range(1, len(t) - {DECON_NGRAM - 2}),
+                       i -> array_to_string(list_slice(t, i, i + {DECON_NGRAM - 1}), ' '))
+                  ELSE [] END) AS s5
+      FROM toks
+    ),
+    train_g5 AS (
+      SELECT doc_id, md5(unnest(s5)) AS gh FROM sh5 WHERE doc_id % {EVAL_MOD} != 0
+    ),
+    eval_g5 AS (
+      SELECT DISTINCT md5(unnest(s5)) AS gh FROM sh5 WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    contam AS (SELECT DISTINCT doc_id FROM train_g5 JOIN eval_g5 USING (gh))
     SELECT s.doc_id, s.n_tokens, s.quality
     FROM scored s JOIN survivors USING (doc_id)
     LEFT JOIN boiler b USING (doc_id)
@@ -706,6 +721,8 @@ def _corpus_build_oracle() -> str:
     WHERE s.stop_ratio_v >= 0.05 AND s.quality >= {QUALITY_MIN}
       AND COALESCE(b.br, 0.0) < {BOILER_RATIO_MAX}
       AND COALESCE(sc.scov, 0.0) < {DUP_COV_MAX}
+      AND s.doc_id % {EVAL_MOD} != 0
+      AND s.doc_id NOT IN (SELECT doc_id FROM contam)
     """
 
 
@@ -723,7 +740,11 @@ def _corpus_build_oracle() -> str:
     "index: docs whose 3-gram shingles are >= 50% shared-by->5-docs "
     "are dropped — the pair-free catcher for hot-bucket residue that "
     "is below the Jaccard bar against the representative and dodges "
-    "chunk alignment), finished with doc-keyed hash joins. Every "
+    "chunk alignment), AND the benchmark-decontamination gate (r7: "
+    "the eval set itself is excluded and any training doc sharing a "
+    "5-gram with it is dropped — `decontaminate`'s hash-keyed "
+    "equi-join run as a gate), finished with doc-keyed hash joins. "
+    "Every "
     "upstream stage is bucketed/bounded (no all-pairs anywhere) and "
     "the gates are map-only or single-shuffle, so the whole build is "
     "LSH-join cost plus id/digest-keyed joins at corpus scale.",
@@ -772,8 +793,17 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composed in): the shared corpus-scoped inverted index — linear
     # in total shingles, no pairs
     shcov = shingle_many_doc_cov(spark, sf_dir, BOILER_DOC_MIN)
+    # benchmark decontamination gate (decontaminate composed in, r7):
+    # the training corpus excludes the benchmark itself AND any
+    # training doc sharing a DECON_NGRAM-gram with it — same
+    # hash-keyed equi-join shape, one left-anti doc-keyed join here
+    decon = D.contaminated_docs(
+        docs, F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
+    ).select("doc_id")
     return (
-        scored.join(survivors, "doc_id")
+        scored.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(decon, "doc_id", "left_anti")
+        .join(survivors, "doc_id")
         .join(boiler, "doc_id", "left")
         .join(shcov, "doc_id", "left")
         .filter(
