@@ -194,8 +194,12 @@ def test_mutated_boilerplate_block_dedups_to_one_representative(spark, tmp_path)
     # in > 5 docs, so corpus_build's shingle-coverage gate drops them
     # without needing any pair. A control doc with the same 40%
     # boilerplate head but a fully unique tail stays under the 0.5
-    # coverage bar and must SURVIVE — the gate keys on corpus-wide
-    # repetition, not on touching boilerplate.
+    # coverage bar (the gate keys on corpus-wide repetition, not on
+    # touching boilerplate) — asserted against the gate directly below,
+    # because since r7 corpus_build ALSO runs the decontamination gate
+    # and a 250-id block always contains stand-in eval members
+    # (doc_id % 97 == 0 -> ids 0/97/194 are boilerplate), whose shared
+    # 5-grams rightly drop the control from the shipped corpus.
     res_head = base.split()[:40]
     tail = (
         "the quick brown fox jumps over the lazy dog near the river bank today "
@@ -262,8 +266,21 @@ def test_mutated_boilerplate_block_dedups_to_one_representative(spark, tmp_path)
         # because the coverage gate needs no pairs at all
         assert kept & set(range(500, 510)), "fixture broken: LSH dropped all residue"
         assert not (cb_kept & set(range(500, 510)))
-        # ...while the same-shaped control with a unique tail ships
-        assert 600 in cb_kept
+        # ...while the same-shaped control with a unique tail stays
+        # UNDER the coverage bar — the coverage gate itself would ship
+        # it (keying on corpus-wide repetition, not on touching
+        # boilerplate)...
+        from gmall_flink_0526_spark.plans.dedup import shingle_many_doc_cov
+        from gmall_flink_0526_spark.plans.llmprep import BOILER_DOC_MIN, DUP_COV_MAX
+
+        cov = shingle_many_doc_cov(spark, str(tmp_path), BOILER_DOC_MIN).filter(
+            F.col("doc_id") == 600
+        ).collect()
+        assert cov and cov[0]["scov"] < DUP_COV_MAX
+        # ...but the r7 decontamination gate drops it from the shipped
+        # corpus: its boilerplate head shares 5-grams with the
+        # stand-in eval members of the block (ids 0/97/194)
+        assert 600 not in cb_kept
         assert_matches_oracle(
             cb_out, duck_con(str(tmp_path)), cb.oracle, name="mutated_boiler_cb"
         )
