@@ -99,6 +99,15 @@ def main() -> None:
     # Per-query timings FIRST, headline metric LAST: the round driver
     # records a bounded TAIL of this line, so a long queries dict must
     # truncate from the front — the summary fields survive either way.
+    # streaming-replay wall vs batch compute: the replay apps commit
+    # real micro-batches, so their wall-clock swings with host load
+    # far more than the batch plans do — splitting the headline makes
+    # a round-over-round delta attributable at a glance
+    from gmall_flink_0526_spark.plans.catalog import CATALOG
+
+    stream_total = round(
+        sum(t for n, t in times.items() if "streaming" in CATALOG[n].tags), 3
+    )
     out = {
         "queries": times,
         "metric": "catalog_total",
@@ -106,6 +115,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_of(SF_DIR),
         "n_queries": len(times),
+        "streaming_replay_sec": stream_total,
+        "batch_sec": round(sum(times.values()) - stream_total, 3),
         # workload versioning: round-over-round comparability notes.
         # log_split_stream replays a deterministic 1-in-REPLAY_MOD
         # subset of the events fixture since round 4 (mirrored verbatim
@@ -130,6 +141,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": out["sf"],
                 "n_queries": out["n_queries"],
+                "streaming_replay_sec": out["streaming_replay_sec"],
+                "batch_sec": out["batch_sec"],
             }
         )
     )
