@@ -324,3 +324,41 @@ def test_hot_bucket_split_matches_python_model(spark, rows, cap):
         for r in rep.collect()
     )
     assert got_rep == sorted(exp_rep)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 99)),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(1, 6),
+)
+def test_keep_cluster_reps_matches_python_model(spark, rows, cap):
+    """The keep-rep flavor of the hot-key form (similarity.
+    keep_cluster_reps, shared by batch incremental SemDeDup and the
+    streaming app's store read) vs a plain-Python model: sub-cap
+    clusters keep every row, hot clusters keep exactly their min-id
+    row."""
+    from collections import defaultdict
+
+    from gmall_flink_0526_spark.operators.similarity import keep_cluster_reps
+
+    df = spark.createDataFrame(rows, "c int, vec_id int")
+    got = sorted(tuple(r) for r in keep_cluster_reps(df, cap).collect())
+
+    clusters = defaultdict(list)
+    for c, v in rows:
+        clusters[c].append(v)
+    exp = []
+    for c, members in clusters.items():
+        # a hot cluster keeps every ROW carrying the min id (the
+        # generator can deal duplicate ids; the filter is by value)
+        keep = (
+            members
+            if len(members) <= cap
+            else [v for v in members if v == min(members)]
+        )
+        exp += [(c, v) for v in keep]
+    assert got == sorted(exp)
