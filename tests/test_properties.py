@@ -362,3 +362,47 @@ def test_keep_cluster_reps_matches_python_model(spark, rows, cap):
         )
         exp += [(c, v) for v in keep]
     assert got == sorted(exp)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 2), st.integers(0, 3)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 2), st.integers(0, 3)),
+        min_size=0,
+        max_size=50,
+    ),
+    st.integers(1, 5),
+)
+def test_lsh_candidates_against_matches_python_model(spark, new_rows, corpus_rows, cap):
+    """The incremental candidate join's corpus-side keep-rep cap vs a
+    plain-Python model on synthetic band tables: candidates = new-doc
+    x stored rows of each shared bucket, with a hot stored bucket
+    (occupancy > cap among its rows) collapsed to its min-id row, and
+    re-ingested ids never self-matching."""
+    from collections import defaultdict
+
+    from gmall_flink_0526_spark.operators.dedup import lsh_candidates_against
+
+    new = spark.createDataFrame(new_rows, "doc_id int, band int, bk int")
+    corp = spark.createDataFrame(
+        corpus_rows, "doc_id int, band int, bk int"
+    ) if corpus_rows else spark.createDataFrame([], "doc_id int, band int, bk int")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidates_against(new, corp, max_bucket=cap).collect()
+    }
+
+    buckets = defaultdict(list)
+    for d, b, k in corpus_rows:
+        buckets[(b, k)].append(d)
+    exp = set()
+    for d, b, k in new_rows:
+        members = buckets.get((b, k), [])
+        keeps = members if len(members) <= cap else [min(members)]
+        exp |= {(d, m) for m in keeps if m != d}
+    assert got == exp
