@@ -105,8 +105,15 @@ def main() -> None:
     # a round-over-round delta attributable at a glance
     from gmall_flink_0526_spark.plans.catalog import CATALOG
 
+    # .get: a subset runner whose names drift from the registry must
+    # degrade to "not streaming", never KeyError away a finished run
     stream_total = round(
-        sum(t for n, t in times.items() if "streaming" in CATALOG[n].tags), 3
+        sum(
+            t
+            for n, t in times.items()
+            if CATALOG.get(n) is not None and "streaming" in CATALOG[n].tags
+        ),
+        3,
     )
     out = {
         "queries": times,

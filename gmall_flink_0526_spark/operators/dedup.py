@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .cache import scoped_persist
-from .partitioning import spread
+from .partitioning import bounded_broadcast, spread
 from .textops import shingles, tokenize
 
 MINHASH_K = 16
@@ -66,8 +66,14 @@ def hot_bucket_split(
     partial row per input partition instead of funneling every member
     through one window task. Only the HOT buckets' stats (past the
     cap — boilerplate tail, by construction a tiny fraction of
-    distinct bucket keys) are broadcast back, so the annotation join
-    is map-side and ``bands`` keeps its incoming partitioning; the
+    distinct bucket keys) are broadcast back — through
+    :func:`~..partitioning.bounded_broadcast`, because the hot table
+    is bounded only by ``n_rows / max_bucket``: on a pathological
+    corpus where many buckets barely exceed the cap it could outgrow
+    Spark's broadcast hard cap, so past the row guard the hint is
+    dropped (warned) and the annotation join shuffles instead of
+    failing the job. On the sane path the join stays map-side and
+    ``bands`` keeps its incoming partitioning; the
     first exchange of bucket rows stays the candidate self-join's own,
     which now never sees a hot bucket. NULL bucket keys never match
     the broadcast side and land in ``normal``, where the equality
@@ -84,7 +90,7 @@ def hot_bucket_split(
         .filter(F.col("_bct") > max_bucket)
         .drop("_bct")
     )
-    ann = bands.join(F.broadcast(hot), list(keys), "left")
+    ann = bands.join(bounded_broadcast(hot, what="hot-bucket stats"), list(keys), "left")
     normal = ann.filter(F.col("_repst").isNull()).select(*bands.columns)
     rep_pairs = (
         ann.filter(

@@ -11,12 +11,54 @@ under-partitioned, so it is a no-op on a well-split production scan.
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 import re
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, functions as F
+
+from .cache import scoped_persist
+
+_LOG = logging.getLogger(__name__)
+
+# Row bound for explicit broadcast hints on DERIVED tables (grouped-agg
+# outputs, filtered key sets) whose size Catalyst cannot estimate from
+# file statistics. 4M rows of (key, id)-shaped data is tens-to-hundreds
+# of MB serialized — an order of magnitude under Spark's 8 GB broadcast
+# hard cap, and far past anything the guarded call sites produce on a
+# sane corpus (hot-bucket stats are bounded by n_rows / cap; an eval
+# set is benchmark-sized by contract).
+BROADCAST_ROW_LIMIT = 4_000_000
+
+
+def bounded_broadcast(df: DataFrame, limit: int = BROADCAST_ROW_LIMIT, what: str = "side"):
+    """A guarded ``F.broadcast`` for derived tables with no size stats.
+
+    An explicit broadcast hint bypasses ``autoBroadcastJoinThreshold``
+    entirely: on a pathological input the hinted side can blow past the
+    driver's memory or Spark's 8 GB broadcast hard cap and fail the job
+    with an opaque OOM. This helper persists the side (query-scoped, so
+    the count and the join share one computation), counts it, and past
+    ``limit`` rows DROPS the hint with a warning — the join falls back
+    to a shuffled plan of the same shape instead of failing. Under the
+    limit it returns the hinted frame, so every existing plan assertion
+    (BroadcastHashJoin on the sane path) holds unchanged.
+    """
+    df = scoped_persist(df)
+    n = df.count()
+    if n > limit:
+        _LOG.warning(
+            "bounded_broadcast: %s has %d rows (> %d) — dropping the broadcast "
+            "hint and letting the join shuffle; if this is expected, raise the "
+            "limit at the call site.",
+            what,
+            n,
+            limit,
+        )
+        return df
+    return F.broadcast(df)
 
 
 def salted_join(

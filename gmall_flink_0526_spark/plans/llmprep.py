@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..operators import dedup as D, textops
 from ..operators.cache import scoped_persist
-from ..operators.partitioning import spread
+from ..operators.partitioning import bounded_broadcast, spread
 from ..session import load_tables
 from .catalog import register
 from .dedup import (
@@ -236,14 +236,21 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hot = st.filter(F.col("_c") > D.MAX_BUCKET).select("band", "bk", "_rep")
     ev = (
-        ev.join(F.broadcast(hot), ["band", "bk"], "left")
+        ev.join(bounded_broadcast(hot, what="eval hot-bucket stats"), ["band", "bk"], "left")
         .filter(F.col("_rep").isNull() | (F.col("doc_id") == F.col("_rep")))
         .drop("_rep")
     )
+    # the docstring's bounded-benchmark contract, enforced at runtime:
+    # past the row guard (an eval side that grew with the corpus, like
+    # the % stand-in at scale) the hint is dropped with a warning and
+    # the candidate join shuffles — same shape, no 8 GB broadcast wall
     cand = (
         bands.filter(~is_eval)
         .join(
-            F.broadcast(ev.select("band", "bk", F.col("doc_id").alias("_ev"))),
+            bounded_broadcast(
+                ev.select("band", "bk", F.col("doc_id").alias("_ev")),
+                what="eval band-key table",
+            ),
             ["band", "bk"],
         )
         .select(F.col("doc_id").alias("doc_a"), F.col("_ev").alias("doc_b"))
