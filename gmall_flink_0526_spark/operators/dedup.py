@@ -272,7 +272,17 @@ def lsh_candidates_against(
     bucket contributes one partial row per partition, not m rows
     through one window task) and only the HOT buckets' (key, rep)
     rows come back broadcast, so the store side never exchanges —
-    the :func:`hot_bucket_split` form, keep-rep flavored."""
+    the :func:`hot_bucket_split` form, keep-rep flavored.
+
+    The hot table is bounded only by touched-buckets / ``max_bucket``
+    — on a pathological store (many buckets barely past the cap) it
+    could outgrow the broadcast hard cap, so the hint goes through
+    :func:`~..partitioning.bounded_broadcast` like its
+    ``hot_bucket_split`` twin: past the row guard the annotation join
+    shuffles (warned) instead of failing the job. Streaming callers
+    drain the guard's scoped persist per epoch (see the incremental
+    apps' ``finally``); the ``touched`` batch-side broadcast below
+    stays raw — bounded by the micro-batch contract."""
     if max_bucket is not None:
         touched = F.broadcast(new_bands.select("band", "bk").distinct())
         corpus_touched = corpus_bands.join(touched, ["band", "bk"], "left_semi")
@@ -283,7 +293,9 @@ def lsh_candidates_against(
             .select("band", "bk", "_rep")
         )
         corpus_bands = (
-            corpus_touched.join(F.broadcast(hot), ["band", "bk"], "left")
+            corpus_touched.join(
+                bounded_broadcast(hot, what="corpus hot-bucket reps"), ["band", "bk"], "left"
+            )
             .filter(F.col("_rep").isNull() | (F.col("doc_id") == F.col("_rep")))
             .drop("_rep")
         )

@@ -45,6 +45,22 @@ def bounded_broadcast(df: DataFrame, limit: int = BROADCAST_ROW_LIMIT, what: str
     to a shuffled plan of the same shape instead of failing. Under the
     limit it returns the hinted frame, so every existing plan assertion
     (BroadcastHashJoin on the sane path) holds unchanged.
+
+    EAGER: the guard runs ``df.count()`` at plan-construction time —
+    one small Spark job per guarded site (shared with the join via the
+    persist). Callers whose side is bounded by CONTRACT (a micro-batch
+    in foreachBatch, a benchmark-sized eval set sampled upstream) may
+    keep a raw ``F.broadcast`` and say so in a comment; the guard is
+    for derived tables whose row count no contract bounds.
+
+    LIFECYCLE: the persist is registered in the ``scoped_persist``
+    scope, which a batch catalog query drains on entry. Long-running
+    callers that construct guarded plans in a loop — the incremental
+    streaming apps build one per micro-batch — MUST drain the scope
+    themselves once the epoch's writes are done (``release_scoped()``
+    in the foreachBatch ``finally``; epochs are serial so nothing else
+    holds the scope), or pinned frames accumulate one per epoch for
+    the life of the stream.
     """
     df = scoped_persist(df)
     n = df.count()

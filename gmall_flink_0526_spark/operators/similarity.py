@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from .partitioning import spread
+from .partitioning import bounded_broadcast, spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -153,12 +153,20 @@ def keep_cluster_reps(
     against ONE row of a hot stored cluster (batch x 1 forever)
     instead of batch x m. One grouped agg (cluster-count rows,
     broadcast back) + one filter; shared by the batch incremental
-    query and the streaming app's store read."""
+    query and the streaming app's store read.
+
+    The stats table is ONE ROW PER DISTINCT CLUSTER — no cap bounds
+    it, so the hint goes through
+    :func:`~..partitioning.bounded_broadcast`: past the row guard the
+    annotation join shuffles (warned) instead of blowing the broadcast
+    hard cap on a store with pathologically many clusters. Streaming
+    callers drain the guard's scoped persist per epoch (the emb
+    incremental app's ``finally``)."""
     cst = df.groupBy(cluster_col).agg(
         F.count("*").alias("_cct"), F.min(id_col).alias("_rep")
     )
     return (
-        df.join(F.broadcast(cst), cluster_col)
+        df.join(bounded_broadcast(cst, what="cluster stats"), cluster_col)
         .filter((F.col("_cct") <= cap) | (F.col(id_col) == F.col("_rep")))
         .drop("_cct", "_rep")
     )

@@ -87,79 +87,9 @@ _LOADED = False
 # (`tools/vanilla_gate.py`, result recorded in BASELINE.md) — so no
 # query ever stands on an unchecked stale row, even past the window.
 _PRIORITY = (
-    # -- the 13 r4-stale queries lead, exactly as the r6 rotation
-    #    comment promised (their machinery ran in-window r5/r6 through
-    #    siblings; they were covered by the sf0.001 pytest sweep + the
-    #    in-repo sf0.01 vanilla gate). After this round no catalog
-    #    query's driver row is older than r5. ------------------------
-    "payment_wide_stream",
-    "json_dead_letter",
-    "cdc_envelope_parse",
-    "token_stats",
-    "tfidf_top_terms",
-    "dedup_exact",
-    "simhash_fingerprint",
-    "doc_fingerprint",
-    "lang_id",
-    "quality_score",
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "embedding_near_dup",
-    # -- changed this round (r7) — changed code re-proves the round
-    #    it changes: hot_bucket_split moved to the grouped-agg +
-    #    hot-only-broadcast form (every LSH/SimHash/RHP/ngram family
-    #    member, corpus_build, the CC chain and the incrementals);
-    #    lsh_candidates_against's corpus-side cap converged on the same
-    #    form (the incremental pair); the k-means fit / corpus-count
-    #    memos moved into the evicting corpus cache scope (IVF k-means
-    #    + the whole SemDeDup family); compact_signature_store became
-    #    disk-to-disk temp-generation commit (both incremental
-    #    streams). ---------------------------------------------------
-    "dedup_minhash_lsh",
-    "ngram_jaccard_pairs",
-    "dedup_clusters",
-    "dedup_survivors",
-    "dedup_token_retention",
-    "dedup_incremental",
-    "near_dup_rate_by_source",
-    "minhash_estimate_audit",
-    "corpus_build",
-    "dedup_method_agreement",
-    "simhash_near_dup",
-    "rhp_near_dup",
-    "ann_topk_ivf_kmeans",
-    "ann_recall_ivf",
-    "embedding_cluster_stats",
-    "embedding_semdedup",
-    "semdedup_threshold_sweep",
-    "semdedup_survivors",
-    "embedding_incremental_near_dup",
-    "dedup_incremental_stream",
-    "embedding_incremental_stream",
-    "decontaminate_fuzzy",  # NEW in r7: LSH near-match decontamination
-    # -- oldest-green rotation: the r5-certified block, oldest slot
-    #    order first; ~15 fit the ~50-slot window after the r7
-    #    additions. --------------------
-    "order_wide_join",
-    "payment_wide_join",
-    "dim_enrichment",
-    "product_stats",
-    "product_stats_approx",
-    "local_supplier_volume",
-    "log_split_stream",
-    "value_percentiles",
-    "funnel_conversion",
-    "retention_cohorts",
-    "cdc_materialize",
-    "lsh_bucket_audit",
-    "duplicate_ngram_coverage",
-    "ann_topk_vectorized",
-    "embedding_coverage",
-    # -- past the ~50-slot window from here: the remaining r5-green
-    #    queries, then the r6-green block — every one re-oracle-checked
-    #    this round by the full pytest sweep at sf0.001 and the
-    #    full-catalog vanilla gate at sf0.01; the displaced r5-green
-    #    remainder leads the r8 window. -------------------------------
+    # -- r9 rotation: the r8 window was r7's verbatim, so 58 queries'
+    #    last driver row is r5/r6. They lead, stalest first — the 19
+    #    whose last driver-recorded green is r5: -----------------------
     "embedding_quantize",
     "ann_recall_int8",
     "lang_id_confusion",
@@ -179,6 +109,11 @@ _PRIORITY = (
     "chunk_dedup",
     "domain_mixture_weights",
     "packing_length_histogram",
+    # -- then the 39 whose last driver row is r6; the first ~31 fit the
+    #    ~50-slot window, the tail plus the changed/r7/r8-green blocks
+    #    below are covered this round by the full sf0.001 pytest sweep
+    #    and the in-repo full-catalog vanilla gate at sf0.01 (recorded
+    #    in BASELINE.md §r9). -----------------------------------------
     "pricing_summary",
     "province_stats",
     "record_merge",
@@ -218,6 +153,65 @@ _PRIORITY = (
     "repetition_ratio",
     "stratified_sample",
     "dup_coverage_histogram",
+    # -- changed this round (r9) — plans changed at two hint sites now
+    #    routed through bounded_broadcast (lsh_candidates_against's
+    #    corpus hot table; keep_cluster_reps' cluster stats), and the
+    #    two incremental streaming apps gained the per-epoch
+    #    release_scoped drain that fixes the r8 persist leak. All four
+    #    were r8-green and are re-proven this round by the in-repo
+    #    vanilla gate (they sit just past the 50-slot window). --------
+    "dedup_incremental",
+    "dedup_incremental_stream",
+    "embedding_incremental_near_dup",
+    "embedding_incremental_stream",
+    # -- r7/r8-green remainder (lifecycle-only or untouched), r8 window
+    #    order preserved. ---------------------------------------------
+    "payment_wide_stream",
+    "json_dead_letter",
+    "cdc_envelope_parse",
+    "token_stats",
+    "tfidf_top_terms",
+    "dedup_exact",
+    "simhash_fingerprint",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_score",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "embedding_near_dup",
+    "dedup_minhash_lsh",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_token_retention",
+    "near_dup_rate_by_source",
+    "minhash_estimate_audit",
+    "corpus_build",
+    "dedup_method_agreement",
+    "simhash_near_dup",
+    "rhp_near_dup",
+    "ann_topk_ivf_kmeans",
+    "ann_recall_ivf",
+    "embedding_cluster_stats",
+    "embedding_semdedup",
+    "semdedup_threshold_sweep",
+    "semdedup_survivors",
+    "decontaminate_fuzzy",
+    "order_wide_join",
+    "payment_wide_join",
+    "dim_enrichment",
+    "product_stats",
+    "product_stats_approx",
+    "local_supplier_volume",
+    "log_split_stream",
+    "value_percentiles",
+    "funnel_conversion",
+    "retention_cohorts",
+    "cdc_materialize",
+    "lsh_bucket_audit",
+    "duplicate_ngram_coverage",
+    "ann_topk_vectorized",
+    "embedding_coverage",
 )
 
 

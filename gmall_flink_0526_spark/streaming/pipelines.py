@@ -27,6 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.cache import release_scoped
 from ..operators.filters import filter_deletes
 from ..operators.joins import interval_join
 from ..operators.parse import parse_json_dead_letter, project_map_columns
@@ -596,6 +597,13 @@ def doc_incremental_dedup_app(
         finally:
             sh.unpersist()
             bands.unpersist()
+            # drain the epoch's guard frames (bounded_broadcast routes
+            # through scoped_persist; on a continuous stream there is
+            # no "next catalog query" to drain the scope, so without
+            # this each micro-batch pins one hot-table frame forever).
+            # Epochs are serial and the epoch's writes are done, so
+            # releasing here is safe.
+            release_scoped()
 
     return (
         src.writeStream.foreachBatch(process)
@@ -729,6 +737,10 @@ def emb_incremental_dedup_app(
             if assigned is not None:
                 assigned.unpersist()
             batch.unpersist()
+            # same per-epoch drain as doc_incremental_dedup_app: the
+            # store-side keep_cluster_reps guard persists one frame
+            # per micro-batch into the scoped-cache scope
+            release_scoped()
 
     return (
         src.writeStream.foreachBatch(process)

@@ -8,7 +8,12 @@ import time
 
 from pyspark.sql import functions as F
 
-from gmall_flink_0526_spark.operators.partitioning import salted_join, spread
+from gmall_flink_0526_spark.operators import cache
+from gmall_flink_0526_spark.operators.partitioning import (
+    bounded_broadcast,
+    salted_join,
+    spread,
+)
 from gmall_flink_0526_spark.session import load_tables
 from gmall_flink_0526_spark.sources.registry import ChannelRegistry, write_replay
 from gmall_flink_0526_spark.streaming import stateful
@@ -38,6 +43,73 @@ def test_salted_join_matches_plain_join(spark):
     )
     assert {tuple(r) for r in salted} == {tuple(r) for r in plain}
     assert len(plain) > 0
+
+
+def _plan_text(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bounded_broadcast_sane_path_broadcasts(spark):
+    """Under the row limit the guard returns the hinted frame: the join
+    plans a BroadcastHashJoin even with auto-broadcast disabled (the
+    hint, not the size estimate, drives the strategy) — so every
+    existing plan assertion on guarded sites holds."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.range(2000).withColumn("k", F.pmod("id", F.lit(50)))
+        side = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        j = big.join(bounded_broadcast(side, what="test side"), "k")
+        assert "BroadcastHashJoin" in _plan_text(j)
+        assert j.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        cache.release_scoped()
+
+
+def test_bounded_broadcast_fallback_drops_hint_same_rows(spark, caplog):
+    """Past the limit the hint is DROPPED (warned): with auto-broadcast
+    disabled the join shuffles — no BroadcastHashJoin anywhere in the
+    plan — and produces exactly the rows the hinted path produces. This
+    is the guard's whole contract: a pathological side degrades to a
+    shuffle instead of failing the job at the broadcast hard cap."""
+    import logging
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.range(2000).withColumn("k", F.pmod("id", F.lit(50)))
+        side = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        with caplog.at_level(logging.WARNING, "gmall_flink_0526_spark.operators.partitioning"):
+            guarded = bounded_broadcast(side, limit=10, what="test side")
+        assert any("dropping the broadcast" in r.message for r in caplog.records)
+        j = big.join(guarded, "k")
+        plan = _plan_text(j)
+        assert "BroadcastHashJoin" not in plan  # hint gone => shuffled join
+        hinted = sorted(map(tuple, big.join(F.broadcast(side), "k").collect()))
+        assert sorted(map(tuple, j.collect())) == hinted and len(hinted) == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        cache.release_scoped()
+
+
+def test_bounded_broadcast_registers_in_scoped_cache(spark):
+    """The guard's persist lands in the scoped-cache scope and
+    release_scoped() drains it — the lifecycle the incremental
+    streaming apps' per-epoch finally relies on (the r8 leak class)."""
+    cache.release_scoped()
+    before = len(cache._LIVE)
+    side = spark.range(10).select(F.col("id").alias("k"))
+    bounded_broadcast(side, what="test side")
+    assert len(cache._LIVE) == before + 1
+    cache.release_scoped()
+    assert len(cache._LIVE) == 0
 
 
 def test_spread_is_noop_when_well_partitioned(spark):
