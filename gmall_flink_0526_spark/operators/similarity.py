@@ -141,6 +141,45 @@ def with_cluster(
     )
 
 
+def probe_clusters(
+    probes: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    p: int,
+    qid_col: str = "qid",
+    vec_col: str = "qv",
+    out: str = "qlabel",
+) -> DataFrame:
+    """Multi-probe IVF routing: expand each probe to its ``p`` nearest
+    coarse centroids (squared L2, ties → lowest cluster id), one output
+    row per (probe, probed cluster). Joining the result against the
+    cluster-assigned corpus searches the union of the ``p`` buckets —
+    the standard IVF nprobe recall/cost knob (nprobe=1 degenerates to
+    the probe's own bucket; each extra probe buys back the neighbors
+    that landed just across a Voronoi boundary for one more
+    bucket-sized candidate set).
+
+    Shape: the k-row centroid table rides a broadcast (config-sized by
+    construction — the quantizer someone FIT, never corpus-scaled),
+    distances fold map-side, and the per-probe top-p is a window
+    PARTITIONED BY the probe id — k rows per partition, hash-spread
+    across the cluster, never a global sort. Clusters are disjoint per
+    corpus vector, so the downstream bucket join needs no dedup.
+    """
+    spark = probes.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in cv]) for c, cv in cents], "_kc int, _cv array<double>"
+    )
+    scored = probes.crossJoin(F.broadcast(cdf)).withColumn(
+        "_kd", sq_dist(F.col(vec_col), F.col("_cv"))
+    )
+    w = W.partitionBy(qid_col).orderBy(F.col("_kd"), F.col("_kc"))
+    return (
+        scored.withColumn("_prn", F.row_number().over(w))
+        .filter(F.col("_prn") <= p)
+        .select(*probes.columns, F.col("_kc").alias(out))
+    )
+
+
 def keep_cluster_reps(
     df: DataFrame,
     cap: int,

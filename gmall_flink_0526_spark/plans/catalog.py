@@ -109,6 +109,13 @@ _PRIORITY = (
     "chunk_dedup",
     "domain_mixture_weights",
     "packing_length_histogram",
+    # -- NEW in r9 (never driver-certified, so in-window per the
+    #    rotation contract): multi-probe IVF + its recall audit, the
+    #    vocabulary/Zipf coverage audit, temperature-scaled mixture. --
+    "ann_topk_ivf_nprobe",
+    "ann_recall_nprobe",
+    "vocab_coverage",
+    "mixture_temperature",
     # -- then the 39 whose last driver row is r6; the first ~31 fit the
     #    ~50-slot window, the tail plus the changed/r7/r8-green blocks
     #    below are covered this round by the full sf0.001 pytest sweep

@@ -1158,3 +1158,73 @@ def packing_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_token_share"),
         )
     )
+
+
+@register(
+    "mixture_temperature",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len({SQL_TOKS})) AS BIGINT) AS tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(CAST(sqrt(tokens) AS DECIMAL(30,6))) AS DOUBLE) AS denom
+      FROM per
+    )
+    SELECT lang, n_docs, tokens,
+           CAST(tokens AS DOUBLE) / total_tokens AS natural_share,
+           sqrt(tokens) / denom AS temp_share,
+           (sqrt(tokens) / denom)
+             / (CAST(tokens AS DOUBLE) / total_tokens) AS boost,
+           CAST(floor(total_tokens * (sqrt(tokens) / denom)) AS BIGINT)
+             AS expected_tokens
+    FROM per CROSS JOIN tot
+    """,
+    doc="Temperature-scaled language mixture — the multilingual "
+    "rebalancing recipe (XLM-R/mT5-style): resampling share q_i = "
+    "p_i^alpha / sum_j p_j^alpha over the per-language token masses, "
+    "boosting low-resource languages without fully flattening the "
+    "mixture. alpha is fixed at 0.5 and computed as sqrt(tokens) — "
+    "sqrt is IEEE-correctly-rounded on every engine, so no rounding "
+    "games; an arbitrary alpha would go through pow(), whose last "
+    "bits differ across libms, and would need an explicit round. The "
+    "sum of sqrt terms is decimal-accumulated (functions/exact.py) so "
+    "the denominator is order-insensitive. Same shape as "
+    "domain_mixture_weights: one map-side-combinable agg + a "
+    "broadcast 1-row totals scalar — constant work past the token "
+    "count at any corpus scale.",
+    tags=("llm-prep", "audit"),
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import exact_sum
+
+    t = load_tables(spark, sf_dir, "documents")
+    per = (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(textops.tokenize(F.col("text")))).cast("long").alias("tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        exact_sum(F.sqrt(F.col("tokens"))).alias("denom"),
+    )
+    natural = F.col("tokens").cast("double") / F.col("total_tokens")
+    temp = F.sqrt(F.col("tokens")) / F.col("denom")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            natural.alias("natural_share"),
+            temp.alias("temp_share"),
+            (temp / natural).alias("boost"),
+            F.floor(F.col("total_tokens") * temp).cast("long").alias("expected_tokens"),
+        )
+    )

@@ -352,6 +352,166 @@ def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_neighbors(probes, corpus, TOP_K, bucket=True)
 
 
+# IVF multi-probe width: how many nearest coarse buckets each query
+# searches. 2 is the smallest value that exercises the knob (bucket
+# union, cross-boundary recall); production tunes it per recall target.
+NPROBE_P = 2
+
+# The probe→cluster routing CTE both nprobe oracles share: each probe
+# ranked against the FITTED centroids (ctr2), keep the top NPROBE_P —
+# the SQL twin of operators.similarity.probe_clusters.
+_SQL_NPROBE_PC = f"""
+    nprobes AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_PROBES}
+    ), prd AS (
+      SELECT qid, qv, s.c,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY {_sql_sqdist('qv', 's.cv')}, s.c) AS prn
+      FROM nprobes CROSS JOIN ctr2 s
+    ), pc AS (SELECT qid, qv, c FROM prd WHERE prn <= {NPROBE_P})
+"""
+
+
+@register(
+    "ann_topk_ivf_nprobe",
+    oracle=f"""
+    WITH {_SQL_KMEANS_CTES},
+    {_SQL_NPROBE_PC},
+    scored AS (
+      SELECT qid, a.vec_id AS cid,
+             {_sql_cosine('qv', 'a.embedding')} AS cos_sim
+      FROM afinal a JOIN pc ON a.c = pc.c
+      WHERE a.vec_id != qid
+    ), ranked AS (
+      SELECT qid, cid, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT qid, cid, cos_sim, rn FROM ranked WHERE rn <= {TOP_K}
+    """,
+    doc=f"Multi-probe IVF ANN — the recall/cost knob single-bucket IVF "
+    f"lacks: each probe searches its {NPROBE_P} nearest coarse buckets "
+    f"(probe_clusters: broadcast k-row centroid table, map-side "
+    f"distance folds, per-probe-keyed top-p window), recovering the "
+    f"neighbors that landed just across a Voronoi boundary at "
+    f"{NPROBE_P}x the bucket-join candidate cost — still bucket-sized, "
+    f"never corpus-sized. The oracle re-derives the identical fit and "
+    f"routing in SQL.",
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def ann_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = scoped_persist(t["embeddings"])
+    cents = kmeans_fit_cached(spark, sf_dir, emb)
+    assigned = scoped_persist(S.with_cluster(emb, "embedding", cents))
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pc = S.probe_clusters(probes, cents, NPROBE_P)
+    corpus = assigned.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("c").alias("clabel")
+    )
+    return S.topk_neighbors(pc, corpus, TOP_K, bucket=True)
+
+
+@register(
+    "ann_recall_nprobe",
+    oracle=f"""
+    WITH {_SQL_KMEANS_CTES},
+    probes AS (
+      SELECT vec_id AS qid, embedding AS qv, c AS qc
+      FROM afinal WHERE vec_id < {N_PROBES}
+    ), scored1 AS (
+      SELECT qid, a.vec_id AS cid,
+             {_sql_cosine('qv', 'a.embedding')} AS cos_sim
+      FROM afinal a JOIN probes ON a.c = qc
+      WHERE a.vec_id != qid
+    ), ranked1 AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM scored1
+    ), ivf1 AS (SELECT qid, cid FROM ranked1 WHERE rn <= {TOP_K}),
+    {_SQL_NPROBE_PC},
+    scoredp AS (
+      SELECT qid, a.vec_id AS cid,
+             {_sql_cosine('qv', 'a.embedding')} AS cos_sim
+      FROM afinal a JOIN pc ON a.c = pc.c
+      WHERE a.vec_id != qid
+    ), rankedp AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM scoredp
+    ), ivfp AS (SELECT qid, cid FROM rankedp WHERE rn <= {TOP_K}),
+    bprobes AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_PROBES}
+    ), bscored AS (
+      SELECT qid, vec_id AS cid,
+             {_sql_cosine('qv', 'embedding')} AS cos_sim
+      FROM embeddings CROSS JOIN bprobes
+      WHERE vec_id != qid
+    ), branked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM bscored
+    ), brute AS (SELECT qid, cid FROM branked WHERE rn <= {TOP_K})
+    SELECT b.qid,
+           COUNT(i1.cid) AS hit_ct_1probe,
+           COUNT(i1.cid) / {TOP_K}.0 AS recall_1probe,
+           COUNT(ip.cid) AS hit_ct_nprobe,
+           COUNT(ip.cid) / {TOP_K}.0 AS recall_nprobe
+    FROM brute b
+    LEFT JOIN ivf1 i1 ON b.qid = i1.qid AND b.cid = i1.cid
+    LEFT JOIN ivfp ip ON b.qid = ip.qid AND b.cid = ip.cid
+    GROUP BY b.qid
+    """,
+    doc=f"The nprobe calibration audit: per-probe recall@{TOP_K} of "
+    f"single-bucket IVF and {NPROBE_P}-probe IVF side by side against "
+    f"the exact brute-force ranking — the measurement that justifies "
+    f"(or caps) each extra probed bucket's candidate cost. All three "
+    f"top-k sets re-derived by the oracle; the brute side is the "
+    f"documented cross-join baseline, the IVF sides bucket equi-joins.",
+    tags=("similarity", "ann", "ivf", "audit"),
+)
+def ann_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = scoped_persist(t["embeddings"])
+    cents = kmeans_fit_cached(spark, sf_dir, emb)
+    assigned = scoped_persist(S.with_cluster(emb, "embedding", cents))
+    corpus = assigned.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), F.col("c").alias("clabel")
+    )
+    probes1 = assigned.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("c").alias("qlabel")
+    )
+    ivf1 = S.topk_neighbors(probes1, corpus, TOP_K, bucket=True).select("qid", "cid")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pc = S.probe_clusters(probes, cents, NPROBE_P)
+    ivfp = S.topk_neighbors(pc, corpus, TOP_K, bucket=True).select("qid", "cid")
+    corpus_b = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    brute = S.topk_neighbors(probes, corpus_b, TOP_K).select("qid", "cid")
+    # all three top-k sets descend from the same embeddings lineage —
+    # rename the right-side keys before joining (see ann_recall_ivf)
+    i1 = ivf1.select(F.col("qid").alias("q1"), F.col("cid").alias("c1"))
+    ip = ivfp.select(F.col("qid").alias("qp"), F.col("cid").alias("cp"))
+    return (
+        brute.join(i1, (F.col("qid") == F.col("q1")) & (F.col("cid") == F.col("c1")), "left")
+        .join(ip, (F.col("qid") == F.col("qp")) & (F.col("cid") == F.col("cp")), "left")
+        .groupBy("qid")
+        .agg(
+            F.count("c1").alias("hit_ct_1probe"),
+            (F.count("c1") / F.lit(float(TOP_K))).alias("recall_1probe"),
+            F.count("cp").alias("hit_ct_nprobe"),
+            (F.count("cp") / F.lit(float(TOP_K))).alias("recall_nprobe"),
+        )
+    )
+
+
 @register(
     "embedding_norm_stats",
     oracle=f"""

@@ -305,3 +305,70 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# Vocabulary-audit width: how many head tokens the coverage report
+# keeps. 100 is report-sized; production sets it to the tokenizer
+# budget under evaluation.
+VOCAB_TOP = 100
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({SQL_TOKS}) AS token FROM documents),
+    tf AS (SELECT token, COUNT(*) AS ct FROM toks GROUP BY token),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS total_tokens FROM tf),
+    ranked AS (
+      SELECT token, ct, ROW_NUMBER() OVER (ORDER BY ct DESC, token) AS rn
+      FROM tf
+    ), top AS (SELECT token, ct, rn FROM ranked WHERE rn <= {VOCAB_TOP})
+    SELECT rn, token, ct,
+           CAST(SUM(ct) OVER (ORDER BY rn) AS BIGINT) AS cum_ct,
+           CAST(SUM(ct) OVER (ORDER BY rn) AS DOUBLE) / total_tokens
+             AS cum_coverage
+    FROM top CROSS JOIN tot
+    """,
+    doc=f"Vocabulary / Zipf coverage audit — the tokenizer-design "
+    f"report: the {VOCAB_TOP} most frequent corpus tokens with their "
+    f"cumulative share of ALL token occurrences (how much of the "
+    f"corpus a head vocabulary of size N explains). One explode + one "
+    f"partial-aggregated count shuffle; the global head is "
+    f"TakeOrderedAndProject (per-partition top-N, then merge — never "
+    f"a single-partition sort of the vocabulary), and the rank + "
+    f"cumulative windows run over the <= {VOCAB_TOP} post-limit rows "
+    f"only. Counts are exact integers, coverage a single double "
+    f"division — bit-identical on any engine.",
+    tags=("text", "audit", "llm-prep"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.cache import scoped_persist
+
+    t = load_tables(spark, sf_dir, "documents")
+    tf = scoped_persist(
+        t["documents"]
+        .select(F.explode(textops.tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = tf.agg(F.sum("ct").cast("long").alias("total_tokens"))
+    # orderBy + limit plans TakeOrderedAndProject: each partition keeps
+    # its own top-N and the driver merges — the distributed head, not a
+    # global sort. The windows below only ever see these <= N rows.
+    top = tf.orderBy(F.col("ct").desc(), "token").limit(VOCAB_TOP)
+    w_rn = W.orderBy(F.col("ct").desc(), "token")
+    w_cum = W.orderBy("rn").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("cum_ct", F.sum("ct").over(w_cum).cast("long"))
+        .select(
+            "rn",
+            "token",
+            "ct",
+            "cum_ct",
+            (F.col("cum_ct").cast("double") / F.col("total_tokens")).alias("cum_coverage"),
+        )
+    )

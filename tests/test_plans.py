@@ -105,6 +105,24 @@ def test_kmeans_ivf_broadcasts_probe_side(spark):
     assert "CartesianProduct" not in p
 
 
+def test_nprobe_ivf_bucket_join_and_recall_monotone(spark):
+    """Multi-probe IVF: (a) the candidate join is still the bucket
+    equi-join (BroadcastHashJoin on the cluster key — widening nprobe
+    must never degrade to a corpus cross join); (b) value property:
+    per-probe recall@k at nprobe=2 >= recall at nprobe=1 for EVERY
+    probe — the 2-probe candidate set is a superset of the 1-probe
+    set, and a top-k over a superset cannot lose brute-force hits
+    (any candidate that displaces a hit outranks it globally, so it
+    is a hit itself)."""
+    p = plan_of(spark, "ann_topk_ivf_nprobe")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    rows = plans.queries()["ann_recall_nprobe"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["recall_nprobe"] >= r["recall_1probe"], r
+
+
 def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
     """Catalog-wide invariants: (a) no query plans a cartesian /
     nested-loop join except the documented brute-force ANN baseline;
@@ -118,6 +136,7 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         "ann_topk_vectorized",
         "ann_recall_ivf",
         "ann_recall_int8",
+        "ann_recall_nprobe",
     }
     # a crossJoin against a BROADCAST 1-ROW aggregate (scalar fan-in,
     # e.g. tfidf's n_docs, the mixture/histogram totals) plans as
@@ -131,7 +150,13 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
     allowed_scalar_bnlj = {
         "tfidf_top_terms",
         "domain_mixture_weights",
+        "mixture_temperature",
+        "vocab_coverage",
         "packing_length_histogram",
+        # probe_clusters fans each probe out against the broadcast
+        # k-row centroid table (config-sized build side, like
+        # with_cluster's large-k argmin)
+        "ann_topk_ivf_nprobe",
         "embedding_cluster_stats",
         "embedding_semdedup",
         "semdedup_survivors",
