@@ -264,6 +264,82 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decon_eval_coverage",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= {DECON_NGRAM}
+                  THEN list_transform(range(1, len(t) - {DECON_NGRAM - 2}),
+                       i -> array_to_string(list_slice(t, i, i + {DECON_NGRAM - 1}), ' '))
+                  ELSE [] END) AS s
+      FROM toks
+    ),
+    train_spread AS (
+      SELECT gh, COUNT(DISTINCT doc_id) AS thit
+      FROM (SELECT doc_id, md5(unnest(s)) AS gh FROM sh
+            WHERE doc_id % {EVAL_MOD_FUZZY} != 0)
+      GROUP BY gh
+    ),
+    eval_g AS (
+      SELECT doc_id AS eval_id, len(s) AS n_grams, md5(unnest(s)) AS gh
+      FROM sh WHERE doc_id % {EVAL_MOD_FUZZY} = 0 AND len(s) > 0
+    )
+    SELECT eval_id,
+           MIN(n_grams) AS n_grams,
+           CAST(COUNT(thit) AS BIGINT) AS shared_grams,
+           CAST(COUNT(thit) AS DOUBLE) / MIN(n_grams) AS contamination_cov,
+           CAST(COALESCE(SUM(thit), 0) AS BIGINT) AS gram_hits,
+           CAST(COALESCE(MAX(thit), 0) AS BIGINT) AS max_gram_spread
+    FROM eval_g LEFT JOIN train_spread USING (gh)
+    GROUP BY eval_id
+    """,
+    doc=f"The eval-owner's side of decontamination — per BENCHMARK doc, "
+    f"how much of it leaks into the training corpus: the fraction of "
+    f"its distinct {DECON_NGRAM}-gram shingles found in any training "
+    f"doc (contamination_cov), the total (gram, train-doc) incidence "
+    f"mass, and the worst single gram's training spread. decontaminate "
+    f"answers 'which training docs must go'; this answers 'which eval "
+    f"items are still trustworthy' — and it is deliberately PAIR-FREE: "
+    f"train grams collapse to per-gram spread counts in a grouped agg "
+    f"(map-side partial) BEFORE the eval join, so a boilerplate gram "
+    f"shared by a million training docs costs one row, never an "
+    f"eval x train fan-out. Uses the dense synthetic benchmark "
+    f"(doc_id % {EVAL_MOD_FUZZY}, the decontaminate_fuzzy precedent) "
+    f"so the report has rows at every test scale.",
+    tags=("llm-prep", "decontamination", "audit"),
+)
+def decon_eval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    sh = scoped_persist(
+        D.doc_shingles(t["documents"], "doc_id", "text", ngram=DECON_NGRAM)
+    )
+    grams = sh.select("doc_id", F.size("s").alias("n_grams"), F.explode("s").alias("g")).withColumn(
+        "gh", F.md5("g")
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD_FUZZY == 0
+    train_spread = (
+        grams.filter(~is_eval)
+        .groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("thit"))
+    )
+    eval_g = grams.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "n_grams", "gh"
+    )
+    return (
+        eval_g.join(train_spread, "gh", "left")
+        .groupBy("eval_id")
+        .agg(
+            F.min("n_grams").cast("long").alias("n_grams"),
+            F.count("thit").alias("shared_grams"),
+            (F.count("thit").cast("double") / F.min("n_grams")).alias("contamination_cov"),
+            F.coalesce(F.sum("thit"), F.lit(0)).cast("long").alias("gram_hits"),
+            F.coalesce(F.max("thit"), F.lit(0)).cast("long").alias("max_gram_spread"),
+        )
+    )
+
+
 PAIR_BITS = 32  # 16-bit fingerprints collide too much for pairing
 
 
@@ -637,7 +713,12 @@ BOILER_RATIO_MAX = 0.6
 DUP_COV_MAX = 0.5
 
 
-def _corpus_build_oracle() -> str:
+def _corpus_gates_sql() -> str:
+    """The WITH-body every corpus_build-family oracle shares: scored
+    docs, dedup survivors, the chunk-boilerplate and shingle-coverage
+    ratios, and the contaminated-doc set. ``corpus_build`` appends the
+    shipping SELECT; ``corpus_gate_funnel`` appends the per-gate
+    attribution SELECT — one definition of the gates, two reports."""
     from .dedup import CC_PARTITIONS  # noqa: F401  (parity of constants)
     from .dedup import JACCARD_THRESHOLD, SQL_LSH_CANDIDATES, SQL_SHINGLES3
     from .text import SQL_STOPS
@@ -721,6 +802,13 @@ def _corpus_build_oracle() -> str:
       SELECT DISTINCT md5(unnest(s5)) AS gh FROM sh5 WHERE doc_id % {EVAL_MOD} = 0
     ),
     contam AS (SELECT DISTINCT doc_id FROM train_g5 JOIN eval_g5 USING (gh))
+    """
+
+
+def _corpus_build_oracle() -> str:
+    return (
+        _corpus_gates_sql()
+        + f"""
     SELECT s.doc_id, s.n_tokens, s.quality
     FROM scored s JOIN survivors USING (doc_id)
     LEFT JOIN boiler b USING (doc_id)
@@ -731,6 +819,24 @@ def _corpus_build_oracle() -> str:
       AND s.doc_id % {EVAL_MOD} != 0
       AND s.doc_id NOT IN (SELECT doc_id FROM contam)
     """
+    )
+
+
+# Gate-attribution order for the funnel report — the order
+# corpus_build applies them (eval exclusion and the doc-keyed
+# anti-joins first, then the scored filters in conjunction order). A
+# doc is charged to the FIRST gate it fails, so per-gate counts read
+# as a funnel: every row at gate g passed gates 0..g-1.
+GATE_NAMES = (
+    "eval_excluded",
+    "decontamination",
+    "near_dup",
+    "lang",
+    "quality",
+    "boilerplate",
+    "dup_coverage",
+    "shipped",
+)
 
 
 @register(
@@ -758,6 +864,27 @@ def _corpus_build_oracle() -> str:
     tags=("llm-prep", "dedup", "text", "composition"),
 )
 def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored, survivors, boiler, shcov, decon = _gate_frames(spark, sf_dir)
+    return (
+        scored.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(decon, "doc_id", "left_anti")
+        .join(survivors, "doc_id")
+        .join(boiler, "doc_id", "left")
+        .join(shcov, "doc_id", "left")
+        .filter(
+            (F.col("stop_ratio_v") >= 0.05)
+            & (F.col("quality") >= QUALITY_MIN)
+            & (F.coalesce(F.col("br"), F.lit(0.0)) < BOILER_RATIO_MAX)
+            & (F.coalesce(F.col("scov"), F.lit(0.0)) < DUP_COV_MAX)
+        )
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+def _gate_frames(spark: SparkSession, sf_dir: str):
+    """The five gate inputs corpus_build and corpus_gate_funnel share:
+    (scored, survivors, boiler, shcov, decon) — one definition of the
+    gates on the Spark side, mirroring :func:`_corpus_gates_sql`."""
     from .dedup import corpus_components
 
     t = load_tables(spark, sf_dir, "documents")
@@ -803,23 +930,82 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # benchmark decontamination gate (decontaminate composed in, r7):
     # the training corpus excludes the benchmark itself AND any
     # training doc sharing a DECON_NGRAM-gram with it — same
-    # hash-keyed equi-join shape, one left-anti doc-keyed join here
+    # hash-keyed equi-join shape, one doc-keyed join at the consumer
     decon = D.contaminated_docs(
         docs, F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
     ).select("doc_id")
-    return (
-        scored.filter(F.col("doc_id") % EVAL_MOD != 0)
-        .join(decon, "doc_id", "left_anti")
-        .join(survivors, "doc_id")
+    return scored, survivors, boiler, shcov, decon
+
+
+@register(
+    "corpus_gate_funnel",
+    oracle=_corpus_gates_sql()
+    + f""",
+    flags AS (
+      SELECT s.doc_id, s.n_tokens,
+             CASE WHEN s.doc_id % {EVAL_MOD} = 0 THEN 0
+                  WHEN s.doc_id IN (SELECT doc_id FROM contam) THEN 1
+                  WHEN s.doc_id NOT IN (SELECT doc_id FROM survivors) THEN 2
+                  WHEN s.stop_ratio_v < 0.05 THEN 3
+                  WHEN s.quality < {QUALITY_MIN} THEN 4
+                  WHEN COALESCE(b.br, 0.0) >= {BOILER_RATIO_MAX} THEN 5
+                  WHEN COALESCE(sc.scov, 0.0) >= {DUP_COV_MAX} THEN 6
+                  ELSE 7 END AS gate_order
+      FROM scored s LEFT JOIN boiler b USING (doc_id)
+                    LEFT JOIN shcov sc USING (doc_id)
+    )
+    SELECT gate_order,
+           CASE gate_order {' '.join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(GATE_NAMES))}
+           END AS gate,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens
+    FROM flags GROUP BY gate_order
+    """,
+    doc="Gate-funnel observability for corpus_build — per-gate doc and "
+    "token attrition, each doc charged to the FIRST gate it fails in "
+    "corpus_build's application order (eval exclusion, "
+    "decontamination, near-dup, language, quality, chunk boilerplate, "
+    "shingle coverage, shipped). The report a pipeline owner reads "
+    "before changing any threshold: which gate costs how many docs "
+    "and how much token mass, as a true funnel (every row at gate g "
+    "passed gates 0..g-1). Shares every gate frame with corpus_build "
+    "itself (_gate_frames / _corpus_gates_sql — one definition, two "
+    "reports) plus one small agg; its 'shipped' row is pinned equal "
+    "to corpus_build's row count by a test.",
+    tags=("llm-prep", "audit", "composition"),
+)
+def corpus_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored, survivors, boiler, shcov, decon = _gate_frames(spark, sf_dir)
+    j = (
+        scored.join(decon.withColumn("_cont", F.lit(1)), "doc_id", "left")
+        .join(survivors.withColumn("_surv", F.lit(1)), "doc_id", "left")
         .join(boiler, "doc_id", "left")
         .join(shcov, "doc_id", "left")
-        .filter(
-            (F.col("stop_ratio_v") >= 0.05)
-            & (F.col("quality") >= QUALITY_MIN)
-            & (F.coalesce(F.col("br"), F.lit(0.0)) < BOILER_RATIO_MAX)
-            & (F.coalesce(F.col("scov"), F.lit(0.0)) < DUP_COV_MAX)
+    )
+    gate_order = (
+        F.when(F.col("doc_id") % EVAL_MOD == 0, 0)
+        .when(F.col("_cont").isNotNull(), 1)
+        .when(F.col("_surv").isNull(), 2)
+        .when(F.col("stop_ratio_v") < 0.05, 3)
+        .when(F.col("quality") < QUALITY_MIN, 4)
+        .when(F.coalesce(F.col("br"), F.lit(0.0)) >= BOILER_RATIO_MAX, 5)
+        .when(F.coalesce(F.col("scov"), F.lit(0.0)) >= DUP_COV_MAX, 6)
+        .otherwise(7)
+    )
+    names = F.array(*[F.lit(n) for n in GATE_NAMES])
+    return (
+        j.select(gate_order.alias("gate_order"), "n_tokens")
+        .groupBy("gate_order")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
         )
-        .select("doc_id", "n_tokens", "quality")
+        .select(
+            "gate_order",
+            F.element_at(names, F.col("gate_order") + 1).alias("gate"),
+            "n_docs",
+            "tokens",
+        )
     )
 
 

@@ -183,6 +183,21 @@ def test_chunk_dedup_partial_aggregation(spark):
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2
 
 
+def test_gate_funnel_shipped_equals_corpus_build(spark):
+    """The funnel's terminal 'shipped' row must count exactly the docs
+    corpus_build ships, and its gate rows must partition the corpus:
+    the two queries share one gate definition (_gate_frames), so any
+    drift between report and build is a bug in the shared frames."""
+    qs = plans.queries()
+    funnel = {r["gate"]: (r["n_docs"]) for r in qs["corpus_gate_funnel"](spark, SF_SMOKE).collect()}
+    built = qs["corpus_build"](spark, SF_SMOKE).count()
+    from gmall_flink_0526_spark.session import load_tables
+
+    n_docs = load_tables(spark, SF_SMOKE, "documents")["documents"].count()
+    assert funnel.get("shipped", 0) == built
+    assert sum(funnel.values()) == n_docs  # every doc charged exactly once
+
+
 def test_corpus_build_scan_pruning(spark):
     """The end-to-end corpus build reads only (doc_id, text) from the
     documents scan — gates and dedup derive everything else."""
