@@ -180,6 +180,8 @@ _PRIORITY = (
     "embedding_semdedup",
     "semdedup_threshold_sweep",
     "semdedup_survivors",
+    "ann_topk_ivf_kmeans",
+    "ann_recall_ivf",
     # -- r7/r8-green remainder (lifecycle-only or untouched), r8 window
     #    order preserved. ---------------------------------------------
     "payment_wide_stream",
@@ -206,8 +208,6 @@ _PRIORITY = (
     "dedup_method_agreement",
     "simhash_near_dup",
     "rhp_near_dup",
-    "ann_topk_ivf_kmeans",
-    "ann_recall_ivf",
     "decontaminate_fuzzy",
     "order_wide_join",
     "payment_wide_join",
