@@ -13,7 +13,7 @@ beats caching per-record RPCs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
 def interval_join(
@@ -62,3 +62,71 @@ def dim_enrich(
     for dim_df, cond, cols in dims:
         out = out.join(F.broadcast(dim_df.select(*cols)), cond, how)
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    how: str = "inner",
+) -> DataFrame:
+    """Backward as-of join: each left row picks up the LATEST right row
+    with ``right.ts_col <= left.ts_col`` per key — the time-series join
+    (trade⋈quote, event⋈latest-dim-version) Spark has no native
+    operator for. DuckDB spells it ``ASOF JOIN``; this is the
+    distributed composition with identical inclusive-backward
+    semantics.
+
+    Contract: ``right`` holds exactly ``on + [ts_col] + value columns``
+    whose names do not collide with ``left``'s, at most one row per
+    (key, ts) (pre-aggregate ties — the operator cannot pick between
+    two simultaneous right rows deterministically), and non-null
+    values (a NULL would carry the previous row's value through the
+    ignore-nulls fill).
+
+    Shape — the part that matters at 100 TB: a sorted-union
+    last-value fill, NOT a join. Both sides union (right rows sort
+    before left rows at equal ts, making the match inclusive), one
+    hash exchange on the key, one per-key sort by (ts, side), and a
+    running ``last(value, ignorenulls)`` window whose frame never
+    looks forward — state per key is one row of carried values, and
+    no key ever fans out left x right the way a range-predicate join
+    would. ``how='left'`` keeps unmatched left rows (NULL values);
+    ``'inner'`` drops them.
+    """
+    val_cols = [c for c in right.columns if c not in [*on, ts_col]]
+    clash = set(val_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join: right value columns collide with left: {sorted(clash)}")
+    l_side = left.select(
+        *left.columns,
+        F.lit(None).cast("int").alias("_asof_m"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in val_cols],
+        F.lit(1).alias("_asof_side"),
+    )
+    r_side = right.select(
+        *on,
+        F.col(ts_col),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in [*on, ts_col]],
+        F.lit(1).alias("_asof_m"),
+        *val_cols,
+        F.lit(0).alias("_asof_side"),
+    ).select(*l_side.columns)
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col(ts_col), F.col("_asof_side"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = l_side.unionByName(r_side).select(
+        *[c for c in left.columns],
+        F.last("_asof_m", ignorenulls=True).over(w).alias("_asof_m"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in val_cols],
+        "_asof_side",
+    )
+    out = filled.filter(F.col("_asof_side") == 1).drop("_asof_side")
+    if how == "inner":
+        out = out.filter(F.col("_asof_m").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join: unsupported how={how!r}")
+    return out.drop("_asof_m")

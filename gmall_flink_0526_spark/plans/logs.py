@@ -771,3 +771,130 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@register(
+    "asof_click_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    p AS (
+      SELECT event_id, user_id, ts AS purchase_ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.purchase_ts, p.purchase_value,
+           c.click_ts, c.click_value,
+           date_diff('microsecond', c.click_ts, p.purchase_ts) AS gap_us
+    FROM p ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+    """,
+    doc="Backward AS-OF join — last-click attribution: every purchase "
+    "picks up the user's LATEST click at or before it (the "
+    "trade-joins-quote operator; DuckDB spells the oracle with its "
+    "native ASOF JOIN). The Spark side is operators/joins.asof_join's "
+    "sorted-union last-value fill: one hash exchange on user_id, one "
+    "per-key sort, a running ignore-nulls last() — never a "
+    "range-predicate join that would fan a hot user out clicks x "
+    "purchases. Simultaneous clicks are pre-aggregated to one row per "
+    "(user, ts) on both engines, making the match deterministic; the "
+    "gap rides exact integer microseconds.",
+    tags=("events", "join", "asof"),
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .select("user_id", "ts", F.col("ts").alias("click_ts"), "click_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        asof_join(purchases, clicks, on=["user_id"], ts_col="ts")
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_ts",
+            "purchase_value",
+            "click_ts",
+            "click_value",
+            # timestampdiff is TZ-free on the NTZ timestamps the parquet
+            # carries (unix_micros would demand LTZ and a session TZ)
+            F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").alias("gap_us"),
+        )
+    )
+
+
+# Rolling-window width: 7 days in microseconds (the range frame runs
+# over exact integer epoch-micros on both engines).
+ROLL_7D_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "rolling_value_7d",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value, epoch_us(ts) AS mu
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_7d
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY mu
+                 RANGE BETWEEN {ROLL_7D_US} PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing 7-day per-user purchase rollup — the RANGE-frame "
+    "window (time-based, not row-based: the frame is every event in "
+    "the preceding week, however many rows that is). Ordering rides "
+    "exact integer epoch-microseconds so frame membership is "
+    "bit-identical on both engines, and the sum decimal-accumulates "
+    "inside the frame (functions/exact.py's trick in window form) so "
+    "the emitted doubles match regardless of either engine's "
+    "in-frame addition order. One hash exchange on user_id + one "
+    "per-key sort — per-key state is the sliding frame, bounded by "
+    "one week of that user's events.",
+    tags=("events", "window", "stats"),
+)
+def rolling_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, "events")
+    p = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            # epoch-micros order key, TZ-free on NTZ timestamps (the
+            # DuckDB twin is epoch_us over the same naive values)
+            F.expr(
+                "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+            ).alias("mu"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("mu")
+        .rangeBetween(-ROLL_7D_US, W.currentRow)
+    )
+    return p.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_7d"),
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("sum_7d"),
+    )

@@ -1251,3 +1251,40 @@ def test_incremental_apps_bound_checkpoint_retention(spark, reg, tmp_path):
     assert pinned_after <= pinned_before + 1
     # and the stream still produced its kept output
     assert spark.read.parquet(reg.channels["dwd_documents_unique"].path).count() > 0
+
+
+def test_asof_join_matches_python_model(spark):
+    """asof_join vs a plain-Python backward-inclusive model on a fixture
+    with every edge the contract names: equal-ts match (inclusive), a
+    left row before any right row (left-kept / inner-dropped), multiple
+    left rows sharing one right row, and a key with no right rows at
+    all. Also pins the collision guard."""
+    from gmall_flink_0526_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 7, "d"), (3, 9, "e")],
+        "k int, ts int, pl string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 50.0), (1, 15, 150.0), (2, 8, 80.0)], "k int, ts int, v double"
+    )
+    rmodel = {1: [(5, 50.0), (15, 150.0)], 2: [(8, 80.0)]}
+
+    def model(k, ts):
+        cands = [(t, v) for t, v in rmodel.get(k, []) if t <= ts]
+        return max(cands)[1] if cands else None
+
+    expect = {(r[0], r[1]): model(r[0], r[1]) for r in left.collect()}
+    got_left = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(left, right, on=["k"], ts_col="ts", how="left").collect()
+    }
+    assert got_left == expect  # every left row kept; values per model
+    got_inner = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(left, right, on=["k"], ts_col="ts").collect()
+    }
+    assert got_inner == {kt: v for kt, v in expect.items() if v is not None}
+    assert got_inner[(1, 5)] == 50.0  # equal-ts match is inclusive
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("v", "pl"), on=["k"], ts_col="ts")
