@@ -906,3 +906,48 @@ def embedding_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return reg.read_batch(spark, "dwd_embeddings_unique").select("vec_id")
+
+
+@register(
+    "asof_click_stream",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts AS build_ts, MAX(value) AS build_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    p AS (
+      SELECT event_id, user_id, ts AS probe_ts, value AS probe_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.probe_ts, p.probe_value,
+           c.build_ts, c.build_value
+    FROM p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.probe_ts >= c.build_ts
+    """,
+    doc="Streaming temporal (as-of) join — the stream-stream twin of "
+    "asof_click_attribution, run as the REAL keyed-state operator "
+    "(streaming/stateful.temporal_join) over a time-ordered replay: "
+    "click rows update each user's latest-click ValueState, purchase "
+    "rows emit enriched with the state at their event-time position "
+    "(LEFT semantics — purchases before any click carry NULLs). This "
+    "is Flink's temporal-join shape under the external oracle (DuckDB "
+    "ASOF LEFT JOIN): per-key state is ONE carried row forever, and "
+    "the in-batch (ts, build-first, max-value) sort reproduces the "
+    "batch twin's inclusive tie rule exactly.",
+    tags=("state", "streaming", "events", "join", "asof"),
+)
+def asof_click_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+
+    def op(src: DataFrame) -> DataFrame:
+        return stateful.temporal_join(
+            src.filter(F.col("event_type").isin("click", "purchase"))
+        )
+
+    out = replay_stateful(
+        spark, events, op, order_by=["ts", "event_id"],
+        cache_key=f"events:{sf_dir}",
+    )
+    return out.select(
+        "event_id", "user_id", "probe_ts", "probe_value", "build_ts", "build_value"
+    )

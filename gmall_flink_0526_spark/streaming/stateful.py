@@ -188,3 +188,83 @@ def sessionize_bounce(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def temporal_join(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    build_type: str = "click",
+    probe_type: str = "purchase",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stream-stream backward as-of (temporal) join as ONE keyed
+    stateful operator — Flink's temporal/as-of join shape, the
+    streaming twin of :func:`~..operators.joins.asof_join`.
+
+    The input is a single stream carrying BOTH sides (the reference's
+    union-then-keyBy idiom): ``build_type`` rows update the per-key
+    state (the latest build row at or before any probe); ``probe_type``
+    rows emit enriched with that state at their event-time position.
+    Within a micro-batch rows sort by (ts, build-before-probe, value),
+    so a same-timestamp build is visible to its probe (inclusive
+    backward) and simultaneous builds resolve to the max value — the
+    exact tie rule the batch twin's (key, ts)+MAX pre-aggregation
+    defines. The carry is a vectorized pandas ffill seeded from state;
+    no per-row Python. State per key is ONE (ts, value) pair forever
+    (the reference's unbounded ValueState class, like fix_is_new).
+
+    Output: (id, key, probe_ts, probe_value, build_ts, build_value) —
+    LEFT semantics: probes before any build emit NULL build columns.
+    """
+    import pandas as pd
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        bts_us, bval = state.get if state.exists else (None, None)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        pdf = pdf[pdf[type_col].isin([build_type, probe_type])]
+        if not len(pdf):
+            return
+        is_b = pdf[type_col] == build_type
+        pdf = pdf.assign(_side=(~is_b).astype(int))
+        pdf = pdf.sort_values([ts, "_side", value_col], kind="mergesort")
+        is_b = pdf[type_col] == build_type
+        carry_ts = pdf[ts].where(is_b).ffill()
+        carry_val = pdf[value_col].where(is_b).ffill()
+        if bts_us is not None:
+            carry_ts = carry_ts.fillna(pd.Timestamp(bts_us, unit="us"))
+            carry_val = carry_val.fillna(bval)
+        builds = pdf.loc[is_b]
+        if len(builds):
+            last = builds.iloc[-1]
+            state.update((int(last[ts].value // 1000), float(last[value_col])))
+        probes = ~is_b
+        if probes.any():
+            yield pd.DataFrame(
+                {
+                    id_col: pdf.loc[probes, id_col].to_numpy(),
+                    key: key_tuple[0],
+                    "probe_ts": pdf.loc[probes, ts].to_numpy(),
+                    "probe_value": pdf.loc[probes, value_col].to_numpy(),
+                    "build_ts": carry_ts.loc[probes].to_numpy(),
+                    "build_value": carry_val.loc[probes].to_numpy(),
+                }
+            )
+
+    # NoTimeout: the latest dimension/build version must persist for
+    # the stream's lifetime, exactly like fix_is_new's first-seen state
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{id_col} long, {key} long, probe_ts timestamp, probe_value double, "
+            "build_ts timestamp, build_value double"
+        ),
+        stateStructType="bts long, bval double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
