@@ -121,6 +121,7 @@ _PRIORITY = (
     "asof_click_attribution",
     "rolling_value_7d",
     "asof_click_stream",
+    "scd2_order_history",
     # -- then the 39 whose last driver row is r6; the first ~31 fit the
     #    ~50-slot window, the tail plus the changed/r7/r8-green blocks
     #    below are covered this round by the full sf0.001 pytest sweep

@@ -124,6 +124,66 @@ def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_order_history",
+    oracle="""
+    WITH chg AS (
+      SELECT o_orderkey, o_totalprice, 0 AS seq, 'insert' AS op FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_totalprice * 2, 1, 'update'
+      FROM orders WHERE o_orderkey % 10 IN (1, 2)
+      UNION ALL
+      SELECT o_orderkey, NULL, 1, 'delete'
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    h AS (
+      SELECT o_orderkey, o_totalprice, op, seq AS valid_from,
+             LEAD(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
+      FROM chg
+    )
+    SELECT o_orderkey, o_totalprice, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM h WHERE op != 'delete'
+    """,
+    doc="SCD Type-2 dimension history from the CDC stream "
+    "(sources/cdc.scd2_from_changes): every surviving version becomes "
+    "a validity-interval row (valid_from, valid_to, is_current); a "
+    "delete emits nothing but closes the prior version's interval — "
+    "the Kimball history table whose latest-row projection is the dim "
+    "store's Type-1 MERGE (K3), and whose point-in-time lookup is "
+    "asof_join on valid_from. Fixture: snapshot at seq 0, the "
+    "deterministic update/delete mix at seq 1. One LEAD window per "
+    "key — single exchange + per-key sort, linear in change volume.",
+    tags=("cdc", "scd2", "window"),
+)
+def scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    snapshot = C.snapshot_as_inserts(orders, "gmall", "order_info").withColumn(
+        "_seq", F.lit(0)
+    )
+    changed = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice") * 2
+        ),
+    )
+    changes = C.envelope_from_table(changed, "o_orderkey", "gmall", "order_info").filter(
+        F.col("type") != "insert"
+    ).withColumn("_seq", F.lit(1))
+    key = F.coalesce(
+        F.element_at("after", "o_orderkey"), F.element_at("before", "o_orderkey")
+    ).cast("long")
+    env = snapshot.unionByName(changes).withColumn("_key", key)
+    hist = C.scd2_from_changes(env, "_key", "_seq")
+    return hist.select(
+        F.col("_key").alias("o_orderkey"),
+        F.element_at("after", "o_totalprice").cast("double").alias("o_totalprice"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
 # -- U3: generic JDBC -> typed rows (real embedded round-trip) ----------
 
 _JDBC_DIRS: dict[str, str] = {}

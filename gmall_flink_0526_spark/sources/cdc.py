@@ -103,3 +103,40 @@ def envelope_from_table(
         F.when(typ != "delete", as_map).otherwise(empty).alias("after"),
         normalize_op(typ).alias("type"),
     )
+
+
+def scd2_from_changes(
+    envelopes: DataFrame,
+    key: str,
+    seq: str,
+    op_col: str = "type",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history from a change stream:
+    one validity-interval row per surviving version — (key, after,
+    valid_from=seq, valid_to=next change's seq or NULL, is_current).
+    A delete emits no row of its own but CLOSES the previous
+    version's interval (its seq becomes that row's valid_to), exactly
+    the Kimball SCD2 contract. The dim store's MERGE (K3) is the
+    Type-1 "latest value" projection of this history; pairing the
+    history with :func:`~..operators.joins.asof_join` on valid_from
+    gives point-in-time dimension lookups.
+
+    One LEAD window per key — a single hash exchange + per-key sort,
+    linear in change volume, the same shape ``apply_changes`` uses
+    for last-writer-wins. At 100 TB the history table is what the
+    warehouse stores; this is its builder.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(seq)
+    return (
+        envelopes.withColumn("valid_to", F.lead(seq).over(w))
+        .filter(normalize_op(F.col(op_col)) != "delete")
+        .select(
+            key,
+            "after",
+            F.col(seq).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
