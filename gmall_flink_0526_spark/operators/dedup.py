@@ -476,3 +476,107 @@ def contaminated_docs(
     train = grams.filter(~eval_pred).select("doc_id", "gh")
     ev = grams.filter(eval_pred).select("gh").distinct()
     return train.join(ev, "gh").groupBy("doc_id").agg(F.count("*").alias("hit_ct"))
+
+
+# -- Bloom-prefiltered decontamination ----------------------------------
+#
+# `contaminated_docs` ships EVERY training shingle into an equi-join
+# against the eval gram table — correct, but at 100 TB the train side
+# of that join is the whole corpus's shingle stream. The standard
+# production fix is a Bloom filter: collapse the eval set's gram
+# hashes into a fixed-size bitset (here 2^14 bits = 2 KiB), ship the
+# bitset to every executor, and drop >99% of train shingles MAP-SIDE
+# before anything shuffles; only bloom-positive shingles reach the
+# exact verification join, so the output is still EXACT (the bloom
+# only over-approximates). The bitset is built from md5 slices, so
+# the whole filter — positions, packing, membership — is bit-identical
+# in Spark, DuckDB and Python, which is what lets the oracle re-derive
+# the candidate counts (false positives included) and not just the
+# verified hits.
+BLOOM_BITS = 1 << 14   # filter width in bits
+BLOOM_WORD = 32        # bits packed per word (shift < 32: no engine overflows)
+BLOOM_HASHES = 3       # independent positions = 8-hex-char md5 slices
+
+
+def _bloom_positions(gh):
+    """BLOOM_HASHES bit positions for one md5-hex column: consecutive
+    8-hex-char slices parsed as integers, mod the filter width."""
+    return [
+        F.conv(F.substring(gh, 1 + 8 * i, 8), 16, 10).cast("long") % BLOOM_BITS
+        for i in range(BLOOM_HASHES)
+    ]
+
+
+def _bloom_bit(p_name: str):
+    """Single-bit mask (as BIGINT) for the staged position column
+    named ``p_name`` — shift stays < BLOOM_WORD, inside every
+    engine's defined range."""
+    return F.expr(
+        f"shiftleft(cast(1 as bigint), cast(pmod({p_name}, {BLOOM_WORD}) as int))"
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+) -> DataFrame:
+    """Decontamination with a Bloom prefilter on the train side.
+
+    Same contract as :func:`contaminated_docs` (one corpus-wide
+    shingle pass, eval side = ``eval_pred``), but train shingles are
+    first screened against a Bloom bitset of the eval gram hashes:
+
+    1. eval gram hashes -> BLOOM_HASHES positions each -> bit-or into
+       BLOOM_BITS/BLOOM_WORD packed words (<= 512 rows, a contractual
+       constant independent of corpus size — broadcast raw);
+    2. every train shingle probes its BLOOM_HASHES words through
+       broadcast left joins — map-side, no shuffle of the train side;
+    3. only shingles with ALL probe bits set (bloom candidates: true
+       hits + deterministic false positives) reach the exact
+       verification join against the distinct eval hashes.
+
+    Output per training doc with >=1 bloom-candidate shingle:
+    (doc_id, cand_ct, hit_ct) — candidate vs exactly-verified shingle
+    counts; cand_ct - hit_ct is the false-positive overhead actually
+    paid, the number a 100 TB operator watches to size BLOOM_BITS.
+    """
+    sh = scoped_persist(doc_shingles(docs, id_col, text_col, ngram=ngram))
+    grams = sh.select("doc_id", F.explode("s").alias("g")).withColumn("gh", F.md5("g"))
+    ev = grams.filter(eval_pred).select("gh").distinct()
+
+    bloom = (
+        ev.select(F.explode(F.array(*_bloom_positions(F.col("gh")))).alias("p"))
+        .select(F.floor(F.col("p") / BLOOM_WORD).alias("w"), _bloom_bit("p").alias("m"))
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+
+    cand = grams.filter(~eval_pred).select("doc_id", "gh")
+    for i, p in enumerate(_bloom_positions(F.col("gh"))):
+        cand = cand.withColumn(f"_p{i}", p)
+    for i in range(BLOOM_HASHES):
+        cand = cand.withColumn(
+            f"_w{i}", F.floor(F.col(f"_p{i}") / BLOOM_WORD)
+        ).withColumn(f"_m{i}", _bloom_bit(f"_p{i}"))
+    for i in range(BLOOM_HASHES):
+        side = F.broadcast(
+            bloom.select(F.col("w").alias(f"_bw{i}"), F.col("bits").alias(f"_bits{i}"))
+        )
+        cand = cand.join(side, cand[f"_w{i}"] == side[f"_bw{i}"], "left")
+    keep = None
+    for i in range(BLOOM_HASHES):
+        hit = F.col(f"_bits{i}").bitwiseAND(F.col(f"_m{i}")) != 0
+        hit = F.coalesce(hit, F.lit(False))
+        keep = hit if keep is None else (keep & hit)
+    cand = cand.filter(keep).select("doc_id", "gh")
+
+    verified = cand.join(
+        ev.select(F.col("gh"), F.lit(1).alias("_hit")), "gh", "left"
+    )
+    return verified.groupBy("doc_id").agg(
+        F.count("*").alias("cand_ct"),
+        F.count("_hit").alias("hit_ct"),
+    )

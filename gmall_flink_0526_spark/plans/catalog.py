@@ -114,6 +114,7 @@ _PRIORITY = (
     #    vocabulary/Zipf coverage audit, temperature-scaled mixture. --
     "ann_topk_ivf_nprobe",
     "ann_recall_nprobe",
+    "decontaminate_bloom",
     "vocab_coverage",
     "mixture_temperature",
     "corpus_gate_funnel",

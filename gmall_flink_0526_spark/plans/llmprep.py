@@ -158,6 +158,88 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_hex_val(expr: str, nhex: int) -> str:
+    """First ``nhex`` hex chars of an md5 string as a BIGINT (the
+    DuckDB twin of Spark's conv(substr(md5, 1, nhex), 16, 10))."""
+    nib = "(strpos('0123456789abcdef', substr({e}, {i}, 1)) - 1)"
+    return " + ".join(
+        f"{nib.format(e=expr, i=i + 1)} * {16 ** (nhex - 1 - i)}" for i in range(nhex)
+    )
+
+
+def _sql_bloom_pos(i: int) -> str:
+    """DuckDB twin of operators.dedup._bloom_positions: the i-th
+    8-hex-char md5 slice as an integer, mod the filter width."""
+    return f"(({_sql_hex_val(f'substr(gh, {1 + 8 * i}, 8)', 8)}) % {D.BLOOM_BITS})"
+
+
+_SQL_BLOOM_PROBE = (
+    "b{i}.w = t.p{i} // {word} AND "
+    "(b{i}.bits & (CAST(1 AS BIGINT) << CAST(t.p{i} % {word} AS INTEGER))) != 0"
+)
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= {DECON_NGRAM}
+                  THEN list_transform(range(1, len(t) - {DECON_NGRAM - 2}),
+                       i -> array_to_string(list_slice(t, i, i + {DECON_NGRAM - 1}), ' '))
+                  ELSE [] END) AS s
+      FROM toks
+    ),
+    grams AS (SELECT doc_id, md5(unnest(s)) AS gh FROM sh),
+    ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+    evpos AS (
+      SELECT unnest([{_sql_bloom_pos(0)}, {_sql_bloom_pos(1)}, {_sql_bloom_pos(2)}]) AS p
+      FROM ev
+    ),
+    bloom AS (
+      SELECT p // {D.BLOOM_WORD} AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % {D.BLOOM_WORD} AS INTEGER)) AS bits
+      FROM evpos GROUP BY 1
+    ),
+    train AS (
+      SELECT doc_id, gh,
+             {_sql_bloom_pos(0)} AS p0, {_sql_bloom_pos(1)} AS p1, {_sql_bloom_pos(2)} AS p2
+      FROM grams WHERE doc_id % {EVAL_MOD} != 0
+    ),
+    cand AS (
+      SELECT t.doc_id, t.gh
+      FROM train t
+      JOIN bloom b0 ON {_SQL_BLOOM_PROBE.format(i=0, word=D.BLOOM_WORD)}
+      JOIN bloom b1 ON {_SQL_BLOOM_PROBE.format(i=1, word=D.BLOOM_WORD)}
+      JOIN bloom b2 ON {_SQL_BLOOM_PROBE.format(i=2, word=D.BLOOM_WORD)}
+    )
+    SELECT c.doc_id, COUNT(*) AS cand_ct, COUNT(e.gh) AS hit_ct
+    FROM cand c LEFT JOIN ev e ON e.gh = c.gh
+    GROUP BY c.doc_id
+    """,
+    doc=f"Bloom-prefiltered decontamination: the eval set's {DECON_NGRAM}-gram "
+    f"hashes collapse into a {D.BLOOM_BITS}-bit Bloom bitset "
+    f"({D.BLOOM_BITS // D.BLOOM_WORD} packed words, ~2 KiB — a size "
+    "CONSTANT in corpus scale), broadcast to every executor; train "
+    "shingles are screened map-side through "
+    f"{D.BLOOM_HASHES} broadcast word-probes and only bloom-positive "
+    "shingles (true hits + deterministic false positives) reach the "
+    "exact verification join — the 100 TB shape where `decontaminate`'s "
+    "corpus-wide shingle shuffle becomes the bottleneck. Output is "
+    "EXACT per-doc (cand_ct, hit_ct); cand_ct - hit_ct is the "
+    "false-positive overhead actually paid. All hashing is md5-slice "
+    "arithmetic, so the oracle re-derives the identical bitset and "
+    "candidate set bit-for-bit.",
+    tags=("llm-prep", "dedup", "decontamination", "sketch"),
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    return D.bloom_decontaminate(
+        t["documents"], F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
+    )
+
+
 # Fuzzy decontamination verify threshold: ~10% token mutation of a
 # benchmark doc kills ~30% of its 3-shingles, leaving Jaccard ~0.55 —
 # the exact-shingle `decontaminate` still FLAGS such a doc (any one
@@ -341,15 +423,6 @@ def decon_eval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PAIR_BITS = 32  # 16-bit fingerprints collide too much for pairing
-
-
-def _sql_hex_val(expr: str, nhex: int) -> str:
-    """First ``nhex`` hex chars of an md5 string as a BIGINT (the
-    DuckDB twin of Spark's conv(substr(md5, 1, nhex), 16, 10))."""
-    nib = "(strpos('0123456789abcdef', substr({e}, {i}, 1)) - 1)"
-    return " + ".join(
-        f"{nib.format(e=expr, i=i + 1)} * {16 ** (nhex - 1 - i)}" for i in range(nhex)
-    )
 
 
 @register(

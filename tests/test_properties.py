@@ -406,3 +406,59 @@ def test_lsh_candidates_against_matches_python_model(spark, new_rows, corpus_row
         keeps = members if len(members) <= cap else [min(members)]
         exp |= {(d, m) for m in keeps if m != d}
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(TEXT, min_size=2, max_size=12),
+    st.integers(2, 4),
+)
+def test_bloom_decontaminate_matches_python_model(spark, texts, eval_mod):
+    """The Bloom prefilter vs a plain-Python bitset model: identical
+    md5-slice positions, identical candidate set (false positives
+    INCLUDED — the sketch is deterministic), identical verified
+    counts. Pins the whole mechanism the oracle also re-derives, on
+    adversarial tiny inputs where a hand-rolled filter usually breaks
+    (empty eval side, all-eval corpus, shingle-free docs)."""
+    import hashlib
+
+    from gmall_flink_0526_spark.operators.dedup import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        bloom_decontaminate,
+    )
+
+    ngram = 2
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["cand_ct"], r["hit_ct"])
+        for r in bloom_decontaminate(
+            docs, F.col("doc_id") % eval_mod == 0, ngram=ngram
+        ).collect()
+    }
+
+    def gram_hashes(text: str) -> set[str]:
+        return {
+            hashlib.md5(g.encode()).hexdigest()
+            for g in py_shingles(py_tokenize(text), ngram)
+        }
+
+    def positions(gh: str) -> list[int]:
+        return [
+            int(gh[8 * i : 8 * i + 8], 16) % BLOOM_BITS
+            for i in range(BLOOM_HASHES)
+        ]
+
+    grams = {i: gram_hashes(t) for i, t in enumerate(texts)}
+    ev = {gh for i in grams if i % eval_mod == 0 for gh in grams[i]}
+    bits = {p for gh in ev for p in positions(gh)}
+    exp = {}
+    for i in grams:
+        if i % eval_mod == 0:
+            continue
+        cand = [gh for gh in grams[i] if all(p in bits for p in positions(gh))]
+        if cand:
+            exp[i] = (len(cand), sum(1 for gh in cand if gh in ev))
+    assert got == exp
