@@ -47,3 +47,88 @@ def distinct_count_approx(key: Column, rsd: float = 0.01) -> Column:
     exact per-group set is a memory hazard; approx_count_distinct is
     mergeable map-side."""
     return F.approx_count_distinct(key, rsd)
+
+
+# -- Count-min sketch ---------------------------------------------------
+#
+# The frequency twin of HyperLogLog above: where a 100 TB exact
+# per-token count table is itself a large dataset, a count-min sketch
+# is a DEPTH x WIDTH grid of counters — fixed memory at any corpus
+# size, built by one map-side-combinable grouped count, mergeable
+# across shards/epochs by plain addition, never under-estimating
+# (estimate = min over rows of the probed counter >= true count).
+# Hashing is the minhash family's seeded-md5-slice arithmetic, so the
+# grid is bit-identical in Spark, DuckDB and Python and an oracle can
+# re-derive estimates INCLUDING collision error.
+CMS_DEPTH = 3
+# Width is sized to the CORRECTNESS corpus (31-token synthetic
+# vocabulary): 32 buckets leaves the collision-error column
+# (over_ct) non-trivially exercised at every test SF — a few top-k
+# tokens measurably over-estimate — which is the whole point of the
+# audit. Production sizes width from the audit itself (wider grid =
+# smaller error, same mergeable shape; the grid stays
+# depth x width regardless of corpus size).
+CMS_WIDTH = 32
+
+
+def cms_bucket(key: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Row ``row``'s counter bucket for ``key``: first 8 hex chars of
+    md5("{row}#" + key) as an integer, mod the sketch width."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}#"), key)), 1, 8), 16, 10
+        ).cast("long")
+        % width
+    )
+
+
+def _cms_probes(df: DataFrame, key: str, depth: int, width: int) -> DataFrame:
+    """One (i, b) probe row per input row per sketch row — the
+    fan-out is the constant ``depth``, collapsed immediately by the
+    caller's grouped count."""
+    return df.select(
+        *df.columns,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        cms_bucket(F.col(key), i, width).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_p"),
+    ).select(*df.columns, F.col("_p.i").alias("i"), F.col("_p.b").alias("b"))
+
+
+def cms_counters(
+    items: DataFrame, key: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Build the sketch: (i, b, ct) counter grid over a key stream —
+    at most depth*width rows out of ONE grouped count whose partial
+    aggregation runs map-side, so a trillion-token stream exchanges
+    only per-partition partial grids."""
+    return (
+        _cms_probes(items.select(key), key, depth, width)
+        .groupBy("i", "b")
+        .agg(F.count("*").alias("ct"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    counters: DataFrame,
+    key: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate every row of ``keys``: probe the sketch at the
+    key's depth buckets and take the min counter — the CMS estimate,
+    >= the true count by construction. The counter grid is bounded by
+    the contractual constant depth*width (3072 rows here), so it is
+    broadcast raw and the probe join never shuffles ``keys``."""
+    probed = _cms_probes(keys, key, depth, width).join(
+        F.broadcast(counters), ["i", "b"]
+    )
+    return probed.groupBy(*keys.columns).agg(F.min("ct").alias("cms_est"))

@@ -115,6 +115,7 @@ _PRIORITY = (
     "ann_topk_ivf_nprobe",
     "ann_recall_nprobe",
     "decontaminate_bloom",
+    "heavy_hitters_cms",
     "vocab_coverage",
     "mixture_temperature",
     "corpus_gate_funnel",

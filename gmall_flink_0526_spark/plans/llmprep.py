@@ -31,7 +31,7 @@ from .dedup import (
     shingle_many_doc_cov,
     sql_shingle_cov,
 )
-from .text import SQL_TOKS
+from .text import SQL_TOKS, sql_hex_val as _sql_hex_val
 
 # hex nibble -> int, the DuckDB twin of Spark's conv(hex, 16, 10)
 def _sql_hex4(expr: str) -> str:
@@ -155,15 +155,6 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     return D.contaminated_docs(
         t["documents"], F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
-    )
-
-
-def _sql_hex_val(expr: str, nhex: int) -> str:
-    """First ``nhex`` hex chars of an md5 string as a BIGINT (the
-    DuckDB twin of Spark's conv(substr(md5, 1, nhex), 16, 10))."""
-    nib = "(strpos('0123456789abcdef', substr({e}, {i}, 1)) - 1)"
-    return " + ".join(
-        f"{nib.format(e=expr, i=i + 1)} * {16 ** (nhex - 1 - i)}" for i in range(nhex)
     )
 
 

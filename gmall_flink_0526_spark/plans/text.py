@@ -15,6 +15,16 @@ SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')"
 SQL_STOPS = "('" + "','".join(textops.EN_STOPWORDS) + "')"
 
 
+def sql_hex_val(expr: str, nhex: int) -> str:
+    """First ``nhex`` hex chars of a hex string expression as a BIGINT
+    (the DuckDB twin of Spark's conv(substr(h, 1, nhex), 16, 10)) —
+    the cross-engine bridge every md5-arithmetic oracle uses."""
+    nib = "(strpos('0123456789abcdef', substr({e}, {i}, 1)) - 1)"
+    return " + ".join(
+        f"{nib.format(e=expr, i=i + 1)} * {16 ** (nhex - 1 - i)}" for i in range(nhex)
+    )
+
+
 @register(
     "keyword_stats",
     oracle=f"""
@@ -372,3 +382,86 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_ct").cast("double") / F.col("total_tokens")).alias("cum_coverage"),
         )
     )
+
+
+# -- count-min heavy hitters --------------------------------------------
+
+CMS_TOP = 20
+
+
+def _register_heavy_hitters_cms():
+    from ..operators.aggregates import CMS_DEPTH, CMS_WIDTH
+
+    rows = ", ".join(str(i) for i in range(CMS_DEPTH))
+    bucket = (
+        "("
+        + sql_hex_val("substr(md5(CAST({i} AS VARCHAR) || '#' || {tok}), 1, 8)", 8)
+        + f") % {CMS_WIDTH}"
+    )
+
+    @register(
+        "heavy_hitters_cms",
+        oracle=f"""
+        WITH tok AS (SELECT unnest({SQL_TOKS}) AS tok FROM documents),
+        cnt AS (SELECT tok, COUNT(*) AS exact_ct FROM tok GROUP BY tok),
+        topk AS (
+          SELECT tok, exact_ct FROM cnt
+          ORDER BY exact_ct DESC, tok LIMIT {CMS_TOP}
+        ),
+        probes AS (SELECT tok, unnest([{rows}]) AS i FROM tok),
+        counters AS (
+          SELECT i, {bucket.format(i="i", tok="tok")} AS b, COUNT(*) AS ct
+          FROM probes GROUP BY 1, 2
+        ),
+        kp AS (SELECT tok, exact_ct, unnest([{rows}]) AS i FROM topk),
+        est AS (
+          SELECT k.tok, k.exact_ct, min(c.ct) AS cms_est
+          FROM kp k
+          JOIN counters c
+            ON c.i = k.i
+           AND c.b = {bucket.format(i="k.i", tok="k.tok")}
+          GROUP BY 1, 2
+        )
+        SELECT tok, exact_ct, cms_est, cms_est - exact_ct AS over_ct FROM est
+        """,
+        doc=f"Count-min-sketch heavy-hitter audit: a {CMS_DEPTH}x"
+        f"{CMS_WIDTH} counter grid (fixed memory at ANY corpus size, "
+        "built by one map-side-combinable grouped count, mergeable "
+        "across shards by addition) point-estimates the exact top-"
+        f"{CMS_TOP} tokens; over_ct = cms_est - exact_ct is the "
+        "collision error actually paid, never negative — the "
+        "calibration read before trusting the sketch as the 100 TB "
+        "swap for a corpus-wide exact count table. Seeded-md5-slice "
+        "hashing makes the grid bit-identical cross-engine, so the "
+        "oracle re-derives estimates INCLUDING collision error; the "
+        "exact top-k plans as TakeOrderedAndProject (per-partition "
+        "head + driver merge, no global sort) and the probe join "
+        "broadcasts the <=3072-row grid.",
+        tags=("text", "sketch", "agg"),
+    )
+    def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.aggregates import cms_counters, cms_estimate
+        from ..operators.cache import scoped_persist
+
+        t = load_tables(spark, sf_dir, "documents")
+        toks = scoped_persist(
+            t["documents"].select(
+                F.explode(textops.tokenize(F.col("text"))).alias("tok")
+            )
+        )
+        counters = cms_counters(toks, "tok")
+        topk = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("exact_ct"))
+            .orderBy(F.col("exact_ct").desc(), "tok")
+            .limit(CMS_TOP)
+        )
+        return cms_estimate(topk, counters, "tok").select(
+            "tok",
+            "exact_ct",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_ct")).alias("over_ct"),
+        )
+
+
+_register_heavy_hitters_cms()

@@ -352,3 +352,16 @@ def test_decontaminate_bloom_probes_map_side(spark):
     assert p.count("BroadcastHashJoin") >= 3  # one per bloom hash probe
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m and set(re.findall(r"(\w+):", m.group(1))) == {"doc_id", "text"}
+
+
+def test_heavy_hitters_cms_sketch_plan(spark):
+    """CMS audit: the exact top-k must plan as TakeOrderedAndProject
+    (per-partition head + driver merge, never a vocabulary-wide
+    single-partition sort), the probe join must broadcast the
+    constant-size counter grid, and the counter build must partial-
+    aggregate map-side (two HashAggregates around its exchange)."""
+    p = plan_of(spark, "heavy_hitters_cms")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2

@@ -462,3 +462,53 @@ def test_bloom_decontaminate_matches_python_model(spark, texts, eval_mod):
         if cand:
             exp[i] = (len(cand), sum(1 for gh in cand if gh in ev))
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "e1", "ff", "g", "h2"]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cms_matches_python_model(spark, toks):
+    """cms_counters / cms_estimate vs a plain-Python grid: identical
+    (row, bucket) counters, estimate = min over rows of the probed
+    counter, and never under the true count — the CMS one-sided-error
+    contract, on streams small enough that collisions are forced
+    (width 32, 8-symbol alphabet)."""
+    import hashlib
+    from collections import Counter
+
+    from gmall_flink_0526_spark.operators.aggregates import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_counters,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    counters = cms_counters(df, "tok")
+    got_grid = {(r["i"], r["b"]): r["ct"] for r in counters.collect()}
+
+    def bucket(t: str, i: int) -> int:
+        return (
+            int(hashlib.md5(f"{i}#{t}".encode()).hexdigest()[:8], 16) % CMS_WIDTH
+        )
+
+    exp_grid: Counter = Counter()
+    for t in toks:
+        for i in range(CMS_DEPTH):
+            exp_grid[(i, bucket(t, i))] += 1
+    assert got_grid == dict(exp_grid)
+
+    est = {
+        r["tok"]: r["cms_est"]
+        for r in cms_estimate(df.distinct(), counters, "tok").collect()
+    }
+    true = Counter(toks)
+    for t in true:
+        model = min(exp_grid[(i, bucket(t, i))] for i in range(CMS_DEPTH))
+        assert est[t] == model
+        assert est[t] >= true[t]
