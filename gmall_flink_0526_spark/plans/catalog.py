@@ -116,6 +116,7 @@ _PRIORITY = (
     "ann_recall_nprobe",
     "decontaminate_bloom",
     "heavy_hitters_cms",
+    "heavy_hitters_stream",
     "vocab_coverage",
     "mixture_temperature",
     "corpus_gate_funnel",

@@ -951,3 +951,77 @@ def asof_click_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "probe_ts", "probe_value", "build_ts", "build_value"
     )
+
+
+def _register_heavy_hitters_stream():
+    from .text import CMS_TOP, _sql_cms_audit
+
+    @register(
+        "heavy_hitters_stream",
+        oracle=_sql_cms_audit(),
+        doc="The CMS heavy-hitter audit with the sketch built by the "
+        "REAL streaming app (streaming/pipelines.cms_sketch_app): the "
+        "documents corpus replays in 3 micro-batches, each batch "
+        "contributes its own counter grid to an epoch-addressed store, "
+        "and the live sketch is the per-(row, bucket) SUM over epochs. "
+        "Because CMS merge is plain addition, the streamed sketch is "
+        "BIT-IDENTICAL to the one-shot batch grid — so this query "
+        "shares heavy_hitters_cms's oracle verbatim, and a green row "
+        "here certifies the mergeability contract itself (plus the "
+        "epoch-overwrite crash rule: a retried batch can never "
+        "double-count). Per-key state nowhere; the sketch is the "
+        "state, depth*width rows forever.",
+        tags=("streaming", "sketch", "replay", "text"),
+    )
+    def heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..operators import textops
+        from ..operators.aggregates import cms_estimate
+        from ..operators.partitioning import spread
+        from ..sources.registry import ChannelRegistry, write_replay
+        from ..streaming.pipelines import cms_sketch_app, merged_cms_grid
+
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        lines = spread(docs, "doc_id").withColumn(
+            "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+        )
+        root = temp_replay_root("gmall_cms_")
+        reg = ChannelRegistry(root)
+        reg.register("ods_documents", schema="doc_id long, text string, ts timestamp")
+        write_replay(
+            lines.select("doc_id", "text", "ts"),
+            reg.channels["ods_documents"].path,
+            n_files=3,
+            order_by=["ts", "doc_id"],
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # per-batch grids are <= depth*width rows: 8 shuffle
+            # partitions, not a vanilla session's 200, keeps the
+            # 3-batch replay's commit count honest (the r4 lesson)
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = cms_sketch_app(
+                spark, reg, os.path.join(root, "ckpt"), os.path.join(root, "store")
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        grid = merged_cms_grid(spark, os.path.join(root, "store"))
+        toks = docs.select(F.explode(textops.tokenize(F.col("text"))).alias("tok"))
+        topk = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("exact_ct"))
+            .orderBy(F.col("exact_ct").desc(), "tok")
+            .limit(CMS_TOP)
+        )
+        return cms_estimate(topk, grid, "tok").select(
+            "tok",
+            "exact_ct",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_ct")).alias("over_ct"),
+        )
+
+
+_register_heavy_hitters_stream()

@@ -389,7 +389,12 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_TOP = 20
 
 
-def _register_heavy_hitters_cms():
+def _sql_cms_audit() -> str:
+    """The CMS heavy-hitter audit as DuckDB SQL — shared verbatim by
+    `heavy_hitters_cms` (one-shot grid) and the streaming replay
+    `heavy_hitters_stream` (per-epoch grids summed): the sketch is
+    additive, so both engines' grids — and both build paths — are the
+    same grid."""
     from ..operators.aggregates import CMS_DEPTH, CMS_WIDTH
 
     rows = ", ".join(str(i) for i in range(CMS_DEPTH))
@@ -398,10 +403,7 @@ def _register_heavy_hitters_cms():
         + sql_hex_val("substr(md5(CAST({i} AS VARCHAR) || '#' || {tok}), 1, 8)", 8)
         + f") % {CMS_WIDTH}"
     )
-
-    @register(
-        "heavy_hitters_cms",
-        oracle=f"""
+    return f"""
         WITH tok AS (SELECT unnest({SQL_TOKS}) AS tok FROM documents),
         cnt AS (SELECT tok, COUNT(*) AS exact_ct FROM tok GROUP BY tok),
         topk AS (
@@ -423,7 +425,15 @@ def _register_heavy_hitters_cms():
           GROUP BY 1, 2
         )
         SELECT tok, exact_ct, cms_est, cms_est - exact_ct AS over_ct FROM est
-        """,
+        """
+
+
+def _register_heavy_hitters_cms():
+    from ..operators.aggregates import CMS_DEPTH, CMS_WIDTH
+
+    @register(
+        "heavy_hitters_cms",
+        oracle=_sql_cms_audit(),
         doc=f"Count-min-sketch heavy-hitter audit: a {CMS_DEPTH}x"
         f"{CMS_WIDTH} counter grid (fixed memory at ANY corpus size, "
         "built by one map-side-combinable grouped count, mergeable "

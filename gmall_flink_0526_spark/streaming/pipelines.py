@@ -816,6 +816,59 @@ def doc_quality_gate_app(
     return reg.write_stream(deduped, out_channel, ckpt)
 
 
+def cms_sketch_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    store_root: str,
+    source: str = "ods_documents",
+):
+    """Streaming count-min sketch maintenance — the MERGEABILITY of
+    ``operators.aggregates.cms_counters`` exercised as a real stream:
+    every micro-batch builds its own depth x width counter grid (one
+    map-side-combinable grouped count over just that batch) and writes
+    it to an epoch-addressed store; the live sketch is the
+    per-(row, bucket) SUM over epochs (:func:`merged_cms_grid`) —
+    plain counter addition, which is exactly why CMS is *the*
+    streaming frequency sketch. There is no per-key state anywhere:
+    the sketch IS the state, bounded at depth*width rows no matter how
+    many distinct tokens ever flow. Store writes follow the
+    incremental-dedup apps' crash contract — a foreachBatch retry
+    OVERWRITES its own ``epoch=<id>`` directory, so a replayed batch
+    can never double-count into the sketch.
+    """
+    from ..operators.aggregates import cms_counters
+    from ..operators.textops import tokenize
+
+    grid_path = os.path.join(store_root, "cms_grid")
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        toks = batch.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        cms_counters(toks, "tok").write.mode("overwrite").parquet(
+            os.path.join(grid_path, f"epoch={epoch_id}")
+        )
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(ckpt, "cms_sketch"))
+        .start()
+    )
+
+
+def merged_cms_grid(spark: SparkSession, store_root: str) -> DataFrame:
+    """The live sketch over an epoch-addressed CMS store: counter sums
+    per (row, bucket) — at most depth*width result rows, however many
+    epochs accumulated. (A maintenance pass can fold old epochs into
+    one the way ``compact_signature_store`` does; the read-side sum is
+    correct either way.)"""
+    return (
+        spark.read.parquet(os.path.join(store_root, "cms_grid"))
+        .groupBy("i", "b")
+        .agg(F.sum("ct").alias("ct"))
+    )
+
+
 def compact_signature_store(
     spark: SparkSession,
     store_root: str,

@@ -1288,3 +1288,76 @@ def test_asof_join_matches_python_model(spark):
     assert got_inner[(1, 5)] == 50.0  # equal-ts match is inclusive
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right.withColumnRenamed("v", "pl"), on=["k"], ts_col="ts")
+
+
+def test_cms_sketch_app_merges_to_batch_grid_and_survives_retry(spark, tmp_path):
+    """The streaming CMS app's two contracts: (a) MERGEABILITY — the
+    per-epoch grids summed equal the one-shot batch grid bit-for-bit
+    (CMS merge is plain addition); (b) the epoch-overwrite crash rule —
+    a batch attempt that died after writing its grid but before the
+    checkpoint commit is REWRITTEN on restart, never double-counted,
+    so the recovered sketch still equals the uninterrupted one."""
+    import shutil
+
+    from gmall_flink_0526_spark.operators.aggregates import cms_counters
+    from gmall_flink_0526_spark.operators.textops import tokenize
+
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    stream_in = docs.select(
+        "doc_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("ts"),
+        "text",
+    )
+    schema = "doc_id long, ts timestamp, text string"
+    reg = ChannelRegistry(str(tmp_path / "chan"))
+    reg.register("ods_documents", schema=schema)
+    write_replay(
+        stream_in, reg.channels["ods_documents"].path, n_files=3,
+        order_by=["doc_id"], file_of=F.col("doc_id") % 3,
+    )
+
+    # hide batch 2's file; run epochs 0-1 to completion
+    src_path = reg.channels["ods_documents"].path
+    files = sorted(
+        (
+            f
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ),
+        key=lambda f: os.path.getmtime(os.path.join(src_path, f)),
+    )
+    hidden = files[-1]
+    shutil.move(os.path.join(src_path, hidden), str(tmp_path / "hidden.parquet"))
+    q = pipelines.cms_sketch_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # dead batch-2 attempt: grid written (poisoned), checkpoint not
+    # committed
+    spark.createDataFrame(
+        [(0, 0, 10**9)], "i int, b long, ct long"
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "store" / "cms_grid" / "epoch=2")
+    )
+
+    # reveal the file, restart from the same checkpoint: epoch 2 must
+    # rewrite its directory
+    shutil.move(str(tmp_path / "hidden.parquet"), os.path.join(src_path, hidden))
+    q2 = pipelines.cms_sketch_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    exp = {(r["i"], r["b"]): r["ct"] for r in cms_counters(toks, "tok").collect()}
+    got = {
+        (r["i"], r["b"]): r["ct"]
+        for r in pipelines.merged_cms_grid(spark, str(tmp_path / "store")).collect()
+    }
+    assert got == exp  # poison gone, nothing double-counted, sums exact
