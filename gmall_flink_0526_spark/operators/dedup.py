@@ -493,16 +493,31 @@ def contaminated_docs(
 # in Spark, DuckDB and Python, which is what lets the oracle re-derive
 # the candidate counts (false positives included) and not just the
 # verified hits.
-BLOOM_BITS = 1 << 14   # filter width in bits
+BLOOM_BITS_MIN_LOG2 = 14  # filter floor: 2^14 bits = 2 KiB
+BLOOM_LOAD = 16           # target bits per eval gram (fp ~1e-3 per gram)
 BLOOM_WORD = 32        # bits packed per word (shift < 32: no engine overflows)
 BLOOM_HASHES = 3       # independent positions = 8-hex-char md5 slices
 
 
-def _bloom_positions(gh):
+def bloom_width(eval_grams: int) -> int:
+    """Filter width for an eval set of ``eval_grams`` distinct gram
+    hashes: the next power of two >= BLOOM_LOAD bits per gram, floored
+    at 2^BLOOM_BITS_MIN_LOG2 — the SemDeDup-adaptive-k precedent
+    applied to the sketch: the width SCALES with the benchmark side
+    (still tiny next to the corpus: ~2 MB per 10^6 eval grams), so the
+    per-gram false-positive rate stays ~1e-3 at every scale instead of
+    saturating. Integer-exact (bit_length, no libm), so DuckDB
+    re-derives the identical width from COUNT(*)."""
+    if eval_grams <= 0:
+        return 1 << BLOOM_BITS_MIN_LOG2
+    return 1 << max(BLOOM_BITS_MIN_LOG2, (BLOOM_LOAD * eval_grams - 1).bit_length())
+
+
+def _bloom_positions(gh, bits: int):
     """BLOOM_HASHES bit positions for one md5-hex column: consecutive
     8-hex-char slices parsed as integers, mod the filter width."""
     return [
-        F.conv(F.substring(gh, 1 + 8 * i, 8), 16, 10).cast("long") % BLOOM_BITS
+        F.conv(F.substring(gh, 1 + 8 * i, 8), 16, 10).cast("long") % bits
         for i in range(BLOOM_HASHES)
     ]
 
@@ -522,6 +537,7 @@ def bloom_decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 5,
+    bits: int | None = None,
 ) -> DataFrame:
     """Decontamination with a Bloom prefilter on the train side.
 
@@ -530,40 +546,58 @@ def bloom_decontaminate(
     first screened against a Bloom bitset of the eval gram hashes:
 
     1. eval gram hashes -> BLOOM_HASHES positions each -> bit-or into
-       BLOOM_BITS/BLOOM_WORD packed words (<= 512 rows, a contractual
-       constant independent of corpus size — broadcast raw);
+       bits/BLOOM_WORD packed words — a table sized by the BENCHMARK
+       side only (~half a row per eval gram), tiny next to the corpus;
     2. every train shingle probes its BLOOM_HASHES words through
        broadcast left joins — map-side, no shuffle of the train side;
     3. only shingles with ALL probe bits set (bloom candidates: true
        hits + deterministic false positives) reach the exact
        verification join against the distinct eval hashes.
 
-    Output per training doc with >=1 bloom-candidate shingle:
-    (doc_id, cand_ct, hit_ct) — candidate vs exactly-verified shingle
-    counts; cand_ct - hit_ct is the false-positive overhead actually
-    paid, the number a 100 TB operator watches to size BLOOM_BITS.
+    ``bits`` is the filter width; when None it is derived from the
+    eval side via :func:`bloom_width` — EAGER (one small count job
+    over the eval docs only, predicate pushed to the scan; callers
+    that know the width pass it and stay lazy). Output per training
+    doc with >=1 bloom-candidate shingle: (doc_id, cand_ct, hit_ct) —
+    candidate vs exactly-verified shingle counts; cand_ct - hit_ct is
+    the false-positive overhead actually paid, the number a 100 TB
+    operator watches to size the width.
     """
+    if bits is None:
+        ev_sh = doc_shingles(docs.filter(eval_pred), id_col, text_col, ngram=ngram)
+        n_ev = (
+            ev_sh.select(F.explode("s").alias("g"))
+            .select(F.md5("g").alias("gh"))
+            .agg(F.countDistinct("gh"))
+            .collect()[0][0]
+        )
+        bits = bloom_width(int(n_ev))
     sh = scoped_persist(doc_shingles(docs, id_col, text_col, ngram=ngram))
     grams = sh.select("doc_id", F.explode("s").alias("g")).withColumn("gh", F.md5("g"))
     ev = grams.filter(eval_pred).select("gh").distinct()
 
     bloom = (
-        ev.select(F.explode(F.array(*_bloom_positions(F.col("gh")))).alias("p"))
+        ev.select(F.explode(F.array(*_bloom_positions(F.col("gh"), bits))).alias("p"))
         .select(F.floor(F.col("p") / BLOOM_WORD).alias("w"), _bloom_bit("p").alias("m"))
         .groupBy("w")
         .agg(F.expr("bit_or(m)").alias("bits"))
     )
+    # one guard + persist shared by the three probe joins: the word
+    # table is bounded by bits/BLOOM_WORD (~n_ev/2 rows), but a
+    # pathologically large eval set should degrade to a shuffled probe
+    # join, not an OOM
+    guard = bounded_broadcast(bloom, what="bloom word table")
 
     cand = grams.filter(~eval_pred).select("doc_id", "gh")
-    for i, p in enumerate(_bloom_positions(F.col("gh"))):
+    for i, p in enumerate(_bloom_positions(F.col("gh"), bits)):
         cand = cand.withColumn(f"_p{i}", p)
     for i in range(BLOOM_HASHES):
         cand = cand.withColumn(
             f"_w{i}", F.floor(F.col(f"_p{i}") / BLOOM_WORD)
         ).withColumn(f"_m{i}", _bloom_bit(f"_p{i}"))
     for i in range(BLOOM_HASHES):
-        side = F.broadcast(
-            bloom.select(F.col("w").alias(f"_bw{i}"), F.col("bits").alias(f"_bits{i}"))
+        side = guard.select(
+            F.col("w").alias(f"_bw{i}"), F.col("bits").alias(f"_bits{i}")
         )
         cand = cand.join(side, cand[f"_w{i}"] == side[f"_bw{i}"], "left")
     keep = None

@@ -160,8 +160,11 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_bloom_pos(i: int) -> str:
     """DuckDB twin of operators.dedup._bloom_positions: the i-th
-    8-hex-char md5 slice as an integer, mod the filter width."""
-    return f"(({_sql_hex_val(f'substr(gh, {1 + 8 * i}, 8)', 8)}) % {D.BLOOM_BITS})"
+    8-hex-char md5 slice as an integer, mod the (adaptive) filter
+    width from the ``msize`` CTE."""
+    return (
+        f"(({_sql_hex_val(f'substr(gh, {1 + 8 * i}, 8)', 8)}) % (SELECT m FROM msize))"
+    )
 
 
 _SQL_BLOOM_PROBE = (
@@ -184,6 +187,15 @@ _SQL_BLOOM_PROBE = (
     ),
     grams AS (SELECT doc_id, md5(unnest(s)) AS gh FROM sh),
     ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+    msize AS (
+      -- operators.dedup.bloom_width: next pow2 >= LOAD bits/gram,
+      -- floored — integer bit-length arithmetic, no libm
+      SELECT CASE WHEN cnt <= 0 THEN {1 << D.BLOOM_BITS_MIN_LOG2}
+                  ELSE (1 << GREATEST({D.BLOOM_BITS_MIN_LOG2},
+                            length(format('{{:b}}', {D.BLOOM_LOAD} * cnt - 1))))
+             END AS m
+      FROM (SELECT COUNT(*) AS cnt FROM ev)
+    ),
     evpos AS (
       SELECT unnest([{_sql_bloom_pos(0)}, {_sql_bloom_pos(1)}, {_sql_bloom_pos(2)}]) AS p
       FROM ev
@@ -210,24 +222,51 @@ _SQL_BLOOM_PROBE = (
     GROUP BY c.doc_id
     """,
     doc=f"Bloom-prefiltered decontamination: the eval set's {DECON_NGRAM}-gram "
-    f"hashes collapse into a {D.BLOOM_BITS}-bit Bloom bitset "
-    f"({D.BLOOM_BITS // D.BLOOM_WORD} packed words, ~2 KiB — a size "
-    "CONSTANT in corpus scale), broadcast to every executor; train "
-    "shingles are screened map-side through "
-    f"{D.BLOOM_HASHES} broadcast word-probes and only bloom-positive "
-    "shingles (true hits + deterministic false positives) reach the "
-    "exact verification join — the 100 TB shape where `decontaminate`'s "
+    "hashes collapse into a packed Bloom bitset whose width SCALES "
+    f"with the eval side ({D.BLOOM_LOAD} bits per eval gram, next "
+    f"pow2, 2^{D.BLOOM_BITS_MIN_LOG2} floor — ~2 MB per million eval "
+    "grams, tiny next to the corpus, and the per-gram false-positive "
+    "rate stays ~1e-3 at every scale instead of saturating); train "
+    f"shingles are screened map-side through {D.BLOOM_HASHES} "
+    "broadcast word-probes and only bloom-positive shingles (true "
+    "hits + deterministic false positives) reach the exact "
+    "verification join — the 100 TB shape where `decontaminate`'s "
     "corpus-wide shingle shuffle becomes the bottleneck. Output is "
     "EXACT per-doc (cand_ct, hit_ct); cand_ct - hit_ct is the "
     "false-positive overhead actually paid. All hashing is md5-slice "
-    "arithmetic, so the oracle re-derives the identical bitset and "
-    "candidate set bit-for-bit.",
+    "arithmetic and the width derivation is integer bit-length math, "
+    "so the oracle re-derives the identical bitset and candidate set "
+    "bit-for-bit (the SemDeDup corpus-scaled-k precedent, applied to "
+    "a sketch).",
     tags=("llm-prep", "dedup", "decontamination", "sketch"),
 )
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import corpus_value
+
     t = load_tables(spark, sf_dir, "documents")
+
+    def _bits() -> int:
+        # eval docs only (predicate pushed to the scan): ~1% of the
+        # corpus feeds the width derivation, memoized per corpus
+        ev_sh = D.doc_shingles(
+            t["documents"].filter(F.col("doc_id") % EVAL_MOD == 0),
+            "doc_id",
+            "text",
+            ngram=DECON_NGRAM,
+        )
+        n_ev = (
+            ev_sh.select(F.explode("s").alias("g"))
+            .select(F.md5("g").alias("gh"))
+            .agg(F.countDistinct("gh"))
+            .collect()[0][0]
+        )
+        return D.bloom_width(int(n_ev))
+
+    bits = corpus_value(
+        spark, f"decon_bloom_bits:{DECON_NGRAM}:{EVAL_MOD}", sf_dir, _bits
+    )
     return D.bloom_decontaminate(
-        t["documents"], F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
+        t["documents"], F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM, bits=bits
     )
 
 

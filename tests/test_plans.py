@@ -342,11 +342,12 @@ def test_decontaminate_fuzzy_broadcasts_eval_side(spark):
 
 def test_decontaminate_bloom_probes_map_side(spark):
     """The Bloom screen must cost the train side NOTHING in shuffles:
-    every word-probe join is a BroadcastHashJoin against the <=512-row
-    packed-bitset table (a size constant in corpus scale), the train
-    shingle stream keeps its incoming partitioning up to the
-    candidate filter, and nothing in the plan is a cartesian. Only
-    bloom-positive shingles may reach the exact verification join."""
+    every word-probe join is a BroadcastHashJoin against the packed
+    word table (sized by the eval side only — ~half a row per eval
+    gram), the train shingle stream keeps its incoming partitioning up
+    to the candidate filter, and nothing in the plan is a cartesian.
+    Only bloom-positive shingles may reach the exact verification
+    join."""
     p = plan_of(spark, "decontaminate_bloom")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert p.count("BroadcastHashJoin") >= 3  # one per bloom hash probe

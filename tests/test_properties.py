@@ -423,9 +423,9 @@ def test_bloom_decontaminate_matches_python_model(spark, texts, eval_mod):
     import hashlib
 
     from gmall_flink_0526_spark.operators.dedup import (
-        BLOOM_BITS,
         BLOOM_HASHES,
         bloom_decontaminate,
+        bloom_width,
     )
 
     ngram = 2
@@ -445,14 +445,15 @@ def test_bloom_decontaminate_matches_python_model(spark, texts, eval_mod):
             for g in py_shingles(py_tokenize(text), ngram)
         }
 
-    def positions(gh: str) -> list[int]:
-        return [
-            int(gh[8 * i : 8 * i + 8], 16) % BLOOM_BITS
-            for i in range(BLOOM_HASHES)
-        ]
-
     grams = {i: gram_hashes(t) for i, t in enumerate(texts)}
     ev = {gh for i in grams if i % eval_mod == 0 for gh in grams[i]}
+    bits_width = bloom_width(len(ev))
+
+    def positions(gh: str) -> list[int]:
+        return [
+            int(gh[8 * i : 8 * i + 8], 16) % bits_width
+            for i in range(BLOOM_HASHES)
+        ]
     bits = {p for gh in ev for p in positions(gh)}
     exp = {}
     for i in grams:

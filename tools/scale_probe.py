@@ -545,6 +545,12 @@ def main() -> None:
             # per-bucket eval overlap over the corpus band table, so
             # the ratio must track data size like the LSH family
             "decontaminate_fuzzy",
+            # r9 sketches: the bloom prefilter is map-side screening +
+            # a verify join shrunk to bloom-positive shingles, and the
+            # CMS grid is one map-side-combinable grouped count — both
+            # ratios must track data size with no quadratic term
+            "decontaminate_bloom",
+            "heavy_hitters_cms",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
