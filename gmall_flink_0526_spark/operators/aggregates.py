@@ -125,10 +125,17 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-estimate every row of ``keys``: probe the sketch at the
     key's depth buckets and take the min counter — the CMS estimate,
-    >= the true count by construction. The counter grid is bounded by
-    the contractual constant depth*width (3072 rows here), so it is
-    broadcast raw and the probe join never shuffles ``keys``."""
+    >= the true count by construction. A probed cell absent from the
+    grid is a zero counter (the grid only materializes touched cells),
+    so the join is LEFT + coalesce-0: a key the sketched stream never
+    saw estimates 0 (or its honest collision floor), it does not
+    vanish from the output or inflate to the min of its surviving
+    cells. The counter grid is bounded by the contractual constant
+    depth*width (96 rows here), so it is broadcast raw and the probe
+    join never shuffles ``keys``."""
     probed = _cms_probes(keys, key, depth, width).join(
-        F.broadcast(counters), ["i", "b"]
+        F.broadcast(counters), ["i", "b"], "left"
     )
-    return probed.groupBy(*keys.columns).agg(F.min("ct").alias("cms_est"))
+    return probed.groupBy(*keys.columns).agg(
+        F.min(F.coalesce("ct", F.lit(0).cast("bigint"))).alias("cms_est")
+    )

@@ -513,6 +513,28 @@ def bloom_width(eval_grams: int) -> int:
     return 1 << max(BLOOM_BITS_MIN_LOG2, (BLOOM_LOAD * eval_grams - 1).bit_length())
 
 
+def eval_gram_count(
+    docs: DataFrame,
+    eval_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+) -> int:
+    """Distinct eval-side gram-hash count — THE quantity
+    :func:`bloom_width` sizes the filter from, defined once so
+    :func:`bloom_decontaminate`'s self-derived width and a caller's
+    memoized width can never drift (same shingling, same md5, same
+    distinct). EAGER: one small count job; the eval predicate pushes
+    to the scan so only the benchmark slice is read."""
+    ev_sh = doc_shingles(docs.filter(eval_pred), id_col, text_col, ngram=ngram)
+    return int(
+        ev_sh.select(F.explode("s").alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .agg(F.countDistinct("gh"))
+        .collect()[0][0]
+    )
+
+
 def _bloom_positions(gh, bits: int):
     """BLOOM_HASHES bit positions for one md5-hex column: consecutive
     8-hex-char slices parsed as integers, mod the filter width."""
@@ -564,14 +586,7 @@ def bloom_decontaminate(
     operator watches to size the width.
     """
     if bits is None:
-        ev_sh = doc_shingles(docs.filter(eval_pred), id_col, text_col, ngram=ngram)
-        n_ev = (
-            ev_sh.select(F.explode("s").alias("g"))
-            .select(F.md5("g").alias("gh"))
-            .agg(F.countDistinct("gh"))
-            .collect()[0][0]
-        )
-        bits = bloom_width(int(n_ev))
+        bits = bloom_width(eval_gram_count(docs, eval_pred, id_col, text_col, ngram))
     sh = scoped_persist(doc_shingles(docs, id_col, text_col, ngram=ngram))
     grams = sh.select("doc_id", F.explode("s").alias("g")).withColumn("gh", F.md5("g"))
     ev = grams.filter(eval_pred).select("gh").distinct()

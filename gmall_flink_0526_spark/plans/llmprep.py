@@ -247,20 +247,15 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _bits() -> int:
         # eval docs only (predicate pushed to the scan): ~1% of the
-        # corpus feeds the width derivation, memoized per corpus
-        ev_sh = D.doc_shingles(
-            t["documents"].filter(F.col("doc_id") % EVAL_MOD == 0),
-            "doc_id",
-            "text",
-            ngram=DECON_NGRAM,
+        # corpus feeds the width derivation, memoized per corpus —
+        # the count itself is the operator's own eval_gram_count, so
+        # the memoized width can never drift from the width the
+        # operator would self-derive
+        return D.bloom_width(
+            D.eval_gram_count(
+                t["documents"], F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
+            )
         )
-        n_ev = (
-            ev_sh.select(F.explode("s").alias("g"))
-            .select(F.md5("g").alias("gh"))
-            .agg(F.countDistinct("gh"))
-            .collect()[0][0]
-        )
-        return D.bloom_width(int(n_ev))
 
     bits = corpus_value(
         spark, f"decon_bloom_bits:{DECON_NGRAM}:{EVAL_MOD}", sf_dir, _bits

@@ -933,20 +933,34 @@ def embedding_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is Flink's temporal-join shape under the external oracle (DuckDB "
     "ASOF LEFT JOIN): per-key state is ONE carried row forever, and "
     "the in-batch (ts, build-first, max-value) sort reproduces the "
-    "batch twin's inclusive tie rule exactly.",
+    "batch twin's inclusive tie rule exactly. Micro-batch boundaries "
+    "fall on event-TIME cuts, never between equal-ts rows (the "
+    "production analogue of watermark-aligned triggers), so the tie "
+    "rule can never lose a same-instant build/probe pair to the "
+    "split; the carried state also re-enters each batch's sort, so "
+    "equal-ts builds across batches max-merge.",
     tags=("state", "streaming", "events", "join", "asof"),
 )
 def asof_click_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
+    ev = events.filter(F.col("event_type").isin("click", "purchase"))
 
-    def op(src: DataFrame) -> DataFrame:
-        return stateful.temporal_join(
-            src.filter(F.col("event_type").isin("click", "purchase"))
-        )
+    # Batch boundaries on event-time VALUE, not row count: a row-count
+    # range split could land between two rows sharing one timestamp,
+    # and the as-of tie rule (same-instant build visible to its probe)
+    # is decided in-batch. Three equal time spans from one tiny
+    # min/max agg — monotone in ts, so the replay stays event-ordered.
+    mn, mx = ev.select(F.min("ts"), F.max("ts")).first()
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    cut1 = F.lit(mn + (mx - mn) / 3).cast(ts_type)
+    cut2 = F.lit(mn + 2 * (mx - mn) / 3).cast(ts_type)
+    file_of = (
+        F.when(F.col("ts") <= cut1, 0).when(F.col("ts") <= cut2, 1).otherwise(2)
+    )
 
     out = replay_stateful(
-        spark, events, op, order_by=["ts", "event_id"],
-        cache_key=f"events:{sf_dir}",
+        spark, ev, stateful.temporal_join, order_by=["ts", "event_id"],
+        cache_key=f"events_tspan:{sf_dir}", file_of=file_of,
     )
     return out.select(
         "event_id", "user_id", "probe_ts", "probe_value", "build_ts", "build_value"

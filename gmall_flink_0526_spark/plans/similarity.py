@@ -1261,11 +1261,11 @@ assert min(SWEEP_THRESHOLDS) >= SEMDEDUP_T
     ),
     t AS (SELECT unnest([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}]) AS thresh)
     SELECT thresh,
-           CAST(SUM(CASE WHEN cos_sim >= thresh THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN cos_sim >= thresh THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_pairs,
            CAST(COUNT(DISTINCT CASE WHEN cos_sim >= thresh THEN idb END) AS BIGINT)
              AS docs_pruned
-    FROM t CROSS JOIN scored
+    FROM t LEFT JOIN scored ON TRUE
     GROUP BY thresh
     """,
     doc="Threshold-sensitivity sweep for SemDeDup — the calibration "
@@ -1276,7 +1276,10 @@ assert min(SWEEP_THRESHOLDS) >= SEMDEDUP_T
     "within-cluster candidate set scores every pair, then a 5-way "
     "literal-array explode fans the thresholds out map-side — cost is "
     "the same single candidate join as embedding_semdedup, never "
-    "5 passes, and the fit rides the memoized adaptive-k centroids.",
+    "5 passes, and the fit rides the memoized adaptive-k centroids. "
+    "Every threshold reports a row ALWAYS — a corpus where no pair "
+    "verifies yields 5 zero rows, not an empty result (both engines "
+    "outer-join the literal threshold list for exactly this reason).",
     tags=("similarity", "kmeans", "dedup", "audit"),
 )
 def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1284,7 +1287,7 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the shared verified frame holds every pair any bucket counts
     scored = corpus_semdedup_verified(spark, sf_dir).select("idb", "cos_sim")
     hit = F.col("cos_sim") >= F.col("thresh")
-    return (
+    agg = (
         scored.select(
             "idb",
             "cos_sim",
@@ -1295,6 +1298,17 @@ def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(hit.cast("bigint")).alias("n_pairs"),
             F.countDistinct(F.when(hit, F.col("idb"))).alias("docs_pruned"),
         )
+    )
+    # outer-join the literal threshold list: the sweep's row set must
+    # not depend on whether anything verified (5 zero rows, never 0
+    # rows, when candidates exist but no pair clears SEMDEDUP_T)
+    th = spark.createDataFrame(
+        [(float(t),) for t in SWEEP_THRESHOLDS], "thresh double"
+    )
+    return th.join(agg, "thresh", "left").select(
+        "thresh",
+        F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+        F.coalesce("docs_pruned", F.lit(0).cast("bigint")).alias("docs_pruned"),
     )
 
 

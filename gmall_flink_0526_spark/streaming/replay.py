@@ -135,6 +135,7 @@ def replay_stateful(
     shuffle_partitions: int = 16,
     cache_key: str | None = None,
     drain_mode: str = "offsets",
+    file_of=None,
 ) -> DataFrame:
     """Replay ``source_df`` through streaming operator ``op`` (a
     callable ``stream DataFrame -> stream DataFrame``) and return the
@@ -149,6 +150,14 @@ def replay_stateful(
     wall clock scales with state partitions up to the worker-pool size
     (measured at sf0.1: 4 partitions 26 s, 16 partitions 10 s), while
     hundreds of partitions would just pay empty state-store commits.
+
+    ``file_of`` (optional Column, int in [0, n_files)) passes through
+    to :func:`write_replay`: an EXPLICIT micro-batch assignment for
+    operators whose semantics care where the batch boundary falls
+    (e.g. a temporal join whose tie rule wants equal-event-time rows
+    co-batched). It must be monotone in the ``order_by`` event-time
+    prefix, and callers that use it must pick a ``cache_key`` distinct
+    from any default-split replay of the same source.
     """
     global _SEQ
     _SEQ += 1
@@ -161,7 +170,11 @@ def replay_stateful(
         src_reg = ChannelRegistry(src_root)
         src_reg.register("replay_src", schema=schema)
         write_replay(
-            source_df, src_reg.channels["replay_src"].path, n_files=n_files, order_by=order_by
+            source_df,
+            src_reg.channels["replay_src"].path,
+            n_files=n_files,
+            order_by=order_by,
+            file_of=file_of,
         )
         if ck:
             _CHANNEL_CACHE[ck] = src_root

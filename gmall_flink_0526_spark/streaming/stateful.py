@@ -212,8 +212,13 @@ def temporal_join(
     so a same-timestamp build is visible to its probe (inclusive
     backward) and simultaneous builds resolve to the max value — the
     exact tie rule the batch twin's (key, ts)+MAX pre-aggregation
-    defines. The carry is a vectorized pandas ffill seeded from state;
-    no per-row Python. State per key is ONE (ts, value) pair forever
+    defines. The tie rule holds ACROSS micro-batches too: the carried
+    state re-enters every batch as a synthetic build row and competes
+    in the same sort, so an equal-ts build pair split over two batches
+    resolves to the max value — in the carry the probes see AND in the
+    state update, which is thereby a max-merge rather than
+    last-batch-wins. The carry is a vectorized pandas ffill; no
+    per-row Python. State per key is ONE (ts, value) pair forever
     (the reference's unbounded ValueState class, like fix_is_new).
 
     Output: (id, key, probe_ts, probe_value, build_ts, build_value) —
@@ -230,15 +235,25 @@ def temporal_join(
         pdf = pdf[pdf[type_col].isin([build_type, probe_type])]
         if not len(pdf):
             return
+        if bts_us is not None:
+            seed = pd.DataFrame(
+                [
+                    {
+                        ts: pd.Timestamp(bts_us, unit="us"),
+                        type_col: build_type,
+                        value_col: float(bval),
+                    }
+                ]
+            )
+            seed[ts] = seed[ts].astype(pdf[ts].dtype)
+            seed[value_col] = seed[value_col].astype(pdf[value_col].dtype)
+            pdf = pd.concat([seed, pdf], ignore_index=True)
         is_b = pdf[type_col] == build_type
         pdf = pdf.assign(_side=(~is_b).astype(int))
         pdf = pdf.sort_values([ts, "_side", value_col], kind="mergesort")
         is_b = pdf[type_col] == build_type
         carry_ts = pdf[ts].where(is_b).ffill()
         carry_val = pdf[value_col].where(is_b).ffill()
-        if bts_us is not None:
-            carry_ts = carry_ts.fillna(pd.Timestamp(bts_us, unit="us"))
-            carry_val = carry_val.fillna(bval)
         builds = pdf.loc[is_b]
         if len(builds):
             last = builds.iloc[-1]
@@ -247,7 +262,7 @@ def temporal_join(
         if probes.any():
             yield pd.DataFrame(
                 {
-                    id_col: pdf.loc[probes, id_col].to_numpy(),
+                    id_col: pdf.loc[probes, id_col].to_numpy("int64"),
                     key: key_tuple[0],
                     "probe_ts": pdf.loc[probes, ts].to_numpy(),
                     "probe_value": pdf.loc[probes, value_col].to_numpy(),

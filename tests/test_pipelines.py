@@ -1361,3 +1361,48 @@ def test_cms_sketch_app_merges_to_batch_grid_and_survives_retry(spark, tmp_path)
         for r in pipelines.merged_cms_grid(spark, str(tmp_path / "store")).collect()
     }
     assert got == exp  # poison gone, nothing double-counted, sums exact
+
+
+def test_temporal_join_tie_rule_across_batches(spark):
+    """The as-of tie rule under an ADVERSARIAL explicit micro-batch
+    split: two equal-ts builds with different values land in DIFFERENT
+    batches — state must resolve to the max value (the batch twin's
+    (key, ts)+MAX rule), not last-batch-wins — and a same-instant
+    build+probe pair co-batched (as asof_click_stream's event-time
+    split guarantees) must match inclusively. Probes before any build
+    keep LEFT-NULL columns."""
+    from datetime import datetime
+
+    from gmall_flink_0526_spark.streaming.replay import replay_stateful
+    from gmall_flink_0526_spark.streaming.stateful import temporal_join
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    # (event_id, ts, user_id, event_type, value, batch)
+    rows = [
+        (1, t(1), 10, "click", 7.0, 0),     # build t1 v7  -> batch 0
+        (2, t(0), 20, "purchase", 9.0, 0),  # probe before any build
+        (3, t(1), 10, "click", 3.0, 1),     # EQUAL-ts build v3, batch 1:
+                                            # max-merge must keep v7
+        (4, t(2), 10, "purchase", 1.0, 1),  # probe -> (t1, 7.0) not 3.0
+        (5, t(3), 10, "click", 5.0, 1),     # later build replaces state
+        (6, t(4), 10, "purchase", 2.0, 2),  # probe -> (t3, 5.0)
+        (7, t(5), 30, "click", 2.0, 2),     # same-instant build+probe
+        (8, t(5), 30, "purchase", 4.0, 2),  # co-batched: inclusive match
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, b int",
+    )
+    out = {
+        r["event_id"]: (r["build_ts"], r["build_value"])
+        for r in replay_stateful(
+            spark, src, temporal_join, order_by=["ts", "event_id"],
+            file_of=F.col("b"),
+        ).collect()
+    }
+    assert out == {
+        2: (None, None),
+        4: (t(1), 7.0),
+        6: (t(3), 5.0),
+        8: (t(5), 2.0),
+    }

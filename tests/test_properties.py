@@ -513,3 +513,20 @@ def test_cms_matches_python_model(spark, toks):
         model = min(exp_grid[(i, bucket(t, i))] for i in range(CMS_DEPTH))
         assert est[t] == model
         assert est[t] >= true[t]
+
+    # out-of-corpus probes: a key the stream never saw must NOT vanish
+    # from the output (a missing grid cell is a ZERO counter, the grid
+    # only materializes touched cells) and must estimate its honest
+    # collision floor — never the min over only the surviving cells
+    novel = ["zz", "q9", "xx7"]
+    probe = spark.createDataFrame(
+        [(t,) for t in set(toks) | set(novel)], "tok string"
+    )
+    est2 = {
+        r["tok"]: r["cms_est"]
+        for r in cms_estimate(probe, counters, "tok").collect()
+    }
+    assert set(est2) == set(toks) | set(novel)
+    for t in novel:
+        model = min(exp_grid.get((i, bucket(t, i)), 0) for i in range(CMS_DEPTH))
+        assert est2[t] == model
