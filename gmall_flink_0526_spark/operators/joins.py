@@ -79,38 +79,48 @@ def asof_join(
     semantics.
 
     Contract: ``right`` holds exactly ``on + [ts_col] + value columns``
-    whose names do not collide with ``left``'s, at most one row per
-    (key, ts) (pre-aggregate ties — the operator cannot pick between
-    two simultaneous right rows deterministically), and non-null
-    values (a NULL would carry the previous row's value through the
-    ignore-nulls fill).
+    whose names do not collide with ``left``'s, and at most one row
+    per (key, ts) — pre-aggregate ties (``groupBy(key, ts).agg(max)``
+    is the standard recipe); the operator cannot pick between two
+    simultaneous right rows deterministically. NULL right values ARE
+    allowed: the whole right payload rides one non-null marker STRUCT
+    through the fill, so a matched row's own NULL comes through as
+    NULL instead of leaking the previous row's value.
 
     Shape — the part that matters at 100 TB: a sorted-union
     last-value fill, NOT a join. Both sides union (right rows sort
     before left rows at equal ts, making the match inclusive), one
     hash exchange on the key, one per-key sort by (ts, side), and a
-    running ``last(value, ignorenulls)`` window whose frame never
-    looks forward — state per key is one row of carried values, and
+    running ``last(payload, ignorenulls)`` window whose frame never
+    looks forward — state per key is one carried payload struct, and
     no key ever fans out left x right the way a range-predicate join
     would. ``how='left'`` keeps unmatched left rows (NULL values);
     ``'inner'`` drops them.
     """
+    from pyspark.sql import types as T
+
     val_cols = [c for c in right.columns if c not in [*on, ts_col]]
     clash = set(val_cols) & set(left.columns)
     if clash:
         raise ValueError(f"asof_join: right value columns collide with left: {sorted(clash)}")
+    # the right payload travels as ONE struct: its outer nullity is the
+    # match marker, so member NULLs never confuse the ignore-nulls fill
+    payload_t = T.StructType(
+        [T.StructField("_asof_m", T.IntegerType(), False)]
+        + [T.StructField(c, right.schema[c].dataType) for c in val_cols]
+    )
     l_side = left.select(
         *left.columns,
-        F.lit(None).cast("int").alias("_asof_m"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in val_cols],
+        F.lit(None).cast(payload_t).alias("_asof_v"),
         F.lit(1).alias("_asof_side"),
     )
     r_side = right.select(
         *on,
         F.col(ts_col),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in [*on, ts_col]],
-        F.lit(1).alias("_asof_m"),
-        *val_cols,
+        F.struct(F.lit(1).alias("_asof_m"), *[F.col(c) for c in val_cols])
+        .cast(payload_t)
+        .alias("_asof_v"),
         F.lit(0).alias("_asof_side"),
     ).select(*l_side.columns)
     w = (
@@ -120,13 +130,14 @@ def asof_join(
     )
     filled = l_side.unionByName(r_side).select(
         *[c for c in left.columns],
-        F.last("_asof_m", ignorenulls=True).over(w).alias("_asof_m"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in val_cols],
+        F.last("_asof_v", ignorenulls=True).over(w).alias("_asof_v"),
         "_asof_side",
     )
     out = filled.filter(F.col("_asof_side") == 1).drop("_asof_side")
     if how == "inner":
-        out = out.filter(F.col("_asof_m").isNotNull())
+        out = out.filter(F.col("_asof_v").isNotNull())
     elif how != "left":
         raise ValueError(f"asof_join: unsupported how={how!r}")
-    return out.drop("_asof_m")
+    return out.select(
+        *left.columns, *[F.col("_asof_v").getField(c).alias(c) for c in val_cols]
+    )

