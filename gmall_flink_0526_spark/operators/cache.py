@@ -5,34 +5,75 @@ that feed several downstream consumers inside one query. A catalog or
 bench session runs dozens of queries back to back in one
 SparkSession, so fire-and-forget ``persist()`` accumulates dead blocks
 across the whole run. ``scoped_persist`` registers the frame in a
-session-global scope that the *next* catalog query releases on entry
-(see ``plans.catalog.register``) — at most one query's worth of cache
-is ever live, and unpersisting an already-collected frame is free.
+NAMED scope that the *next* catalog query (or the owning stream's
+epoch exit) releases — at most one scope's worth of cache is ever
+live per owner, and unpersisting an already-collected frame is free.
+
+Scopes are THREAD-LOCAL by default: batch catalog queries register in
+the calling thread's ``"default"`` scope (drained by
+``plans.catalog.register`` at the next query), while a streaming
+``foreachBatch`` body wraps its epoch in :func:`cache_scope` so two
+concurrently running streams — or a stream beside an enclosing batch
+query — can never unpersist each other's pinned frames mid-flight
+(the r9 ADVICE trap: the drain used to be process-global).
 """
 
 from __future__ import annotations
 
+import threading
+
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
-_LIVE: list[DataFrame] = []
+_SCOPES: dict[str, list[DataFrame]] = {}
+_TLS = threading.local()
+
+
+def _current_scope() -> str:
+    return getattr(_TLS, "scope", "default")
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
-    """Persist ``df`` and register it for release at the next
-    :func:`release_scoped` (called when the next catalog query
-    starts)."""
+    """Persist ``df`` and register it in the current thread's scope for
+    release at that scope's next :func:`release_scoped` (for batch
+    catalog queries: when the next query starts; inside a
+    :func:`cache_scope` block: at block exit)."""
     df.persist()
-    _LIVE.append(df)
+    _SCOPES.setdefault(_current_scope(), []).append(df)
     return df
 
 
-def release_scoped() -> None:
-    """Unpersist every frame from the previous scope (non-blocking)."""
-    while _LIVE:
+def release_scoped(scope: str | None = None) -> None:
+    """Unpersist every frame registered in ``scope`` (default: the
+    current thread's scope), non-blocking. Other scopes' frames are
+    untouched."""
+    live = _SCOPES.pop(scope if scope is not None else _current_scope(), [])
+    while live:
         try:
-            _LIVE.pop().unpersist(False)
+            live.pop().unpersist(False)
         except Exception:
             pass
+
+
+@contextmanager
+def cache_scope(name: str):
+    """Run a block with its own scoped-persist scope: every
+    ``scoped_persist`` inside (same thread) registers under ``name``,
+    and the scope is drained on exit — success or failure. The owner
+    token the r9 ADVICE asked for: a stream's foreachBatch epoch wraps
+    itself so its guard frames drain per epoch without touching a
+    concurrent stream's (or an enclosing batch query's) frames."""
+    prev = getattr(_TLS, "scope", None)
+    _TLS.scope = name
+    try:
+        yield
+    finally:
+        release_scoped(name)
+        if prev is None:
+            del _TLS.scope
+        else:
+            _TLS.scope = prev
 
 
 # -- corpus-scoped persist ----------------------------------------------

@@ -27,7 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.cache import release_scoped
+from ..operators.cache import cache_scope
 from ..operators.filters import filter_deletes
 from ..operators.joins import interval_join
 from ..operators.parse import parse_json_dead_letter, project_map_columns
@@ -551,6 +551,18 @@ def doc_incremental_dedup_app(
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
+        # the epoch's guard frames (bounded_broadcast routes through
+        # scoped_persist) live in a STREAM-OWNED scope, drained by
+        # cache_scope when the epoch exits — a concurrently running
+        # stream (or an enclosing batch query holding scoped frames)
+        # is never drained by this stream's epochs. Epochs are serial
+        # per stream and the epoch's writes are done at exit, so the
+        # per-epoch drain is safe; without it each micro-batch of a
+        # continuous stream would pin one hot-table frame forever.
+        with cache_scope(f"stream:{out_channel}"):
+            _epoch(batch, epoch_id)
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
         sh = D.doc_shingles(batch, "doc_id", "text").persist()
         bands = D.lsh_band_keys(sh).persist()
@@ -597,13 +609,6 @@ def doc_incremental_dedup_app(
         finally:
             sh.unpersist()
             bands.unpersist()
-            # drain the epoch's guard frames (bounded_broadcast routes
-            # through scoped_persist; on a continuous stream there is
-            # no "next catalog query" to drain the scope, so without
-            # this each micro-batch pins one hot-table frame forever).
-            # Epochs are serial and the epoch's writes are done, so
-            # releasing here is safe.
-            release_scoped()
 
     return (
         src.writeStream.foreachBatch(process)
@@ -643,6 +648,14 @@ def emb_incremental_dedup_app(
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
+        # same stream-owned scope as doc_incremental_dedup_app: the
+        # store-side keep_cluster_reps guard persists one frame per
+        # micro-batch, drained at epoch exit without touching any
+        # concurrent stream's (or enclosing batch query's) frames
+        with cache_scope(f"stream:{out_channel}"):
+            _epoch(batch, epoch_id)
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
         # runtime import: plans.similarity owns the SemDeDup constants
         # and already imports streaming modules transitively
         from ..operators import dedup as D
@@ -737,10 +750,6 @@ def emb_incremental_dedup_app(
             if assigned is not None:
                 assigned.unpersist()
             batch.unpersist()
-            # same per-epoch drain as doc_incremental_dedup_app: the
-            # store-side keep_cluster_reps guard persists one frame
-            # per micro-batch into the scoped-cache scope
-            release_scoped()
 
     return (
         src.writeStream.foreachBatch(process)

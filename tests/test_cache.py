@@ -32,6 +32,48 @@ def test_scoped_released_but_corpus_survives(spark):
     cache.release_corpus()
 
 
+def test_cache_scope_isolates_concurrent_owners(spark):
+    """The r9 ADVICE trap: a stream's per-epoch drain must not unpersist
+    a concurrent owner's frames. cache_scope gives each owner a named
+    scope — frames registered inside drain at block exit; the enclosing
+    ('default') scope's frames survive, and vice versa. Also pins
+    thread isolation: a frame registered in another THREAD's default
+    scope is untouched by this thread's release_scoped()."""
+    import threading
+
+    outer = cache.scoped_persist(spark.range(11))
+    with cache.cache_scope("stream:test_a"):
+        inner = cache.scoped_persist(spark.range(12))
+        assert inner.storageLevel.useMemory
+        # a sibling scope draining itself touches neither
+        with cache.cache_scope("stream:test_b"):
+            sib = cache.scoped_persist(spark.range(13))
+        assert not sib.storageLevel.useMemory  # b drained at exit
+        assert inner.storageLevel.useMemory  # a untouched by b's drain
+        assert outer.storageLevel.useMemory  # default untouched
+    assert not inner.storageLevel.useMemory  # a drained at exit
+    assert outer.storageLevel.useMemory
+
+    # another thread's default-scope frame: this thread's release keeps it
+    holder = {}
+
+    def other_thread():
+        with cache.cache_scope("stream:other"):
+            holder["df"] = cache.scoped_persist(spark.range(14))
+            holder["mid"] = holder["df"].storageLevel.useMemory
+            # simulate the enclosing batch query draining ITS scope
+            # while the stream's epoch is mid-flight
+            cache.release_scoped("default")
+
+    t = threading.Thread(target=other_thread)
+    t.start()
+    t.join()
+    assert holder["mid"]  # stream frame was live mid-epoch
+    assert not holder["df"].storageLevel.useMemory  # drained at its exit
+    assert not outer.storageLevel.useMemory  # default WAS drained by name
+    cache.release_scoped()
+
+
 def test_new_corpus_dir_evicts_previous_scope(spark):
     """Touching corpus B releases corpus A's frames (the catalog never
     interleaves corpora, so holding both is pure leak — VERDICT r5)."""

@@ -104,12 +104,12 @@ def test_bounded_broadcast_registers_in_scoped_cache(spark):
     release_scoped() drains it — the lifecycle the incremental
     streaming apps' per-epoch finally relies on (the r8 leak class)."""
     cache.release_scoped()
-    before = len(cache._LIVE)
+    before = len(cache._SCOPES.get("default", []))
     side = spark.range(10).select(F.col("id").alias("k"))
     bounded_broadcast(side, what="test side")
-    assert len(cache._LIVE) == before + 1
+    assert len(cache._SCOPES.get("default", [])) == before + 1
     cache.release_scoped()
-    assert len(cache._LIVE) == 0
+    assert len(cache._SCOPES.get("default", [])) == 0
 
 
 def test_spread_is_noop_when_well_partitioned(spark):
