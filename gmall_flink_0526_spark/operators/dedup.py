@@ -563,9 +563,16 @@ def bloom_decontaminate(
 ) -> DataFrame:
     """Decontamination with a Bloom prefilter on the train side.
 
-    Same contract as :func:`contaminated_docs` (one corpus-wide
-    shingle pass, eval side = ``eval_pred``), but train shingles are
-    first screened against a Bloom bitset of the eval gram hashes:
+    Same INPUTS as :func:`contaminated_docs` (one corpus-wide shingle
+    pass, eval side = ``eval_pred``) but a WIDER output: a row per
+    training doc with >=1 bloom-CANDIDATE shingle, which includes docs
+    whose only candidates are Bloom false positives (``hit_ct = 0``).
+    A consumer using the doc_id set as a kill list (the way
+    ``corpus_build`` consumes ``contaminated_docs``) MUST filter
+    ``hit_ct >= 1`` first — the unfiltered set would purge clean
+    documents. The rows with ``hit_ct >= 1`` are exactly
+    ``contaminated_docs``' output. Train shingles are screened against
+    a Bloom bitset of the eval gram hashes:
 
     1. eval gram hashes -> BLOOM_HASHES positions each -> bit-or into
        bits/BLOOM_WORD packed words — a table sized by the BENCHMARK

@@ -417,9 +417,15 @@ def _sql_cms_audit() -> str:
         ),
         kp AS (SELECT tok, exact_ct, unnest([{rows}]) AS i FROM topk),
         est AS (
-          SELECT k.tok, k.exact_ct, min(c.ct) AS cms_est
+          -- LEFT + COALESCE 0: a probed cell absent from the counters
+          -- grid is a ZERO counter, exactly cms_estimate's left-join
+          -- + coalesce semantics — so the twin stays faithful even
+          -- for keys that never occurred in the sketched stream
+          -- (top-k probes always populate their own cells, but the
+          -- SQL must share the operator's contract, not rely on it)
+          SELECT k.tok, k.exact_ct, min(COALESCE(c.ct, 0)) AS cms_est
           FROM kp k
-          JOIN counters c
+          LEFT JOIN counters c
             ON c.i = k.i
            AND c.b = {bucket.format(i="k.i", tok="k.tok")}
           GROUP BY 1, 2

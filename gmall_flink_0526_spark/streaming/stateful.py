@@ -223,8 +223,14 @@ def temporal_join(
 
     Output: (id, key, probe_ts, probe_value, build_ts, build_value) —
     LEFT semantics: probes before any build emit NULL build columns.
+    Output and state field TYPES are derived from ``events.schema``
+    (the asof_join precedent), so a string key or an integer value
+    column round-trips instead of silently miscasting; only the state
+    ``bts`` is pinned long (epoch micros).
     """
     import pandas as pd
+
+    from pyspark.sql import types as T
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         bts_us, bval = state.get if state.exists else (None, None)
@@ -241,7 +247,7 @@ def temporal_join(
                     {
                         ts: pd.Timestamp(bts_us, unit="us"),
                         type_col: build_type,
-                        value_col: float(bval),
+                        value_col: bval,
                     }
                 ]
             )
@@ -257,12 +263,13 @@ def temporal_join(
         builds = pdf.loc[is_b]
         if len(builds):
             last = builds.iloc[-1]
-            state.update((int(last[ts].value // 1000), float(last[value_col])))
+            v = last[value_col]
+            state.update((int(last[ts].value // 1000), v.item() if hasattr(v, "item") else v))
         probes = ~is_b
         if probes.any():
             yield pd.DataFrame(
                 {
-                    id_col: pdf.loc[probes, id_col].to_numpy("int64"),
+                    id_col: pdf.loc[probes, id_col].to_numpy(),
                     key: key_tuple[0],
                     "probe_ts": pdf.loc[probes, ts].to_numpy(),
                     "probe_value": pdf.loc[probes, value_col].to_numpy(),
@@ -271,15 +278,27 @@ def temporal_join(
                 }
             )
 
+    # field types follow the input schema; only bts is pinned (micros)
+    field = {c: events.schema[c].dataType for c in (key, ts, id_col, value_col)}
+    out_t = T.StructType(
+        [
+            T.StructField(id_col, field[id_col]),
+            T.StructField(key, field[key]),
+            T.StructField("probe_ts", field[ts]),
+            T.StructField("probe_value", field[value_col]),
+            T.StructField("build_ts", field[ts]),
+            T.StructField("build_value", field[value_col]),
+        ]
+    )
+    state_t = T.StructType(
+        [T.StructField("bts", T.LongType()), T.StructField("bval", field[value_col])]
+    )
     # NoTimeout: the latest dimension/build version must persist for
     # the stream's lifetime, exactly like fix_is_new's first-seen state
     return events.groupBy(key).applyInPandasWithState(
         fn,
-        outputStructType=(
-            f"{id_col} long, {key} long, probe_ts timestamp, probe_value double, "
-            "build_ts timestamp, build_value double"
-        ),
-        stateStructType="bts long, bval double",
+        outputStructType=out_t,
+        stateStructType=state_t,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

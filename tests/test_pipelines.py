@@ -1441,3 +1441,42 @@ def test_temporal_join_tie_rule_across_batches(spark):
         6: (t(3), 5.0),
         8: (t(5), 2.0),
     }
+
+
+def test_temporal_join_derives_types_from_input_schema(spark):
+    """temporal_join's output/state types follow the INPUT schema (the
+    r9 ADVICE nit: they were hardcoded long/double): a string key and
+    an integer value column round-trip exactly — including a probe
+    before any build, whose NULL build_value must serialize into the
+    integer output column."""
+    from datetime import datetime
+
+    from gmall_flink_0526_spark.streaming.replay import replay_stateful
+    from gmall_flink_0526_spark.streaming.stateful import temporal_join
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(0), "alice", "purchase", 9, 0),  # probe before any build
+        (2, t(1), "alice", "click", 7, 0),
+        (3, t(2), "alice", "purchase", 1, 1),  # -> (t1, 7) via carried state
+        (4, t(1), "bob", "click", 3, 0),
+        (5, t(3), "bob", "purchase", 2, 1),    # -> (t1, 3)
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, "
+        "event_type string, value long, b int",
+    )
+    out_df = replay_stateful(
+        spark, src, temporal_join, order_by=["ts", "event_id"], file_of=F.col("b"),
+    )
+    assert dict(out_df.dtypes)["user_id"] == "string"
+    assert dict(out_df.dtypes)["build_value"] == "bigint"
+    out = {
+        r["event_id"]: (r["user_id"], r["build_ts"], r["build_value"])
+        for r in out_df.collect()
+    }
+    assert out == {
+        1: ("alice", None, None),
+        3: ("alice", t(1), 7),
+        5: ("bob", t(1), 3),
+    }
