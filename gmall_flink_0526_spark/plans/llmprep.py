@@ -117,8 +117,17 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DECON_NGRAM = 5
-EVAL_MOD = 97
+# Exact-decontamination knobs, tuned (r10) so the certified surface is
+# non-trivial at the correctness SFs: the synthetic corpus carries 500
+# docs at both sf0.001 and sf0.01, and a 1% eval slice (% 97) sharing
+# EXACT 5-grams matched ~1 training doc — weak evidence by the round
+# rules. 4-gram shingles with a % 7 eval slice flag ~93 training docs
+# at both SFs (measured via the oracle), a real funnel stage, while
+# the operator shape (hash-keyed equi-join, bloom prefilter, width
+# derivation) is n-gram- and eval-size-independent. Production callers
+# pass their own benchmark predicate and n-gram length.
+DECON_NGRAM = 4
+EVAL_MOD = 7
 
 
 @register(
@@ -273,12 +282,12 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # threshold so "contaminated" and "near-duplicate" mean the same
 # similarity everywhere.
 DECON_FUZZY_T = 0.5
-# The fuzzy query plays a DENSER synthetic benchmark (doc_id % 11)
-# than the exact query's % 97: near-match contamination needs a
-# mutated twin to land across the train/eval boundary, and at the
-# 500-doc correctness SFs a 1% eval set leaves the verified surface
-# empty — % 11 keeps real hits at every test scale. The shape is
-# eval-set-size independent either way.
+# The fuzzy query plays its own synthetic benchmark slice (doc_id %
+# 11, disjoint-ish from the exact family's % 7): near-match
+# contamination needs a mutated twin to land across the train/eval
+# boundary, and at the 500-doc correctness SFs a thin eval set leaves
+# the verified surface empty — % 11 keeps real hits at every test
+# scale. The shape is eval-set-size independent either way.
 EVAL_MOD_FUZZY = 11
 
 
@@ -953,7 +962,7 @@ GATE_NAMES = (
     "is below the Jaccard bar against the representative and dodges "
     "chunk alignment), AND the benchmark-decontamination gate (r7: "
     "the eval set itself is excluded and any training doc sharing a "
-    "5-gram with it is dropped — `decontaminate`'s hash-keyed "
+    f"{DECON_NGRAM}-gram with it is dropped — `decontaminate`'s hash-keyed "
     "equi-join run as a gate), finished with doc-keyed hash joins. "
     "Every "
     "upstream stage is bucketed/bounded (no all-pairs anywhere) and "
