@@ -137,6 +137,31 @@ def main() -> None:
         },
     }
     print(json.dumps(out))
+    # Durable per-query record (VERDICT r9 process nit): the driver
+    # keeps only a truncated TAIL of stdout, which exposes ~9 queries —
+    # write the full map to a round-stamped file in the repo so
+    # cross-round per-query perf claims are checkable from artifacts.
+    # The round number is the next after the newest driver artifact
+    # (BENCH_r{N}/CORRECTNESS_r{N}), overridable via SPARK_GRAFT_ROUND.
+    try:
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        # only DRIVER-written artifacts advance the stamp — this file's
+        # own previous rounds must not, or a later same-round rerun
+        # (builder's closing run, then the driver's) would drift to r+1
+        stamped = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(here, "*_r[0-9]*.json"))
+            if not os.path.basename(f).startswith("BENCH_DETAIL")
+            and (m := re.search(r"_r0*(\d+)\.json$", f))
+        ]
+        rnd = int(os.environ.get("SPARK_GRAFT_ROUND", max(stamped, default=0) + 1))
+        detail = os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")
+        with open(detail, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # a read-only checkout still gets the stdout record
     # A second, summary-only line: short enough to survive any tail
     # truncation intact, so the driver's parsed record is never null
     # even when the full per-query line overflows its buffer.

@@ -87,6 +87,9 @@ _LOADED = False
 # (`tools/vanilla_gate.py`, result recorded in BASELINE.md) — so no
 # query ever stands on an unchecked stale row, even past the window.
 _PRIORITY = (
+    # -- NEW in r10 (never driver-certified): placed ahead of everything
+    #    per the rotation contract; full r10 reorder below/at round end.
+    "dim_enrichment_asof",
     # -- r9 rotation: the r8 window was r7's verbatim, so 58 queries'
     #    last driver row is r5/r6. They lead, stalest first — the 19
     #    whose last driver-recorded green is r5: -----------------------

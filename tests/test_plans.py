@@ -222,6 +222,20 @@ def test_value_percentiles_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
 
 
+def test_dim_enrichment_asof_is_union_fill_not_range_join(spark):
+    """Point-in-time enrichment must plan as asof_join's sorted-union
+    window fill: NO join operator between facts and dim history (a
+    range-predicate join would fan a hot customer out facts x
+    versions), exactly one window partitioned by the as-of key, and
+    no cartesian anywhere. The dim-history LEAD window rides its own
+    small exchange on the change stream — that one is expected."""
+    p = plan_of(spark, "dim_enrichment_asof")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "Union" in p and "Window" in p
+    assert re.search(r"hashpartitioning\(custkey", p)
+
+
 def test_incremental_dedup_stream_stores_broadcast_batch_side(spark, tmp_path):
     """The cross-corpus candidate join inside the incremental dedup app
     must broadcast the BATCH side — shuffling the corpus signature
