@@ -553,6 +553,26 @@ def _bloom_bit(p_name: str):
     )
 
 
+def bloom_word_table(gram_hashes: DataFrame, bits: int) -> DataFrame:
+    """Packed Bloom word table from a column of md5 gram hashes: every
+    hash contributes BLOOM_HASHES bit positions, positions pack into
+    bits/BLOOM_WORD words by bit-or. One map-side-combinable grouped
+    agg, <= bits/BLOOM_WORD result rows. OR-MERGEABLE: the word table
+    of a union of gram sets equals the per-set tables bit-or'd per
+    word — which is what lets the streaming ``bloom_filter_app``
+    maintain the filter as an epoch-addressed store (the CMS
+    precedent, with bit_or for addition). ``gram_hashes`` must expose
+    the hash as column ``gh``."""
+    return (
+        gram_hashes.select(
+            F.explode(F.array(*_bloom_positions(F.col("gh"), bits))).alias("p")
+        )
+        .select(F.floor(F.col("p") / BLOOM_WORD).alias("w"), _bloom_bit("p").alias("m"))
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+    )
+
+
 def bloom_decontaminate(
     docs: DataFrame,
     eval_pred,
@@ -560,6 +580,7 @@ def bloom_decontaminate(
     text_col: str = "text",
     ngram: int = 5,
     bits: int | None = None,
+    bloom_words: DataFrame | None = None,
 ) -> DataFrame:
     """Decontamination with a Bloom prefilter on the train side.
 
@@ -586,7 +607,15 @@ def bloom_decontaminate(
     ``bits`` is the filter width; when None it is derived from the
     eval side via :func:`bloom_width` — EAGER (one small count job
     over the eval docs only, predicate pushed to the scan; callers
-    that know the width pass it and stay lazy). Output per training
+    that know the width pass it and stay lazy). ``bloom_words``
+    optionally supplies an EXTERNALLY MAINTAINED (w, bits) word table
+    — e.g. the OR-merged view of the streaming ``bloom_filter_app``'s
+    epoch store — instead of building it here; it MUST have been
+    built with the same ``bits`` width and over (a superset of) the
+    eval grams, or the screen loses its no-false-negative guarantee.
+    The exact verification join against the distinct eval hashes is
+    unconditional either way, so a superset filter only costs false
+    candidates, never wrong output. Output per training
     doc with >=1 bloom-candidate shingle: (doc_id, cand_ct, hit_ct) —
     candidate vs exactly-verified shingle counts; cand_ct - hit_ct is
     the false-positive overhead actually paid, the number a 100 TB
@@ -598,12 +627,10 @@ def bloom_decontaminate(
     grams = sh.select("doc_id", F.explode("s").alias("g")).withColumn("gh", F.md5("g"))
     ev = grams.filter(eval_pred).select("gh").distinct()
 
-    bloom = (
-        ev.select(F.explode(F.array(*_bloom_positions(F.col("gh"), bits))).alias("p"))
-        .select(F.floor(F.col("p") / BLOOM_WORD).alias("w"), _bloom_bit("p").alias("m"))
-        .groupBy("w")
-        .agg(F.expr("bit_or(m)").alias("bits"))
-    )
+    if bloom_words is not None:
+        bloom = bloom_words  # externally maintained, width contract above
+    else:
+        bloom = bloom_word_table(ev, bits)
     # one guard + persist shared by the three probe joins: the word
     # table is bounded by bits/BLOOM_WORD (~n_ev/2 rows), but a
     # pathologically large eval set should degrade to a shuffled probe

@@ -90,6 +90,7 @@ _PRIORITY = (
     # -- NEW in r10 (never driver-certified): placed ahead of everything
     #    per the rotation contract; full r10 reorder below/at round end.
     "dim_enrichment_asof",
+    "decontaminate_bloom_stream",
     # -- r9 rotation: the r8 window was r7's verbatim, so 58 queries'
     #    last driver row is r5/r6. They lead, stalest first — the 19
     #    whose last driver-recorded green is r5: -----------------------

@@ -182,9 +182,13 @@ _SQL_BLOOM_PROBE = (
 )
 
 
-@register(
-    "decontaminate_bloom",
-    oracle=f"""
+def sql_decontaminate_bloom() -> str:
+    """The Bloom-decontamination audit as DuckDB SQL — shared verbatim
+    by `decontaminate_bloom` (filter built in-query) and the streaming
+    replay `decontaminate_bloom_stream` (filter OR-merged from the
+    epoch store): a fixed-width Bloom filter is or-mergeable, so both
+    build paths produce the same bitset and the same candidate set."""
+    return f"""
     WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
     sh AS (
       SELECT doc_id,
@@ -229,7 +233,12 @@ _SQL_BLOOM_PROBE = (
     SELECT c.doc_id, COUNT(*) AS cand_ct, COUNT(e.gh) AS hit_ct
     FROM cand c LEFT JOIN ev e ON e.gh = c.gh
     GROUP BY c.doc_id
-    """,
+    """
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=sql_decontaminate_bloom(),
     doc=f"Bloom-prefiltered decontamination: the eval set's {DECON_NGRAM}-gram "
     "hashes collapse into a packed Bloom bitset whose width SCALES "
     f"with the eval side ({D.BLOOM_LOAD} bits per eval gram, next "
@@ -250,27 +259,36 @@ _SQL_BLOOM_PROBE = (
     tags=("llm-prep", "dedup", "decontamination", "sketch"),
 )
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    return D.bloom_decontaminate(
+        t["documents"],
+        F.col("doc_id") % EVAL_MOD == 0,
+        ngram=DECON_NGRAM,
+        bits=decon_bloom_bits(spark, sf_dir),
+    )
+
+
+def decon_bloom_bits(spark: SparkSession, sf_dir: str) -> int:
+    """The corpus's memoized Bloom width for the synthetic eval slice —
+    eval docs only feed the derivation (predicate pushed to the scan),
+    memoized per corpus; the count is the operator's own
+    eval_gram_count, so the memoized width can never drift from the
+    width the operator would self-derive. Shared by the batch query
+    and the streaming replay so both provision the SAME fixed width —
+    the or-mergeability precondition."""
     from ..operators.cache import corpus_value
 
     t = load_tables(spark, sf_dir, "documents")
 
     def _bits() -> int:
-        # eval docs only (predicate pushed to the scan): ~1% of the
-        # corpus feeds the width derivation, memoized per corpus —
-        # the count itself is the operator's own eval_gram_count, so
-        # the memoized width can never drift from the width the
-        # operator would self-derive
         return D.bloom_width(
             D.eval_gram_count(
                 t["documents"], F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
             )
         )
 
-    bits = corpus_value(
+    return corpus_value(
         spark, f"decon_bloom_bits:{DECON_NGRAM}:{EVAL_MOD}", sf_dir, _bits
-    )
-    return D.bloom_decontaminate(
-        t["documents"], F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM, bits=bits
     )
 
 

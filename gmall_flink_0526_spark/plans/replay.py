@@ -1039,3 +1039,76 @@ def _register_heavy_hitters_stream():
 
 
 _register_heavy_hitters_stream()
+
+
+def _register_decontaminate_bloom_stream():
+    from .llmprep import DECON_NGRAM, EVAL_MOD, decon_bloom_bits, sql_decontaminate_bloom
+
+    @register(
+        "decontaminate_bloom_stream",
+        oracle=sql_decontaminate_bloom(),
+        doc="Bloom decontamination with the filter maintained by the "
+        "REAL streaming app (streaming/pipelines.bloom_filter_app): "
+        "the eval benchmark arrives as 3 micro-batches, each packing "
+        "its OWN grams into an epoch-addressed word grid; the live "
+        "filter is the per-word bit_or over epochs — a fixed-width "
+        "Bloom filter is OR-MERGEABLE, so the streamed filter equals "
+        "the one-shot batch bitset bit-for-bit and the query shares "
+        "`decontaminate_bloom`'s oracle VERBATIM (the heavy_hitters "
+        "pattern, with bit_or for addition). Width is provisioned "
+        "once up front from the benchmark's gram count (the same "
+        "memoized derivation as the batch query) — the Bloom "
+        "operational contract: a saturated filter re-provisions by "
+        "batch rebuild, never by silent widening. Crash rule = "
+        "overwrite-own-epoch, pinned by the poison-epoch/restart "
+        "test; train-side screening and the exact verify join are "
+        "the batch operator unchanged.",
+        tags=("streaming", "sketch", "replay", "llm-prep", "decontamination"),
+    )
+    def decontaminate_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..operators import dedup as D
+        from ..operators.partitioning import spread
+        from ..sources.registry import ChannelRegistry, write_replay
+        from ..streaming.pipelines import bloom_filter_app, merged_bloom_words
+
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        is_eval = F.col("doc_id") % EVAL_MOD == 0
+        bits = decon_bloom_bits(spark, sf_dir)
+        lines = spread(docs.filter(is_eval), "doc_id").withColumn(
+            "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+        )
+        root = temp_replay_root("gmall_bloom_")
+        reg = ChannelRegistry(root)
+        reg.register("ods_eval_docs", schema="doc_id long, text string, ts timestamp")
+        write_replay(
+            lines.select("doc_id", "text", "ts"),
+            reg.channels["ods_eval_docs"].path,
+            n_files=3,
+            order_by=["ts", "doc_id"],
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # per-batch word grids are <= bits/BLOOM_WORD rows: keep
+            # the 3-batch replay's commit count honest (the r4 lesson)
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = bloom_filter_app(
+                spark,
+                reg,
+                os.path.join(root, "ckpt"),
+                os.path.join(root, "store"),
+                bits=bits,
+                ngram=DECON_NGRAM,
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        words = merged_bloom_words(spark, os.path.join(root, "store"))
+        return D.bloom_decontaminate(
+            docs, is_eval, ngram=DECON_NGRAM, bits=bits, bloom_words=words
+        )
+
+
+_register_decontaminate_bloom_stream()

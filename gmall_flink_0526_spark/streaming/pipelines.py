@@ -865,6 +865,69 @@ def cms_sketch_app(
     )
 
 
+def bloom_filter_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    store_root: str,
+    bits: int,
+    source: str = "ods_eval_docs",
+    ngram: int = 5,
+):
+    """Streaming eval-Bloom maintenance — the decontamination filter's
+    answer to a GROWING benchmark set, on the CMS app's exact pattern:
+    every micro-batch of newly published eval documents shingles,
+    hashes, and packs ITS OWN grams into a (w, bits) word grid written
+    to an epoch-addressed store; the live filter is the per-word
+    ``bit_or`` over epochs (:func:`merged_bloom_words`) — Bloom
+    filters of a fixed width are OR-mergeable, exactly as CMS grids
+    are additive. No per-key state: the filter IS the state, bounded
+    at bits/BLOOM_WORD rows however many eval docs ever arrive.
+    ``bits`` is fixed at provisioning time (size it for the
+    benchmark's expected scale via ``operators.dedup.bloom_width``);
+    re-provisioning a saturated filter is a batch rebuild, the
+    standard Bloom operational contract. Store writes follow the
+    incremental apps' crash rule — a foreachBatch retry OVERWRITES its
+    own ``epoch=<id>`` directory: bit_or would make an honest double
+    write harmless anyway, but the overwrite is what keeps a poisoned
+    half-written attempt from surviving the restart.
+    """
+    from ..operators import dedup as D
+
+    path = os.path.join(store_root, "bloom_words")
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        sh = D.doc_shingles(batch, "doc_id", "text", ngram=ngram)
+        ev = (
+            sh.select(F.explode("s").alias("g"))
+            .select(F.md5("g").alias("gh"))
+            .distinct()
+        )
+        D.bloom_word_table(ev, bits).write.mode("overwrite").parquet(
+            os.path.join(path, f"epoch={epoch_id}")
+        )
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(ckpt, "bloom_filter"))
+        .start()
+    )
+
+
+def merged_bloom_words(spark: SparkSession, store_root: str) -> DataFrame:
+    """The live Bloom filter over an epoch-addressed word store: per-
+    word ``bit_or`` across epochs — at most bits/BLOOM_WORD result
+    rows, however many epochs accumulated. (Old epochs can fold into
+    one generation the way ``compact_signature_store`` does; the
+    read-side or is correct either way.)"""
+    return (
+        spark.read.parquet(os.path.join(store_root, "bloom_words"))
+        .groupBy("w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
 def merged_cms_grid(spark: SparkSession, store_root: str) -> DataFrame:
     """The live sketch over an epoch-addressed CMS store: counter sums
     per (row, bucket) — at most depth*width result rows, however many

@@ -1398,6 +1398,88 @@ def test_cms_sketch_app_merges_to_batch_grid_and_survives_retry(spark, tmp_path)
     assert got == exp  # poison gone, nothing double-counted, sums exact
 
 
+def test_bloom_filter_app_or_merges_to_batch_bitset_and_survives_retry(spark, tmp_path):
+    """The streaming Bloom app's two contracts, on the CMS test's exact
+    shape: (a) OR-MERGEABILITY — the per-epoch word grids bit-or'd
+    equal the one-shot batch word table bit-for-bit (fixed width is
+    the precondition, provisioned up front); (b) the epoch-overwrite
+    crash rule — a dead batch attempt that left a POISONED grid (all
+    bits set in word 0, which would otherwise inject false positives
+    forever) is REWRITTEN on restart, so the recovered filter still
+    equals the uninterrupted one."""
+    import shutil
+
+    from gmall_flink_0526_spark.operators import dedup as D
+    from gmall_flink_0526_spark.plans.llmprep import DECON_NGRAM, EVAL_MOD
+
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    ev_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    bits = D.bloom_width(
+        D.eval_gram_count(docs, F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM)
+    )
+    stream_in = ev_docs.select(
+        "doc_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("ts"),
+        "text",
+    )
+    reg = ChannelRegistry(str(tmp_path / "chan"))
+    reg.register("ods_eval_docs", schema="doc_id long, ts timestamp, text string")
+    write_replay(
+        stream_in, reg.channels["ods_eval_docs"].path, n_files=3,
+        order_by=["doc_id"], file_of=F.col("doc_id") % 3,
+    )
+
+    # hide batch 2's file; run epochs 0-1 to completion
+    src_path = reg.channels["ods_eval_docs"].path
+    files = sorted(
+        (
+            f
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ),
+        key=lambda f: os.path.getmtime(os.path.join(src_path, f)),
+    )
+    hidden = files[-1]
+    shutil.move(os.path.join(src_path, hidden), str(tmp_path / "hidden.parquet"))
+    q = pipelines.bloom_filter_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store"),
+        bits=bits, ngram=DECON_NGRAM,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # dead batch-2 attempt: poisoned grid written, checkpoint not committed
+    spark.createDataFrame(
+        [(0, -1)], "w long, bits long"
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "store" / "bloom_words" / "epoch=2")
+    )
+
+    shutil.move(str(tmp_path / "hidden.parquet"), os.path.join(src_path, hidden))
+    q2 = pipelines.bloom_filter_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store"),
+        bits=bits, ngram=DECON_NGRAM,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    ev = (
+        D.doc_shingles(ev_docs, "doc_id", "text", ngram=DECON_NGRAM)
+        .select(F.explode("s").alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    exp = {(r["w"], r["bits"]) for r in D.bloom_word_table(ev, bits).collect()}
+    got = {
+        (r["w"], r["bits"])
+        for r in pipelines.merged_bloom_words(spark, str(tmp_path / "store")).collect()
+    }
+    assert got == exp  # poison gone, or-merge equals the batch bitset
+
+
 def test_temporal_join_tie_rule_across_batches(spark):
     """The as-of tie rule under an ADVERSARIAL explicit micro-batch
     split: two equal-ts builds with different values land in DIFFERENT
