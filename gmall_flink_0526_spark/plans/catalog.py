@@ -87,71 +87,9 @@ _LOADED = False
 # (`tools/vanilla_gate.py`, result recorded in BASELINE.md) — so no
 # query ever stands on an unchecked stale row, even past the window.
 _PRIORITY = (
-    # -- NEW in r10 (never driver-certified): placed ahead of everything
-    #    per the rotation contract; full r10 reorder below/at round end.
-    "dim_enrichment_asof",
-    "decontaminate_bloom_stream",
-    # -- r9 rotation: the r8 window was r7's verbatim, so 58 queries'
-    #    last driver row is r5/r6. They lead, stalest first — the 19
-    #    whose last driver-recorded green is r5: -----------------------
-    "embedding_quantize",
-    "ann_recall_int8",
-    "lang_id_confusion",
-    "media_catalog",
-    "media_decode",
-    "media_frame_sample",
-    "media_ann_topk",
-    "uv_first_visit_stream",
-    "is_new_fix_stream",
-    "bounce_stats_stream",
-    "session_stats_stream",
-    "visitor_stats_stream",
-    "base_db_stream",
-    "doc_quality_gate_stream",
-    "decontaminate",
-    "sequence_packing",
-    "chunk_dedup",
-    "domain_mixture_weights",
-    "packing_length_histogram",
-    # -- NEW in r9 (never driver-certified, so in-window per the
-    #    rotation contract): multi-probe IVF + its recall audit, the
-    #    vocabulary/Zipf coverage audit, temperature-scaled mixture. --
-    "ann_topk_ivf_nprobe",
-    "ann_recall_nprobe",
-    "decontaminate_bloom",
-    "heavy_hitters_cms",
-    "heavy_hitters_stream",
-    "vocab_coverage",
-    "mixture_temperature",
-    "corpus_gate_funnel",
-    "decon_eval_coverage",
-    "asof_click_attribution",
-    "rolling_value_7d",
-    "asof_click_stream",
-    "scd2_order_history",
-    # -- then the 39 whose last driver row is r6; the first ~31 fit the
-    #    ~50-slot window, the tail plus the changed/r7/r8-green blocks
-    #    below are covered this round by the full sf0.001 pytest sweep
-    #    and the in-repo full-catalog vanilla gate at sf0.01 (recorded
-    #    in BASELINE.md §r9). -----------------------------------------
-    "pricing_summary",
-    "province_stats",
-    "record_merge",
-    "date_derive",
-    "snake_to_camel",
-    "shipping_priority",
-    "sales_rollup",
-    "order_status_overlap",
-    "returnflag_pivot",
-    "top_parts_per_brand",
-    "sql_entry",
-    "order_status_stats",
-    "top_revenue_orders",
-    "sales_cube",
-    "log_split_counts",
-    "config_routing",
-    "visitor_stats_hourly",
-    "uv_first_visit",
+    # -- r10 rotation, per the r9 VERDICT's prescription. Lead: the 21
+    #    queries whose last driver-recorded green is r6 (they didn't
+    #    fit the r9 window). ---------------------------------------------
     "is_new_fix",
     "bounce_stats",
     "session_stats",
@@ -173,16 +111,10 @@ _PRIORITY = (
     "repetition_ratio",
     "stratified_sample",
     "dup_coverage_histogram",
-    # -- changed this round (r9) — plans changed at two hint sites now
-    #    routed through bounded_broadcast (lsh_candidates_against's
-    #    corpus hot table; keep_cluster_reps' cluster stats), the two
-    #    incremental streaming apps gained the per-epoch release_scoped
-    #    drain that fixes the r8 persist leak, and the SemDeDup family
-    #    moved its assignment + verified-pairs surface into the
-    #    evicting corpus cache scope (corpus_semdedup_verified). All
-    #    were r8-green and are re-proven this round by the in-repo
-    #    vanilla gate (they sit just past the 50-slot window, per the
-    #    judge's stale-first instruction for r9). ---------------------
+    # -- then the 10 corpus-cache queries whose plans changed in r9
+    #    (their last driver row predates that refactor); the two
+    #    incremental streams ALSO changed this round (the per-epoch
+    #    drain now rides a stream-owned cache_scope token). -------------
     "dedup_incremental",
     "dedup_incremental_stream",
     "embedding_incremental_near_dup",
@@ -193,8 +125,31 @@ _PRIORITY = (
     "semdedup_survivors",
     "ann_topk_ivf_kmeans",
     "ann_recall_ivf",
-    # -- r7/r8-green remainder (lifecycle-only or untouched), r8 window
-    #    order preserved. ---------------------------------------------
+    # -- NEW in r10: point-in-time dim enrichment (scd2_from_changes +
+    #    asof_join, DuckDB ASOF oracle) and the streaming Bloom
+    #    decontamination twin (or-merged epoch store). ------------------
+    "dim_enrichment_asof",
+    "decontaminate_bloom_stream",
+    # -- CHANGED in r10: asof_join moved to the struct-packed NULL-safe
+    #    fill (asof_click_attribution; dim_enrichment_asof above);
+    #    temporal_join derives its types from the input schema
+    #    (asof_click_stream); the exact-decontamination eval slice
+    #    densified to DECON_NGRAM=4 / EVAL_MOD=7 (decontaminate and
+    #    every query compiled from those constants); the CMS oracle's
+    #    est CTE went LEFT JOIN + COALESCE 0 (both heavy_hitters). ------
+    "asof_click_attribution",
+    "asof_click_stream",
+    "decontaminate",
+    "decontaminate_bloom",
+    "decon_eval_coverage",
+    "corpus_build",
+    "corpus_gate_funnel",
+    "heavy_hitters_cms",
+    "heavy_hitters_stream",
+    # -- oldest-green fill to ~50: head of the block whose last driver
+    #    row is r7/r8. The window cut lands mid-list; everything below
+    #    is covered this round by the full sf0.001 pytest sweep and the
+    #    in-repo full-catalog vanilla gate at sf0.01 (BASELINE.md §r10).
     "payment_wide_stream",
     "json_dead_letter",
     "cdc_envelope_parse",
@@ -215,7 +170,6 @@ _PRIORITY = (
     "dedup_token_retention",
     "near_dup_rate_by_source",
     "minhash_estimate_audit",
-    "corpus_build",
     "dedup_method_agreement",
     "simhash_near_dup",
     "rhp_near_dup",
@@ -235,6 +189,52 @@ _PRIORITY = (
     "duplicate_ngram_coverage",
     "ann_topk_vectorized",
     "embedding_coverage",
+    # -- freshest: everything the r9 driver window certified green in
+    #    CORRECTNESS_r09, r9 order preserved (r6-block head, then the
+    #    r5-stale set, then the r9-new set minus the ones moved to the
+    #    r10-changed block above). --------------------------------------
+    "pricing_summary",
+    "province_stats",
+    "record_merge",
+    "date_derive",
+    "snake_to_camel",
+    "shipping_priority",
+    "sales_rollup",
+    "order_status_overlap",
+    "returnflag_pivot",
+    "top_parts_per_brand",
+    "sql_entry",
+    "order_status_stats",
+    "top_revenue_orders",
+    "sales_cube",
+    "log_split_counts",
+    "config_routing",
+    "visitor_stats_hourly",
+    "uv_first_visit",
+    "embedding_quantize",
+    "ann_recall_int8",
+    "lang_id_confusion",
+    "media_catalog",
+    "media_decode",
+    "media_frame_sample",
+    "media_ann_topk",
+    "uv_first_visit_stream",
+    "is_new_fix_stream",
+    "bounce_stats_stream",
+    "session_stats_stream",
+    "visitor_stats_stream",
+    "base_db_stream",
+    "doc_quality_gate_stream",
+    "sequence_packing",
+    "chunk_dedup",
+    "domain_mixture_weights",
+    "packing_length_histogram",
+    "ann_topk_ivf_nprobe",
+    "ann_recall_nprobe",
+    "vocab_coverage",
+    "mixture_temperature",
+    "rolling_value_7d",
+    "scd2_order_history",
 )
 
 
