@@ -129,6 +129,7 @@ _PRIORITY = (
     #    asof_join, DuckDB ASOF oracle) and the streaming Bloom
     #    decontamination twin (or-merged epoch store). ------------------
     "dim_enrichment_asof",
+    "dim_enrichment_asof_stream",
     "decontaminate_bloom_stream",
     # -- CHANGED in r10: asof_join moved to the struct-packed NULL-safe
     #    fill (asof_click_attribution; dim_enrichment_asof above);

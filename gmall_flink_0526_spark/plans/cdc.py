@@ -191,9 +191,14 @@ PIT_T0 = "1992-01-01 00:00:00"
 PIT_T1 = "1998-01-01 00:00:00"
 
 
-@register(
-    "dim_enrichment_asof",
-    oracle=f"""
+def sql_dim_enrichment_asof() -> str:
+    """The point-in-time enrichment audit as DuckDB SQL — shared
+    verbatim by `dim_enrichment_asof` (SCD2 history + asof_join) and
+    the streaming replay `dim_enrichment_asof_stream` (CDC version/
+    tombstone events through temporal_enrich): the two plans are the
+    batch and streaming faces of the same temporal-table join, so one
+    oracle certifies both."""
+    return f"""
     WITH chg AS (
       SELECT c_custkey AS custkey, c_acctbal,
              TIMESTAMP '{PIT_T0}' AS vf, 'insert' AS op
@@ -210,15 +215,27 @@ PIT_T1 = "1998-01-01 00:00:00"
              LEAD(vf) OVER (PARTITION BY custkey ORDER BY vf) AS valid_to
       FROM chg
     ),
-    h AS (SELECT * FROM h0 WHERE op != 'delete')
-    SELECT o.o_orderkey, o.o_custkey AS custkey, o.o_orderdate AS order_ts,
-           CASE WHEN h.valid_to IS NOT NULL AND h.valid_to <= o.o_orderdate
-                THEN NULL ELSE h.c_acctbal END AS acctbal_asof,
-           h.valid_from AS version_from,
-           (h.valid_to IS NULL OR o.o_orderdate < h.valid_to) AS version_live
-    FROM orders o ASOF LEFT JOIN h
-      ON o.o_custkey = h.custkey AND o.o_orderdate >= h.valid_from
-    """,
+    h AS (SELECT * FROM h0 WHERE op != 'delete'),
+    j AS (
+      SELECT o.o_orderkey, o.o_custkey AS custkey, o.o_orderdate AS order_ts,
+             h.c_acctbal, h.valid_from,
+             (h.custkey IS NOT NULL
+              AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to))
+               AS version_live
+      FROM orders o ASOF LEFT JOIN h
+        ON o.o_custkey = h.custkey AND o.o_orderdate >= h.valid_from
+    )
+    SELECT o_orderkey, custkey, order_ts,
+           CASE WHEN version_live THEN c_acctbal END AS acctbal_asof,
+           CASE WHEN version_live THEN valid_from END AS version_from,
+           version_live
+    FROM j
+    """
+
+
+@register(
+    "dim_enrichment_asof",
+    oracle=sql_dim_enrichment_asof(),
     doc="Point-in-time dimension enrichment — the Flink temporal-TABLE "
     "join the reference's dim layer implies but never ships "
     "(RT/utils/DimUtil.java:15-50 always reads the LATEST version; the "
@@ -229,9 +246,12 @@ PIT_T1 = "1998-01-01 00:00:00"
     "history from the CDC envelope stream, asof_join matches each fact "
     "to the latest version with valid_from <= o_orderdate. A version "
     "closed with no successor (the key was DELETED before the fact) "
-    "yields NULL enrichment and version_live = false — matching a "
-    "closed interval is the as-of contract, the NULL-ing is the "
-    "consumer's one-line PIT guard. Shape at 100 TB: history build is "
+    "yields NULL enrichment columns and version_live = false — "
+    "matching a closed interval is the as-of contract; the PIT guard "
+    "NULLs both the value and the version id so 'enriched by' is "
+    "never attributed to a dead version (and so the streaming twin's "
+    "CDC tombstone carry reproduces the row exactly). Shape at "
+    "100 TB: history build is "
     "one LEAD window over the change stream (linear); the enrichment "
     "is asof_join's sorted-union fill — ONE hash exchange on custkey + "
     "per-key sort, state one carried version per key, never a "
@@ -274,13 +294,15 @@ def dim_enrichment_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("ts"),
     )
     j = asof_join(facts, dim, on=["custkey"], ts_col="ts", how="left")
-    live = F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))
+    live = F.col("version_from").isNotNull() & (
+        F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))
+    )
     return j.select(
         "o_orderkey",
         "custkey",
         F.col("ts").alias("order_ts"),
         F.when(live, F.col("_bal")).alias("acctbal_asof"),
-        "version_from",
+        F.when(live, F.col("version_from")).alias("version_from"),
         live.alias("version_live"),
     )
 

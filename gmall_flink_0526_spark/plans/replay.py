@@ -1112,3 +1112,94 @@ def _register_decontaminate_bloom_stream():
 
 
 _register_decontaminate_bloom_stream()
+
+
+def _register_dim_enrichment_asof_stream():
+    from .cdc import PIT_T0, PIT_T1, sql_dim_enrichment_asof
+
+    @register(
+        "dim_enrichment_asof_stream",
+        oracle=sql_dim_enrichment_asof(),
+        doc="Point-in-time dim enrichment as a LIVE stream — the "
+        "temporal-table join run as one keyed stateful operator "
+        "(streaming/stateful.temporal_enrich) over a single replayed "
+        "stream carrying BOTH sides: dim VERSION events (insert/update "
+        "with the version's values + its valid_from) and CDC DELETE "
+        "TOMBSTONES (all-NULL values) update each customer's carried "
+        "version; order facts emit enriched with the version live at "
+        "their event-time position. The tombstone is the streaming "
+        "face of the batch plan's closed-interval NULL-ing: the "
+        "positional (not ignore-null) carry REPLACES the version with "
+        "NULLs, so post-delete facts read 'no live version' — and the "
+        "query shares dim_enrichment_asof's oracle VERBATIM. State is "
+        "ONE (ts, values) version per key forever; batch boundaries "
+        "fall on event-TIME cuts so an equal-ts version/fact pair is "
+        "never split (the asof_click_stream contract). version_live "
+        "rides the carried version id: NULL id = tombstone or "
+        "never-built.",
+        tags=("state", "streaming", "cdc", "join", "asof", "dim"),
+    )
+    def dim_enrichment_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        t = load_tables(spark, sf_dir, "orders", "customer")
+        cust = t["customer"]
+        orders = t["orders"]
+        t0 = F.lit(PIT_T0).cast("timestamp")
+        t1 = F.lit(PIT_T1).cast("timestamp")
+        nul_d = F.lit(None).cast("double")
+        nul_t = F.lit(None).cast("timestamp")
+
+        def build(pred, ts_col, bal_col, vfrom_col, ver: int):
+            return cust.filter(pred).select(
+                (-(F.col("c_custkey") * 2 + ver)).alias("o_orderkey"),
+                ts_col.alias("ts"),
+                F.col("c_custkey").alias("custkey"),
+                F.lit("dimchange").alias("event_type"),
+                bal_col.alias("acctbal_asof"),
+                vfrom_col.alias("version_from"),
+            )
+
+        k = F.col("c_custkey") % 10
+        builds = (
+            build(F.lit(True), t0, F.col("c_acctbal"), t0, 0)
+            .unionByName(build(k.isin(1, 2), t1, F.col("c_acctbal") * 2, t1, 1))
+            .unionByName(build(k == 0, t1, nul_d, nul_t, 1))  # tombstones
+        )
+        probes = orders.select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_custkey").alias("custkey"),
+            F.lit("order").alias("event_type"),
+            nul_d.alias("acctbal_asof"),
+            nul_t.alias("version_from"),
+        )
+        ev = builds.unionByName(probes)
+
+        # batch boundaries on event-time VALUE (the asof_click_stream
+        # rule): the dim-change instant PIT_T1 is a legal order date,
+        # so a same-instant version/fact pair must stay co-batched
+        mn, mx = ev.select(F.min("ts"), F.max("ts")).first()
+        ts_type = ev.schema["ts"].dataType.simpleString()
+        cut1 = F.lit(mn + (mx - mn) / 3).cast(ts_type)
+        cut2 = F.lit(mn + 2 * (mx - mn) / 3).cast(ts_type)
+        file_of = (
+            F.when(F.col("ts") <= cut1, 0).when(F.col("ts") <= cut2, 1).otherwise(2)
+        )
+        op = lambda s: stateful.temporal_enrich(
+            s, key="custkey", ts="ts", id_col="o_orderkey",
+            val_cols=("acctbal_asof", "version_from"),
+        )
+        out = replay_stateful(
+            spark, ev, op, order_by=["ts", "o_orderkey"],
+            cache_key=f"pit_tspan:{sf_dir}", file_of=file_of,
+        )
+        return out.select(
+            "o_orderkey",
+            "custkey",
+            F.col("probe_ts").alias("order_ts"),
+            "acctbal_asof",
+            "version_from",
+            F.col("version_from").isNotNull().alias("version_live"),
+        )
+
+
+_register_dim_enrichment_asof_stream()

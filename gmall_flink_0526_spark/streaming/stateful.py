@@ -190,6 +190,138 @@ def sessionize_bounce(
     )
 
 
+def temporal_enrich(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    build_type: str = "dimchange",
+    probe_type: str = "order",
+    val_cols: tuple = ("value",),
+) -> DataFrame:
+    """Multi-value stream-stream backward as-of enrichment — the
+    streaming face of point-in-time dimension lookup (the Flink
+    temporal-TABLE join), generalizing :func:`temporal_join` two ways
+    a CDC dim stream needs:
+
+    - N value columns carried together as ONE version (a dim version
+      is a row, not a scalar);
+    - NULL-SAFE carry: the carried version is addressed by build-row
+      POSITION (the asof_join struct-marker precedent), not by
+      per-column ignore-null fill — so a CDC DELETE tombstone (a
+      build row whose value columns are all NULL) REPLACES the carried
+      version with NULLs instead of being skipped, and probes after a
+      delete correctly read "no live version".
+
+    Same mechanics as temporal_join otherwise: one keyed stateful
+    operator over a single stream carrying both sides; within a batch
+    rows sort by (ts, build-before-probe, *val_cols) so a same-ts
+    build is visible to its probe and equal-ts builds resolve
+    lexicographically-max (NULLs last), in-batch and across batches —
+    the carried state re-enters each batch's sort as a synthetic
+    build row. Pre-aggregate equal-(key, ts) builds upstream for a
+    deterministic tie rule, as in asof_join. State per key is ONE
+    (ts, *values) version forever. Output: (id, key, probe_ts,
+    build_ts, *val_cols) with LEFT semantics; ``val_cols`` names must
+    not collide with those four. Types derive from ``events.schema``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    val_cols = list(val_cols)
+    clash = set(val_cols) & {id_col, key, "probe_ts", "build_ts"}
+    if clash:
+        raise ValueError(f"temporal_enrich: value columns collide: {sorted(clash)}")
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        st = state.get if state.exists else None
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        pdf = pdf[pdf[type_col].isin([build_type, probe_type])]
+        if not len(pdf):
+            return
+        if st is not None:
+            seed = pd.DataFrame(
+                [
+                    {
+                        ts: pd.Timestamp(st[0], unit="us"),
+                        type_col: build_type,
+                        **{c: st[1 + i] for i, c in enumerate(val_cols)},
+                    }
+                ]
+            )
+            for c in (ts, *val_cols):
+                seed[c] = seed[c].astype(pdf[c].dtype)
+            pdf = pd.concat([seed, pdf], ignore_index=True)
+        is_b = pdf[type_col] == build_type
+        pdf = (
+            pdf.assign(_side=(~is_b).astype(int))
+            .sort_values([ts, "_side", *val_cols], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        is_b = (pdf[type_col] == build_type).to_numpy()
+        # positional carry: each row sees the INDEX of the latest build
+        # at or before it — NULL build values ride along faithfully
+        bpos = pd.Series(np.where(is_b, np.arange(len(pdf)), np.nan)).ffill()
+        if is_b.any():
+            lb = pdf.iloc[int(bpos.iloc[-1])]
+            vals = []
+            for c in val_cols:
+                v = lb[c]
+                vals.append(None if pd.isna(v) else (v.item() if hasattr(v, "item") else v))
+            state.update((int(lb[ts].value // 1000), *vals))
+        probes = ~is_b
+        if not probes.any():
+            return
+        pp = bpos[probes]
+        matched = pp.notna().to_numpy()
+        idx = pp.fillna(0).astype(int).to_numpy()
+        out = {
+            id_col: pdf.loc[probes, id_col].to_numpy(),
+            key: key_tuple[0],
+            "probe_ts": pdf.loc[probes, ts].to_numpy(),
+        }
+        bts = pdf[ts].iloc[idx].reset_index(drop=True)
+        bts[~matched] = pd.NaT
+        out["build_ts"] = bts.to_numpy()
+        for c in val_cols:
+            v = pdf[c].iloc[idx].reset_index(drop=True)
+            v[~matched] = None
+            out[c] = v.to_numpy()
+        yield pd.DataFrame(out)
+
+    field = {
+        c: events.schema[c].dataType for c in (key, ts, id_col, *val_cols)
+    }
+    out_t = T.StructType(
+        [
+            T.StructField(id_col, field[id_col]),
+            T.StructField(key, field[key]),
+            T.StructField("probe_ts", field[ts]),
+            T.StructField("build_ts", field[ts]),
+            *[T.StructField(c, field[c]) for c in val_cols],
+        ]
+    )
+    state_t = T.StructType(
+        [T.StructField("bts", T.LongType())]
+        + [T.StructField(f"bv{i}", field[c]) for i, c in enumerate(val_cols)]
+    )
+    # NoTimeout: the latest dim version must persist for the stream's
+    # lifetime (fix_is_new's unbounded ValueState class)
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_t,
+        stateStructType=state_t,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def temporal_join(
     events: DataFrame,
     key: str = "user_id",

@@ -1525,6 +1525,52 @@ def test_temporal_join_tie_rule_across_batches(spark):
     }
 
 
+def test_temporal_enrich_tombstone_replaces_carried_version(spark):
+    """temporal_enrich's two contracts over temporal_join: (a) a CDC
+    DELETE tombstone (build row with all-NULL values) REPLACES the
+    carried version — probes after it read NULLs, not the dead
+    version's values (the positional carry; an ignore-null fill would
+    leak); (b) N value columns of mixed types (double + timestamp)
+    ride as ONE version, including across a micro-batch boundary
+    through state."""
+    from datetime import datetime
+
+    from gmall_flink_0526_spark.streaming.replay import replay_stateful
+    from gmall_flink_0526_spark.streaming.stateful import temporal_enrich
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    # (o_orderkey, ts, custkey, event_type, acctbal_asof, version_from, b)
+    rows = [
+        (-1, t(1), 10, "dimchange", 50.0, t(1), 0),   # version 1
+        (101, t(2), 10, "order", None, None, 0),      # -> v1
+        (-2, t(3), 10, "dimchange", None, None, 1),   # TOMBSTONE (batch 2)
+        (102, t(4), 10, "order", None, None, 1),      # -> deleted: NULLs
+        (-3, t(5), 10, "dimchange", 70.0, t(5), 1),   # re-insert
+        (103, t(6), 10, "order", None, None, 2),      # -> v3 ACROSS batch
+        (104, t(0), 20, "order", None, None, 0),      # probe before any build
+    ]
+    src = spark.createDataFrame(
+        rows, "o_orderkey long, ts timestamp, custkey long, event_type string, "
+        "acctbal_asof double, version_from timestamp, b int",
+    )
+    op = lambda s: temporal_enrich(
+        s, key="custkey", ts="ts", id_col="o_orderkey",
+        val_cols=("acctbal_asof", "version_from"),
+    )
+    out = {
+        r["o_orderkey"]: (r["build_ts"], r["acctbal_asof"], r["version_from"])
+        for r in replay_stateful(
+            spark, src, op, order_by=["ts", "o_orderkey"], file_of=F.col("b"),
+        ).collect()
+    }
+    assert out[101] == (t(1), 50.0, t(1))
+    # tombstone matched: build exists (build_ts = delete time), values NULL
+    assert out[102] == (t(3), None, None)
+    # re-insert carried through state into batch 3
+    assert out[103] == (t(5), 70.0, t(5))
+    assert out[104] == (None, None, None)  # LEFT: probe before any build
+
+
 def test_temporal_join_derives_types_from_input_schema(spark):
     """temporal_join's output/state types follow the INPUT schema (the
     r9 ADVICE nit: they were hardcoded long/double): a string key and
