@@ -601,7 +601,10 @@ def main() -> None:
             wh_gen_s = round(time.time() - t0, 2)
             warehouse = {"gen_sec": wh_gen_s}
             q5_sf1 = None
-            for name in ("local_supplier_volume", "pricing_summary"):
+            # r10: dim_enrichment_asof rides the warehouse corpus — the
+            # as-of union-fill (one custkey exchange + per-key sort)
+            # must track data size with no fan-out term at 10x
+            for name in ("local_supplier_volume", "pricing_summary", "dim_enrichment_asof"):
                 for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", wh)):
                     t0 = time.time()
                     df = qs[name](spark, sf_dir)
