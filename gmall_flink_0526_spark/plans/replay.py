@@ -1188,9 +1188,15 @@ def _register_dim_enrichment_asof_stream():
             s, key="custkey", ts="ts", id_col="o_orderkey",
             val_cols=("acctbal_asof", "version_from"),
         )
+        # this replay carries the catalog's largest stateful key space
+        # (every customer), and harness wall-clock is per-GROUP Python
+        # calls — scale state fan-out to the worker pool instead of the
+        # 16-partition default (measured at sf0.1/32 cpus: 35 -> 20 s;
+        # past the pool it pays empty state-store commits again)
         out = replay_stateful(
             spark, ev, op, order_by=["ts", "o_orderkey"],
             cache_key=f"pit_tspan:{sf_dir}", file_of=file_of,
+            shuffle_partitions=min(32, spark.sparkContext.defaultParallelism),
         )
         return out.select(
             "o_orderkey",
