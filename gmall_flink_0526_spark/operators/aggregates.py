@@ -116,6 +116,116 @@ def cms_counters(
     )
 
 
+# -- Equi-width histogram quantile sketch --------------------------------
+#
+# The QUANTILE member of the mergeable-sketch family (CMS = frequency,
+# Bloom = membership): a fixed BINS-cell count grid per group over a
+# provisioned value domain. Fixed memory at any stream size, built by
+# one map-side-combinable grouped count, mergeable across shards and
+# epochs by plain addition (exactly like CMS), and every derivation —
+# bin index, rank threshold, midpoint estimate — is plain IEEE double
+# arithmetic identical in Spark and DuckDB, so an oracle re-derives
+# estimates INCLUDING the binning error. Production swaps in t-digest
+# for tighter tails; the histogram is the shape that stays
+# bit-reproducible cross-engine, which is what the AUDIT needs.
+HIST_BINS = 256
+# audited quantiles: label -> probability (labels keep the output
+# column engine-type-stable; a bare 0.9 literal is DECIMAL in DuckDB)
+HIST_QS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def hist_bin(
+    value: Column, vmin: Column, vmax: Column, bins: int = HIST_BINS
+) -> Column:
+    """Equi-width bin index in [0, bins): floor((v - vmin) / w) clamped
+    into the edge bins on BOTH sides (v == vmax lands in bins-1; an
+    out-of-domain value under a provisioned stream domain clamps to 0
+    or bins-1, the standard streaming-histogram contract); a
+    degenerate domain (vmin == vmax) collapses to bin 0. Pure double
+    arithmetic, same expression tree as the SQL twin."""
+    w = (vmax - vmin) / bins
+    return F.when(
+        w > 0,
+        F.greatest(
+            F.least(F.floor((value - vmin) / w).cast("int"), F.lit(bins - 1)),
+            F.lit(0),
+        ),
+    ).otherwise(0)
+
+
+def hist_counters(
+    df: DataFrame,
+    group: str,
+    value_col: str,
+    bounds: DataFrame,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Build the sketch: (group, b, ct) grid — at most groups*bins rows
+    out of ONE grouped count with map-side partial aggregation.
+    ``bounds`` is the provisioned (group, vmin, vmax) domain table —
+    config-sized (one row per group), broadcast; a stream provisions
+    it once up front (the Bloom-width contract) so per-epoch grids
+    stay mergeable."""
+    j = df.join(F.broadcast(bounds), group)
+    return j.groupBy(
+        group,
+        hist_bin(F.col(value_col), F.col("vmin"), F.col("vmax"), bins).alias("b"),
+    ).agg(F.count("*").alias("ct"))
+
+
+def hist_quantiles(
+    counters: DataFrame,
+    bounds: DataFrame,
+    group: str = "event_type",
+    qs: tuple = HIST_QS,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Quantile point-estimates from the sketch: per group, the first
+    bin whose running count reaches ceil(p * n), estimated at the bin
+    midpoint. Everything after the grid is sub-kilobyte: the cumulative
+    window and the per-quantile conditional mins run over <= groups*bins
+    rows, and n is the grid's own column sum (no second pass over the
+    data). Output: (group, q, n, hist_q) — one row per group per
+    audited quantile."""
+    from pyspark.sql import Window as W
+
+    w_cum = W.partitionBy(group).orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = counters.withColumn("cum", F.sum("ct").over(w_cum)).withColumn(
+        "n", F.sum("ct").over(W.partitionBy(group))
+    )
+    hits = cum.groupBy(group).agg(
+        F.max("n").alias("n"),
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("b"))
+            ).alias(f"_b_{q}")
+            for q, p in qs
+        ],
+    )
+    width = (F.col("vmax") - F.col("vmin")) / bins
+    return (
+        hits.join(F.broadcast(bounds), group)
+        .select(
+            group,
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).alias("q"),
+                            (F.col("vmin") + (F.col(f"_b_{q}") + 0.5) * width).alias(
+                                "hist_q"
+                            ),
+                        )
+                        for q, _ in qs
+                    ]
+                )
+            ).alias("_e"),
+        )
+        .select(group, F.col("_e.q").alias("q"), "n", F.col("_e.hist_q").alias("hist_q"))
+    )
+
+
 def cms_estimate(
     keys: DataFrame,
     counters: DataFrame,

@@ -695,6 +695,133 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def sql_quantile_hist_audit() -> str:
+    """The histogram-quantile audit as DuckDB SQL — shared verbatim by
+    `quantile_histogram_audit` (grid built in-query) and the streaming
+    replay `quantile_sketch_stream` (per-epoch grids summed): the grid
+    is additive, so both build paths are the same grid. Every float
+    step (bin width, bin index, rank threshold, midpoint) is the same
+    IEEE expression tree as the Spark side, so estimates match
+    bit-for-bit INCLUDING binning error."""
+    from ..operators.aggregates import HIST_BINS, HIST_QS
+
+    exl = " UNION ALL ".join(
+        f"SELECT event_type, '{q}' AS q, quantile_disc(value, {p}) AS exact_q "
+        f"FROM events GROUP BY event_type"
+        for q, p in HIST_QS
+    )
+    hit_cols = ", ".join(
+        f"MIN(CASE WHEN cum >= CAST(CEIL({p} * n) AS BIGINT) THEN b END) AS _b_{q}"
+        for q, p in HIST_QS
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT event_type, n, '{q}' AS q, _b_{q} AS qb FROM hits" for q, _ in HIST_QS
+    )
+    return f"""
+    WITH stats AS (
+      SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN s.vmax > s.vmin
+                  THEN GREATEST(LEAST(CAST(FLOOR((e.value - s.vmin)
+                        / ((s.vmax - s.vmin) / {HIST_BINS})) AS INTEGER),
+                       {HIST_BINS - 1}), 0)
+                  ELSE 0 END AS b
+      FROM events e JOIN stats s USING (event_type)
+    ),
+    hist AS (SELECT event_type, b, COUNT(*) AS ct FROM binned GROUP BY 1, 2),
+    cumt AS (
+      SELECT event_type, b, ct,
+             SUM(ct) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+             SUM(ct) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    hits AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, {hit_cols}
+      FROM cumt GROUP BY event_type
+    ),
+    hitl AS ({unpivot}),
+    exl AS ({exl})
+    SELECT h.event_type, h.q, h.n,
+           s.vmin + (h.qb + 0.5) * ((s.vmax - s.vmin) / {HIST_BINS}) AS hist_q,
+           e.exact_q,
+           s.vmin + (h.qb + 0.5) * ((s.vmax - s.vmin) / {HIST_BINS}) - e.exact_q
+             AS err
+    FROM hitl h
+    JOIN stats s USING (event_type)
+    JOIN exl e ON e.event_type = h.event_type AND e.q = h.q
+    """
+
+
+def _exact_disc_long(spark: SparkSession) -> DataFrame:
+    """Exact per-type quantiles (percentile_disc picks an ELEMENT, so
+    both engines agree bit-for-bit), unpivoted to (event_type, q,
+    exact_q)."""
+    from ..operators.aggregates import HIST_QS
+
+    cols = ", ".join(
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY value) AS _x_{q}"
+        for q, p in HIST_QS
+    )
+    wide = spark.sql(f"SELECT event_type, {cols} FROM events GROUP BY event_type")
+    return wide.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"), F.col(f"_x_{q}").alias("exact_q")
+                    )
+                    for q, _ in HIST_QS
+                ]
+            )
+        ).alias("_e"),
+    ).select("event_type", F.col("_e.q").alias("q"), F.col("_e.exact_q").alias("exact_q"))
+
+
+@register(
+    "quantile_histogram_audit",
+    oracle=sql_quantile_hist_audit(),
+    doc="Histogram-quantile sketch audit — the QUANTILE member of the "
+    "mergeable-sketch family (CMS = frequency, Bloom = membership): a "
+    "fixed 256-bin equi-width count grid per event type (one "
+    "map-side-combinable grouped count, additive across shards/epochs "
+    "exactly like CMS) point-estimates p50/p90/p99 at the matched "
+    "bin's midpoint; err = hist_q - exact_q is the binning error "
+    "actually paid, the calibration read before trusting the sketch "
+    "as the 100 TB swap for a full sort. The exact side is "
+    "percentile_disc (picks an element — engine-agreeing), and every "
+    "sketch-side float step (width, bin, ceil-rank, midpoint) is the "
+    "same IEEE expression tree in both engines, so the oracle "
+    "re-derives the estimates bit-for-bit. Post-grid work is "
+    "sub-kilobyte: windows and conditional mins over <= types*256 "
+    "rows. Production swaps t-digest for tighter tails; this is the "
+    "shape that stays cross-engine reproducible, which is what an "
+    "audit needs.",
+    tags=("events", "sketch", "agg", "stats"),
+)
+def quantile_histogram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import hist_counters, hist_quantiles
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    hist = hist_counters(ev, "event_type", "value", bounds)
+    est = hist_quantiles(hist, bounds)
+    return est.join(_exact_disc_long(spark), ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        "n",
+        "hist_q",
+        "exact_q",
+        (F.col("hist_q") - F.col("exact_q")).alias("err"),
+    )
+
+
 @register(
     "funnel_conversion",
     oracle="""

@@ -1209,3 +1209,91 @@ def _register_dim_enrichment_asof_stream():
 
 
 _register_dim_enrichment_asof_stream()
+
+
+def _register_quantile_sketch_stream():
+    from .logs import _exact_disc_long, sql_quantile_hist_audit
+
+    @register(
+        "quantile_sketch_stream",
+        oracle=sql_quantile_hist_audit(),
+        doc="The histogram-quantile audit with the grid maintained by "
+        "the REAL streaming app (streaming/pipelines.hist_sketch_app): "
+        "the events stream replays in 3 micro-batches, each batch "
+        "contributes its own per-type 256-bin count grid to an "
+        "epoch-addressed store over a domain PROVISIONED up front "
+        "(the Bloom-width contract -- fixed bounds are what keep "
+        "per-epoch grids mergeable), and the live sketch is the "
+        "per-(type, bin) SUM over epochs. Histogram merge is plain "
+        "addition, so the streamed grid is BIT-IDENTICAL to the "
+        "one-shot batch grid and this query shares "
+        "quantile_histogram_audit's oracle verbatim -- a green row "
+        "certifies mergeability itself (the CMS/Bloom pattern, third "
+        "member). Crash rule = overwrite-own-epoch, pinned by the "
+        "poison-epoch/restart test. Per-key state nowhere; the grid "
+        "is the state, types*bins rows forever.",
+        tags=("streaming", "sketch", "replay", "events", "stats"),
+    )
+    def quantile_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..operators.aggregates import hist_quantiles
+        from ..operators.cache import corpus_value
+        from ..operators.partitioning import spread
+        from ..sources.registry import ChannelRegistry, write_replay
+        from ..streaming.pipelines import hist_sketch_app, merged_hist_grid
+
+        ev = load_tables(spark, sf_dir, "events")["events"]
+
+        def _bounds() -> list:
+            # provisioning: one tiny agg collected to (#event types)
+            # driver rows -- contract-bounded (4 types), the same class
+            # as the centroid tables and the memoized bloom width
+            return [
+                (r["event_type"], float(r["vmin"]), float(r["vmax"]))
+                for r in ev.groupBy("event_type")
+                .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+                .collect()
+            ]
+
+        bounds_rows = corpus_value(spark, "hist_bounds:events", sf_dir, _bounds)
+        lines = spread(ev, "event_id").select("event_id", "ts", "event_type", "value")
+        root = temp_replay_root("gmall_hist_")
+        reg = ChannelRegistry(root)
+        reg.register(
+            "ods_events",
+            schema="event_id long, ts timestamp, event_type string, value double",
+        )
+        write_replay(
+            lines, reg.channels["ods_events"].path, n_files=3,
+            order_by=["ts", "event_id"],
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # per-batch grids are <= types*bins rows: keep the 3-batch
+            # replay's commit count honest (the r4 lesson)
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = hist_sketch_app(
+                spark, reg, os.path.join(root, "ckpt"),
+                os.path.join(root, "store"), bounds_rows,
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        grid = merged_hist_grid(spark, os.path.join(root, "store"))
+        bounds = spark.createDataFrame(
+            bounds_rows, "event_type string, vmin double, vmax double"
+        )
+        est = hist_quantiles(grid, bounds)
+        return est.join(_exact_disc_long(spark), ["event_type", "q"]).select(
+            "event_type",
+            "q",
+            "n",
+            "hist_q",
+            "exact_q",
+            (F.col("hist_q") - F.col("exact_q")).alias("err"),
+        )
+
+
+_register_quantile_sketch_stream()

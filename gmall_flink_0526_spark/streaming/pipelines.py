@@ -941,6 +941,63 @@ def merged_cms_grid(spark: SparkSession, store_root: str) -> DataFrame:
     )
 
 
+def hist_sketch_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    store_root: str,
+    bounds_rows: list,
+    source: str = "ods_events",
+    group: str = "event_type",
+    value_col: str = "value",
+):
+    """Streaming histogram-quantile sketch maintenance — the quantile
+    member of the epoch-store sketch trio (CMS adds, Bloom ors, the
+    histogram adds): every micro-batch builds its own per-group
+    256-bin count grid over the PROVISIONED value domain and writes it
+    to an epoch-addressed store; the live sketch is the per-(group, b)
+    SUM over epochs (:func:`merged_hist_grid`). ``bounds_rows`` is the
+    provisioned (group, vmin, vmax) domain — fixed up front like the
+    Bloom width, which is exactly what keeps per-epoch grids
+    mergeable; values outside the domain clamp into the edge bins, the
+    standard streaming-histogram contract (re-provision by batch
+    rebuild when the domain drifts). No per-key state: the grid IS the
+    state, groups*bins rows forever. Same overwrite-own-epoch crash
+    rule as the CMS app."""
+    from ..operators.aggregates import hist_counters
+
+    grid_path = os.path.join(store_root, "hist_grid")
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        bounds = sess.createDataFrame(
+            bounds_rows, f"{group} string, vmin double, vmax double"
+        )
+        hist_counters(
+            batch.select(group, value_col), group, value_col, bounds
+        ).write.mode("overwrite").parquet(os.path.join(grid_path, f"epoch={epoch_id}"))
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(ckpt, "hist_sketch"))
+        .start()
+    )
+
+
+def merged_hist_grid(
+    spark: SparkSession, store_root: str, group: str = "event_type"
+) -> DataFrame:
+    """The live histogram over an epoch-addressed grid store: count
+    sums per (group, bin) — at most groups*bins result rows, however
+    many epochs accumulated."""
+    return (
+        spark.read.parquet(os.path.join(store_root, "hist_grid"))
+        .groupBy(group, "b")
+        .agg(F.sum("ct").alias("ct"))
+    )
+
+
 def compact_signature_store(
     spark: SparkSession,
     store_root: str,

@@ -1480,6 +1480,81 @@ def test_bloom_filter_app_or_merges_to_batch_bitset_and_survives_retry(spark, tm
     assert got == exp  # poison gone, or-merge equals the batch bitset
 
 
+def test_hist_sketch_app_sums_to_batch_grid_and_survives_retry(spark, tmp_path):
+    """The streaming histogram app's two contracts (the sketch trio's
+    third member, same shape as the CMS and Bloom tests): (a)
+    ADDITIVITY — per-epoch grids summed equal the one-shot batch grid
+    bit-for-bit, under bounds PROVISIONED once up front; (b) the
+    epoch-overwrite crash rule — a dead batch attempt's poisoned grid
+    is rewritten on restart, so the recovered sketch still equals the
+    uninterrupted one."""
+    import shutil
+
+    from gmall_flink_0526_spark.operators.aggregates import hist_counters
+
+    ev = load_tables(spark, SF_SMOKE, "events")["events"].select(
+        "event_id", "ts", "event_type", "value"
+    )
+    bounds_rows = [
+        (r["event_type"], float(r["vmin"]), float(r["vmax"]))
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        .collect()
+    ]
+    reg = ChannelRegistry(str(tmp_path / "chan"))
+    reg.register(
+        "ods_events", schema="event_id long, ts timestamp, event_type string, value double"
+    )
+    write_replay(
+        ev, reg.channels["ods_events"].path, n_files=3,
+        order_by=["event_id"], file_of=F.col("event_id") % 3,
+    )
+
+    src_path = reg.channels["ods_events"].path
+    files = sorted(
+        (
+            f
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ),
+        key=lambda f: os.path.getmtime(os.path.join(src_path, f)),
+    )
+    hidden = files[-1]
+    shutil.move(os.path.join(src_path, hidden), str(tmp_path / "hidden.parquet"))
+    q = pipelines.hist_sketch_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store"), bounds_rows
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # dead batch-2 attempt: poisoned grid written, checkpoint not committed
+    spark.createDataFrame(
+        [("view", 0, 10**9)], "event_type string, b int, ct long"
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "store" / "hist_grid" / "epoch=2")
+    )
+
+    shutil.move(str(tmp_path / "hidden.parquet"), os.path.join(src_path, hidden))
+    q2 = pipelines.hist_sketch_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store"), bounds_rows
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    bounds = spark.createDataFrame(
+        bounds_rows, "event_type string, vmin double, vmax double"
+    )
+    exp = {
+        (r["event_type"], r["b"]): r["ct"]
+        for r in hist_counters(ev, "event_type", "value", bounds).collect()
+    }
+    got = {
+        (r["event_type"], r["b"]): r["ct"]
+        for r in pipelines.merged_hist_grid(spark, str(tmp_path / "store")).collect()
+    }
+    assert got == exp  # poison gone, per-epoch sums equal the batch grid
+
+
 def test_temporal_join_tie_rule_across_batches(spark):
     """The as-of tie rule under an ADVERSARIAL explicit micro-batch
     split: two equal-ts builds with different values land in DIFFERENT
