@@ -133,6 +133,7 @@ _PRIORITY = (
     "decontaminate_bloom_stream",
     "quantile_histogram_audit",
     "quantile_sketch_stream",
+    "bpe_merge_candidates",
     # -- CHANGED in r10: asof_join moved to the struct-packed NULL-safe
     #    fill (asof_click_attribution; dim_enrichment_asof above);
     #    temporal_join derives its types from the input schema

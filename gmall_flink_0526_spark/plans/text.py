@@ -384,6 +384,66 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- BPE merge candidates -------------------------------------------------
+
+BPE_TOP = 50
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i + 1])) AS pair
+      FROM toks WHERE len(t) >= 2
+    ),
+    pf AS (SELECT pair, COUNT(*) AS ct FROM pairs GROUP BY pair),
+    ranked AS (
+      SELECT pair, ct, ROW_NUMBER() OVER (ORDER BY ct DESC, pair) AS rn
+      FROM pf
+    )
+    SELECT rn, pair, ct FROM ranked WHERE rn <= {BPE_TOP}
+    """,
+    doc=f"BPE merge-candidate induction — ONE round of the byte-pair-"
+    f"encoding tokenizer-training loop at corpus scale: count every "
+    f"ADJACENT token pair and rank the top {BPE_TOP} merge candidates "
+    "(highest-count pair = the next merge a BPE trainer would add; "
+    "re-run after applying merges for the full loop — each round is "
+    "this same query over the re-tokenized corpus). Shape: tokens "
+    "staged once per row (projection barrier, so the lambda never "
+    "re-tokenizes per element), adjacent pairs via "
+    "sequence+transform+explode inside whole-stage codegen (fan-out "
+    "exactly tokens-1 per doc, linear), ONE map-side-combinable count "
+    "shuffle on the pair, head via TakeOrderedAndProject "
+    "(per-partition top-N + driver merge, never a vocabulary²-wide "
+    "sort); the rank window sees only the post-limit rows.",
+    tags=("text", "llm-prep", "tokenizer"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.partitioning import spread
+
+    t = load_tables(spark, sf_dir, "documents")
+    staged = textops.with_tokens(spread(t["documents"], "doc_id"))
+    pairs = staged.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("pair")
+    )
+    pf = pairs.groupBy("pair").agg(F.count("*").alias("ct"))
+    top = pf.orderBy(F.col("ct").desc(), "pair").limit(BPE_TOP)
+    return top.select(
+        F.row_number().over(W.orderBy(F.col("ct").desc(), "pair")).alias("rn"),
+        "pair",
+        "ct",
+    )
+
+
 # -- count-min heavy hitters --------------------------------------------
 
 CMS_TOP = 20

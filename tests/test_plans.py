@@ -222,6 +222,16 @@ def test_value_percentiles_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
 
 
+def test_bpe_merge_candidates_distributed_head_and_partial_agg(spark):
+    """The BPE pair count must keep its head distributed
+    (TakeOrderedAndProject: per-partition top-N + driver merge, never
+    a vocabulary-wide single-partition sort) and its count shuffle
+    partial-aggregated map-side."""
+    p = plan_of(spark, "bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in p
+    assert len(re.findall(r"HashAggregate", p)) >= 2  # partial + final
+
+
 def test_dim_enrichment_asof_is_union_fill_not_range_join(spark):
     """Point-in-time enrichment must plan as asof_join's sorted-union
     window fill: NO join operator between facts and dim history (a
