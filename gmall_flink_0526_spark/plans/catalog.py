@@ -126,14 +126,18 @@ _PRIORITY = (
     "ann_topk_ivf_kmeans",
     "ann_recall_ivf",
     # -- NEW in r10: point-in-time dim enrichment (scd2_from_changes +
-    #    asof_join, DuckDB ASOF oracle) and the streaming Bloom
-    #    decontamination twin (or-merged epoch store). ------------------
+    #    asof_join, DuckDB ASOF oracle) + its temporal_enrich streaming
+    #    twin; the streaming Bloom decontamination twin (or-merged
+    #    epoch store); the histogram-quantile sketch audit + its
+    #    epoch-store streaming twin; BPE merge-candidate induction;
+    #    the chi-square distribution-drift audit. -----------------------
     "dim_enrichment_asof",
     "dim_enrichment_asof_stream",
     "decontaminate_bloom_stream",
     "quantile_histogram_audit",
     "quantile_sketch_stream",
     "bpe_merge_candidates",
+    "value_drift_chi2",
     # -- CHANGED in r10: asof_join moved to the struct-packed NULL-safe
     #    fill (asof_click_attribution; dim_enrichment_asof above);
     #    temporal_join derives its types from the input schema

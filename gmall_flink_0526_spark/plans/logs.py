@@ -822,6 +822,106 @@ def quantile_histogram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_drift_chi2() -> str:
+    from ..functions.exact import sql_sum
+    from ..operators.aggregates import HIST_BINS
+
+    return f"""
+    WITH stats AS (
+      SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type, e.event_id % 2 AS h,
+             CASE WHEN s.vmax > s.vmin
+                  THEN GREATEST(LEAST(CAST(FLOOR((e.value - s.vmin)
+                        / ((s.vmax - s.vmin) / {HIST_BINS})) AS INTEGER),
+                       {HIST_BINS - 1}), 0)
+                  ELSE 0 END AS b
+      FROM events e JOIN stats s USING (event_type)
+    ),
+    grid AS (
+      SELECT event_type, b,
+             COUNT(*) FILTER (WHERE h = 0) AS c0,
+             COUNT(*) FILTER (WHERE h = 1) AS c1
+      FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(c0) AS BIGINT) AS n0,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(COUNT(*) AS BIGINT) AS used_bins
+      FROM grid GROUP BY 1
+    ),
+    terms AS (
+      SELECT g.event_type, g.c0, g.c1,
+             CAST(g.c0 + g.c1 AS DOUBLE) * t.n0 / (t.n0 + t.n1) AS e0,
+             CAST(g.c0 + g.c1 AS DOUBLE) * t.n1 / (t.n0 + t.n1) AS e1
+      FROM grid g JOIN tot t USING (event_type)
+    )
+    SELECT t.event_type, t.n0, t.n1, t.used_bins,
+           {sql_sum("(c0 - e0) * (c0 - e0) / e0 + (c1 - e1) * (c1 - e1) / e1")}
+             AS chi2
+    FROM terms x JOIN tot t USING (event_type)
+    WHERE x.e0 > 0 AND x.e1 > 0
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@register(
+    "value_drift_chi2",
+    oracle=_sql_drift_chi2(),
+    doc="Distribution-drift audit — the data-quality monitor a 100 TB "
+    "ingest pipeline runs between corpus snapshots: a two-sample "
+    "chi-square statistic per event type over the SAME 256-bin "
+    "histogram grid the quantile sketch uses (here the two samples "
+    "are the deterministic event_id-parity halves; production passes "
+    "yesterday/today). Everything heavy is the one "
+    "map-side-combinable grouped count building the (type, bin, "
+    "half) grid; expected counts, per-bin terms and the chi-square "
+    "sum run over <= types*256 rows, with the final sum "
+    "decimal-accumulated (order-free) so both engines emit identical "
+    "doubles — chi-square is all +,*,/ (no libm log like PSI/KL, "
+    "whose last-bit rounding is engine-specific). used_bins - 1 is "
+    "the test's degrees of freedom.",
+    tags=("events", "sketch", "audit", "stats"),
+)
+def value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import hist_bin
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type", "value", (F.col("event_id") % 2).alias("h")
+    )
+    bounds = t["events"].groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "h",
+        hist_bin(F.col("value"), F.col("vmin"), F.col("vmax")).alias("b"),
+    )
+    grid = binned.groupBy("event_type", "b").agg(
+        F.count_if(F.col("h") == 0).alias("c0"),
+        F.count_if(F.col("h") == 1).alias("c1"),
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.count("*").alias("used_bins"),
+    )
+    j = grid.join(F.broadcast(tot), "event_type")
+    e0 = (F.col("c0") + F.col("c1")).cast("double") * F.col("n0") / (F.col("n0") + F.col("n1"))
+    e1 = (F.col("c0") + F.col("c1")).cast("double") * F.col("n1") / (F.col("n0") + F.col("n1"))
+    term = (F.col("c0") - e0) * (F.col("c0") - e0) / e0 + (
+        F.col("c1") - e1
+    ) * (F.col("c1") - e1) / e1
+    return (
+        j.filter((e0 > 0) & (e1 > 0))
+        .groupBy("event_type", "n0", "n1", "used_bins")
+        .agg(exact_sum(term).alias("chi2"))
+    )
+
+
 @register(
     "funnel_conversion",
     oracle="""
