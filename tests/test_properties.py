@@ -530,3 +530,134 @@ def test_cms_matches_python_model(spark, toks):
     for t in novel:
         model = min(exp_grid.get((i, bucket(t, i)), 0) for i in range(CMS_DEPTH))
         assert est2[t] == model
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_hist_quantiles_match_python_model(spark, vals):
+    """The histogram-quantile sketch vs a plain-Python model sharing
+    the exact IEEE arithmetic (Python floats ARE doubles): same bin
+    width, same clamped bin index, same ceil-rank threshold, same
+    midpoint estimate — on adversarial tiny inputs (single value,
+    degenerate vmin==vmax domain, heavy duplicates) where hand-rolled
+    binning usually breaks. Pins the mechanism the DuckDB oracle also
+    re-derives."""
+    import math
+
+    from collections import Counter
+
+    from gmall_flink_0526_spark.operators.aggregates import (
+        HIST_BINS,
+        HIST_QS,
+        hist_counters,
+        hist_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "event_type string, value double"
+    )
+    bounds = df.groupBy("event_type").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    got = {
+        r["q"]: (r["n"], r["hist_q"])
+        for r in hist_quantiles(
+            hist_counters(df, "event_type", "value", bounds), bounds
+        ).collect()
+    }
+
+    vmin, vmax, n = min(vals), max(vals), len(vals)
+    w = (vmax - vmin) / HIST_BINS
+
+    def bin_of(v: float) -> int:
+        if not w > 0:
+            return 0
+        return max(min(int(math.floor((v - vmin) / w)), HIST_BINS - 1), 0)
+
+    hist = Counter(bin_of(v) for v in vals)
+    exp = {}
+    for q, p in HIST_QS:
+        rank = math.ceil(p * n)
+        cum = 0
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum >= rank:
+                exp[q] = (n, vmin + (b + 0.5) * w)
+                break
+    assert got == exp
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_temporal_enrich_matches_python_asof_model(spark, data):
+    """temporal_enrich vs a plain-Python backward-inclusive as-of model
+    on generated event sequences: random keys, random build/probe mix,
+    builds with None values (tombstones), replayed in 3 event-time
+    micro-batches — the model ignores batching entirely, so any state
+    carry-over defect (lost version, tombstone skipped by an
+    ignore-null carry, wrong inclusive boundary) diverges."""
+    from datetime import datetime
+
+    from gmall_flink_0526_spark.streaming.replay import replay_stateful
+    from gmall_flink_0526_spark.streaming.stateful import temporal_enrich
+
+    n = data.draw(st.integers(4, 16))
+    keys = data.draw(st.lists(st.integers(1, 3), min_size=n, max_size=n))
+    # builds get UNIQUE (key, ts) pairs (the pre-aggregated-ties
+    # contract); probes may share any ts
+    events, used = [], set()
+    for i in range(n):
+        is_build = data.draw(st.booleans())
+        ts = data.draw(st.integers(0, 20))
+        if is_build:
+            if (keys[i], ts) in used:
+                is_build = False  # demote to probe instead of violating
+            else:
+                used.add((keys[i], ts))
+        if is_build:
+            val = data.draw(st.one_of(st.none(), st.integers(0, 9).map(float)))
+            events.append((i, ts, keys[i], "dimchange", val))
+        else:
+            events.append((i, ts, keys[i], "order", None))
+
+    rows = [
+        (i, datetime(2026, 1, 1, 0, 0, ts), k, typ, val)
+        for i, ts, k, typ, val in events
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    op = lambda s: temporal_enrich(
+        s, key="user_id", ts="ts", id_col="event_id",
+        build_type="dimchange", probe_type="order", val_cols=("value",),
+    )
+    got = {
+        r["event_id"]: (r["build_ts"], r["value"])
+        for r in replay_stateful(
+            spark, src, op, order_by=["ts", "event_id"],
+            file_of=F.expr("least(cast(second(ts) / 7 as int), 2)"),
+        ).collect()
+    }
+
+    builds = {
+        (k, ts): val for i, ts, k, typ, val in events if typ == "dimchange"
+    }
+    exp = {}
+    for i, ts, k, typ, val in events:
+        if typ != "order":
+            continue
+        cands = [(bt, bv) for (bk, bt), bv in builds.items() if bk == k and bt <= ts]
+        if cands:
+            bt, bv = max(cands, key=lambda c: c[0])
+            exp[i] = (datetime(2026, 1, 1, 0, 0, bt), bv)
+        else:
+            exp[i] = (None, None)
+    assert got == exp
