@@ -138,6 +138,7 @@ _PRIORITY = (
     "quantile_sketch_stream",
     "bpe_merge_candidates",
     "value_drift_chi2",
+    "bpe_apply_merge",
     # -- CHANGED in r10: asof_join moved to the struct-packed NULL-safe
     #    fill (asof_click_attribution; dim_enrichment_asof above);
     #    temporal_join derives its types from the input schema

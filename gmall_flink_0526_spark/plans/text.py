@@ -423,24 +423,144 @@ BPE_TOP = 50
 def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from ..operators.partitioning import spread
-
-    t = load_tables(spark, sf_dir, "documents")
-    staged = textops.with_tokens(spread(t["documents"], "doc_id"))
-    pairs = staged.filter(F.size("toks") >= 2).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-            )
-        ).alias("pair")
-    )
-    pf = pairs.groupBy("pair").agg(F.count("*").alias("ct"))
-    top = pf.orderBy(F.col("ct").desc(), "pair").limit(BPE_TOP)
+    top = _pair_counts(spark, sf_dir).orderBy(F.col("ct").desc(), "pair").limit(BPE_TOP)
     return top.select(
         F.row_number().over(W.orderBy(F.col("ct").desc(), "pair")).alias("rn"),
         "pair",
         "ct",
+    )
+
+
+_SQL_PAIRS = (
+    "unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))"
+)
+
+
+def apply_merge(toks, ma: str, mb: str):
+    """One greedy left-to-right BPE merge pass over a token array: every
+    adjacent (ma, mb) collapses to the space-joined merged symbol, and
+    a just-merged symbol never re-matches as the left side of the same
+    pair ('a a a' under merge (a,a) -> ['a a', 'a'], the BPE trainer's
+    rule). An ``aggregate`` fold inside whole-stage codegen — the
+    accumulator is the rewritten prefix, cost linear per token; DuckDB
+    mirrors it with ``list_reduce`` over the identical CASE, so both
+    engines rewrite every document identically."""
+    merged = F.lit(f"{ma} {mb}")
+    return F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(ma))
+            & (t == F.lit(mb)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+BPE_TOP2 = 10
+
+
+@register(
+    "bpe_apply_merge",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    p1 AS (
+      SELECT {_SQL_PAIRS} AS pair FROM toks WHERE len(t) >= 2
+    ),
+    top1 AS (
+      SELECT string_split(pair, ' ')[1] AS ma, string_split(pair, ' ')[2] AS mb
+      FROM (SELECT pair, COUNT(*) AS ct FROM p1 GROUP BY pair
+            ORDER BY ct DESC, pair LIMIT 1)
+    ),
+    m AS (
+      SELECT list_reduce(
+        list_prepend(CAST([] AS VARCHAR[]), list_transform(t, x -> [x])),
+        (acc, nxt) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = ma
+                           AND nxt[1] = mb
+                      THEN list_concat(list_slice(acc, 1, len(acc) - 1),
+                                       [ma || ' ' || mb])
+                      ELSE list_concat(acc, nxt) END) AS t
+      FROM toks CROSS JOIN top1
+    ),
+    p2 AS (
+      SELECT {_SQL_PAIRS} AS pair FROM m WHERE len(t) >= 2
+    ),
+    pf AS (SELECT pair, COUNT(*) AS ct FROM p2 GROUP BY pair),
+    ranked AS (
+      SELECT pair, ct, ROW_NUMBER() OVER (ORDER BY ct DESC, pair) AS rn
+      FROM pf
+    )
+    SELECT rn, pair, ct FROM ranked WHERE rn <= {BPE_TOP2}
+    """,
+    doc=f"ROUND TWO of the BPE loop — `bpe_merge_candidates` learns the "
+    "top merge, this query APPLIES it corpus-wide and re-counts: every "
+    "adjacent occurrence of the learned pair collapses to the merged "
+    "symbol via a greedy left-to-right `aggregate` fold (linear per "
+    "token, whole-stage codegen — never a Python UDF or a "
+    "per-position self-join), then the adjacent-pair count reruns "
+    f"over the rewritten corpus for the next {BPE_TOP2} merge "
+    "candidates — pairs CONTAINING the merged symbol prove the loop "
+    "actually composes. The learned pair is a memoized 1-row "
+    "corpus scalar (the centroid-table class); the oracle re-learns "
+    "it in a CTE and mirrors the fold with DuckDB's list_reduce over "
+    "the identical CASE, so both engines rewrite every document — "
+    "including the 'a a a' overlap rule — token-for-token.",
+    tags=("text", "llm-prep", "tokenizer"),
+)
+def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.cache import corpus_value
+    from ..operators.partitioning import spread
+
+    t = load_tables(spark, sf_dir, "documents")
+
+    def _top_pair() -> str:
+        # one 1-row collect, memoized per corpus — the bounded-scalar
+        # class; derivation identical to the oracle's top1 CTE (and to
+        # bpe_merge_candidates' rank rule: ct DESC, pair ASC)
+        return _pair_counts(spark, sf_dir).orderBy(
+            F.col("ct").desc(), "pair"
+        ).limit(1).collect()[0]["pair"]
+
+    ma, mb = corpus_value(spark, "bpe_top_pair", sf_dir, _top_pair).split(" ")
+    staged = textops.with_tokens(spread(t["documents"], "doc_id"))
+    rewritten = staged.select(apply_merge(F.col("toks"), ma, mb).alias("toks"))
+    pairs = rewritten.filter(F.size("toks") >= 2).select(
+        F.explode(_pair_expr()).alias("pair")
+    )
+    pf = pairs.groupBy("pair").agg(F.count("*").alias("ct"))
+    top = pf.orderBy(F.col("ct").desc(), "pair").limit(BPE_TOP2)
+    return top.select(
+        F.row_number().over(W.orderBy(F.col("ct").desc(), "pair")).alias("rn"),
+        "pair",
+        "ct",
+    )
+
+
+def _pair_expr():
+    """Adjacent-pair array from the staged ``toks`` column — shared by
+    both BPE queries so the learn and apply rounds count pairs
+    identically."""
+    return F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+
+
+def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pair, ct) over the raw corpus — the learn side, shared by
+    `bpe_merge_candidates` and `bpe_apply_merge`'s top-1 memo."""
+    from ..operators.partitioning import spread
+
+    t = load_tables(spark, sf_dir, "documents")
+    staged = textops.with_tokens(spread(t["documents"], "doc_id"))
+    return (
+        staged.filter(F.size("toks") >= 2)
+        .select(F.explode(_pair_expr()).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("ct"))
     )
 
 
