@@ -160,8 +160,11 @@ def main() -> None:
         detail = os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")
         with open(detail, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
-    except OSError:
-        pass  # a read-only checkout still gets the stdout record
+    except (OSError, ValueError):
+        # best-effort artifact: a read-only checkout (or a non-numeric
+        # SPARK_GRAFT_ROUND) must never kill the run before the
+        # truncation-proof summary line below prints
+        pass
     # A second, summary-only line: short enough to survive any tail
     # truncation intact, so the driver's parsed record is never null
     # even when the full per-query line overflows its buffer.

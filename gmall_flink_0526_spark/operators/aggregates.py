@@ -141,16 +141,25 @@ def hist_bin(
     into the edge bins on BOTH sides (v == vmax lands in bins-1; an
     out-of-domain value under a provisioned stream domain clamps to 0
     or bins-1, the standard streaming-histogram contract); a
-    degenerate domain (vmin == vmax) collapses to bin 0. Pure double
-    arithmetic, same expression tree as the SQL twin."""
+    degenerate domain (vmin == vmax) collapses to bin 0. An UNBINNABLE
+    row — NULL value, or NULL bounds from a group absent from the
+    provisioned domain — lands in the SENTINEL bin -1, so it stays
+    visible in the grid (the quantile reader skips it) instead of
+    silently inflating the top bin (NULL least/greatest skip nulls in
+    both engines) or vanishing. Pure double arithmetic otherwise, same
+    expression tree as the SQL twin."""
     w = (vmax - vmin) / bins
-    return F.when(
-        w > 0,
-        F.greatest(
-            F.least(F.floor((value - vmin) / w).cast("int"), F.lit(bins - 1)),
-            F.lit(0),
-        ),
-    ).otherwise(0)
+    return (
+        F.when(value.isNull() | vmin.isNull() | vmax.isNull(), F.lit(-1))
+        .when(
+            w > 0,
+            F.greatest(
+                F.least(F.floor((value - vmin) / w).cast("int"), F.lit(bins - 1)),
+                F.lit(0),
+            ),
+        )
+        .otherwise(0)
+    )
 
 
 def hist_counters(
@@ -165,8 +174,12 @@ def hist_counters(
     ``bounds`` is the provisioned (group, vmin, vmax) domain table —
     config-sized (one row per group), broadcast; a stream provisions
     it once up front (the Bloom-width contract) so per-epoch grids
-    stay mergeable."""
-    j = df.join(F.broadcast(bounds), group)
+    stay mergeable. The join is LEFT: rows of a group the domain does
+    not cover (a new group appeared mid-stream) count into that
+    group's SENTINEL bin -1 — observable in the grid as the signal to
+    re-provision, never silently dropped; :func:`hist_quantiles`
+    excludes the sentinel from estimates and n."""
+    j = df.join(F.broadcast(bounds), group, "left")
     return j.groupBy(
         group,
         hist_bin(F.col(value_col), F.col("vmin"), F.col("vmax"), bins).alias("b"),
@@ -190,9 +203,11 @@ def hist_quantiles(
     from pyspark.sql import Window as W
 
     w_cum = W.partitionBy(group).orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = counters.withColumn("cum", F.sum("ct").over(w_cum)).withColumn(
-        "n", F.sum("ct").over(W.partitionBy(group))
-    )
+    # sentinel bin -1 (NULL values / unprovisioned groups) is grid
+    # observability, not data: excluded from n and from every estimate
+    cum = counters.filter(F.col("b") >= 0).withColumn(
+        "cum", F.sum("ct").over(w_cum)
+    ).withColumn("n", F.sum("ct").over(W.partitionBy(group)))
     hits = cum.groupBy(group).agg(
         F.max("n").alias("n"),
         *[

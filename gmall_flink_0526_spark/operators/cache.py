@@ -9,13 +9,18 @@ NAMED scope that the *next* catalog query (or the owning stream's
 epoch exit) releases — at most one scope's worth of cache is ever
 live per owner, and unpersisting an already-collected frame is free.
 
-Scopes are THREAD-LOCAL by default: batch catalog queries register in
-the calling thread's ``"default"`` scope (drained by
-``plans.catalog.register`` at the next query), while a streaming
-``foreachBatch`` body wraps its epoch in :func:`cache_scope` so two
-concurrently running streams — or a stream beside an enclosing batch
-query — can never unpersist each other's pinned frames mid-flight
-(the r9 ADVICE trap: the drain used to be process-global).
+Scope NAMES are thread-local (frames live in a process-global dict
+keyed by name): the MAIN thread's unscoped persists register under
+``"default"`` (drained by ``plans.catalog.register`` at the next
+query); a streaming ``foreachBatch`` body wraps its epoch in
+:func:`cache_scope` so two concurrently running streams — or a stream
+beside an enclosing batch query — never unpersist each other's pinned
+frames mid-flight (the r9 ADVICE trap: the drain used to be
+process-global). Defense in depth for code that FORGETS the wrapper:
+an unscoped persist from a non-main thread falls into a
+thread-id-keyed scope, so the main thread's per-query drain can never
+reach it — it leaks until that thread drains itself, which is the
+safe failure (Spark recomputes; nothing is yanked mid-epoch).
 """
 
 from __future__ import annotations
@@ -31,7 +36,15 @@ _TLS = threading.local()
 
 
 def _current_scope() -> str:
-    return getattr(_TLS, "scope", "default")
+    explicit = getattr(_TLS, "scope", None)
+    if explicit is not None:
+        return explicit
+    if threading.current_thread() is threading.main_thread():
+        return "default"
+    # unscoped persist on a worker/stream thread: isolate per thread
+    # rather than sharing "default" with the main catalog loop, whose
+    # per-query drain would otherwise unpersist it mid-flight
+    return f"thread:{threading.get_ident()}"
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:

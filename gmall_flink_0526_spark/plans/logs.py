@@ -695,6 +695,34 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _sql_binned_grid(extra_cols: str = "") -> str:
+    """The shared stats + binned CTE text — ONE definition of the
+    binning rule for both events-grid oracles (`sql_quantile_hist_audit`
+    and `_sql_drift_chi2`), so a future binning change cannot
+    desynchronize them (r10 review finding). Mirrors
+    ``operators.aggregates.hist_bin``'s sentinel contract exactly:
+    NULL value or NULL bounds -> bin -1 (downstream CTEs exclude it),
+    never the NULL-swallowing LEAST/GREATEST top-bin trap."""
+    from ..operators.aggregates import HIST_BINS
+
+    return f"""
+    stats AS (
+      SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events GROUP BY event_type
+    ),
+    binned AS (
+      SELECT e.event_type{extra_cols},
+             CASE WHEN e.value IS NULL OR s.vmin IS NULL OR s.vmax IS NULL
+                  THEN -1
+                  WHEN s.vmax > s.vmin
+                  THEN GREATEST(LEAST(CAST(FLOOR((e.value - s.vmin)
+                        / ((s.vmax - s.vmin) / {HIST_BINS})) AS INTEGER),
+                       {HIST_BINS - 1}), 0)
+                  ELSE 0 END AS b
+      FROM events e LEFT JOIN stats s USING (event_type)
+    )"""
+
+
 def sql_quantile_hist_audit() -> str:
     """The histogram-quantile audit as DuckDB SQL — shared verbatim by
     `quantile_histogram_audit` (grid built in-query) and the streaming
@@ -718,20 +746,9 @@ def sql_quantile_hist_audit() -> str:
         f"SELECT event_type, n, '{q}' AS q, _b_{q} AS qb FROM hits" for q, _ in HIST_QS
     )
     return f"""
-    WITH stats AS (
-      SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
-      FROM events GROUP BY event_type
-    ),
-    binned AS (
-      SELECT e.event_type,
-             CASE WHEN s.vmax > s.vmin
-                  THEN GREATEST(LEAST(CAST(FLOOR((e.value - s.vmin)
-                        / ((s.vmax - s.vmin) / {HIST_BINS})) AS INTEGER),
-                       {HIST_BINS - 1}), 0)
-                  ELSE 0 END AS b
-      FROM events e JOIN stats s USING (event_type)
-    ),
-    hist AS (SELECT event_type, b, COUNT(*) AS ct FROM binned GROUP BY 1, 2),
+    WITH {_sql_binned_grid()},
+    hist AS (SELECT event_type, b, COUNT(*) AS ct FROM binned
+             WHERE b >= 0 GROUP BY 1, 2),
     cumt AS (
       SELECT event_type, b, ct,
              SUM(ct) OVER (PARTITION BY event_type ORDER BY b) AS cum,
@@ -824,27 +841,14 @@ def quantile_histogram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_drift_chi2() -> str:
     from ..functions.exact import sql_sum
-    from ..operators.aggregates import HIST_BINS
 
     return f"""
-    WITH stats AS (
-      SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
-      FROM events GROUP BY event_type
-    ),
-    binned AS (
-      SELECT e.event_type, e.event_id % 2 AS h,
-             CASE WHEN s.vmax > s.vmin
-                  THEN GREATEST(LEAST(CAST(FLOOR((e.value - s.vmin)
-                        / ((s.vmax - s.vmin) / {HIST_BINS})) AS INTEGER),
-                       {HIST_BINS - 1}), 0)
-                  ELSE 0 END AS b
-      FROM events e JOIN stats s USING (event_type)
-    ),
+    WITH {_sql_binned_grid(extra_cols=", e.event_id % 2 AS h")},
     grid AS (
       SELECT event_type, b,
              COUNT(*) FILTER (WHERE h = 0) AS c0,
              COUNT(*) FILTER (WHERE h = 1) AS c1
-      FROM binned GROUP BY 1, 2
+      FROM binned WHERE b >= 0 GROUP BY 1, 2
     ),
     tot AS (
       SELECT event_type, CAST(SUM(c0) AS BIGINT) AS n0,
@@ -895,12 +899,14 @@ def value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = t["events"].groupBy("event_type").agg(
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )
-    binned = ev.join(F.broadcast(bounds), "event_type").select(
+    binned = ev.join(F.broadcast(bounds), "event_type", "left").select(
         "event_type",
         "h",
         hist_bin(F.col("value"), F.col("vmin"), F.col("vmax")).alias("b"),
     )
-    grid = binned.groupBy("event_type", "b").agg(
+    # sentinel bin -1 (NULL values) is excluded from the test, same as
+    # hist_quantiles — and as the shared _sql_binned_grid oracle CTE
+    grid = binned.filter(F.col("b") >= 0).groupBy("event_type", "b").agg(
         F.count_if(F.col("h") == 0).alias("c0"),
         F.count_if(F.col("h") == 1).alias("c1"),
     )

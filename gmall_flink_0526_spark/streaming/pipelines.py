@@ -961,9 +961,12 @@ def hist_sketch_app(
     Bloom width, which is exactly what keeps per-epoch grids
     mergeable; values outside the domain clamp into the edge bins, the
     standard streaming-histogram contract (re-provision by batch
-    rebuild when the domain drifts). No per-key state: the grid IS the
-    state, groups*bins rows forever. Same overwrite-own-epoch crash
-    rule as the CMS app."""
+    rebuild when the domain drifts), and rows of a GROUP the domain
+    does not cover count into that group's sentinel bin -1 — visible
+    in the grid as the re-provision signal, never silently dropped
+    (the r10 review finding; quantile readers exclude the sentinel).
+    No per-key state: the grid IS the state, groups*bins(+1) rows
+    forever. Same overwrite-own-epoch crash rule as the CMS app."""
     from ..operators.aggregates import hist_counters
 
     grid_path = os.path.join(store_root, "hist_grid")

@@ -216,15 +216,18 @@ def temporal_enrich(
 
     Same mechanics as temporal_join otherwise: one keyed stateful
     operator over a single stream carrying both sides; within a batch
-    rows sort by (ts, build-before-probe, *val_cols) so a same-ts
-    build is visible to its probe and equal-ts builds resolve
-    lexicographically-max (NULLs last), in-batch and across batches —
-    the carried state re-enters each batch's sort as a synthetic
-    build row. Pre-aggregate equal-(key, ts) builds upstream for a
-    deterministic tie rule, as in asof_join. State per key is ONE
-    (ts, *values) version forever. Output: (id, key, probe_ts,
-    build_ts, *val_cols) with LEFT semantics; ``val_cols`` names must
-    not collide with those four. Types derive from ``events.schema``.
+    rows sort by (ts, build-before-probe) so a same-ts build is
+    visible to its probe, and the carried state re-enters each
+    batch's sort as a synthetic build row. Equal-(key, ts) builds are
+    OUT OF CONTRACT (pre-aggregate upstream, as in asof_join) — value
+    columns deliberately do not tie-break the sort, since a
+    tombstone's NULL has no order against a typed value. State per
+    key is ONE (ts, *values) version forever. Output: (id, key,
+    probe_ts, build_ts, *val_cols) with LEFT semantics; ``val_cols``
+    names must not collide with those four. Types derive from
+    ``events.schema``, tombstone-safe for every type (an int value
+    column survives a NULL carry via float upcast at the Arrow
+    boundary).
     """
     import numpy as np
     import pandas as pd
@@ -235,6 +238,7 @@ def temporal_enrich(
     clash = set(val_cols) & {id_col, key, "probe_ts", "build_ts"}
     if clash:
         raise ValueError(f"temporal_enrich: value columns collide: {sorted(clash)}")
+    _INTEGRAL_T = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         st = state.get if state.exists else None
@@ -256,12 +260,24 @@ def temporal_enrich(
                 ]
             )
             for c in (ts, *val_cols):
-                seed[c] = seed[c].astype(pdf[c].dtype)
+                # a None tombstone value cannot cast into a
+                # non-nullable numpy dtype (int64/bool): leave it and
+                # let concat upcast the column; the carry is
+                # positional, so the dtype only matters for output
+                # serialization, which .where() handles below
+                try:
+                    seed[c] = seed[c].astype(pdf[c].dtype)
+                except (TypeError, ValueError):
+                    pass
             pdf = pd.concat([seed, pdf], ignore_index=True)
         is_b = pdf[type_col] == build_type
+        # sort by (ts, build-before-probe) ONLY: equal-(key, ts) builds
+        # are out of contract (pre-aggregate upstream), so value
+        # columns never need to tie-break — and must not, since a
+        # tombstone's None does not compare against a typed value
         pdf = (
             pdf.assign(_side=(~is_b).astype(int))
-            .sort_values([ts, "_side", *val_cols], kind="mergesort")
+            .sort_values([ts, "_side"], kind="mergesort")
             .reset_index(drop=True)
         )
         is_b = (pdf[type_col] == build_type).to_numpy()
@@ -273,7 +289,18 @@ def temporal_enrich(
             vals = []
             for c in val_cols:
                 v = lb[c]
-                vals.append(None if pd.isna(v) else (v.item() if hasattr(v, "item") else v))
+                if pd.isna(v):
+                    vals.append(None)
+                # coerce to the DECLARED state type: a nullable batch
+                # arrives float64-upcast, and a float written into a
+                # long state field is silently dropped by the state
+                # serializer (the r10 review's int-tombstone finding)
+                elif isinstance(field[c], _INTEGRAL_T):
+                    vals.append(int(v))
+                elif isinstance(field[c], (T.DoubleType, T.FloatType)):
+                    vals.append(float(v))
+                else:
+                    vals.append(v.item() if hasattr(v, "item") else v)
             state.update((int(lb[ts].value // 1000), *vals))
         probes = ~is_b
         if not probes.any():
@@ -286,13 +313,13 @@ def temporal_enrich(
             key: key_tuple[0],
             "probe_ts": pdf.loc[probes, ts].to_numpy(),
         }
-        bts = pdf[ts].iloc[idx].reset_index(drop=True)
-        bts[~matched] = pd.NaT
-        out["build_ts"] = bts.to_numpy()
+        m = pd.Series(matched)
+        # .where (not masked assignment): upcasts an int64 carry to
+        # float64-with-NaN instead of raising on None — Arrow maps the
+        # integral floats back to the declared long output type
+        out["build_ts"] = pdf[ts].iloc[idx].reset_index(drop=True).where(m).to_numpy()
         for c in val_cols:
-            v = pdf[c].iloc[idx].reset_index(drop=True)
-            v[~matched] = None
-            out[c] = v.to_numpy()
+            out[c] = pdf[c].iloc[idx].reset_index(drop=True).where(m).to_numpy()
         yield pd.DataFrame(out)
 
     field = {

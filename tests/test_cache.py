@@ -74,6 +74,32 @@ def test_cache_scope_isolates_concurrent_owners(spark):
     cache.release_scoped()
 
 
+def test_unscoped_persist_on_worker_thread_escapes_main_drain(spark):
+    """Defense in depth (r10 review finding): code that FORGETS
+    cache_scope on a stream thread must not share 'default' with the
+    main catalog loop — the main thread's per-query drain would yank
+    its frame mid-epoch. An unscoped worker-thread persist falls into
+    a thread-keyed scope: main's release_scoped() leaves it alone,
+    and the worker thread's own release_scoped() drains it."""
+    import threading
+
+    holder = {}
+
+    def worker():
+        holder["df"] = cache.scoped_persist(spark.range(15))
+        holder["scope"] = cache._current_scope()
+
+    th = threading.Thread(target=worker)
+    th.start()
+    th.join()
+    assert holder["scope"].startswith("thread:")
+    assert holder["df"].storageLevel.useMemory
+    cache.release_scoped()  # main thread's per-query drain ("default")
+    assert holder["df"].storageLevel.useMemory  # untouched
+    cache.release_scoped(holder["scope"])  # the owner's drain
+    assert not holder["df"].storageLevel.useMemory
+
+
 def test_new_corpus_dir_evicts_previous_scope(spark):
     """Touching corpus B releases corpus A's frames (the catalog never
     interleaves corpora, so holding both is pure leak — VERDICT r5)."""

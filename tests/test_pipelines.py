@@ -1555,6 +1555,43 @@ def test_hist_sketch_app_sums_to_batch_grid_and_survives_retry(spark, tmp_path):
     assert got == exp  # poison gone, per-epoch sums equal the batch grid
 
 
+def test_hist_sentinel_bin_for_nulls_and_unprovisioned_groups(spark):
+    """The grid's unbinnable contract (r10 review findings): a NULL
+    value lands in sentinel bin -1 (NOT the top bin via the
+    NULL-swallowing least/greatest), a group absent from the
+    provisioned domain keeps ALL its rows visible under -1 (not
+    silently inner-joined away), and hist_quantiles excludes the
+    sentinel from both n and the estimates."""
+    from gmall_flink_0526_spark.operators.aggregates import (
+        hist_counters,
+        hist_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 10.0), ("a", None), ("new", 5.0), ("new", 7.0)],
+        "event_type string, value double",
+    )
+    bounds = spark.createDataFrame(
+        [("a", 0.0, 10.0)], "event_type string, vmin double, vmax double"
+    )
+    grid = {
+        (r["event_type"], r["b"]): r["ct"]
+        for r in hist_counters(df, "event_type", "value", bounds).collect()
+    }
+    assert grid[("a", -1)] == 1  # the NULL value, not in bin 255
+    assert grid[("a", 0)] == 1 and grid[("a", 255)] == 1
+    assert grid[("new", -1)] == 2  # unprovisioned group stays visible
+    est = {
+        (r["event_type"], r["q"]): (r["n"], r["hist_q"])
+        for r in hist_quantiles(
+            hist_counters(df, "event_type", "value", bounds), bounds
+        ).collect()
+    }
+    # n counts the two BINNABLE rows only; estimates never see -1
+    assert est[("a", "p50")][0] == 2
+    assert ("new", "p50") not in est  # no bounds -> no estimate rows
+
+
 def test_temporal_join_tie_rule_across_batches(spark):
     """The as-of tie rule under an ADVERSARIAL explicit micro-batch
     split: two equal-ts builds with different values land in DIFFERENT
@@ -1644,6 +1681,43 @@ def test_temporal_enrich_tombstone_replaces_carried_version(spark):
     # re-insert carried through state into batch 3
     assert out[103] == (t(5), 70.0, t(5))
     assert out[104] == (None, None, None)  # LEFT: probe before any build
+
+
+def test_temporal_enrich_int_value_survives_tombstone_carry(spark):
+    """A LongType value column must survive a tombstone THROUGH STATE:
+    batch N stores (ts, None), batch N+1 arrives all-int — the state
+    seed cannot cast None into int64, and the masked output cannot
+    assign None into an int64 carry (the r10 review finding: only
+    double/timestamp survived). Pins the float-upcast path end to
+    end, including a post-tombstone probe in a LATER batch."""
+    from datetime import datetime
+
+    from gmall_flink_0526_spark.streaming.replay import replay_stateful
+    from gmall_flink_0526_spark.streaming.stateful import temporal_enrich
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(1), 10, "dimchange", 5, 0),     # int build
+        (101, t(2), 10, "order", None, 0),    # -> 5
+        (-2, t(3), 10, "dimchange", None, 0), # tombstone (same batch)
+        (102, t(4), 10, "order", None, 1),    # batch 2: seed is (t3, None)
+        (-3, t(5), 10, "dimchange", 9, 1),    # int build after tombstone
+        (103, t(6), 10, "order", None, 2),    # batch 3: int through state
+    ]
+    src = spark.createDataFrame(
+        rows, "o_orderkey long, ts timestamp, custkey long, event_type string, "
+        "val long, b int",
+    )
+    op = lambda s: temporal_enrich(
+        s, key="custkey", ts="ts", id_col="o_orderkey",
+        build_type="dimchange", probe_type="order", val_cols=("val",),
+    )
+    out_df = replay_stateful(
+        spark, src, op, order_by=["ts", "o_orderkey"], file_of=F.col("b"),
+    )
+    assert dict(out_df.dtypes)["val"] == "bigint"
+    out = {r["o_orderkey"]: r["val"] for r in out_df.collect()}
+    assert out == {101: 5, 102: None, 103: 9}
 
 
 def test_temporal_join_derives_types_from_input_schema(spark):
