@@ -149,14 +149,19 @@ def hist_bin(
     both engines) or vanishing. Pure double arithmetic otherwise, same
     expression tree as the SQL twin."""
     w = (vmax - vmin) / bins
+    # clamp in LONG first, cast to int only after: floor() yields a
+    # long (saturating on double overflow), so a far out-of-domain
+    # value — ratio beyond 2^31 bin widths under a provisioned stream
+    # domain — clamps to the correct edge instead of int-wrapping to
+    # the wrong one in non-ANSI Spark (r10 advice)
     return (
         F.when(value.isNull() | vmin.isNull() | vmax.isNull(), F.lit(-1))
         .when(
             w > 0,
             F.greatest(
-                F.least(F.floor((value - vmin) / w).cast("int"), F.lit(bins - 1)),
-                F.lit(0),
-            ),
+                F.least(F.floor((value - vmin) / w), F.lit(bins - 1).cast("long")),
+                F.lit(0).cast("long"),
+            ).cast("int"),
         )
         .otherwise(0)
     )

@@ -70,6 +70,7 @@ def asof_join(
     on: list[str],
     ts_col: str = "ts",
     how: str = "inner",
+    validate: bool = False,
 ) -> DataFrame:
     """Backward as-of join: each left row picks up the LATEST right row
     with ``right.ts_col <= left.ts_col`` per key — the time-series join
@@ -96,6 +97,13 @@ def asof_join(
     no key ever fans out left x right the way a range-predicate join
     would. ``how='left'`` keeps unmatched left rows (NULL values);
     ``'inner'`` drops them.
+
+    ``validate=True`` additionally PROVES the at-most-one-row-per
+    (key, ts) precondition with a distributed duplicate probe (one
+    grouped count over ``right`` + a ``limit(1)`` action) and raises
+    ``ValueError`` naming an offending key if it fails. Opt-in because
+    it costs a pass over the right side — turn it on in tests and
+    small-SF pipeline runs, leave the hot path free of the extra scan.
     """
     from pyspark.sql import types as T
 
@@ -103,6 +111,21 @@ def asof_join(
     clash = set(val_cols) & set(left.columns)
     if clash:
         raise ValueError(f"asof_join: right value columns collide with left: {sorted(clash)}")
+    if validate:
+        dup = (
+            right.groupBy(*on, ts_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            r = dup[0].asDict()
+            raise ValueError(
+                "asof_join: right side violates the at-most-one-row-per-"
+                f"(key, ts) contract, e.g. {r} — pre-aggregate ties "
+                "(groupBy(key, ts).agg(max)) before the join"
+            )
     # the right payload travels as ONE struct: its outer nullity is the
     # match marker, so member NULLs never confuse the ignore-nulls fill
     payload_t = T.StructType(

@@ -715,9 +715,9 @@ def _sql_binned_grid(extra_cols: str = "") -> str:
              CASE WHEN e.value IS NULL OR s.vmin IS NULL OR s.vmax IS NULL
                   THEN -1
                   WHEN s.vmax > s.vmin
-                  THEN GREATEST(LEAST(CAST(FLOOR((e.value - s.vmin)
-                        / ((s.vmax - s.vmin) / {HIST_BINS})) AS INTEGER),
-                       {HIST_BINS - 1}), 0)
+                  THEN CAST(GREATEST(LEAST(FLOOR((e.value - s.vmin)
+                        / ((s.vmax - s.vmin) / {HIST_BINS})),
+                       {HIST_BINS - 1}), 0) AS INTEGER)
                   ELSE 0 END AS b
       FROM events e LEFT JOIN stats s USING (event_type)
     )"""

@@ -24,6 +24,7 @@ an independently runnable query pair of (read channel, write channel).
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -549,6 +550,12 @@ def doc_incremental_dedup_app(
     bands_path = os.path.join(store_root, "sig_bands")
     sh_path = os.path.join(store_root, "sig_shingles")
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
+    # per-INSTANCE scope token: channel name alone is process-global,
+    # so two concurrent instances of the same app (parallel tests,
+    # parallel corpora sharing a channel name against different
+    # registries) would share one scope and drain each other's
+    # mid-flight pinned frames at epoch exit (r10 advice)
+    scope_token = uuid.uuid4().hex[:12]
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         # the epoch's guard frames (bounded_broadcast routes through
@@ -559,7 +566,7 @@ def doc_incremental_dedup_app(
         # per stream and the epoch's writes are done at exit, so the
         # per-epoch drain is safe; without it each micro-batch of a
         # continuous stream would pin one hot-table frame forever.
-        with cache_scope(f"stream:{out_channel}"):
+        with cache_scope(f"stream:{out_channel}:{scope_token}"):
             _epoch(batch, epoch_id)
 
     def _epoch(batch: DataFrame, epoch_id: int) -> None:
@@ -646,13 +653,15 @@ def emb_incremental_dedup_app(
     vec_path = os.path.join(store_root, "vec_store")
     cent_path = os.path.join(store_root, "centroids")
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
+    # per-instance token, same reason as doc_incremental_dedup_app
+    scope_token = uuid.uuid4().hex[:12]
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         # same stream-owned scope as doc_incremental_dedup_app: the
         # store-side keep_cluster_reps guard persists one frame per
         # micro-batch, drained at epoch exit without touching any
         # concurrent stream's (or enclosing batch query's) frames
-        with cache_scope(f"stream:{out_channel}"):
+        with cache_scope(f"stream:{out_channel}:{scope_token}"):
             _epoch(batch, epoch_id)
 
     def _epoch(batch: DataFrame, epoch_id: int) -> None:

@@ -227,7 +227,10 @@ def temporal_enrich(
     names must not collide with those four. Types derive from
     ``events.schema``, tombstone-safe for every type (an int value
     column survives a NULL carry via float upcast at the Arrow
-    boundary).
+    boundary). Known bound: that float64 upcast means integral value
+    columns with magnitude > 2^53 lose precision when carried PAST a
+    tombstone in the same batch — surrogate keys and counters are fine;
+    carry 64-bit hashes as strings or split words if exactness matters.
     """
     import numpy as np
     import pandas as pd
@@ -391,6 +394,8 @@ def temporal_join(
 
     from pyspark.sql import types as T
 
+    _INTEGRAL_T = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         bts_us, bval = state.get if state.exists else (None, None)
         frames = [p for p in pdfs if len(p)]
@@ -410,8 +415,15 @@ def temporal_join(
                     }
                 ]
             )
-            seed[ts] = seed[ts].astype(pdf[ts].dtype)
-            seed[value_col] = seed[value_col].astype(pdf[value_col].dtype)
+            for c in (ts, value_col):
+                # a None read back from state (LEFT output permits a
+                # NULL-valued build carry) cannot cast into a
+                # non-nullable numpy dtype — leave it and let concat
+                # upcast, exactly as temporal_enrich's seed does
+                try:
+                    seed[c] = seed[c].astype(pdf[c].dtype)
+                except (TypeError, ValueError):
+                    pass
             pdf = pd.concat([seed, pdf], ignore_index=True)
         is_b = pdf[type_col] == build_type
         pdf = pdf.assign(_side=(~is_b).astype(int))
@@ -423,7 +435,20 @@ def temporal_join(
         if len(builds):
             last = builds.iloc[-1]
             v = last[value_col]
-            state.update((int(last[ts].value // 1000), v.item() if hasattr(v, "item") else v))
+            # coerce to the DECLARED state type before update: a batch
+            # with any NULL in the value column arrives float64-upcast,
+            # and a float written into a long state field is silently
+            # dropped by the state serializer (temporal_enrich's
+            # r10 int-tombstone finding, applied here too)
+            if pd.isna(v):
+                v = None
+            elif isinstance(field[value_col], _INTEGRAL_T):
+                v = int(v)
+            elif isinstance(field[value_col], (T.DoubleType, T.FloatType)):
+                v = float(v)
+            else:
+                v = v.item() if hasattr(v, "item") else v
+            state.update((int(last[ts].value // 1000), v))
         probes = ~is_b
         if probes.any():
             yield pd.DataFrame(

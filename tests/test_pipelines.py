@@ -1325,6 +1325,35 @@ def test_asof_join_null_right_values_do_not_leak_previous_row(spark):
     assert inner == {(1, 5), (1, 12), (1, 25)}
 
 
+def test_asof_join_validate_raises_on_duplicate_key_ts(spark):
+    """validate=True proves the at-most-one-right-row-per-(key, ts)
+    precondition (r10 VERDICT #5): duplicates raise with the offending
+    key named; a tie-free right passes and joins identically to the
+    unvalidated call. Ties are otherwise OUT OF CONTRACT and silently
+    nondeterministic — the probe is the guard rail tests and small-SF
+    pipeline runs opt into."""
+    from gmall_flink_0526_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10), (2, 10)], "k int, ts int")
+    clean = spark.createDataFrame(
+        [(1, 5, 50.0), (2, 8, 80.0)], "k int, ts int, v double"
+    )
+    got = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(
+            left, clean, on=["k"], ts_col="ts", how="left", validate=True
+        ).collect()
+    }
+    assert got == {(1, 10): 50.0, (2, 10): 80.0}
+    dup = spark.createDataFrame(
+        [(1, 5, 50.0), (1, 5, 51.0), (2, 8, 80.0)], "k int, ts int, v double"
+    )
+    with pytest.raises(ValueError, match="at-most-one-row-per"):
+        asof_join(left, dup, on=["k"], ts_col="ts", validate=True)
+    # unvalidated call still accepts the same input (contract is caller's)
+    asof_join(left, dup, on=["k"], ts_col="ts").collect()
+
+
 def test_cms_sketch_app_merges_to_batch_grid_and_survives_retry(spark, tmp_path):
     """The streaming CMS app's two contracts: (a) MERGEABILITY — the
     per-epoch grids summed equal the one-shot batch grid bit-for-bit
