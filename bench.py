@@ -90,6 +90,20 @@ def main() -> None:
     )
     replay_stateful(spark, tiny, stateful.fix_is_new, order_by=["ts", "event_id"]).count()
 
+    # Corpus-scoped one-time fits (kmeans quantizer, LSH signature
+    # store, SemDeDup pair table, BPE memos, the histogram epoch
+    # store) get their own named ledger lines BEFORE the per-query
+    # loop (r10 VERDICT #2): correctness-wise they are lazy memos, but
+    # timed lazily their cost landed on whichever family query the
+    # certification rotation ordered first, making per-query numbers
+    # order-dependent. Their total still counts into the headline
+    # metric, so catalog_total stays comparable across rounds.
+    setup_times: dict[str, float] = {}
+    for name, fn in plans.setups().items():
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR)
+        setup_times[name] = round(time.perf_counter() - t0, 3)
+
     times: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
@@ -115,13 +129,19 @@ def main() -> None:
         ),
         3,
     )
+    setup_total = round(sum(setup_times.values()), 3)
     out = {
         "queries": times,
+        "setups": setup_times,
         "metric": "catalog_total",
-        "value": round(sum(times.values()), 3),
+        # headline includes the named setups: the same work r10 charged
+        # to first-family queries now rides its own lines, so the
+        # round-over-round total stays like-for-like
+        "value": round(sum(times.values()) + setup_total, 3),
         "unit": "sec",
         "sf": sf_of(SF_DIR),
         "n_queries": len(times),
+        "setup_sec": setup_total,
         "streaming_replay_sec": stream_total,
         "batch_sec": round(sum(times.values()) - stream_total, 3),
         # workload versioning: round-over-round comparability notes.
@@ -176,6 +196,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": out["sf"],
                 "n_queries": out["n_queries"],
+                "setup_sec": out["setup_sec"],
                 "streaming_replay_sec": out["streaming_replay_sec"],
                 "batch_sec": out["batch_sec"],
             }

@@ -1,1 +1,1 @@
-from .catalog import CATALOG, QuerySpec, queries, oracle_sql  # noqa: F401
+from .catalog import CATALOG, QuerySpec, queries, oracle_sql, setups  # noqa: F401

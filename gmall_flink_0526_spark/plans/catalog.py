@@ -66,6 +66,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in CATALOG.items()}
 
 
+# -- corpus-scoped setup (fit) registry ---------------------------------
+#
+# Several query families share a ONE-TIME corpus-scoped build (the
+# kmeans quantizer, the LSH signature tables, the SemDeDup verified
+# pairs, the BPE memos, the histogram epoch store). Correctness-wise
+# those builds are lazy memos — whichever family query runs first
+# triggers them. Timing-wise that made per-query bench numbers depend
+# on the certification rotation's ORDER (r10 VERDICT #2: the same
+# query swung 5x round-over-round because the window order moved the
+# fit onto or off it). SETUPS names each build so bench.py can run
+# and time them as their own ledger lines before the per-query loop;
+# the driver's correctness gate ignores them (lazy memos still work).
+
+SETUPS: dict[str, Callable[[SparkSession, str], None]] = {}
+
+
+def register_setup(name: str) -> Callable:
+    """Decorator: register a named corpus-scoped setup. The callable
+    takes (spark, sf_dir), triggers the build (forcing materialization
+    where the memo is a persisted frame), and returns nothing."""
+
+    def deco(fn: Callable[[SparkSession, str], None]):
+        SETUPS[name] = fn
+        return fn
+
+    return deco
+
+
+def setups() -> dict[str, Callable[[SparkSession, str], None]]:
+    _ensure_loaded()
+    return dict(SETUPS)
+
+
 def oracle_sql() -> dict[str, str]:
     _ensure_loaded()
     return {name: spec.oracle for name, spec in CATALOG.items() if spec.oracle}
@@ -87,9 +120,78 @@ _LOADED = False
 # (`tools/vanilla_gate.py`, result recorded in BASELINE.md) — so no
 # query ever stands on an unchecked stale row, even past the window.
 _PRIORITY = (
-    # -- r10 rotation, per the r9 VERDICT's prescription. Lead: the 21
-    #    queries whose last driver-recorded green is r6 (they didn't
-    #    fit the r9 window). ---------------------------------------------
+    # -- r11 rotation, per the r10 VERDICT's prescription. Lead: the 29
+    #    stalest-green queries (last driver row predates r9; they did
+    #    not fit the r10 window). ---------------------------------------
+    "uv_first_visit",
+    "uv_first_visit_stream",
+    "is_new_fix_stream",
+    "bounce_stats_stream",
+    "cdc_materialize",
+    "cdc_envelope_parse",
+    "config_routing",
+    "base_db_stream",
+    "sql_entry",
+    "product_stats",
+    "province_stats",
+    "record_merge",
+    "snake_to_camel",
+    "date_derive",
+    "log_split_counts",
+    "log_split_stream",
+    "visitor_stats_hourly",
+    "visitor_stats_stream",
+    "session_stats_stream",
+    "order_wide_join",
+    "payment_wide_join",
+    "dim_enrichment",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash_near_dup",
+    "rhp_near_dup",
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "mixture_temperature",
+    # -- NEW in r11: the char-level N-merge BPE trainer loop
+    #    (word-frequency vocab, chained list_reduce oracle), its
+    #    encode step (corpus token mass under the learned merges), and
+    #    the epoch-range distribution-drift audit over the shared
+    #    histogram store. ----------------------------------------------
+    "bpe_train_loop",
+    "bpe_encode_corpus",
+    "value_drift_chi2_stream",
+    # -- CHANGED in r11: hist_bin's long-domain clamp (both quantile
+    #    audits, both drift audits); apply_merge grew the sep joiner
+    #    (bpe_apply_merge); temporal_join's typed state carry
+    #    (asof_click_stream); asof_join's validate probe (both asof
+    #    batch queries); the replay-floor trim — n_files 3 -> 2 on the
+    #    split-independent replays and the shared 4-epoch histogram
+    #    store (quantile_sketch_stream); per-instance cache-scope
+    #    tokens (both incremental streams). -----------------------------
+    "value_drift_chi2",
+    "quantile_histogram_audit",
+    "quantile_sketch_stream",
+    "bpe_apply_merge",
+    "asof_click_stream",
+    "asof_click_attribution",
+    "dim_enrichment_asof",
+    "dim_enrichment_asof_stream",
+    "order_wide_stream",
+    "payment_wide_stream",
+    "doc_quality_gate_stream",
+    "heavy_hitters_stream",
+    "decontaminate_bloom_stream",
+    "dedup_incremental_stream",
+    "embedding_incremental_stream",
+    # -- oldest-green fill to 50: head of the block whose last driver
+    #    row is r7/r8. Everything below the cut is covered this round
+    #    by the full sf0.001 pytest sweep and the in-repo full-catalog
+    #    vanilla gate at sf0.01 (BASELINE.md r11). ----------------------
+    "token_stats",
+    "simhash_fingerprint",
+    "doc_fingerprint",
+    # -- freshest: previous-round order preserved. ---------------------
+    "lang_id",
     "is_new_fix",
     "bounce_stats",
     "session_stats",
@@ -104,75 +206,32 @@ _PRIORITY = (
     "keyword_stats_cjk",
     "media_resize_audit",
     "media_features_head",
-    "order_wide_stream",
     "dataset_split",
     "doc_chunking",
     "pii_scrub",
     "repetition_ratio",
     "stratified_sample",
     "dup_coverage_histogram",
-    # -- then the 10 corpus-cache queries whose plans changed in r9
-    #    (their last driver row predates that refactor); the two
-    #    incremental streams ALSO changed this round (the per-epoch
-    #    drain now rides a stream-owned cache_scope token). -------------
     "dedup_incremental",
-    "dedup_incremental_stream",
     "embedding_incremental_near_dup",
-    "embedding_incremental_stream",
     "embedding_cluster_stats",
     "embedding_semdedup",
     "semdedup_threshold_sweep",
     "semdedup_survivors",
     "ann_topk_ivf_kmeans",
     "ann_recall_ivf",
-    # -- NEW in r10: point-in-time dim enrichment (scd2_from_changes +
-    #    asof_join, DuckDB ASOF oracle) + its temporal_enrich streaming
-    #    twin; the streaming Bloom decontamination twin (or-merged
-    #    epoch store); the histogram-quantile sketch audit + its
-    #    epoch-store streaming twin; BPE merge-candidate induction;
-    #    the chi-square distribution-drift audit. -----------------------
-    "dim_enrichment_asof",
-    "dim_enrichment_asof_stream",
-    "decontaminate_bloom_stream",
-    "quantile_histogram_audit",
-    "quantile_sketch_stream",
     "bpe_merge_candidates",
-    "value_drift_chi2",
-    "bpe_apply_merge",
-    # -- CHANGED in r10: asof_join moved to the struct-packed NULL-safe
-    #    fill (asof_click_attribution; dim_enrichment_asof above);
-    #    temporal_join derives its types from the input schema
-    #    (asof_click_stream); the exact-decontamination eval slice
-    #    densified to DECON_NGRAM=4 / EVAL_MOD=7 (decontaminate and
-    #    every query compiled from those constants); the CMS oracle's
-    #    est CTE went LEFT JOIN + COALESCE 0 (both heavy_hitters). ------
-    "asof_click_attribution",
-    "asof_click_stream",
     "decontaminate",
     "decontaminate_bloom",
     "decon_eval_coverage",
     "corpus_build",
     "corpus_gate_funnel",
     "heavy_hitters_cms",
-    "heavy_hitters_stream",
-    # -- oldest-green fill to ~50: head of the block whose last driver
-    #    row is r7/r8. The window cut lands mid-list; everything below
-    #    is covered this round by the full sf0.001 pytest sweep and the
-    #    in-repo full-catalog vanilla gate at sf0.01 (BASELINE.md §r10).
-    "payment_wide_stream",
     "json_dead_letter",
-    "cdc_envelope_parse",
-    "token_stats",
-    "tfidf_top_terms",
-    "dedup_exact",
-    "simhash_fingerprint",
-    "doc_fingerprint",
-    "lang_id",
     "quality_score",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "embedding_near_dup",
-    "dedup_minhash_lsh",
     "ngram_jaccard_pairs",
     "dedup_clusters",
     "dedup_survivors",
@@ -180,46 +239,25 @@ _PRIORITY = (
     "near_dup_rate_by_source",
     "minhash_estimate_audit",
     "dedup_method_agreement",
-    "simhash_near_dup",
-    "rhp_near_dup",
     "decontaminate_fuzzy",
-    "order_wide_join",
-    "payment_wide_join",
-    "dim_enrichment",
-    "product_stats",
     "product_stats_approx",
     "local_supplier_volume",
-    "log_split_stream",
     "value_percentiles",
     "funnel_conversion",
     "retention_cohorts",
-    "cdc_materialize",
     "lsh_bucket_audit",
     "duplicate_ngram_coverage",
     "ann_topk_vectorized",
     "embedding_coverage",
-    # -- freshest: everything the r9 driver window certified green in
-    #    CORRECTNESS_r09, r9 order preserved (r6-block head, then the
-    #    r5-stale set, then the r9-new set minus the ones moved to the
-    #    r10-changed block above). --------------------------------------
     "pricing_summary",
-    "province_stats",
-    "record_merge",
-    "date_derive",
-    "snake_to_camel",
     "shipping_priority",
     "sales_rollup",
     "order_status_overlap",
     "returnflag_pivot",
     "top_parts_per_brand",
-    "sql_entry",
     "order_status_stats",
     "top_revenue_orders",
     "sales_cube",
-    "log_split_counts",
-    "config_routing",
-    "visitor_stats_hourly",
-    "uv_first_visit",
     "embedding_quantize",
     "ann_recall_int8",
     "lang_id_confusion",
@@ -227,21 +265,12 @@ _PRIORITY = (
     "media_decode",
     "media_frame_sample",
     "media_ann_topk",
-    "uv_first_visit_stream",
-    "is_new_fix_stream",
-    "bounce_stats_stream",
-    "session_stats_stream",
-    "visitor_stats_stream",
-    "base_db_stream",
-    "doc_quality_gate_stream",
     "sequence_packing",
     "chunk_dedup",
     "domain_mixture_weights",
     "packing_length_histogram",
     "ann_topk_ivf_nprobe",
     "ann_recall_nprobe",
-    "vocab_coverage",
-    "mixture_temperature",
     "rolling_value_7d",
     "scd2_order_history",
 )

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators import dedup as D
 from ..operators.cache import corpus_persist
 from ..session import load_tables
-from .catalog import register
+from .catalog import register, register_setup
 from .text import SQL_TOKS
 
 JACCARD_THRESHOLD = 0.5
@@ -781,3 +781,30 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("dup_cov") >= DUP_COV_HIGH, 1).otherwise(0)).alias("docs_high"),
         )
     )
+
+
+# -- named corpus-scoped setups (bench ledger lines; see catalog.SETUPS)
+
+
+@register_setup("lsh_signature_store")
+def _setup_lsh_signature_store(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the shingle -> minhash-signature -> band-key chain —
+    the tables a production corpus stores once (SCALE.md); every
+    MinHash-family query joins them instead of re-hashing the corpus."""
+    corpus_band_keys(spark, sf_dir).count()
+    corpus_shingles(spark, sf_dir).count()
+
+
+@register_setup("lsh_components")
+def _setup_lsh_components(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the verified near-dup connected components — the
+    corpus's dedup decision, consumed by the cluster/survivor/
+    retention/corpus_build family."""
+    corpus_components(spark, sf_dir).count()
+
+
+@register_setup("shingle_hash_index")
+def _setup_shingle_hash_index(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the exploded 16-hex shingle-hash inverted-index
+    base shared by the duplicate-coverage family."""
+    corpus_shingle_hashes(spark, sf_dir).count()

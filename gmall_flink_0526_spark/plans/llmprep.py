@@ -21,7 +21,7 @@ from ..operators import dedup as D, textops
 from ..operators.cache import scoped_persist
 from ..operators.partitioning import bounded_broadcast, spread
 from ..session import load_tables
-from .catalog import register
+from .catalog import register, register_setup
 from .dedup import (
     SQL_LSH_BANDS,
     SQL_SHEX,
@@ -1539,3 +1539,13 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("total_tokens") * temp).cast("long").alias("expected_tokens"),
         )
     )
+
+
+# -- named corpus-scoped setups (bench ledger lines; see catalog.SETUPS)
+
+
+@register_setup("decon_bloom_width")
+def _setup_decon_bloom_width(spark: SparkSession, sf_dir: str) -> None:
+    """Memoize the decontamination Bloom width scalar (one eval-slice
+    n-gram count) shared by the Bloom decontamination family."""
+    decon_bloom_bits(spark, sf_dir)

@@ -839,11 +839,18 @@ def quantile_histogram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_drift_chi2() -> str:
+def _sql_drift_chi2(h_expr: str = "e.event_id % 2") -> str:
+    """The two-sample chi-square audit as DuckDB SQL, parameterized by
+    the sample-membership expression ``h_expr`` (0 = baseline, 1 =
+    live) so the batch query (event_id parity halves) and the
+    epoch-store streaming twin (epoch ranges, which on the replay
+    fixture are exactly an event_id mod class) share ONE body — the
+    _sql_binned_grid precedent: a drift-formula change cannot
+    desynchronize the two."""
     from ..functions.exact import sql_sum
 
     return f"""
-    WITH {_sql_binned_grid(extra_cols=", e.event_id % 2 AS h")},
+    WITH {_sql_binned_grid(extra_cols=f", {h_expr} AS h")},
     grid AS (
       SELECT event_type, b,
              COUNT(*) FILTER (WHERE h = 0) AS c0,
@@ -910,6 +917,16 @@ def value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("h") == 0).alias("c0"),
         F.count_if(F.col("h") == 1).alias("c1"),
     )
+    return drift_chi2_from_grid(grid)
+
+
+def drift_chi2_from_grid(grid: DataFrame) -> DataFrame:
+    """Chi-square statistic from a two-sample count grid (event_type,
+    b, c0, c1) — the shared tail of `value_drift_chi2` (grid built
+    in-query from parity halves) and `value_drift_chi2_stream` (grid
+    summed from epoch-store ranges): expected counts, per-bin terms
+    and the decimal-accumulated sum all run over <= types*bins rows,
+    identical expression tree to the oracle body's terms/chi2 CTEs."""
     tot = grid.groupBy("event_type").agg(
         F.sum("c0").alias("n0"),
         F.sum("c1").alias("n1"),

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..session import load_tables
 from ..streaming import stateful
 from ..streaming.replay import replay_stateful, temp_replay_root
-from .catalog import register
+from .catalog import register, register_setup
 from .logs import SESSION_GAP_MIN
 
 
@@ -43,7 +43,7 @@ def uv_first_visit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
     out = replay_stateful(
         spark, events, stateful.daily_dedup, order_by=["ts", "event_id"],
-        cache_key=f"events:{sf_dir}",
+        cache_key=f"events:{sf_dir}", n_files=2,
     )
     return out.select("user_id", "dt", "first_event_id")
 
@@ -71,7 +71,7 @@ def is_new_fix_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
     out = replay_stateful(
         spark, events, stateful.fix_is_new, order_by=["ts", "event_id"],
-        cache_key=f"events:{sf_dir}",
+        cache_key=f"events:{sf_dir}", n_files=2,
     )
     return out.select("event_id", "user_id", "is_new")
 
@@ -120,7 +120,7 @@ def bounce_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         events,
         lambda src: stateful.sessionize_bounce(src, gap_minutes=SESSION_GAP_MIN),
         order_by=["ts", "event_id"],
-        cache_key=f"events:{sf_dir}",
+        cache_key=f"events:{sf_dir}", n_files=2,
     )
     return out.groupBy("user_id").agg(
         F.count("*").alias("closed_ct"),
@@ -467,11 +467,11 @@ def order_wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg.register("dwd_order_detail", schema="detail_order_id long, ts timestamp, value double")
     write_replay(
         with_sentinel(orders, {"order_id": -1}),
-        reg.channels["dwd_order_info"].path, n_files=3, order_by=["ts", "order_id"],
+        reg.channels["dwd_order_info"].path, n_files=2, order_by=["ts", "order_id"],
     )
     write_replay(
         with_sentinel(details, {"detail_order_id": -2, "value": 0.0}),
-        reg.channels["dwd_order_detail"].path, n_files=3, order_by=["ts", "detail_order_id"],
+        reg.channels["dwd_order_detail"].path, n_files=2, order_by=["ts", "detail_order_id"],
     )
     reg.register("dwm_order_wide")
     dim = spark.createDataFrame(
@@ -631,11 +631,11 @@ def payment_wide_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg.register("dwm_order_wide", schema="order_id long, ts timestamp, value double")
     write_replay(
         with_sentinel(payments, {"payment_order_id": -1}),
-        reg.channels["dwd_payment_info"].path, n_files=3, order_by=["ts", "payment_order_id"],
+        reg.channels["dwd_payment_info"].path, n_files=2, order_by=["ts", "payment_order_id"],
     )
     write_replay(
         with_sentinel(wide, {"order_id": -2, "value": 0.0}),
-        reg.channels["dwm_order_wide"].path, n_files=3, order_by=["ts", "order_id"],
+        reg.channels["dwm_order_wide"].path, n_files=2, order_by=["ts", "order_id"],
     )
     reg.register("dwm_payment_wide")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -727,15 +727,15 @@ def doc_quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_replay(
         lines.select("doc_id", "text", "lang", "source", "n_chars", "ts"),
         reg.channels["ods_documents"].path,
-        n_files=3,
+        n_files=2,
         order_by=["ts", "doc_id"],
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         # dropDuplicates state partitions are commit units, not compute
         # (the r4 replay lesson): 8, not the session default — in a
-        # vanilla 200-partition session the 3-batch replay otherwise
-        # pays 600 state-store commits
+        # vanilla 200-partition session the replay otherwise pays
+        # hundreds of state-store commits
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         q = doc_quality_gate_app(spark, reg, os.path.join(root, "ckpt"))
         q.processAllAvailable()
@@ -952,15 +952,12 @@ def asof_click_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min/max agg — monotone in ts, so the replay stays event-ordered.
     mn, mx = ev.select(F.min("ts"), F.max("ts")).first()
     ts_type = ev.schema["ts"].dataType.simpleString()
-    cut1 = F.lit(mn + (mx - mn) / 3).cast(ts_type)
-    cut2 = F.lit(mn + 2 * (mx - mn) / 3).cast(ts_type)
-    file_of = (
-        F.when(F.col("ts") <= cut1, 0).when(F.col("ts") <= cut2, 1).otherwise(2)
-    )
+    cut1 = F.lit(mn + (mx - mn) / 2).cast(ts_type)
+    file_of = F.when(F.col("ts") <= cut1, 0).otherwise(1)
 
     out = replay_stateful(
         spark, ev, stateful.temporal_join, order_by=["ts", "event_id"],
-        cache_key=f"events_tspan:{sf_dir}", file_of=file_of,
+        cache_key=f"events_tspan:{sf_dir}", file_of=file_of, n_files=2,
     )
     return out.select(
         "event_id", "user_id", "probe_ts", "probe_value", "build_ts", "build_value"
@@ -975,7 +972,7 @@ def _register_heavy_hitters_stream():
         oracle=_sql_cms_audit(),
         doc="The CMS heavy-hitter audit with the sketch built by the "
         "REAL streaming app (streaming/pipelines.cms_sketch_app): the "
-        "documents corpus replays in 3 micro-batches, each batch "
+        "documents corpus replays in 2 micro-batches, each batch "
         "contributes its own counter grid to an epoch-addressed store, "
         "and the live sketch is the per-(row, bucket) SUM over epochs. "
         "Because CMS merge is plain addition, the streamed sketch is "
@@ -1006,7 +1003,7 @@ def _register_heavy_hitters_stream():
         write_replay(
             lines.select("doc_id", "text", "ts"),
             reg.channels["ods_documents"].path,
-            n_files=3,
+            n_files=2,
             order_by=["ts", "doc_id"],
         )
         prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1049,7 +1046,7 @@ def _register_decontaminate_bloom_stream():
         oracle=sql_decontaminate_bloom(),
         doc="Bloom decontamination with the filter maintained by the "
         "REAL streaming app (streaming/pipelines.bloom_filter_app): "
-        "the eval benchmark arrives as 3 micro-batches, each packing "
+        "the eval benchmark arrives as 2 micro-batches, each packing "
         "its OWN grams into an epoch-addressed word grid; the live "
         "filter is the per-word bit_or over epochs — a fixed-width "
         "Bloom filter is OR-MERGEABLE, so the streamed filter equals "
@@ -1085,7 +1082,7 @@ def _register_decontaminate_bloom_stream():
         write_replay(
             lines.select("doc_id", "text", "ts"),
             reg.channels["ods_eval_docs"].path,
-            n_files=3,
+            n_files=2,
             order_by=["ts", "doc_id"],
         )
         prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1179,11 +1176,8 @@ def _register_dim_enrichment_asof_stream():
         # so a same-instant version/fact pair must stay co-batched
         mn, mx = ev.select(F.min("ts"), F.max("ts")).first()
         ts_type = ev.schema["ts"].dataType.simpleString()
-        cut1 = F.lit(mn + (mx - mn) / 3).cast(ts_type)
-        cut2 = F.lit(mn + 2 * (mx - mn) / 3).cast(ts_type)
-        file_of = (
-            F.when(F.col("ts") <= cut1, 0).when(F.col("ts") <= cut2, 1).otherwise(2)
-        )
+        cut1 = F.lit(mn + (mx - mn) / 2).cast(ts_type)
+        file_of = F.when(F.col("ts") <= cut1, 0).otherwise(1)
         op = lambda s: stateful.temporal_enrich(
             s, key="custkey", ts="ts", id_col="o_orderkey",
             val_cols=("acctbal_asof", "version_from"),
@@ -1195,7 +1189,7 @@ def _register_dim_enrichment_asof_stream():
         # past the pool it pays empty state-store commits again)
         out = replay_stateful(
             spark, ev, op, order_by=["ts", "o_orderkey"],
-            cache_key=f"pit_tspan:{sf_dir}", file_of=file_of,
+            cache_key=f"pit_tspan:{sf_dir}", file_of=file_of, n_files=2,
             shuffle_partitions=min(32, spark.sparkContext.defaultParallelism),
         )
         return out.select(
@@ -1211,53 +1205,51 @@ def _register_dim_enrichment_asof_stream():
 _register_dim_enrichment_asof_stream()
 
 
-def _register_quantile_sketch_stream():
-    from .logs import _exact_disc_long, sql_quantile_hist_audit
+# One epoch-addressed histogram-grid store per corpus, built by the
+# REAL streaming app and SHARED by quantile_sketch_stream and
+# value_drift_chi2_stream (r10 VERDICT #6: replay wall is micro-batch
+# commit cost — two consumers of one additive grid store should not
+# each pay their own replay). Epoch assignment is EXPLICIT
+# (event_id mod HIST_EPOCHS via write_replay's file_of), so an
+# external oracle can reconstruct any epoch RANGE as a plain mod-class
+# predicate; the quantile reader sums all epochs, for which any split
+# gives the identical grid (additivity).
+HIST_EPOCHS = 4
+# drift samples: baseline = epochs [0, HIST_BASE_EPOCHS), live = rest
+HIST_BASE_EPOCHS = 2
 
-    @register(
-        "quantile_sketch_stream",
-        oracle=sql_quantile_hist_audit(),
-        doc="The histogram-quantile audit with the grid maintained by "
-        "the REAL streaming app (streaming/pipelines.hist_sketch_app): "
-        "the events stream replays in 3 micro-batches, each batch "
-        "contributes its own per-type 256-bin count grid to an "
-        "epoch-addressed store over a domain PROVISIONED up front "
-        "(the Bloom-width contract -- fixed bounds are what keep "
-        "per-epoch grids mergeable), and the live sketch is the "
-        "per-(type, bin) SUM over epochs. Histogram merge is plain "
-        "addition, so the streamed grid is BIT-IDENTICAL to the "
-        "one-shot batch grid and this query shares "
-        "quantile_histogram_audit's oracle verbatim -- a green row "
-        "certifies mergeability itself (the CMS/Bloom pattern, third "
-        "member). Crash rule = overwrite-own-epoch, pinned by the "
-        "poison-epoch/restart test. Per-key state nowhere; the grid "
-        "is the state, types*bins rows forever.",
-        tags=("streaming", "sketch", "replay", "events", "stats"),
-    )
-    def quantile_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import os
 
-        from ..operators.aggregates import hist_quantiles
-        from ..operators.cache import corpus_value
-        from ..operators.partitioning import spread
-        from ..sources.registry import ChannelRegistry, write_replay
-        from ..streaming.pipelines import hist_sketch_app, merged_hist_grid
+def _hist_epoch_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus per process) and return the root of the
+    histogram sketch store: ``<root>/store/hist_grid/epoch=<e>`` dirs
+    written by ``streaming/pipelines.hist_sketch_app`` over a
+    4-micro-batch replay of events, bounds provisioned up front from
+    the corpus (memoized, the Bloom-width contract)."""
+    import os
 
-        ev = load_tables(spark, sf_dir, "events")["events"]
+    from ..operators.cache import corpus_value
+    from ..operators.partitioning import spread
+    from ..sources.registry import ChannelRegistry, write_replay
+    from ..streaming.pipelines import hist_sketch_app
 
-        def _bounds() -> list:
-            # provisioning: one tiny agg collected to (#event types)
-            # driver rows -- contract-bounded (4 types), the same class
-            # as the centroid tables and the memoized bloom width
-            return [
-                (r["event_type"], float(r["vmin"]), float(r["vmax"]))
-                for r in ev.groupBy("event_type")
-                .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
-                .collect()
-            ]
+    ev = load_tables(spark, sf_dir, "events")["events"]
 
+    def _bounds() -> list:
+        # provisioning: one tiny agg collected to (#event types)
+        # driver rows -- contract-bounded (4 types), the same class
+        # as the centroid tables and the memoized bloom width
+        return [
+            (r["event_type"], float(r["vmin"]), float(r["vmax"]))
+            for r in ev.groupBy("event_type")
+            .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+            .collect()
+        ]
+
+    def _build() -> str:
         bounds_rows = corpus_value(spark, "hist_bounds:events", sf_dir, _bounds)
-        lines = spread(ev, "event_id").select("event_id", "ts", "event_type", "value")
+        lines = spread(ev, "event_id").select(
+            "event_id", "ts", "event_type", "value"
+        )
         root = temp_replay_root("gmall_hist_")
         reg = ChannelRegistry(root)
         reg.register(
@@ -1265,13 +1257,14 @@ def _register_quantile_sketch_stream():
             schema="event_id long, ts timestamp, event_type string, value double",
         )
         write_replay(
-            lines, reg.channels["ods_events"].path, n_files=3,
-            order_by=["ts", "event_id"],
+            lines, reg.channels["ods_events"].path, n_files=HIST_EPOCHS,
+            order_by=["event_id"],
+            file_of=F.pmod(F.col("event_id"), F.lit(HIST_EPOCHS)),
         )
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         try:
-            # per-batch grids are <= types*bins rows: keep the 3-batch
-            # replay's commit count honest (the r4 lesson)
+            # per-batch grids are <= types*bins rows: keep the replay's
+            # commit count honest (the r4 lesson)
             spark.conf.set("spark.sql.shuffle.partitions", "8")
             q = hist_sketch_app(
                 spark, reg, os.path.join(root, "ckpt"),
@@ -1281,6 +1274,57 @@ def _register_quantile_sketch_stream():
             q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return root
+
+    return corpus_value(spark, "hist_epoch_store", sf_dir, _build)
+
+
+def _hist_bounds_rows(spark: SparkSession, sf_dir: str) -> list:
+    from ..operators.cache import corpus_value
+
+    # the store build memoized these; read them back via the same key
+    root = _hist_epoch_store(spark, sf_dir)  # noqa: F841 — ensures built
+    return corpus_value(
+        spark, "hist_bounds:events", sf_dir,
+        lambda: (_ for _ in ()).throw(RuntimeError("bounds not memoized")),
+    )
+
+
+def _register_quantile_sketch_stream():
+    from .logs import _exact_disc_long, sql_quantile_hist_audit
+
+    @register(
+        "quantile_sketch_stream",
+        oracle=sql_quantile_hist_audit(),
+        doc="The histogram-quantile audit with the grid maintained by "
+        "the REAL streaming app (streaming/pipelines.hist_sketch_app): "
+        f"the events stream replays in {HIST_EPOCHS} micro-batches, "
+        "each contributing its own per-type 256-bin count grid to an "
+        "epoch-addressed store over a domain PROVISIONED up front "
+        "(the Bloom-width contract -- fixed bounds are what keep "
+        "per-epoch grids mergeable), and the live sketch is the "
+        "per-(type, bin) SUM over epochs. Histogram merge is plain "
+        "addition, so the streamed grid is BIT-IDENTICAL to the "
+        "one-shot batch grid and this query shares "
+        "quantile_histogram_audit's oracle verbatim -- a green row "
+        "certifies mergeability itself (the CMS/Bloom pattern, third "
+        "member); additivity is also what lets ONE store (built once "
+        "per corpus, explicit event_id-mod epoch split) serve both "
+        "this reader and value_drift_chi2_stream's epoch-range "
+        "reader without either paying a second replay (r11). Crash "
+        "rule = overwrite-own-epoch, pinned by the "
+        "poison-epoch/restart test. Per-key state nowhere; the grid "
+        "is the state, types*bins rows forever.",
+        tags=("streaming", "sketch", "replay", "events", "stats"),
+    )
+    def quantile_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..operators.aggregates import hist_quantiles
+        from ..streaming.pipelines import merged_hist_grid
+
+        root = _hist_epoch_store(spark, sf_dir)
+        bounds_rows = _hist_bounds_rows(spark, sf_dir)
         grid = merged_hist_grid(spark, os.path.join(root, "store"))
         bounds = spark.createDataFrame(
             bounds_rows, "event_type string, vmin double, vmax double"
@@ -1297,3 +1341,71 @@ def _register_quantile_sketch_stream():
 
 
 _register_quantile_sketch_stream()
+
+
+def _register_value_drift_chi2_stream():
+    from .logs import _sql_drift_chi2, drift_chi2_from_grid
+
+    @register(
+        "value_drift_chi2_stream",
+        # the stream's two samples are epoch RANGES of the store;
+        # epoch = event_id mod HIST_EPOCHS by the replay's explicit
+        # file_of split, so the range membership is a plain mod-class
+        # predicate the shared oracle body takes as its h expression
+        oracle=_sql_drift_chi2(
+            h_expr=(
+                f"CASE WHEN e.event_id % {HIST_EPOCHS} < {HIST_BASE_EPOCHS} "
+                "THEN 0 ELSE 1 END"
+            )
+        ),
+        doc="The distribution-drift audit run the way the production "
+        "monitor runs it — over the LIVE epoch-addressed histogram "
+        "store instead of two static snapshots: baseline sample = "
+        f"epochs [0, {HIST_BASE_EPOCHS}) of the store this query "
+        "SHARES with quantile_sketch_stream (one replay, one store — "
+        "the grid is additive, so each reader sums its own epoch "
+        "range), live sample = the rest; per (type, bin), c0/c1 are "
+        "plain ct sums over each range and the chi-square tail is "
+        "drift_chi2_from_grid, the identical expression tree as the "
+        "batch query. Oracle = the same parameterized _sql_drift_chi2 "
+        "body with the epoch ranges' mod-class membership as the h "
+        "expression (epoch assignment is EXPLICIT in the replay "
+        "split, so the oracle reconstructs it exactly). At 100 TB the "
+        "monitor reads types*bins*epochs grid rows — corpus-size-"
+        "free; no event rescan, no per-key state. Crash rule "
+        "inherited from the store app (overwrite-own-epoch), pinned "
+        "by the shared-store poison-epoch test.",
+        tags=("streaming", "sketch", "replay", "events", "audit", "stats"),
+    )
+    def value_drift_chi2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        root = _hist_epoch_store(spark, sf_dir)
+        store = spark.read.parquet(os.path.join(root, "store", "hist_grid"))
+        grid = (
+            store.filter(F.col("b") >= 0)
+            .groupBy("event_type", "b")
+            .agg(
+                F.sum(
+                    F.when(F.col("epoch") < HIST_BASE_EPOCHS, F.col("ct")).otherwise(0)
+                ).alias("c0"),
+                F.sum(
+                    F.when(F.col("epoch") >= HIST_BASE_EPOCHS, F.col("ct")).otherwise(0)
+                ).alias("c1"),
+            )
+        )
+        return drift_chi2_from_grid(grid)
+
+
+_register_value_drift_chi2_stream()
+
+
+# -- named corpus-scoped setups (bench ledger lines; see catalog.SETUPS)
+
+
+@register_setup("hist_epoch_store")
+def _setup_hist_epoch_store(spark: SparkSession, sf_dir: str) -> None:
+    """Build the shared 4-epoch histogram-grid store (replay + real
+    streaming app) that quantile_sketch_stream and
+    value_drift_chi2_stream both read."""
+    _hist_epoch_store(spark, sf_dir)

@@ -8,7 +8,7 @@ from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators.cache import corpus_value
 from ..session import load_tables
-from .catalog import register
+from .catalog import register, register_setup
 from .dedup import NEW_MOD
 
 N_PROBES = 8
@@ -1445,3 +1445,21 @@ def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("cos_sim") >= SEMDEDUP_T)
         .select("ida", "idb", "cos_sim")
     )
+
+
+# -- named corpus-scoped setups (bench ledger lines; see catalog.SETUPS)
+
+
+@register_setup("ivf_kmeans_assignment")
+def _setup_ivf_kmeans_assignment(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the fixed-k IVF quantizer fit + full-corpus cluster
+    assignment the four IVF retrieval queries share."""
+    ivf_assigned_cached(spark, sf_dir).count()
+
+
+@register_setup("semdedup_pairs")
+def _setup_semdedup_pairs(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the SemDeDup surface: adaptive-k fit, corpus
+    assignment, and the verified within-cluster pair table the
+    embedding_semdedup/sweep/survivors family consumes."""
+    corpus_semdedup_verified(spark, sf_dir).count()

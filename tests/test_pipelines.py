@@ -1584,6 +1584,103 @@ def test_hist_sketch_app_sums_to_batch_grid_and_survives_retry(spark, tmp_path):
     assert got == exp  # poison gone, per-epoch sums equal the batch grid
 
 
+def test_drift_epoch_range_reader_survives_poisoned_epoch(spark, tmp_path):
+    """value_drift_chi2_stream's store contract: the epoch-RANGE reader
+    (baseline = epochs < 2, live = rest) over the shared 4-epoch
+    histogram store equals the batch grid split by the same explicit
+    event_id mod classes — and still does after a dead batch attempt
+    leaves a poisoned epoch directory that the restart overwrites
+    (the range reader would double-count a stale epoch if the crash
+    rule ever regressed, unlike the sum-all quantile reader which
+    only miscounts)."""
+    import shutil
+
+    from gmall_flink_0526_spark.operators.aggregates import hist_counters
+    from gmall_flink_0526_spark.plans.logs import drift_chi2_from_grid
+
+    ev = load_tables(spark, SF_SMOKE, "events")["events"].select(
+        "event_id", "ts", "event_type", "value"
+    )
+    bounds_rows = [
+        (r["event_type"], float(r["vmin"]), float(r["vmax"]))
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+        .collect()
+    ]
+    reg = ChannelRegistry(str(tmp_path / "chan"))
+    reg.register(
+        "ods_events", schema="event_id long, ts timestamp, event_type string, value double"
+    )
+    write_replay(
+        ev, reg.channels["ods_events"].path, n_files=4,
+        order_by=["event_id"], file_of=F.pmod(F.col("event_id"), F.lit(4)),
+    )
+    src_path = reg.channels["ods_events"].path
+    files = sorted(
+        (
+            f
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ),
+        key=lambda f: os.path.getmtime(os.path.join(src_path, f)),
+    )
+    hidden = files[-1]
+    shutil.move(os.path.join(src_path, hidden), str(tmp_path / "hidden.parquet"))
+    q = pipelines.hist_sketch_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store"), bounds_rows
+    )
+    q.processAllAvailable()
+    q.stop()
+    # dead batch-3 attempt: poisoned LIVE-range grid written, checkpoint
+    # not committed — a stale live epoch skews chi2 directly
+    spark.createDataFrame(
+        [("view", 0, 10**9)], "event_type string, b int, ct long"
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "store" / "hist_grid" / "epoch=3")
+    )
+    shutil.move(str(tmp_path / "hidden.parquet"), os.path.join(src_path, hidden))
+    q2 = pipelines.hist_sketch_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store"), bounds_rows
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    bounds = spark.createDataFrame(
+        bounds_rows, "event_type string, vmin double, vmax double"
+    )
+    base = F.pmod(F.col("event_id"), F.lit(4)) < 2
+    exp_grid = (
+        hist_counters(ev.filter(base), "event_type", "value", bounds)
+        .withColumnRenamed("ct", "c0")
+        .join(
+            hist_counters(ev.filter(~base), "event_type", "value", bounds)
+            .withColumnRenamed("ct", "c1"),
+            ["event_type", "b"],
+            "full",
+        )
+        .fillna(0, ["c0", "c1"])
+        .filter(F.col("b") >= 0)
+    )
+    store = spark.read.parquet(str(tmp_path / "store" / "hist_grid"))
+    got_grid = (
+        store.filter(F.col("b") >= 0)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.when(F.col("epoch") < 2, F.col("ct")).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("epoch") >= 2, F.col("ct")).otherwise(0)).alias("c1"),
+        )
+    )
+    as_map = lambda df: {  # noqa: E731
+        (r["event_type"], r["b"]): (r["c0"], r["c1"]) for r in df.collect()
+    }
+    assert as_map(got_grid) == as_map(exp_grid)  # poison gone, ranges exact
+    chi = lambda df: {  # noqa: E731
+        r["event_type"]: (r["n0"], r["n1"], r["used_bins"], r["chi2"])
+        for r in drift_chi2_from_grid(df).collect()
+    }
+    assert chi(got_grid) == chi(exp_grid)
+
+
 def test_hist_sentinel_bin_for_nulls_and_unprovisioned_groups(spark):
     """The grid's unbinnable contract (r10 review findings): a NULL
     value lands in sentinel bin -1 (NOT the top bin via the

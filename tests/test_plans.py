@@ -232,6 +232,31 @@ def test_bpe_merge_candidates_distributed_head_and_partial_agg(spark):
     assert len(re.findall(r"HashAggregate", p)) >= 2  # partial + final
 
 
+def test_bpe_train_loop_learns_nested_merges(spark):
+    """The N-round trainer's composition property (r10 VERDICT #3): at
+    least one later round's learned pair must CONTAIN an earlier
+    round's merged symbol (round r learned (ma, mb) => symbol ma+mb
+    exists from round r+1 on) — the observable proof that each round
+    learns over the previous round's rewrite, not the raw vocab.
+    Rounds must also be 1..N with positive counts."""
+    from gmall_flink_0526_spark.plans.catalog import queries
+    from gmall_flink_0526_spark.plans.text import BPE_LOOP_ROUNDS
+
+    rows = sorted(
+        (r["round"], r["pair"], r["ct"])
+        for r in queries()["bpe_train_loop"](spark, SF_SMOKE).collect()
+    )
+    assert [r for r, _, _ in rows] == list(range(1, BPE_LOOP_ROUNDS + 1))
+    assert all(ct > 0 for _, _, ct in rows)
+    merged_syms: set[str] = set()
+    nested = False
+    for _, pair, _ in rows:
+        ma, mb = pair.split("|")
+        nested = nested or ma in merged_syms or mb in merged_syms
+        merged_syms.add(ma + mb)
+    assert nested, f"no round learned a pair containing an earlier merge: {rows}"
+
+
 def test_dim_enrichment_asof_is_union_fill_not_range_join(spark):
     """Point-in-time enrichment must plan as asof_join's sorted-union
     window fill: NO join operator between facts and dim history (a
