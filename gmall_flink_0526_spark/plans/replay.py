@@ -1245,8 +1245,8 @@ def _hist_epoch_store(spark: SparkSession, sf_dir: str) -> str:
             .collect()
         ]
 
-    def _build() -> str:
-        bounds_rows = corpus_value(spark, "hist_bounds:events", sf_dir, _bounds)
+    def _build() -> tuple:
+        bounds_rows = _bounds()
         lines = spread(ev, "event_id").select(
             "event_id", "ts", "event_type", "value"
         )
@@ -1274,20 +1274,21 @@ def _hist_epoch_store(spark: SparkSession, sf_dir: str) -> str:
             q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-        return root
+        return root, bounds_rows
 
-    return corpus_value(spark, "hist_epoch_store", sf_dir, _build)
+    # ONE memo holds (root, bounds): they are a unit — the bounds the
+    # store was provisioned with are the only bounds its readers may use
+    return corpus_value(spark, "hist_epoch_store", sf_dir, _build)[0]
 
 
 def _hist_bounds_rows(spark: SparkSession, sf_dir: str) -> list:
     from ..operators.cache import corpus_value
 
-    # the store build memoized these; read them back via the same key
-    root = _hist_epoch_store(spark, sf_dir)  # noqa: F841 — ensures built
-    return corpus_value(
-        spark, "hist_bounds:events", sf_dir,
-        lambda: (_ for _ in ()).throw(RuntimeError("bounds not memoized")),
-    )
+    def _never() -> tuple:
+        raise AssertionError("store must be built before reading bounds")
+
+    _hist_epoch_store(spark, sf_dir)  # ensures the memo exists
+    return corpus_value(spark, "hist_epoch_store", sf_dir, _never)[1]
 
 
 def _register_quantile_sketch_stream():

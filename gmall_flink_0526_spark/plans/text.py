@@ -634,9 +634,11 @@ def _sql_bpe_loop() -> str:
     "over the vocab alone — per-round cost is vocab-sized, never a "
     "corpus rescan. Each round's learned pair is a 1-row bounded "
     "collect (the centroid-table class), memoized per corpus as ONE "
-    "merge list; at production merge counts (30k rounds) the rewrite "
-    "lineage is checkpointed every ~50 rounds — at N="
-    f"{BPE_LOOP_ROUNDS} the fold chain stays in one plan. Oracle: "
+    "merge list; deep runs (production trains 30k merges) cut the "
+    "fold-chain lineage with one localCheckpoint every "
+    "BPE_CKPT_EVERY=16 rounds (the connected_components per-round "
+    "precedent; exercised by the deep-loop test) — at N="
+    f"{BPE_LOOP_ROUNDS} the chain stays in one plan. Oracle: "
     "the identical loop as chained DuckDB list_reduce CTEs.",
     tags=("text", "llm-prep", "tokenizer", "iterative"),
 )
@@ -672,13 +674,24 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_persist(spark, "bpe_vocab", sf_dir, _vocab)
 
 
-def _train_bpe_loop(vocab: DataFrame) -> list[tuple[int, str, str, int]]:
+# lineage-cut cadence for deep trainer runs: each round nests one more
+# aggregate fold into the plan, and past a few dozen rounds analysis
+# cost (and eventually the 64KB codegen method limit) dominates — cut
+# with ONE localCheckpoint every K rounds, the connected_components
+# per-round precedent (operators/graph.py). At the catalog's N=8 the
+# cut never fires; the deep-loop test drives it explicitly.
+BPE_CKPT_EVERY = 16
+
+
+def _train_bpe_loop(
+    vocab: DataFrame, rounds: int = BPE_LOOP_ROUNDS
+) -> list[tuple[int, str, str, int]]:
     """The iterative trainer: N rounds of learn-top-pair + vocab-wide
     merge fold over ``vocab``. Shared by bpe_train_loop (emits the
     merge table) and bpe_encode_corpus (applies it)."""
     syms = vocab.select("word", "freq", F.split("word", "").alias("s"))
     merges: list[tuple[int, str, str, int]] = []
-    for r in range(1, BPE_LOOP_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         pairs = (
             syms.filter(F.size("s") >= 2)
             .select(
@@ -704,6 +717,9 @@ def _train_bpe_loop(vocab: DataFrame) -> list[tuple[int, str, str, int]]:
         syms = syms.withColumn(
             "s", apply_merge(F.col("s"), top["ma"], top["mb"], sep="")
         )
+        if r % BPE_CKPT_EVERY == 0 and r < rounds:
+            # vocab-sized materialization; supersedes the previous cut
+            syms = syms.localCheckpoint()
     return merges
 
 

@@ -1584,6 +1584,50 @@ def test_hist_sketch_app_sums_to_batch_grid_and_survives_retry(spark, tmp_path):
     assert got == exp  # poison gone, per-epoch sums equal the batch grid
 
 
+def test_bpe_train_loop_deep_run_checkpoints_and_matches_python_model(spark):
+    """The trainer past the lineage-cut cadence: BPE_CKPT_EVERY + 4
+    rounds over a synthetic vocab drives the localCheckpoint path (at
+    the catalog's N=8 it never fires) and every learned merge —
+    including the rounds AFTER the cut — must match a plain-Python
+    BPE trainer with the identical greedy-overlap and tie rules. A
+    lineage cut that dropped or reordered state would diverge from
+    round 17 on."""
+    from gmall_flink_0526_spark.plans.text import BPE_CKPT_EVERY, _train_bpe_loop
+
+    words = [
+        "the", "fast", "key", "order", "sort", "table", "scan", "merge",
+        "part", "window", "small", "hash", "join", "batch", "stream",
+        "spark", "dup", "group", "query", "row", "data", "slow",
+        "filter", "customer", "line", "value", "agg", "column", "big",
+    ]
+    vd = {w: (i * 7) % 13 + 1 for i, w in enumerate(words)}
+    vocab = spark.createDataFrame(list(vd.items()), "word string, freq long")
+    rounds = BPE_CKPT_EVERY + 4
+    got = [(r, ma, mb, int(ct)) for r, ma, mb, ct in _train_bpe_loop(vocab, rounds=rounds)]
+
+    syms = {w: list(w) for w in vd}
+    exp = []
+    for r in range(1, rounds + 1):
+        counts: dict = {}
+        for w, f in vd.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        (ma, mb), ct = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]}|{kv[0][1]}")
+        )
+        exp.append((r, ma, mb, ct))
+        for w, s in syms.items():
+            out: list = []
+            for t in s:
+                if out and out[-1] == ma and t == mb:
+                    out[-1] = ma + mb
+                else:
+                    out.append(t)
+            syms[w] = out
+    assert got == exp
+
+
 def test_drift_epoch_range_reader_survives_poisoned_epoch(spark, tmp_path):
     """value_drift_chi2_stream's store contract: the epoch-RANGE reader
     (baseline = epochs < 2, live = rest) over the shared 4-epoch
