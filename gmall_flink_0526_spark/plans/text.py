@@ -514,20 +514,10 @@ BPE_TOP2 = 10
 def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from ..operators.cache import corpus_value
     from ..operators.partitioning import spread
 
     t = load_tables(spark, sf_dir, "documents")
-
-    def _top_pair() -> str:
-        # one 1-row collect, memoized per corpus — the bounded-scalar
-        # class; derivation identical to the oracle's top1 CTE (and to
-        # bpe_merge_candidates' rank rule: ct DESC, pair ASC)
-        return _pair_counts(spark, sf_dir).orderBy(
-            F.col("ct").desc(), "pair"
-        ).limit(1).collect()[0]["pair"]
-
-    ma, mb = corpus_value(spark, "bpe_top_pair", sf_dir, _top_pair).split(" ")
+    ma, mb = _bpe_top_pair(spark, sf_dir).split(" ")
     staged = textops.with_tokens(spread(t["documents"], "doc_id"))
     rewritten = staged.select(apply_merge(F.col("toks"), ma, mb).alias("toks"))
     pairs = rewritten.filter(F.size("toks") >= 2).select(
@@ -549,6 +539,25 @@ def _pair_expr():
     return F.expr(
         "transform(sequence(1, size(toks) - 1),"
         " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+
+
+def _bpe_top_pair(spark: SparkSession, sf_dir: str) -> str:
+    """The corpus's top word-level adjacent pair — ONE 1-row collect,
+    memoized per corpus (the bounded-scalar class); derivation
+    identical to the apply oracle's top1 CTE and bpe_merge_candidates'
+    rank rule (ct DESC, pair ASC). The single definition both
+    bpe_apply_merge and the bpe_memos bench setup call — two copies
+    under one memo key would let the first writer silently shadow a
+    changed derivation."""
+    from ..operators.cache import corpus_value
+
+    return corpus_value(
+        spark, "bpe_top_pair", sf_dir,
+        lambda: _pair_counts(spark, sf_dir)
+        .orderBy(F.col("ct").desc(), "pair")
+        .limit(1)
+        .collect()[0]["pair"],
     )
 
 
@@ -881,16 +890,6 @@ def _setup_bpe_memos(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the BPE corpus memos: the word-frequency vocab, the
     word-level top-pair scalar (bpe_apply_merge's memo) and the full
     char-level merge list (bpe_train_loop's model)."""
-    from ..operators.cache import corpus_value
-    from ..operators.partitioning import spread
-
-    t = load_tables(spark, sf_dir, "documents")
-    corpus_value(
-        spark, "bpe_top_pair", sf_dir,
-        lambda: _pair_counts(spark, sf_dir)
-        .orderBy(F.col("ct").desc(), "pair")
-        .limit(1)
-        .collect()[0]["pair"],
-    )
+    _bpe_top_pair(spark, sf_dir)
     # the loop's own accessors memoize vocab + merges
     bpe_train_loop(spark, sf_dir).count()

@@ -385,6 +385,10 @@ def temporal_join(
 
     Output: (id, key, probe_ts, probe_value, build_ts, build_value) —
     LEFT semantics: probes before any build emit NULL build columns.
+    Equal-(key, ts) builds where one value is NULL are OUT of the tie
+    contract (pandas sorts NaN last, so the NULL would win the carry
+    while a batch MAX skips it) — pre-aggregate such ties upstream,
+    exactly as the batch twin's (key, ts)+MAX pre-aggregation does.
     Output and state field TYPES are derived from ``events.schema``
     (the asof_join precedent), so a string key or an integer value
     column round-trips instead of silently miscasting; only the state
