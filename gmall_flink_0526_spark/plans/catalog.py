@@ -154,12 +154,16 @@ _PRIORITY = (
     "mixture_temperature",
     # -- NEW in r11: the char-level N-merge BPE trainer loop
     #    (word-frequency vocab, chained list_reduce oracle), its
-    #    encode step (corpus token mass under the learned merges), and
-    #    the epoch-range distribution-drift audit over the shared
-    #    histogram store. ----------------------------------------------
+    #    encode step (corpus token mass under the learned merges), the
+    #    epoch-range distribution-drift audit over the shared
+    #    histogram store, and multi-step funnel ATTRIBUTION — the
+    #    chained-asof_join composition plus its chained-CEP-state
+    #    streaming twin (funnel_chain), sharing one oracle. -------------
     "bpe_train_loop",
     "bpe_encode_corpus",
     "value_drift_chi2_stream",
+    "funnel_attribution",
+    "funnel_attribution_stream",
     # -- CHANGED in r11: hist_bin's long-domain clamp (both quantile
     #    audits, both drift audits); apply_merge grew the sep joiner
     #    (bpe_apply_merge); temporal_join's typed state carry
@@ -188,9 +192,9 @@ _PRIORITY = (
     #    by the full sf0.001 pytest sweep and the in-repo full-catalog
     #    vanilla gate at sf0.01 (BASELINE.md r11). ----------------------
     "token_stats",
+    # -- freshest: previous-round order preserved. ---------------------
     "simhash_fingerprint",
     "doc_fingerprint",
-    # -- freshest: previous-round order preserved. ---------------------
     "lang_id",
     "is_new_fix",
     "bounce_stats",

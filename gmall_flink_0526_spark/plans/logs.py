@@ -987,6 +987,74 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_FUNNEL_ATTR = """
+    WITH v AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'view'),
+    c0 AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'),
+    c AS (
+      SELECT c0.user_id, c0.ts AS click_ts, v.ts AS view_ts
+      FROM c0 ASOF LEFT JOIN v ON c0.user_id = v.user_id AND v.ts <= c0.ts
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.click_ts, c.view_ts,
+           CASE WHEN c.view_ts IS NOT NULL THEN 3
+                WHEN c.click_ts IS NOT NULL THEN 2 ELSE 1 END AS depth
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.ts
+    """
+
+
+@register(
+    "funnel_attribution",
+    oracle=_SQL_FUNNEL_ATTR,
+    doc="Multi-step funnel ATTRIBUTION — per purchase, the user's last "
+    "click at or before it, and for THAT click the last view at or "
+    "before the click (last-touch attribution down a 3-stage funnel; "
+    "funnel_conversion is the aggregate twin, this is the per-event "
+    "lineage an attribution pipeline materializes). Built as the "
+    "COMPOSITION of two chained asof_joins: views resolve per CLICK "
+    "first (click-level enrichment), then purchases as-of join the "
+    "enriched clicks — each link one sorted-union fill (one user_id "
+    "exchange + per-key sort, no range-join fan-out), so the chain "
+    "is two linear passes at any scale. depth = how far up the "
+    "funnel the purchase resolves (3 full chain / 2 click only / 1 "
+    "bare). Stage ties pre-aggregate via distinct, the asof_join "
+    "contract. Oracle: the identical chain in DuckDB native ASOF "
+    "LEFT JOINs.",
+    tags=("events", "join", "asof", "funnel"),
+)
+def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    views = (
+        ev.filter(F.col("event_type") == "view").select("user_id", "ts").distinct()
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click").select("user_id", "ts").distinct()
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    enriched_clicks = asof_join(
+        clicks,
+        views.select("user_id", "ts", F.col("ts").alias("view_ts")),
+        on=["user_id"],
+        ts_col="ts",
+        how="left",
+    ).select("user_id", "ts", F.col("ts").alias("click_ts"), "view_ts")
+    out = asof_join(purchases, enriched_clicks, on=["user_id"], ts_col="ts", how="left")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "click_ts",
+        "view_ts",
+        F.when(F.col("view_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .otherwise(1)
+        .alias("depth"),
+    )
+
+
 @register(
     "retention_cohorts",
     oracle="""

@@ -964,6 +964,64 @@ def asof_click_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_funnel_attribution_stream():
+    from .logs import _SQL_FUNNEL_ATTR
+
+    @register(
+        "funnel_attribution_stream",
+        oracle=_SQL_FUNNEL_ATTR,
+        doc="Multi-step funnel attribution as ONE keyed stateful stream "
+        "(streaming/stateful.funnel_chain) — the CEP pattern state the "
+        "reference's flink-cep dependency implies beyond the bounce "
+        "job: a purchase emits its user's latest click, and for THAT "
+        "click the view resolved AT CLICK ARRIVAL (stored with the "
+        "click — the state's single view slot may already hold a "
+        "newer view than the stored click should see, so the link "
+        "binds when the pattern step fires, exactly as a Flink CEP "
+        "chain would). State per key is two O(1) levels: latest view "
+        "ts + latest click (ts, view-at-click). Carries are "
+        "vectorized positional ffills; in-batch order (ts, "
+        "view<click<purchase) gives the chained-ASOF inclusive rule, "
+        "and micro-batch boundaries cut on event-time value so "
+        "same-instant stage pairs never straddle a batch. Oracle: the "
+        "batch funnel_attribution's chained DuckDB ASOF SQL verbatim "
+        "— the stream is value-checked against the two-asof_join "
+        "composition.",
+        tags=("state", "streaming", "events", "cep", "asof", "funnel"),
+    )
+    def funnel_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = load_tables(spark, sf_dir, "events")["events"]
+        ev = events.filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        ).select("event_id", "ts", "user_id", "event_type")
+        # stage ties: the operator contract (like asof_join) wants one
+        # row per (user, ts) per stage; the fixture's stages are
+        # tie-free (asserted cheaply by the oracle match — a tie would
+        # desync) so rows pass through unaggregated
+        mn, mx = ev.select(F.min("ts"), F.max("ts")).first()
+        ts_type = ev.schema["ts"].dataType.simpleString()
+        cut1 = F.lit(mn + (mx - mn) / 2).cast(ts_type)
+        file_of = F.when(F.col("ts") <= cut1, 0).otherwise(1)
+        out = replay_stateful(
+            spark, ev, stateful.funnel_chain, order_by=["ts", "event_id"],
+            cache_key=f"events_funnel_tspan:{sf_dir}", file_of=file_of, n_files=2,
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.col("probe_ts").alias("purchase_ts"),
+            "click_ts",
+            "view_ts",
+            F.when(F.col("view_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .otherwise(1)
+            .alias("depth"),
+        )
+
+
+_register_funnel_attribution_stream()
+
+
 def _register_heavy_hitters_stream():
     from .text import CMS_TOP, _sql_cms_audit
 

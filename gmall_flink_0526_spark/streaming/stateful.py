@@ -13,6 +13,11 @@ CEP-style timeout emission. Each mirrors a reference operator:
                              gmall-realtime/pom.xml:52-56): close a session
                              when the gap exceeds the threshold OR state
                              times out; a 1-event session is a bounce.
+- :func:`temporal_join` / :func:`temporal_enrich` — the Flink
+                             temporal-table (as-of) join as keyed state.
+- :func:`funnel_chain`     — multi-step CEP pattern state (the
+                             flink-cep chain beyond the bounce job):
+                             view->click->purchase last-touch links.
 
 Semantics note: like the reference's ProcessFunctions, these process
 records in *arrival order* (within a micro-batch we sort by (ts, id)).
@@ -483,6 +488,159 @@ def temporal_join(
     )
     # NoTimeout: the latest dimension/build version must persist for
     # the stream's lifetime, exactly like fix_is_new's first-seen state
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_t,
+        stateStructType=state_t,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def funnel_chain(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    view_type: str = "view",
+    click_type: str = "click",
+    probe_type: str = "purchase",
+) -> DataFrame:
+    """Three-step CEP funnel attribution as ONE keyed stateful operator
+    — the multi-step pattern state the reference's CEP dependency
+    implies beyond the bounce job: every ``probe_type`` row (purchase)
+    emits the user's latest ``click_type`` at or before it, and for
+    THAT click the latest ``view_type`` at or before the click — the
+    chain resolving exactly when the Flink pattern would: the
+    view->click link binds at CLICK arrival (stored with the click),
+    the click->purchase link at purchase arrival. State per key is two
+    levels, both O(1) forever: the latest view ts, and the latest
+    click (ts, view-at-click ts).
+
+    Within a batch rows sort by (ts, view<click<purchase) so a
+    same-instant earlier stage is visible to its successor — the
+    inclusive-backward rule of the chained ASOF oracle. Carries are
+    vectorized positional ffills (the temporal_enrich idiom); the
+    seeded click row re-enters with its STORED view attachment rather
+    than recomputing it, because the state's single view slot may
+    already hold a NEWER view than the stored click should see.
+    Equal-(key, ts) duplicates within one stage are out of contract —
+    ``distinct()`` the stage streams upstream, as the batch twin does.
+
+    Output: (id, key, probe_ts, click_ts, view_ts) with LEFT
+    semantics — NULL click columns before any click, NULL view_ts for
+    a click no view preceded.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    _ORD = {view_type: 0, click_type: 1, probe_type: 2}
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        vts, cts, cva = state.get if state.exists else (None, None, None)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        pdf = pdf[pdf[type_col].isin(list(_ORD))]
+        if not len(pdf):
+            return
+        # _att: a click row's resolved view-at-click micros (float; NaN
+        # = none); _seeded marks state re-entries whose _att must be
+        # TRUSTED, not recomputed from the in-batch view carry
+        pdf = pdf.assign(_att=np.nan, _seeded=False)
+        seeds = []
+        if vts is not None:
+            seeds.append(
+                {ts: pd.Timestamp(vts, unit="us"), type_col: view_type,
+                 "_att": np.nan, "_seeded": True}
+            )
+        if cts is not None:
+            seeds.append(
+                {ts: pd.Timestamp(cts, unit="us"), type_col: click_type,
+                 "_att": float(cva) if cva is not None else np.nan,
+                 "_seeded": True}
+            )
+        if seeds:
+            seed = pd.DataFrame(seeds)
+            for c in (ts,):
+                try:
+                    seed[c] = seed[c].astype(pdf[c].dtype)
+                except (TypeError, ValueError):
+                    pass
+            pdf = pd.concat([seed, pdf], ignore_index=True)
+        pdf = (
+            pdf.assign(_ord=pdf[type_col].map(_ORD))
+            .sort_values([ts, "_ord"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(pdf)
+        is_v = (pdf[type_col] == view_type).to_numpy()
+        is_c = (pdf[type_col] == click_type).to_numpy()
+        is_p = (pdf[type_col] == probe_type).to_numpy()
+        ts_us = pdf[ts].astype("int64").to_numpy() // 1000  # ns -> us
+        # stage 1: view position carry; a click resolves its view here
+        vpos = pd.Series(np.where(is_v, np.arange(n), np.nan)).ffill()
+        has_v = vpos.notna().to_numpy()
+        v_at = np.where(
+            has_v, ts_us[vpos.fillna(0).astype(int).to_numpy()], np.nan
+        )
+        att = pdf["_att"].to_numpy(dtype=float)
+        seeded = pdf["_seeded"].to_numpy()
+        # fresh clicks bind the carry; seeded clicks keep their stored
+        # attachment (may be NaN = click genuinely had no view)
+        att = np.where(is_c & ~seeded, v_at, att)
+        # stage 2: click position carry; probes read (click ts, att)
+        cpos = pd.Series(np.where(is_c, np.arange(n), np.nan)).ffill()
+        # state update: last view / last click row of the sorted batch
+        new_vts = int(ts_us[np.where(is_v)[0][-1]]) if is_v.any() else vts
+        if is_c.any():
+            last_c = np.where(is_c)[0][-1]
+            new_cts = int(ts_us[last_c])
+            new_cva = None if np.isnan(att[last_c]) else int(att[last_c])
+        else:
+            new_cts, new_cva = cts, cva
+        state.update((new_vts, new_cts, new_cva))
+        if not is_p.any():
+            return
+        pp = cpos[is_p]
+        matched = pp.notna().to_numpy()
+        idx = pp.fillna(0).astype(int).to_numpy()
+        m = pd.Series(matched)
+        out = {
+            id_col: pdf.loc[is_p, id_col].to_numpy(),
+            key: key_tuple[0],
+            "probe_ts": pdf.loc[is_p, ts].to_numpy(),
+            "click_ts": pdf[ts].iloc[idx].reset_index(drop=True).where(m).to_numpy(),
+            # view_ts rides the click's attachment: float micros -> ts
+            "view_ts": pd.to_datetime(
+                pd.Series(att[idx]).where(m), unit="us"
+            ).to_numpy(),
+        }
+        yield pd.DataFrame(out)
+
+    field = {c: events.schema[c].dataType for c in (key, ts, id_col)}
+    out_t = T.StructType(
+        [
+            T.StructField(id_col, field[id_col]),
+            T.StructField(key, field[key]),
+            T.StructField("probe_ts", field[ts]),
+            T.StructField("click_ts", field[ts]),
+            T.StructField("view_ts", field[ts]),
+        ]
+    )
+    state_t = T.StructType(
+        [
+            T.StructField("vts", T.LongType()),
+            T.StructField("cts", T.LongType()),
+            T.StructField("cva", T.LongType()),
+        ]
+    )
+    # NoTimeout: funnel attribution state must persist for the
+    # stream's lifetime, like the other as-of carries
     return events.groupBy(key).applyInPandasWithState(
         fn,
         outputStructType=out_t,

@@ -1325,6 +1325,72 @@ def test_asof_join_null_right_values_do_not_leak_previous_row(spark):
     assert inner == {(1, 5), (1, 12), (1, 25)}
 
 
+def test_funnel_chain_cross_batch_attachment_edges(spark):
+    """funnel_chain's load-bearing edges, split adversarially across
+    micro-batches:
+
+    - STORED ATTACHMENT: user 1's click@2 resolved view@1 at click
+      arrival; a NEWER view@4 then lands in state. A purchase@5 in the
+      NEXT batch must read (click 2, view 1) — recomputing the click's
+      view from the seeded state-view (ts 4 > 2) would either attach
+      the wrong view or lose it to NULL.
+    - LEFT semantics: user 2 purchases before any click -> both NULL.
+    - NULL attachment survives: user 3's click had no view; a later
+      view must not retro-attach to that click, but a NEWER click
+      after the view picks it up.
+    - Same-instant chain: user 4's view/click/purchase all at ts 7
+      resolve fully (inclusive backward at every link).
+    """
+    from gmall_flink_0526_spark.streaming.replay import replay_stateful
+    from gmall_flink_0526_spark.streaming.stateful import funnel_chain
+
+    def T(sec):
+        return f"2024-01-01 00:00:{sec:02d}"
+
+    rows = [
+        # (event_id, ts, user_id, event_type, batch)
+        (101, T(1), 1, "view", 0),
+        (102, T(2), 1, "click", 0),
+        (103, T(4), 1, "view", 0),
+        (104, T(5), 1, "purchase", 1),
+        (201, T(3), 2, "purchase", 0),
+        (301, T(1), 3, "click", 0),
+        (302, T(2), 3, "purchase", 0),
+        (303, T(3), 3, "view", 0),
+        (304, T(4), 3, "purchase", 1),
+        (305, T(5), 3, "click", 1),
+        (306, T(6), 3, "purchase", 1),
+        (401, T(7), 4, "view", 1),
+        (402, T(7), 4, "click", 1),
+        (403, T(7), 4, "purchase", 1),
+    ]
+    src = spark.createDataFrame(
+        [(e, t, u, y, b) for e, t, u, y, b in rows],
+        "event_id long, ts_s string, user_id long, event_type string, b int",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "b"
+    )
+    out = {
+        r["event_id"]: (r["click_ts"], r["view_ts"])
+        for r in replay_stateful(
+            spark, src, funnel_chain, order_by=["ts", "event_id"],
+            file_of=F.col("b"), n_files=2,
+        ).collect()
+    }
+
+    def ts(sec):
+        import datetime
+
+        return datetime.datetime(2024, 1, 1, 0, 0, sec)
+
+    assert out[104] == (ts(2), ts(1))  # stored view@1, NOT state's view@4
+    assert out[201] == (None, None)  # purchase before any click
+    assert out[302] == (ts(1), None)  # click had no view yet
+    assert out[304] == (ts(1), None)  # later view must not retro-attach
+    assert out[306] == (ts(5), ts(3))  # new click after the view binds it
+    assert out[403] == (ts(7), ts(7))  # same-instant full chain
+
+
 def test_asof_join_validate_raises_on_duplicate_key_ts(spark):
     """validate=True proves the at-most-one-right-row-per-(key, ts)
     precondition (r10 VERDICT #5): duplicates raise with the offending

@@ -271,6 +271,18 @@ def test_dim_enrichment_asof_is_union_fill_not_range_join(spark):
     assert re.search(r"hashpartitioning\(custkey", p)
 
 
+def test_funnel_attribution_is_chained_union_fill(spark):
+    """The 3-stage attribution chain must plan as TWO asof_join
+    sorted-union fills — no join operator anywhere (a range-predicate
+    join would fan a hot user out stage x stage), both fills'
+    exchanges hashed on user_id, no cartesian."""
+    p = plan_of(spark, "funnel_attribution")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2  # one per chained link
+    assert re.search(r"hashpartitioning\(user_id", p)
+
+
 def test_incremental_dedup_stream_stores_broadcast_batch_side(spark, tmp_path):
     """The cross-corpus candidate join inside the incremental dedup app
     must broadcast the BATCH side — shuffling the corpus signature
