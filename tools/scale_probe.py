@@ -95,6 +95,36 @@ def gen_embeddings(n_vecs: int, dim: int, rng: np.random.Generator):
     ]
 
 
+def gen_events(spark, out_dir: str, scale: int = 10) -> None:
+    """Synthesize a ~sf1 events table (10x the sf0.1 row counts, same
+    schema/type mix, 10x the user key space) JVM-side — spark.range +
+    hash-derived columns, no Python rows. Timestamps spread over the
+    same 30-day window so as-of chains stay dense per user."""
+    from pyspark.sql import functions as F
+
+    n_ev, n_users = 100_000 * scale, 1_500 * scale
+
+    def h(m: int, salt: str):
+        return F.pmod(F.hash(F.col("id").cast("string"), F.lit(salt)), F.lit(m))
+
+    epoch = F.lit(1704067200)  # 2024-01-01 UTC
+    spark.range(n_ev).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            epoch + h(30 * 86400, "ts") + h(1_000_000, "us") / F.lit(1_000_000.0)
+        ).alias("ts"),
+        h(n_users, "u").alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(v) for v in ("view", "click", "purchase", "signup", "error")]),
+            (h(5, "et") + 1).cast("int"),
+        ).alias("event_type"),
+        (h(10_000, "v").cast("double") / 100.0).alias("value"),
+        F.concat(F.lit('{"k": '), h(100, "k").cast("string"), F.lit("}")).alias("props"),
+    ).repartition(16).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+
 def gen_warehouse(spark, out_dir: str, scale: int = 10) -> None:
     """Synthesize a ~sf1 TPC-H-ish warehouse (10x the sf0.1 row counts,
     same schemas) entirely JVM-side — spark.range + hash-derived
@@ -623,6 +653,17 @@ def main() -> None:
                 "shuffled_hash": plan.count("ShuffledHashJoin"),
                 "aqe_final": "isFinalPlan=true" in plan,
             }
+            # r11: the chained-as-of funnel rides a 10x EVENTS corpus —
+            # two union-fills (one user_id exchange + per-key sort
+            # each), so 10x rows and 10x users must track ~linearly
+            # with no stage x stage fan-out term
+            gen_events(spark, wh, scale=10)
+            for name in ("funnel_attribution", "asof_click_attribution"):
+                for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", wh)):
+                    t0 = time.time()
+                    n = qs[name](spark, sf_dir).count()
+                    warehouse.setdefault(name, {})[sf_label] = round(time.time() - t0, 2)
+                    warehouse[name][f"{sf_label}_rows"] = n
         finally:
             shutil.rmtree(wh, ignore_errors=True)
 
