@@ -156,14 +156,19 @@ _PRIORITY = (
     #    (word-frequency vocab, chained list_reduce oracle), its
     #    encode step (corpus token mass under the learned merges), the
     #    epoch-range distribution-drift audit over the shared
-    #    histogram store, and multi-step funnel ATTRIBUTION — the
+    #    histogram store, multi-step funnel ATTRIBUTION — the
     #    chained-asof_join composition plus its chained-CEP-state
-    #    streaming twin (funnel_chain), sharing one oracle. -------------
+    #    streaming twin (funnel_chain), sharing one oracle — and the
+    #    SLIDING-window pair completing the window-family trio
+    #    (tumbling/session/hop), batch + watermarked stream sharing
+    #    one unnested-hops oracle. --------------------------------------
     "bpe_train_loop",
     "bpe_encode_corpus",
     "value_drift_chi2_stream",
     "funnel_attribution",
     "funnel_attribution_stream",
+    "visitor_stats_sliding",
+    "visitor_stats_sliding_stream",
     # -- CHANGED in r11: hist_bin's long-domain clamp (both quantile
     #    audits, both drift audits); apply_merge grew the sep joiner
     #    (bpe_apply_merge); temporal_join's typed state carry
@@ -177,7 +182,6 @@ _PRIORITY = (
     "quantile_sketch_stream",
     "bpe_apply_merge",
     "asof_click_stream",
-    "asof_click_attribution",
     "dim_enrichment_asof",
     "dim_enrichment_asof_stream",
     "order_wide_stream",
@@ -191,8 +195,12 @@ _PRIORITY = (
     #    row is r7/r8. Everything below the cut is covered this round
     #    by the full sf0.001 pytest sweep and the in-repo full-catalog
     #    vanilla gate at sf0.01 (BASELINE.md r11). ----------------------
+    # -- freshest: previous-round order preserved (asof_click_attribution
+    #    leads: its only r11 delta is asof_join's opt-in validate
+    #    signature extension, default path unchanged and re-proven
+    #    in-window by dim_enrichment_asof on the same operator). --------
+    "asof_click_attribution",
     "token_stats",
-    # -- freshest: previous-round order preserved. ---------------------
     "simhash_fingerprint",
     "doc_fingerprint",
     "lang_id",

@@ -210,6 +210,59 @@ def visitor_stats_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared by the batch query and its streaming twin: Spark's
+# window(ts, "2 hours", "1 hour") assigns each row the two
+# epoch-aligned hour starts covering it — start in
+# {floor_hour(ts) - 1h, floor_hour(ts)} — which the oracle unnests
+# explicitly.
+_SQL_VISITOR_SLIDING = """
+    WITH hopped AS (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS wstart,
+             event_type, value
+      FROM events
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type,
+           COUNT(*) AS pv_ct,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+    FROM hopped
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "visitor_stats_sliding",
+    oracle=_SQL_VISITOR_SLIDING,
+    doc="A1, SLIDING (hop) windows — the third member of the window "
+    "family (tumbling = visitor_stats_hourly, session = "
+    "session_stats): per event type, pv count and exact value sum "
+    "over 2-hour windows hopping every hour, via Spark's native "
+    "window(ts, '2 hours', '1 hour') — each row fans out to exactly "
+    "window/slide = 2 epoch-aligned windows inside whole-stage "
+    "codegen, then ONE map-side-combinable grouped agg; at 100 TB "
+    "the fan-out factor is the fixed ratio, never data-dependent. "
+    "The oracle unnests the same two hour starts per row.",
+    tags=("events", "agg", "window"),
+)
+def visitor_stats_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("pv_ct"),
+            exact_sum(F.col("value")).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            "event_type",
+            "pv_ct",
+            "value_sum",
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # F2 — daily unique-visitor dedup (batch twin of the keyed-state op).
 # ----------------------------------------------------------------------

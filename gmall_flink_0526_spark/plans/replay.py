@@ -404,6 +404,68 @@ def visitor_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("event_type") != "_sentinel")
 
 
+def _register_visitor_stats_sliding_stream():
+    from .logs import _SQL_VISITOR_SLIDING
+
+    @register(
+        "visitor_stats_sliding_stream",
+        oracle=_SQL_VISITOR_SLIDING,
+        doc="A1, streaming SLIDING windows — completes the streaming "
+        "window-family trio (tumbling = visitor_stats_stream, "
+        "session = session_stats_stream): the real watermarked "
+        "hop-window aggregate (window(ts, '2 hours', '1 hour')) over "
+        "a time-ordered replay, flushed by a sentinel row 4 hours "
+        "past the data (every real window end then trails the "
+        "watermark). Per-row fan-out is the fixed window/slide = 2; "
+        "state is one row per (open window, type), bounded by "
+        "window-count x types regardless of event volume. Shares the "
+        "batch query's unnested-hops oracle verbatim.",
+        tags=("streaming", "events", "agg", "window"),
+    )
+    def visitor_stats_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.exact import exact_sum
+
+        events = load_tables(spark, sf_dir, "events")["events"]
+        src = events.select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+        )
+        sentinel = src.agg(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.max("ts") + F.expr("INTERVAL 4 HOURS")).alias("ts"),
+            F.lit("_sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+
+        def op(s):
+            return (
+                s.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+                .agg(
+                    F.count("*").alias("pv_ct"),
+                    exact_sum(F.col("value")).alias("value_sum"),
+                )
+                .select(
+                    F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+                    "event_type",
+                    "pv_ct",
+                    "value_sum",
+                )
+            )
+
+        out = replay_stateful(
+            spark,
+            src.unionByName(sentinel),
+            op,
+            order_by=["ts", "event_id"],
+            n_files=2,
+            drain_mode="all_available",
+        )
+        return out.filter(F.col("event_type") != "_sentinel")
+
+
+_register_visitor_stats_sliding_stream()
+
+
 @register(
     "order_wide_stream",
     oracle="""
