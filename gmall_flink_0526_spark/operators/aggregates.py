@@ -246,6 +246,105 @@ def hist_quantiles(
     )
 
 
+# -- HyperLogLog register sketch ------------------------------------------
+#
+# The CARDINALITY member of the mergeable-sketch family (CMS =
+# frequency, Bloom = membership, histogram = quantile): m registers
+# per group, register j holding the MAX leading-zero rank (rho) of the
+# hashes routed to it. Fixed memory at any stream size, built by ONE
+# grouped max with map-side partial aggregation, mergeable across
+# shards/epochs by plain MAX (idempotent — a replayed batch cannot
+# corrupt it, even without the overwrite crash rule). Spark's own
+# approx_count_distinct is HLL++ and is what production calls inline
+# (distinct_count_approx above); THIS sketch is the explicit-register
+# form whose every step — bucket, rho, harmonic sum, estimate — is
+# exact string/integer arithmetic plus ONE final IEEE division, so a
+# DuckDB oracle re-derives the estimate bit-for-bit INCLUDING the
+# sketch error, which is what an AUDIT needs (HLL++ register layouts
+# are engine-private and not cross-engine reproducible — the
+# product_stats_approx lesson).
+#
+# m = 32 keeps the relative error ~1.04/sqrt(32) ~ 18% — deliberately
+# coarse so the audit's err_pct column is non-trivially exercised at
+# every test SF (the CMS_WIDTH=32 rationale). alpha_32 = 0.697 is the
+# original HLL paper's constant for m = 32. The estimator is the RAW
+# HLL formula only: the audited domain guarantees n > 2.5*m (the
+# small-range linear-counting branch needs ln(), whose last-bit
+# rounding is engine-specific — the chi2-over-KL precedent — so it
+# stays out of the certified surface; production re-enables it, or
+# uses approx_count_distinct, when small groups matter). The 32-bit
+# hash's large-range correction is likewise irrelevant below ~10^8
+# distinct; at 100 TB production widens the slice to 16 hex chars.
+HLL_M = 32
+_HLL_ALPHA = 0.697
+# alpha * m^2 * 2^33 precomputed in Python and embedded as the SAME
+# repr literal in both engines: the estimate is this single constant
+# divided by the exact-integer harmonic sum S (see hll_estimate).
+HLL_ALPHA_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << 33)
+
+
+def hll_rho(hex8: Column) -> Column:
+    """rho of an 8-hex-char (32-bit) hash slice: leading zero BITS + 1,
+    computed purely from the hex STRING — strip leading '0' chars, then
+    the first surviving nibble's own leading zeros from a 4-way CASE —
+    so both engines derive identical integers with no float/libm step
+    anywhere. An all-zero slice is rho = 33 (the 32-bit convention)."""
+    stripped = F.regexp_replace(hex8, "^0+", "")
+    d = F.substring(stripped, 1, 1)
+    extra = (
+        F.when(d.isin(*"89abcdef"), 0)
+        .when(d.isin("4", "5", "6", "7"), 1)
+        .when(d.isin("2", "3"), 2)
+        .otherwise(3)  # d == '1'
+    )
+    return F.when(stripped == "", 33).otherwise(
+        (F.lit(8) - F.length(stripped)) * 4 + extra + 1
+    )
+
+
+def hll_registers(df: DataFrame, group: str, key: str, m: int = HLL_M) -> DataFrame:
+    """Build the sketch: (group, j, r) register grid — at most
+    groups*m rows out of ONE grouped max whose partial aggregation
+    runs map-side, so a trillion-row stream exchanges only
+    per-partition partial grids. Bucket j and rho come from disjoint
+    slices of one md5 (the minhash family's seeded-slice arithmetic);
+    NULL keys hash to NULL and are dropped here, mirrored by the
+    oracle's IS NOT NULL."""
+    h = F.md5(F.col(key).cast("string"))
+    return (
+        df.filter(F.col(key).isNotNull())
+        .select(
+            group,
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m).alias("j"),
+            hll_rho(F.substring(h, 9, 8)).alias("r"),
+        )
+        .groupBy(group, "j")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group: str, m: int = HLL_M) -> DataFrame:
+    """Raw-HLL point estimate from a register grid: alpha*m^2 /
+    sum_j 2^-M_j. The harmonic sum is kept EXACT by integer scaling —
+    each present register contributes 2^(33-r) and each untouched
+    register (M_j = 0) contributes 2^33, summed as BIGINT (max m*2^33
+    < 2^39, no overflow) — so the whole estimate is one precomputed
+    double constant divided by one exactly-represented integer:
+    bit-identical in any IEEE engine, no float accumulation order to
+    disagree on. Output: (group, zeros, hll_est); post-grid work runs
+    over <= groups*m rows."""
+    per = regs.groupBy(group).agg(
+        (F.lit(m) - F.count("*")).cast("long").alias("zeros"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 33 - r)")).alias("_s_hit"),
+    )
+    s = F.col("_s_hit") + F.col("zeros") * F.lit(1 << 33).cast("long")
+    return per.select(
+        group,
+        "zeros",
+        (F.lit(HLL_ALPHA_NUM) / s.cast("double")).alias("hll_est"),
+    )
+
+
 def cms_estimate(
     keys: DataFrame,
     counters: DataFrame,

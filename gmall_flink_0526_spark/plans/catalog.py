@@ -169,6 +169,11 @@ _PRIORITY = (
     "funnel_attribution_stream",
     "visitor_stats_sliding",
     "visitor_stats_sliding_stream",
+    #    ... and the HLL cardinality audit completing the mergeable-
+    #    sketch family (CMS/Bloom/histogram/HLL) with its max-merged
+    #    epoch-store streaming twin, sharing one oracle. ----------------
+    "approx_distinct_hll",
+    "approx_distinct_hll_stream",
     # -- CHANGED in r11: hist_bin's long-domain clamp (both quantile
     #    audits, both drift audits); apply_merge grew the sep joiner
     #    (bpe_apply_merge); temporal_join's typed state carry

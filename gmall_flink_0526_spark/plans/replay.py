@@ -1158,6 +1158,66 @@ def _register_heavy_hitters_stream():
 _register_heavy_hitters_stream()
 
 
+def _register_approx_distinct_hll_stream():
+    from .logs import _sql_hll_audit, hll_audit_from_regs
+
+    @register(
+        "approx_distinct_hll_stream",
+        oracle=_sql_hll_audit(),
+        doc="The HLL cardinality audit with the registers maintained by "
+        "the REAL streaming app (streaming/pipelines.hll_sketch_app): "
+        "the events stream replays in 2 micro-batches, each batch "
+        "contributes its own per-type register grid to an "
+        "epoch-addressed store, and the live sketch is the "
+        "per-(type, j) MAX over epochs. Register merge is MAX — the "
+        "IDEMPOTENT member of the sketch family (CMS adds, Bloom ors, "
+        "the histogram adds): any split, any replay, even an appended "
+        "double-write yields the identical grid — so the streamed "
+        "sketch is BIT-IDENTICAL to the one-shot batch grid and this "
+        "query shares approx_distinct_hll's oracle verbatim; a green "
+        "row certifies the mergeability contract itself. 2 "
+        "micro-batches (split-independent, the r11 replay-floor "
+        "rule); per-key state nowhere — the registers are the state, "
+        "types*m rows forever.",
+        tags=("streaming", "sketch", "replay", "events", "stats"),
+    )
+    def approx_distinct_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..operators.partitioning import spread
+        from ..sources.registry import ChannelRegistry, write_replay
+        from ..streaming.pipelines import hll_sketch_app, merged_hll_registers
+
+        ev = load_tables(spark, sf_dir, "events")["events"]
+        lines = spread(ev, "event_id").select("event_id", "ts", "event_type")
+        root = temp_replay_root("gmall_hll_")
+        reg = ChannelRegistry(root)
+        reg.register(
+            "ods_events", schema="event_id long, ts timestamp, event_type string"
+        )
+        write_replay(
+            lines, reg.channels["ods_events"].path, n_files=2,
+            order_by=["ts", "event_id"],
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # per-batch grids are <= types*m rows: 8 shuffle partitions
+            # keeps the replay's commit count honest (the r4 lesson)
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = hll_sketch_app(
+                spark, reg, os.path.join(root, "ckpt"), os.path.join(root, "store")
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        regs = merged_hll_registers(spark, os.path.join(root, "store"))
+        return hll_audit_from_regs(spark, regs)
+
+
+_register_approx_distinct_hll_stream()
+
+
 def _register_decontaminate_bloom_stream():
     from .llmprep import DECON_NGRAM, EVAL_MOD, decon_bloom_bits, sql_decontaminate_bloom
 

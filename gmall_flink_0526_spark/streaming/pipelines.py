@@ -937,6 +937,58 @@ def merged_bloom_words(spark: SparkSession, store_root: str) -> DataFrame:
     )
 
 
+def hll_sketch_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    store_root: str,
+    source: str = "ods_events",
+    group: str = "event_type",
+    key: str = "event_id",
+):
+    """Streaming HLL register maintenance — the CARDINALITY member of
+    the epoch-store sketch family (CMS adds, Bloom ors, the histogram
+    adds, HLL MAXES): every micro-batch builds its own (group, j, r)
+    register grid over just that batch (one map-side-combinable
+    grouped max) and writes it to an epoch-addressed store; the live
+    sketch is the per-(group, j) MAX over epochs
+    (:func:`merged_hll_registers`). MAX merge is IDEMPOTENT — the one
+    member of the family where even an appended double-write of an
+    epoch could not corrupt the sketch — but store writes still follow
+    the incremental apps' crash contract (a foreachBatch retry
+    OVERWRITES its own ``epoch=<id>`` directory) so a poisoned
+    half-written attempt never survives a restart. No per-key state:
+    the registers ARE the state, groups*m rows however many distinct
+    keys ever flow."""
+    from ..operators.aggregates import hll_registers
+
+    grid_path = os.path.join(store_root, "hll_regs")
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        hll_registers(batch, group, key).write.mode("overwrite").parquet(
+            os.path.join(grid_path, f"epoch={epoch_id}")
+        )
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(ckpt, "hll_sketch"))
+        .start()
+    )
+
+
+def merged_hll_registers(spark: SparkSession, store_root: str) -> DataFrame:
+    """The live HLL sketch over an epoch-addressed register store:
+    per-(group, j) MAX across epochs — at most groups*m result rows,
+    however many epochs accumulated (idempotent merge: compaction or
+    even accidental epoch duplication cannot change it)."""
+    return (
+        spark.read.parquet(os.path.join(store_root, "hll_regs"))
+        .groupBy("event_type", "j")
+        .agg(F.max("r").alias("r"))
+    )
+
+
 def merged_cms_grid(spark: SparkSession, store_root: str) -> DataFrame:
     """The live sketch over an epoch-addressed CMS store: counter sums
     per (row, bucket) — at most depth*width result rows, however many

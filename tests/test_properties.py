@@ -661,3 +661,72 @@ def test_temporal_enrich_matches_python_asof_model(spark, data):
         else:
             exp[i] = (None, None)
     assert got == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60))
+def test_hll_matches_python_model_and_max_merges(spark, keys):
+    """hll_registers / hll_estimate vs a plain-Python model sharing the
+    exact arithmetic (md5 slices, hex-string rho, integer harmonic sum,
+    one IEEE division), plus the family's merge law: register grids
+    built from ANY split of the stream max-merge to the full grid, and
+    the merge is IDEMPOTENT (self-merge changes nothing) — the property
+    the epoch-store stream twin stands on. NULL keys drop."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.operators.aggregates import (
+        HLL_ALPHA_NUM,
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    rows = [("g", k) for k in keys]
+    df = spark.createDataFrame(rows, "g string, k long")
+    regs = hll_registers(df, "g", "k")
+    got = {r["j"]: r["r"] for r in regs.collect()}
+
+    def model(ks):
+        m: dict = {}
+        for k in ks:
+            hx = hashlib.md5(str(k).encode()).hexdigest()
+            j = int(hx[:8], 16) % HLL_M
+            s = hx[8:16].lstrip("0")
+            if not s:
+                rho = 33
+            else:
+                d = int(s[0], 16)
+                extra = 0 if d >= 8 else 1 if d >= 4 else 2 if d >= 2 else 3
+                rho = 4 * (8 - len(s)) + extra + 1
+            m[j] = max(m.get(j, 0), rho)
+        return m
+
+    exp = model(keys)
+    assert got == exp
+
+    est = hll_estimate(regs, "g").collect()[0]
+    s_int = sum(1 << (33 - r) for r in exp.values()) + (HLL_M - len(exp)) * (1 << 33)
+    assert est["zeros"] == HLL_M - len(exp)
+    assert est["hll_est"] == HLL_ALPHA_NUM / float(s_int)
+
+    # merge law: any split max-merges to the full grid; self-merge is a
+    # no-op (the one sketch where a double-written epoch is harmless)
+    cut = len(rows) // 2
+    h1 = spark.createDataFrame(rows[:cut], "g string, k long")
+    h2 = spark.createDataFrame(rows[cut:], "g string, k long")
+    merged = (
+        hll_registers(h1, "g", "k")
+        .unionByName(hll_registers(h2, "g", "k"))
+        .unionByName(regs)  # self-merge: idempotent
+        .groupBy("g", "j")
+        .agg(F.max("r").alias("r"))
+    )
+    assert {r["j"]: r["r"] for r in merged.collect()} == exp
+
+    # NULL keys hash to NULL and are dropped, mirrored by the oracle
+    withnull = spark.createDataFrame(rows + [("g", None)], "g string, k long")
+    assert {
+        r["j"]: r["r"] for r in hll_registers(withnull, "g", "k").collect()
+    } == exp
