@@ -174,6 +174,10 @@ _PRIORITY = (
     #    epoch-store streaming twin, sharing one oracle. ----------------
     "approx_distinct_hll",
     "approx_distinct_hll_stream",
+    #    ... and K-step PageRank over the behavior-transition graph:
+    #    heavy edge aggregation + entity-sized unrolled power
+    #    iterations, decimal-accumulated per step, chained-CTE oracle.
+    "behavior_pagerank",
     # -- CHANGED in r11: hist_bin's long-domain clamp (both quantile
     #    audits, both drift audits); apply_merge grew the sep joiner
     #    (bpe_apply_merge); temporal_join's typed state carry

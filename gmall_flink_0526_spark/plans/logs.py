@@ -1109,6 +1109,154 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_audit_from_regs(spark, regs)
 
 
+# -- behavior-graph PageRank --------------------------------------------
+#
+# Fixed, unrolled iteration count: the statistic is "rank after K
+# power steps from uniform", a deterministic derivation both engines
+# can replay exactly — convergence-test loops belong to the caller
+# (the BPE trainer precedent: a fixed merge budget, not a perplexity
+# stop rule).
+PAGERANK_ITERS = 5
+PAGERANK_D = "0.85"
+PAGERANK_RESET = "0.15"
+
+
+def _sql_behavior_pagerank() -> str:
+    """The K-step PageRank as DuckDB SQL — the chained-CTE mirror of
+    the Spark loop: one CTE per power step, each step's per-node fan-in
+    decimal-accumulated (sql_sum) so both engines carry IDENTICAL
+    doubles into the next step — the error cannot compound because no
+    step ever disagrees (the bpe_train_loop chaining precedent)."""
+    from ..functions.exact import sql_sum
+
+    its = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        cur = f"r{i}"
+        its.append(f"""
+    {cur} AS (
+      SELECT nd.node,
+             {PAGERANK_RESET} / nn.n
+               + {PAGERANK_D} * COALESCE(c.s, 0.0) AS pr
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT nrm.dst AS node, {sql_sum(f"{prev}.pr * nrm.p")} AS s
+        FROM nrm JOIN {prev} ON {prev}.node = nrm.src
+        GROUP BY nrm.dst
+      ) c ON c.node = nd.node
+    )""")
+        prev = cur
+    return f"""
+    WITH pairs AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    edges AS (
+      SELECT src, dst, COUNT(*) AS w
+      FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, SUM(w) AS deg FROM edges GROUP BY 1),
+    nrm AS (
+      SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(d.deg AS DOUBLE) AS p
+      FROM edges e JOIN deg d USING (src)
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+    {",".join(its)}
+    SELECT node AS event_type, pr AS pagerank FROM r{PAGERANK_ITERS}
+    """
+
+
+@register(
+    "behavior_pagerank",
+    oracle=_sql_behavior_pagerank(),
+    doc="PageRank over the behavior-transition graph — the flow-"
+    "analysis rollup an e-commerce warehouse derives from the same "
+    "stream BaseLogApp splits (which page/event soaks up user "
+    "attention): edges = consecutive event pairs per user (lag "
+    "window), then 5 unrolled power iterations with damping 0.85 "
+    "from a uniform start. The 100 TB shape is honest about where "
+    "the work is: the EDGE AGGREGATION is the heavy pass (one "
+    "user-key window + one grouped count, both map-side-combining), "
+    "after which the graph is entity-type-sized (<= types^2 rows, "
+    "scoped_persist so the 5 iterations re-read a cached 25-row "
+    "frame rather than re-scanning events — the engine's "
+    "iterative-plan story on the GRAPH side, as bpe_train_loop is "
+    "on the corpus side; contrast connected_components' pointer "
+    "jumping, which iterates on the full vertex set because dedup "
+    "graphs are corpus-sized). Each step's per-node fan-in is "
+    "decimal-accumulated (exact_sum) so both engines carry "
+    "bit-identical doubles into the next step — K chained steps "
+    "cannot drift because no single step ever disagrees; the oracle "
+    "is the same derivation as K chained CTEs. Dangling mass: none "
+    "at this graph's density (every type has out-edges at every "
+    "test SF); the general redistribute term is documented out, not "
+    "silently wrong — a node with no in-edges still gets the reset "
+    "term via the LEFT join's COALESCE.",
+    tags=("events", "graph", "agg", "stats"),
+)
+def behavior_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
+    # the graph is entity-type-sized from here: 1-partition cached
+    # frames so the K iteration stages schedule one task each instead
+    # of a vanilla session's 200 (the replay-commit-cost lesson). At
+    # web scale (node set = corpus-sized) the same loop drops the
+    # coalesce/broadcasts and co-partitions ranks with edges on src —
+    # the shape is unchanged, only the join strategy flips.
+    nrm = scoped_persist(
+        edges.join(deg, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("deg").cast("double")).alias("p"),
+        )
+        .coalesce(1)
+    )
+    nodes = scoped_persist(
+        ev.select(F.col("event_type").alias("node")).distinct().coalesce(1)
+    )
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    d, reset = float(PAGERANK_D), float(PAGERANK_RESET)
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            nrm.join(
+                F.broadcast(ranks.select(F.col("node").alias("src"), "pr")), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(exact_sum(F.col("pr") * F.col("p")).alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(F.broadcast(contrib), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(reset) / F.col("n")
+                    + F.lit(d) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("event_type"), F.col("pr").alias("pagerank")
+    )
+
+
 @register(
     "funnel_conversion",
     oracle="""

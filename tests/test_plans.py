@@ -162,6 +162,10 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         "semdedup_survivors",
         "semdedup_threshold_sweep",
         "embedding_incremental_near_dup",
+        # pagerank's per-step reset term fans the broadcast 1-row
+        # node-count scalar into the node table (and its 5-row
+        # contrib/ranks frames ride broadcast joins by design)
+        "behavior_pagerank",
     }
     skip = {"jdbc_round_trip"}  # writes a DB as a side effect
     for name in plans.queries():
