@@ -178,6 +178,11 @@ _PRIORITY = (
     #    heavy edge aggregation + entity-sized unrolled power
     #    iterations, decimal-accumulated per step, chained-CTE oracle.
     "behavior_pagerank",
+    #    ... and the EXACT threshold similarity join via prefix
+    #    filtering (PPJoin principle) — lossless counterpart to LSH,
+    #    oracle = the brute-force all-pairs join, so a green row
+    #    certifies the pruning loses nothing on this corpus.
+    "prefix_filter_near_dup",
     # -- CHANGED in r11: hist_bin's long-domain clamp (both quantile
     #    audits, both drift audits); apply_merge grew the sep joiner
     #    (bpe_apply_merge); temporal_join's typed state carry

@@ -299,6 +299,82 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "prefix_filter_near_dup",
+    oracle=f"""
+    WITH {SQL_SHINGLES3},
+    tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT cand.doc_a, cand.doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+              JOIN sh b ON cand.doc_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    """,
+    doc="EXACT threshold similarity join via prefix filtering (the "
+    "PPJoin family's core principle) — the LOSSLESS counterpart to "
+    "the probabilistic LSH bands: order every doc's shingles by "
+    "ascending global frequency (rarest first, ties by value), keep "
+    "only the prefix of length n - ceil(t*n) + 1, and two docs are "
+    "candidates IFF their prefixes share a shingle — any pair with "
+    "Jaccard >= t provably does, so unlike MinHash there are NO "
+    "false negatives to tune away; a length filter (t*max_n <= "
+    "min_n, a necessary condition) prunes further before the exact "
+    "verify. The ORACLE is the brute-force all-shared-shingle-pairs "
+    "join — so a green row certifies the losslessness theorem "
+    "itself on this corpus, the same oracle-stronger-than-impl "
+    "pattern as the stream twins. 100 TB shape: the prefix explode "
+    "carries ~(1-t) of each doc's shingles and those are its RAREST "
+    "(the frequency ordering is what keeps candidate buckets small "
+    "— a hot boilerplate shingle is at the END of every prefix "
+    "order, so it never generates candidates); the heavy stages are "
+    "one global df count and one equi-join on prefix shingles, both "
+    "map-side-combining; production adds PPJoin's positional filter "
+    "to tighten candidates further, pruning only (the verify stays "
+    "exact either way).",
+    tags=("dedup", "jaccard", "prefix-filter"),
+)
+def prefix_filter_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = JACCARD_THRESHOLD
+    sh = corpus_shingles(spark, sf_dir)
+    tok = sh.select("doc_id", F.explode("s").alias("g"))
+    dfreq = tok.groupBy("g").agg(F.count("*").alias("df"))
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    w = W.partitionBy("doc_id").orderBy("df", "g")
+    pref = (
+        tok.join(dfreq, "g")
+        .select("doc_id", "g", F.row_number().over(w).alias("pos"))
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("doc_id", "g", "n")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            # necessary size condition for J >= t: t * |larger| <= |smaller|
+            & (
+                F.least("a.n", "b.n").cast("double")
+                >= F.lit(t) * F.greatest("a.n", "b.n")
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return D.jaccard_verify(sh, cand).filter(F.col("jaccard") >= t)
+
+
+@register(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {SQL_SHINGLES3},
