@@ -120,9 +120,17 @@ _LOADED = False
 # (`tools/vanilla_gate.py`, result recorded in BASELINE.md) — so no
 # query ever stands on an unchecked stale row, even past the window.
 _PRIORITY = (
-    # -- r11 rotation, per the r10 VERDICT's prescription. Lead: the 29
+    # -- r11 rotation, per the r10 VERDICT's prescription. Lead: the
     #    stalest-green queries (last driver row predates r9; they did
-    #    not fit the r10 window). ---------------------------------------
+    #    not fit the r10 window). The verdict named 29; the window
+    #    arithmetic holds 25 of them — r11's changed (14) + new (11)
+    #    sets are the contract's MANDATORY entries (changed code is
+    #    always re-proven the round it changes), leaving 50-25 = 25
+    #    lead slots. The 4 displaced (see the overflow block after
+    #    the changed set) lead r12 and are covered this round by the
+    #    full sf0.001 pytest sweep and the in-repo full-catalog
+    #    vanilla gate at sf0.01 (BASELINE.md r11) — the documented
+    #    round-5 overflow rule. -----------------------------------------
     "uv_first_visit",
     "uv_first_visit_stream",
     "is_new_fix_stream",
@@ -148,10 +156,6 @@ _PRIORITY = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash_near_dup",
-    "rhp_near_dup",
-    "tfidf_top_terms",
-    "vocab_coverage",
-    "mixture_temperature",
     # -- NEW in r11: the char-level N-merge BPE trainer loop
     #    (word-frequency vocab, chained list_reduce oracle), its
     #    encode step (corpus token mass under the learned merges), the
@@ -205,9 +209,18 @@ _PRIORITY = (
     "decontaminate_bloom_stream",
     "dedup_incremental_stream",
     "embedding_incremental_stream",
-    # -- oldest-green fill to 50: head of the block whose last driver
-    #    row is r7/r8. Everything below the cut is covered this round
-    #    by the full sf0.001 pytest sweep and the in-repo full-catalog
+    # == the 50-query window cut falls here (25 stale + 11 new + 14
+    #    changed) ======================================================
+    # -- OVERFLOW: the 4 of the verdict's 29 stale-green displaced by
+    #    r11's new queries — they LEAD the r12 window per the round-5
+    #    overflow rule and are gate/pytest-covered this round. ----------
+    "rhp_near_dup",
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "mixture_temperature",
+    # -- oldest-green fill: head of the block whose last driver row is
+    #    r7/r8. Everything below the cut is covered this round by the
+    #    full sf0.001 pytest sweep and the in-repo full-catalog
     #    vanilla gate at sf0.01 (BASELINE.md r11). ----------------------
     # -- freshest: previous-round order preserved (asof_click_attribution
     #    leads: its only r11 delta is asof_join's opt-in validate
