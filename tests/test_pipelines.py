@@ -1993,3 +1993,76 @@ def test_temporal_join_derives_types_from_input_schema(spark):
         3: ("alice", t(1), 7),
         5: ("bob", t(1), 3),
     }
+
+
+def test_hll_sketch_app_max_merges_to_batch_grid_and_survives_retry(spark, tmp_path):
+    """The streaming HLL app's two contracts, on the CMS test's exact
+    shape: (a) MAX-MERGEABILITY — the per-epoch register grids
+    max-merged equal the one-shot batch grid bit-for-bit; (b) the
+    epoch-overwrite crash rule — a dead batch attempt that left a
+    POISONED grid (rho 33 in every register, which MAX-merge would
+    otherwise keep forever and crater every estimate) is REWRITTEN on
+    restart, so the recovered sketch still equals the uninterrupted
+    one. (A merely DUPLICATED honest epoch is harmless under MAX —
+    idempotence — which is exactly why the poison, not the
+    double-count, is this family's failure mode.)"""
+    import shutil
+
+    from gmall_flink_0526_spark.operators.aggregates import HLL_M, hll_registers
+
+    ev = load_tables(spark, SF_SMOKE, "events")["events"]
+    stream_in = ev.select("event_id", "ts", "event_type")
+    schema = "event_id long, ts timestamp, event_type string"
+    reg = ChannelRegistry(str(tmp_path / "chan"))
+    reg.register("ods_events", schema=schema)
+    write_replay(
+        stream_in, reg.channels["ods_events"].path, n_files=3,
+        order_by=["event_id"], file_of=F.col("event_id") % 3,
+    )
+
+    # hide batch 2's file; run epochs 0-1 to completion
+    src_path = reg.channels["ods_events"].path
+    files = sorted(
+        (
+            f
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ),
+        key=lambda f: os.path.getmtime(os.path.join(src_path, f)),
+    )
+    hidden = files[-1]
+    shutil.move(os.path.join(src_path, hidden), str(tmp_path / "hidden.parquet"))
+    q = pipelines.hll_sketch_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # dead batch-2 attempt: poisoned grid written (saturated registers),
+    # checkpoint not committed
+    spark.createDataFrame(
+        [("view", j, 33) for j in range(HLL_M)], "event_type string, j long, r int"
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "store" / "hll_regs" / "epoch=2")
+    )
+
+    # reveal the file, restart from the same checkpoint: epoch 2 must
+    # rewrite its directory
+    shutil.move(str(tmp_path / "hidden.parquet"), os.path.join(src_path, hidden))
+    q2 = pipelines.hll_sketch_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    exp = {
+        (r["event_type"], r["j"]): r["r"]
+        for r in hll_registers(ev, "event_type", "event_id").collect()
+    }
+    got = {
+        (r["event_type"], r["j"]): r["r"]
+        for r in pipelines.merged_hll_registers(
+            spark, str(tmp_path / "store")
+        ).collect()
+    }
+    assert got == exp  # poison gone, max-merge equals the batch grid
