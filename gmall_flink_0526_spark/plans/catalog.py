@@ -123,10 +123,10 @@ _PRIORITY = (
     # -- r11 rotation, per the r10 VERDICT's prescription. Lead: the
     #    stalest-green queries (last driver row predates r9; they did
     #    not fit the r10 window). The verdict named 29; the window
-    #    arithmetic holds 25 of them — r11's changed (14) + new (11)
+    #    arithmetic holds 24 of them — r11's changed (14) + new (12)
     #    sets are the contract's MANDATORY entries (changed code is
-    #    always re-proven the round it changes), leaving 50-25 = 25
-    #    lead slots. The 4 displaced (see the overflow block after
+    #    always re-proven the round it changes), leaving 50-26 = 24
+    #    lead slots. The 5 displaced (see the overflow block after
     #    the changed set) lead r12 and are covered this round by the
     #    full sf0.001 pytest sweep and the in-repo full-catalog
     #    vanilla gate at sf0.01 (BASELINE.md r11) — the documented
@@ -155,7 +155,6 @@ _PRIORITY = (
     "dim_enrichment",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "simhash_near_dup",
     # -- NEW in r11: the char-level N-merge BPE trainer loop
     #    (word-frequency vocab, chained list_reduce oracle), its
     #    encode step (corpus token mass under the learned merges), the
@@ -185,8 +184,11 @@ _PRIORITY = (
     #    ... and the EXACT threshold similarity join via prefix
     #    filtering (PPJoin principle) — lossless counterpart to LSH,
     #    oracle = the brute-force all-pairs join, so a green row
-    #    certifies the pruning loses nothing on this corpus.
+    #    certifies the pruning loses nothing on this corpus — and the
+    #    LSH-recall-vs-exact-truth audit built on it (the banding
+    #    S-curve + rep-cap loss, measured not argued).
     "prefix_filter_near_dup",
+    "lsh_recall_exact",
     # -- CHANGED in r11: hist_bin's long-domain clamp (both quantile
     #    audits, both drift audits); apply_merge grew the sep joiner
     #    (bpe_apply_merge); temporal_join's typed state carry
@@ -209,11 +211,12 @@ _PRIORITY = (
     "decontaminate_bloom_stream",
     "dedup_incremental_stream",
     "embedding_incremental_stream",
-    # == the 50-query window cut falls here (25 stale + 11 new + 14
+    # == the 50-query window cut falls here (24 stale + 12 new + 14
     #    changed) ======================================================
-    # -- OVERFLOW: the 4 of the verdict's 29 stale-green displaced by
+    # -- OVERFLOW: the 5 of the verdict's 29 stale-green displaced by
     #    r11's new queries — they LEAD the r12 window per the round-5
     #    overflow rule and are gate/pytest-covered this round. ----------
+    "simhash_near_dup",
     "rhp_near_dup",
     "tfidf_top_terms",
     "vocab_coverage",

@@ -340,6 +340,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "jaccard", "prefix-filter"),
 )
 def prefix_filter_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prefix_filter_pairs(spark, sf_dir)
+
+
+def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact threshold-join pair set (doc_a, doc_b, jaccard >= t)
+    via prefix filtering — shared by `prefix_filter_near_dup` (which
+    IS this) and `lsh_recall_exact` (which uses it as the ground
+    truth the LSH pair set is measured against)."""
     from pyspark.sql import Window as W
 
     t = JACCARD_THRESHOLD
@@ -372,6 +380,91 @@ def prefix_filter_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return D.jaccard_verify(sh, cand).filter(F.col("jaccard") >= t)
+
+
+@register(
+    "lsh_recall_exact",
+    oracle=f"""
+    WITH {SQL_SHINGLES3},
+    {SQL_LSH_CANDIDATES},
+    lshv AS (
+      SELECT cand.doc_a, cand.doc_b FROM cand
+      JOIN sh a ON cand.doc_a = a.doc_id
+      JOIN sh b ON cand.doc_b = b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    ),
+    tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    bf AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT bf.da AS doc_a, bf.db AS doc_b
+      FROM bf JOIN sh a ON bf.da = a.doc_id
+              JOIN sh b ON bf.db = b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    ),
+    agg AS (
+      SELECT COUNT(*) FILTER (WHERE e.doc_a IS NOT NULL) AS n_exact,
+             COUNT(*) FILTER (WHERE m.doc_a IS NOT NULL) AS n_lsh,
+             COUNT(*) FILTER (WHERE e.doc_a IS NOT NULL
+                                AND m.doc_a IS NOT NULL) AS n_hit
+      FROM exact e FULL OUTER JOIN lshv m
+        ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
+    )
+    SELECT n_exact, n_lsh, n_hit,
+           CAST(n_hit AS DOUBLE) / n_exact AS recall
+    FROM agg
+    """,
+    doc="LSH recall measured against EXACT truth — the calibration "
+    "read the 13-band x 4-row MinHash configuration stands on, now "
+    "externally value-checked instead of argued (the "
+    "minhash_estimate_audit / ann_recall_ivf pattern): ground truth = "
+    "the prefix-filter threshold join (provably lossless), candidate "
+    "set = the production banded LSH pairs (hot-bucket rep cap "
+    "included), both Jaccard-verified at the same threshold, compared "
+    "by one pair-keyed full outer join. recall = n_hit/n_exact is "
+    "exactly the probability mass the banding scheme's S-curve "
+    "gives up at t, PLUS the rep cap's deliberate loss — the two "
+    "knobs a 100 TB dedup run trades against pair volume. The "
+    "verified-LSH set is a SUBSET of truth by construction (verify "
+    "is exact), so n_lsh = n_hit is itself an invariant the oracle "
+    "re-derives. Sub-kilobyte tail: both pair sets are corpus-sparse; "
+    "the heavy stages are the same shared corpus-scoped "
+    "shingle/band tables every LSH query reuses.",
+    tags=("dedup", "lsh", "audit", "prefix-filter"),
+)
+def lsh_recall_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = corpus_shingles(spark, sf_dir)
+    exact = prefix_filter_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = (
+        D.jaccard_verify(
+            sh, D.lsh_pairs_from_bands(corpus_band_keys(spark, sf_dir))
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("doc_a").alias("la"), F.col("doc_b").alias("lb"))
+    )
+    j = exact.join(
+        lsh,
+        (exact["doc_a"] == lsh["la"]) & (exact["doc_b"] == lsh["lb"]),
+        "full_outer",
+    )
+    agg = j.agg(
+        F.count(F.when(F.col("doc_a").isNotNull(), 1)).alias("n_exact"),
+        F.count(F.when(F.col("la").isNotNull(), 1)).alias("n_lsh"),
+        F.count(
+            F.when(F.col("doc_a").isNotNull() & F.col("la").isNotNull(), 1)
+        ).alias("n_hit"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_lsh",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+    )
 
 
 @register(
