@@ -345,6 +345,56 @@ def jaccard_verify(sh: DataFrame, pairs: DataFrame, sh_b: DataFrame | None = Non
     return j.select("doc_a", "doc_b", "jaccard")
 
 
+def prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pairs for an EXACT Jaccard-threshold self-join via
+    prefix filtering (the PPJoin family's core principle): order each
+    doc's shingles by ascending global frequency (ties by value), keep
+    the prefix of length n - ceil(t*n) + 1, and emit (doc_a < doc_b)
+    pairs whose prefixes share a shingle and pass the necessary size
+    condition t * |larger| <= |smaller|. COMPLETE by the prefix
+    principle — any pair with J >= t shares a prefix shingle under a
+    common total order — so downstream exact verification loses
+    nothing (hypothesis-pinned against a brute-force model; the
+    catalog's `prefix_filter_near_dup` oracle re-proves it per
+    corpus). Scale shape: the prefix explode carries ~(1-t) of each
+    doc's shingles and those are its RAREST — a hot boilerplate
+    shingle sorts to the END of every prefix order and never
+    generates candidates, so candidate buckets stay small without any
+    cap (contrast lsh_pairs_from_bands' MAX_BUCKET rep cap, which is
+    a deliberate loss). Production adds PPJoin's positional filter —
+    pruning only; completeness is unaffected."""
+    from pyspark.sql import Window as W
+
+    t = threshold
+    tok = sh.select("doc_id", F.explode("s").alias("g"))
+    dfreq = tok.groupBy("g").agg(F.count("*").alias("df"))
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    w = W.partitionBy("doc_id").orderBy("df", "g")
+    pref = (
+        tok.join(dfreq, "g")
+        .select("doc_id", "g", F.row_number().over(w).alias("pos"))
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("doc_id", "g", "n")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    return (
+        a.join(b, "g")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            # necessary size condition for J >= t: t * |larger| <= |smaller|
+            & (
+                F.least("a.n", "b.n").cast("double")
+                >= F.lit(t) * F.greatest("a.n", "b.n")
+            )
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 SIMHASH_BITS = 16
 
 

@@ -347,38 +347,13 @@ def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact threshold-join pair set (doc_a, doc_b, jaccard >= t)
     via prefix filtering — shared by `prefix_filter_near_dup` (which
     IS this) and `lsh_recall_exact` (which uses it as the ground
-    truth the LSH pair set is measured against)."""
-    from pyspark.sql import Window as W
-
+    truth the LSH pair set is measured against). Candidate generation
+    lives in ``operators/dedup.prefix_filter_candidates`` (hypothesis-
+    tested against a Python brute-force model — the losslessness
+    theorem is pinned on adversarial sets, not just these corpora)."""
     t = JACCARD_THRESHOLD
     sh = corpus_shingles(spark, sf_dir)
-    tok = sh.select("doc_id", F.explode("s").alias("g"))
-    dfreq = tok.groupBy("g").agg(F.count("*").alias("df"))
-    sizes = sh.select("doc_id", F.size("s").alias("n"))
-    w = W.partitionBy("doc_id").orderBy("df", "g")
-    pref = (
-        tok.join(dfreq, "g")
-        .select("doc_id", "g", F.row_number().over(w).alias("pos"))
-        .join(sizes, "doc_id")
-        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-        .select("doc_id", "g", "n")
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(b, "g")
-        .filter(
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            # necessary size condition for J >= t: t * |larger| <= |smaller|
-            & (
-                F.least("a.n", "b.n").cast("double")
-                >= F.lit(t) * F.greatest("a.n", "b.n")
-            )
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = D.prefix_filter_candidates(sh, t)
     return D.jaccard_verify(sh, cand).filter(F.col("jaccard") >= t)
 
 

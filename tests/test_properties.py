@@ -730,3 +730,46 @@ def test_hll_matches_python_model_and_max_merges(spark, keys):
     assert {
         r["j"]: r["r"] for r in hll_registers(withnull, "g", "k").collect()
     } == exp
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.sets(st.integers(0, 30), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0.5, 0.6, 0.8]),
+)
+def test_prefix_filter_join_is_exact_vs_bruteforce(spark, sets, t):
+    """prefix_filter_candidates + exact verify vs plain-Python
+    brute-force all-pairs Jaccard: NO false negatives (the prefix
+    principle's completeness theorem, the claim the whole operator
+    stands on) and no false positives (verify is exact) — on
+    adversarial tiny set families (heavy overlap, subsets, singletons,
+    duplicated sets) where an off-by-one in the ceil prefix length or
+    the size filter would show immediately."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.operators.dedup import (
+        jaccard_verify,
+        prefix_filter_candidates,
+    )
+
+    rows = [(i, sorted(str(x) for x in s)) for i, s in enumerate(sets)]
+    sh = spark.createDataFrame(rows, "doc_id long, s array<string>")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_verify(sh, prefix_filter_candidates(sh, t))
+        .filter(F.col("jaccard") >= t)
+        .collect()
+    }
+
+    exp = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if inter / union >= t:
+                exp.add((i, j))
+    assert got == exp
