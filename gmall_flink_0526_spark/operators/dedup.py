@@ -362,19 +362,33 @@ def prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     generates candidates, so candidate buckets stay small without any
     cap (contrast lsh_pairs_from_bands' MAX_BUCKET rep cap, which is
     a deliberate loss). Production adds PPJoin's positional filter —
-    pruning only; completeness is unaffected."""
+    pruning only; completeness is unaffected.
+
+    The threshold is interpreted as the nearest rational with
+    denominator <= 1e9 and BOTH bounds run in exact BIGINT arithmetic
+    — float ceil would shorten the prefix whenever fl(t*n) rounds up
+    across an integer (IEEE 0.8 * 15 = 12.000000000000002, ceil 13
+    vs the canonical 12: one prefix element lost = possible false
+    negatives), and the float size bound rejects the borderline
+    |small| = t*|large| pair the same way. Integer ceil and
+    cross-multiplication have no such edge."""
+    from fractions import Fraction
+
     from pyspark.sql import Window as W
 
-    t = threshold
+    fr = Fraction(threshold).limit_denominator(10**9)
+    num, den = fr.numerator, fr.denominator
     tok = sh.select("doc_id", F.explode("s").alias("g"))
     dfreq = tok.groupBy("g").agg(F.count("*").alias("df"))
     sizes = sh.select("doc_id", F.size("s").alias("n"))
     w = W.partitionBy("doc_id").orderBy("df", "g")
+    # prefix length n - ceil(t*n) + 1 with exact integer ceil
+    ceil_tn = F.expr(f"(cast({num} as bigint) * n + {den} - 1) div {den}")
     pref = (
         tok.join(dfreq, "g")
         .select("doc_id", "g", F.row_number().over(w).alias("pos"))
         .join(sizes, "doc_id")
-        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .filter(F.col("pos") <= F.col("n") - ceil_tn + 1)
         .select("doc_id", "g", "n")
     )
     a, b = pref.alias("a"), pref.alias("b")
@@ -382,10 +396,11 @@ def prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
         a.join(b, "g")
         .filter(
             (F.col("a.doc_id") < F.col("b.doc_id"))
-            # necessary size condition for J >= t: t * |larger| <= |smaller|
+            # necessary size condition for J >= t: t * |larger| <= |smaller|,
+            # cross-multiplied into exact integers
             & (
-                F.least("a.n", "b.n").cast("double")
-                >= F.lit(t) * F.greatest("a.n", "b.n")
+                F.lit(num).cast("long") * F.greatest("a.n", "b.n")
+                <= F.lit(den).cast("long") * F.least("a.n", "b.n")
             )
         )
         .select(

@@ -735,7 +735,7 @@ def test_hll_matches_python_model_and_max_merges(spark, keys):
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(
-        st.sets(st.integers(0, 30), min_size=1, max_size=12),
+        st.sets(st.integers(0, 40), min_size=1, max_size=18),
         min_size=2,
         max_size=10,
     ),
@@ -747,8 +747,11 @@ def test_prefix_filter_join_is_exact_vs_bruteforce(spark, sets, t):
     principle's completeness theorem, the claim the whole operator
     stands on) and no false positives (verify is exact) — on
     adversarial tiny set families (heavy overlap, subsets, singletons,
-    duplicated sets) where an off-by-one in the ceil prefix length or
-    the size filter would show immediately."""
+    duplicated sets, sizes up to 18 so the float-ceil hazard class —
+    IEEE 0.8 * 15 = 12.000000000000002 — is in range of the exact
+    integer bounds) where an off-by-one in the prefix length or the
+    size filter would show immediately. The model compares with the
+    same float jaccard >= t the verify stage uses."""
     from pyspark.sql import functions as F
 
     from gmall_flink_0526_spark.operators.dedup import (
