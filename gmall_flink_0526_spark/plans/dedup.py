@@ -347,14 +347,20 @@ def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact threshold-join pair set (doc_a, doc_b, jaccard >= t)
     via prefix filtering — shared by `prefix_filter_near_dup` (which
     IS this) and `lsh_recall_exact` (which uses it as the ground
-    truth the LSH pair set is measured against). Candidate generation
-    lives in ``operators/dedup.prefix_filter_candidates`` (hypothesis-
-    tested against a Python brute-force model — the losslessness
-    theorem is pinned on adversarial sets, not just these corpora)."""
-    t = JACCARD_THRESHOLD
-    sh = corpus_shingles(spark, sf_dir)
-    cand = D.prefix_filter_candidates(sh, t)
-    return D.jaccard_verify(sh, cand).filter(F.col("jaccard") >= t)
+    truth the LSH pair set is measured against); corpus-persisted
+    like the signature chain so the two consumers pay one build.
+    Candidate generation lives in
+    ``operators/dedup.prefix_filter_candidates`` (hypothesis-tested
+    against a Python brute-force model — the losslessness theorem is
+    pinned on adversarial sets, not just these corpora)."""
+
+    def build():
+        t = JACCARD_THRESHOLD
+        sh = corpus_shingles(spark, sf_dir)
+        cand = D.prefix_filter_candidates(sh, t)
+        return D.jaccard_verify(sh, cand).filter(F.col("jaccard") >= t)
+
+    return corpus_persist(spark, "prefix_pairs", sf_dir, build)
 
 
 @register(
@@ -952,3 +958,11 @@ def _setup_shingle_hash_index(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the exploded 16-hex shingle-hash inverted-index
     base shared by the duplicate-coverage family."""
     corpus_shingle_hashes(spark, sf_dir).count()
+
+
+@register_setup("prefix_pair_table")
+def _setup_prefix_pair_table(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the exact prefix-filter threshold-join pair set —
+    the ground-truth table `prefix_filter_near_dup` emits and
+    `lsh_recall_exact` measures the LSH candidates against."""
+    prefix_filter_pairs(spark, sf_dir).count()
