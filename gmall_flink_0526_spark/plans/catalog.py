@@ -123,10 +123,10 @@ _PRIORITY = (
     # -- r11 rotation, per the r10 VERDICT's prescription. Lead: the
     #    stalest-green queries (last driver row predates r9; they did
     #    not fit the r10 window). The verdict named 29; the window
-    #    arithmetic holds 24 of them — r11's changed (14) + new (12)
+    #    arithmetic holds 23 of them — r11's changed (14) + new (13)
     #    sets are the contract's MANDATORY entries (changed code is
-    #    always re-proven the round it changes), leaving 50-26 = 24
-    #    lead slots. The 5 displaced (see the overflow block after
+    #    always re-proven the round it changes), leaving 50-27 = 23
+    #    lead slots. The 6 displaced (see the overflow block after
     #    the changed set) lead r12 and are covered this round by the
     #    full sf0.001 pytest sweep and the in-repo full-catalog
     #    vanilla gate at sf0.01 (BASELINE.md r11) — the documented
@@ -154,7 +154,6 @@ _PRIORITY = (
     "payment_wide_join",
     "dim_enrichment",
     "dedup_exact",
-    "dedup_minhash_lsh",
     # -- NEW in r11: the char-level N-merge BPE trainer loop
     #    (word-frequency vocab, chained list_reduce oracle), its
     #    encode step (corpus token mass under the learned merges), the
@@ -181,6 +180,7 @@ _PRIORITY = (
     #    heavy edge aggregation + entity-sized unrolled power
     #    iterations, decimal-accumulated per step, chained-CTE oracle.
     "behavior_pagerank",
+    "behavior_pagerank_stream",
     #    ... and the EXACT threshold similarity join via prefix
     #    filtering (PPJoin principle) — lossless counterpart to LSH,
     #    oracle = the brute-force all-pairs join, so a green row
@@ -211,11 +211,12 @@ _PRIORITY = (
     "decontaminate_bloom_stream",
     "dedup_incremental_stream",
     "embedding_incremental_stream",
-    # == the 50-query window cut falls here (24 stale + 12 new + 14
+    # == the 50-query window cut falls here (23 stale + 13 new + 14
     #    changed) ======================================================
-    # -- OVERFLOW: the 5 of the verdict's 29 stale-green displaced by
+    # -- OVERFLOW: the 6 of the verdict's 29 stale-green displaced by
     #    r11's new queries — they LEAD the r12 window per the round-5
     #    overflow rule and are gate/pytest-covered this round. ----------
+    "dedup_minhash_lsh",
     "simhash_near_dup",
     "rhp_near_dup",
     "tfidf_top_terms",

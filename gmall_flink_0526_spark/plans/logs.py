@@ -1199,8 +1199,6 @@ def _sql_behavior_pagerank() -> str:
     tags=("events", "graph", "agg", "stats"),
 )
 def behavior_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.cache import scoped_persist
-
     t = load_tables(spark, sf_dir, "events")
     ev = t["events"]
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1209,7 +1207,27 @@ def behavior_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("dst"),
     ).filter(F.col("dst").isNotNull())
     edges = pairs.groupBy("src", "dst").agg(F.count("*").alias("w"))
-    deg = edges.groupBy("src").agg(F.sum("w").alias("deg"))
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    return pagerank_ranks(nodes, edges)
+
+
+def pagerank_ranks(nodes_in: DataFrame, edges: DataFrame) -> DataFrame:
+    """The K-step power iteration over an aggregated (src, dst, w)
+    edge table and a node table — the shared tail of
+    `behavior_pagerank` (edges from the batch lag window) and
+    `behavior_pagerank_stream` (edges from the keyed-state transition
+    operator): same expression tree, so both share one chained-CTE
+    oracle."""
+    from ..operators.cache import scoped_persist
+
+    # deg derives FROM edges: rename its key before the rejoin so the
+    # self-referential lineage never hits Spark's conflicting-
+    # references resolver (it does, with a replay-sourced edge frame)
+    deg = (
+        edges.groupBy("src")
+        .agg(F.sum("w").alias("deg"))
+        .withColumnRenamed("src", "_deg_src")
+    )
     # the graph is entity-type-sized from here: 1-partition cached
     # frames so the K iteration stages schedule one task each instead
     # of a vanilla session's 200 (the replay-commit-cost lesson). At
@@ -1217,7 +1235,7 @@ def behavior_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesce/broadcasts and co-partitions ranks with edges on src —
     # the shape is unchanged, only the join strategy flips.
     nrm = scoped_persist(
-        edges.join(deg, "src")
+        edges.join(deg, F.col("src") == F.col("_deg_src"))
         .select(
             "src",
             "dst",
@@ -1225,9 +1243,7 @@ def behavior_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .coalesce(1)
     )
-    nodes = scoped_persist(
-        ev.select(F.col("event_type").alias("node")).distinct().coalesce(1)
-    )
+    nodes = scoped_persist(nodes_in.coalesce(1))
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     d, reset = float(PAGERANK_D), float(PAGERANK_RESET)
     ranks = nodes.crossJoin(F.broadcast(nn)).select(

@@ -1158,6 +1158,46 @@ def _register_heavy_hitters_stream():
 _register_heavy_hitters_stream()
 
 
+def _register_behavior_pagerank_stream():
+    from .logs import _sql_behavior_pagerank, pagerank_ranks
+
+    @register(
+        "behavior_pagerank_stream",
+        oracle=_sql_behavior_pagerank(),
+        doc="The behavior-graph PageRank with the transition edges "
+        "extracted by a REAL keyed stateful stream "
+        "(streaming/stateful.transition_pairs) instead of the batch "
+        "lag window: state = each user's LAST event type (O(1) per "
+        "key forever), each micro-batch shifts its sorted group rows "
+        "and fills the first predecessor from the carry — so a "
+        "transition whose two events STRADDLE a micro-batch boundary "
+        "is emitted exactly once, by the batch seeing the second "
+        "event. That cross-batch pair is precisely what a batch-local "
+        "lead()/lag() inside foreachBatch would silently drop — the "
+        "hazard that makes this an operator, not a window (cross-"
+        "batch edge test pinned). Edge counts then aggregate and the "
+        "5-step power iteration runs the SAME pagerank_ranks tail as "
+        "the batch query, sharing its chained-CTE oracle verbatim — "
+        "a green row certifies the stream's edge set equals the "
+        "batch window's bit-for-bit. Replay shares the common "
+        "2-batch events channel (no extra fixture write).",
+        tags=("streaming", "state", "replay", "events", "graph", "stats"),
+    )
+    def behavior_pagerank_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = load_tables(spark, sf_dir, "events")["events"]
+        pairs = replay_stateful(
+            spark, events, stateful.transition_pairs,
+            order_by=["ts", "event_id"],
+            cache_key=f"events:{sf_dir}", n_files=2,
+        )
+        edges = pairs.groupBy("src", "dst").agg(F.count("*").alias("w"))
+        nodes = events.select(F.col("event_type").alias("node")).distinct()
+        return pagerank_ranks(nodes, edges)
+
+
+_register_behavior_pagerank_stream()
+
+
 def _register_approx_distinct_hll_stream():
     from .logs import _sql_hll_audit, hll_audit_from_regs
 

@@ -497,6 +497,58 @@ def temporal_join(
     )
 
 
+def transition_pairs(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-key consecutive-event transition extraction, exact
+    keyed-state form — the streaming twin of the batch LAG window
+    behind ``behavior_pagerank``'s edge aggregation. State = the key's
+    LAST event type (one string per key, O(1) forever); each
+    micro-batch sorts its group rows by (ts, id), shifts the type
+    column down one (vectorized), and fills the first row's
+    predecessor from the carried state — so a transition whose two
+    events STRADDLE a micro-batch boundary is emitted exactly once, by
+    the batch that sees the second event. A batch-local lead()/lag()
+    would silently drop exactly those pairs: the cross-batch hazard
+    that makes this an operator, not a window. Output: (key, src,
+    dst), one row per transition; replayed in event-time order it
+    converges to the batch lag window exactly (cross-batch edge
+    test-pinned)."""
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (last_type,) = state.get if state.exists else (None,)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values([ts, id_col])
+        dst = pdf[type_col].reset_index(drop=True)
+        src = dst.shift(1)
+        if last_type is not None:
+            src.iloc[0] = last_type
+        state.update((dst.iloc[-1],))
+        mask = src.notna()
+        if mask.any():
+            yield pd.DataFrame(
+                {
+                    key: key_tuple[0],
+                    "src": src[mask].to_numpy(),
+                    "dst": dst[mask].to_numpy(),
+                }
+            )
+
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key} long, src string, dst string",
+        stateStructType="last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def funnel_chain(
     events: DataFrame,
     key: str = "user_id",

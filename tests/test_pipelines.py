@@ -2066,3 +2066,50 @@ def test_hll_sketch_app_max_merges_to_batch_grid_and_survives_retry(spark, tmp_p
         ).collect()
     }
     assert got == exp  # poison gone, max-merge equals the batch grid
+
+
+def test_transition_pairs_cross_batch_boundary(spark):
+    """transition_pairs' load-bearing edge: a transition whose two
+    events straddle a micro-batch boundary must be emitted exactly
+    once, by the batch that sees the second event — a batch-local
+    lead()/lag() inside foreachBatch would silently drop it. Also:
+    a key's very first event emits nothing, and single-event batches
+    chain through the carry."""
+    from gmall_flink_0526_spark.streaming.replay import replay_stateful
+    from gmall_flink_0526_spark.streaming.stateful import transition_pairs
+
+    def T(sec):
+        return f"2024-01-01 00:00:{sec:02d}"
+
+    rows = [
+        # user 1: a->b inside batch 0, b->c STRADDLING the boundary,
+        # c->d inside batch 1
+        (101, T(1), 1, "a", 0),
+        (102, T(2), 1, "b", 0),
+        (103, T(3), 1, "c", 1),
+        (104, T(4), 1, "d", 1),
+        # user 2: one event per batch — the ONLY pair is cross-batch
+        (201, T(1), 2, "x", 0),
+        (202, T(5), 2, "y", 1),
+        # user 3: single event ever -> no pairs
+        (301, T(2), 3, "z", 0),
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string, b int",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "b"
+    )
+    got = sorted(
+        (r["user_id"], r["src"], r["dst"])
+        for r in replay_stateful(
+            spark, src, transition_pairs, order_by=["ts", "event_id"],
+            file_of=F.col("b"), n_files=2,
+        ).collect()
+    )
+    assert got == [
+        (1, "a", "b"),
+        (1, "b", "c"),
+        (1, "c", "d"),
+        (2, "x", "y"),
+    ]
