@@ -581,6 +581,16 @@ def main() -> None:
             # ratios must track data size with no quadratic term
             "decontaminate_bloom",
             "heavy_hitters_cms",
+            # r11: the EXACT prefix-filter join's output is by
+            # definition quadratic in a duplicate block (the 600-copy
+            # boilerplate block's true pair set IS ~180k pairs), so
+            # the probe watches that the WALL tracks the true pair
+            # volume — rarest-first prefixes keep candidate == true
+            # class, no spurious quadratic on the non-dup mass; the
+            # recall audit rides the same pair table via its
+            # corpus-persisted build
+            "prefix_filter_near_dup",
+            "lsh_recall_exact",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
@@ -658,7 +668,16 @@ def main() -> None:
             # each), so 10x rows and 10x users must track ~linearly
             # with no stage x stage fan-out term
             gen_events(spark, wh, scale=10)
-            for name in ("funnel_attribution", "asof_click_attribution"):
+            # r11 additions on the same 10x events corpus: pagerank's
+            # iteration tail must stay corpus-size-free (only the edge
+            # aggregation scales), and the HLL register grid is
+            # corpus-size-free by construction
+            for name in (
+                "funnel_attribution",
+                "asof_click_attribution",
+                "behavior_pagerank",
+                "approx_distinct_hll",
+            ):
                 for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", wh)):
                     t0 = time.time()
                     n = qs[name](spark, sf_dir).count()
