@@ -977,14 +977,18 @@ def hll_sketch_app(
     )
 
 
-def merged_hll_registers(spark: SparkSession, store_root: str) -> DataFrame:
+def merged_hll_registers(
+    spark: SparkSession, store_root: str, group: str = "event_type"
+) -> DataFrame:
     """The live HLL sketch over an epoch-addressed register store:
     per-(group, j) MAX across epochs — at most groups*m result rows,
     however many epochs accumulated (idempotent merge: compaction or
-    even accidental epoch duplication cannot change it)."""
+    even accidental epoch duplication cannot change it). ``group``
+    must match the producing app's (the merged_hist_grid pairing
+    contract)."""
     return (
         spark.read.parquet(os.path.join(store_root, "hll_regs"))
-        .groupBy("event_type", "j")
+        .groupBy(group, "j")
         .agg(F.max("r").alias("r"))
     )
 

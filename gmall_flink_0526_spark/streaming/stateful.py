@@ -507,30 +507,46 @@ def transition_pairs(
     """Per-key consecutive-event transition extraction, exact
     keyed-state form — the streaming twin of the batch LAG window
     behind ``behavior_pagerank``'s edge aggregation. State = the key's
-    LAST event type (one string per key, O(1) forever); each
-    micro-batch sorts its group rows by (ts, id), shifts the type
-    column down one (vectorized), and fills the first row's
-    predecessor from the carried state — so a transition whose two
-    events STRADDLE a micro-batch boundary is emitted exactly once, by
-    the batch that sees the second event. A batch-local lead()/lag()
-    would silently drop exactly those pairs: the cross-batch hazard
-    that makes this an operator, not a window. Output: (key, src,
-    dst), one row per transition; replayed in event-time order it
-    converges to the batch lag window exactly (cross-batch edge
-    test-pinned)."""
+    LAST event type plus the implicit had-any-event flag
+    (``state.exists``), O(1) per key forever; each micro-batch sorts
+    its group rows by (ts, id), shifts the type column down one
+    (vectorized), and fills the first row's predecessor from the
+    carry — so a transition whose two events STRADDLE a micro-batch
+    boundary is emitted exactly once, by the batch that sees the
+    second event. A batch-local lead()/lag() would silently drop
+    exactly those pairs: the cross-batch hazard that makes this an
+    operator, not a window.
+
+    NULL rule mirrors the batch window EXACTLY: a pair is emitted iff
+    the row has a predecessor AND its own type (dst) is non-NULL —
+    the batch's lead() filter keeps (NULL -> x) with a NULL src and
+    drops (x -> NULL); a NULL carried type is stored DISTINCTLY from
+    no-state (state.exists disambiguates), so the pair after a NULL
+    event still emits with a NULL src across a batch boundary. The
+    key's output type derives from the input schema (the
+    temporal_join standard), so non-long keys work unchanged.
+    Output: (key, src, dst), one row per transition; replayed in
+    event-time order it converges to the batch lag window exactly
+    (cross-batch + NULL edge test-pinned)."""
+    key_t = {f.name: f.dataType.simpleString() for f in events.schema.fields}[key]
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        (last_type,) = state.get if state.exists else (None,)
+        had_prev = state.exists
+        (last_type,) = state.get if had_prev else (None,)
         frames = [p for p in pdfs if len(p)]
         if not frames:
             return
         pdf = pd.concat(frames).sort_values([ts, id_col])
         dst = pdf[type_col].reset_index(drop=True)
         src = dst.shift(1)
-        if last_type is not None:
+        if had_prev and last_type is not None:
             src.iloc[0] = last_type
-        state.update((dst.iloc[-1],))
-        mask = src.notna()
+        has_prev = pd.Series(True, index=dst.index)
+        if not had_prev:
+            has_prev.iloc[0] = False
+        last = dst.iloc[-1]
+        state.update((None if pd.isna(last) else last,))
+        mask = has_prev & dst.notna()
         if mask.any():
             yield pd.DataFrame(
                 {
@@ -542,7 +558,7 @@ def transition_pairs(
 
     return events.groupBy(key).applyInPandasWithState(
         fn,
-        outputStructType=f"{key} long, src string, dst string",
+        outputStructType=f"{key} {key_t}, src string, dst string",
         stateStructType="last_type string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -2073,8 +2073,12 @@ def test_transition_pairs_cross_batch_boundary(spark):
     events straddle a micro-batch boundary must be emitted exactly
     once, by the batch that sees the second event — a batch-local
     lead()/lag() inside foreachBatch would silently drop it. Also:
-    a key's very first event emits nothing, and single-event batches
-    chain through the carry."""
+    a key's very first event emits nothing, single-event batches
+    chain through the carry, and the NULL rule mirrors the batch
+    lead() filter exactly — (x -> NULL) dropped, (NULL -> x) kept
+    with a NULL src, INCLUDING when the NULL event sits on the batch
+    boundary (the carry must store a NULL type distinctly from
+    no-state)."""
     from gmall_flink_0526_spark.streaming.replay import replay_stateful
     from gmall_flink_0526_spark.streaming.stateful import transition_pairs
 
@@ -2093,6 +2097,11 @@ def test_transition_pairs_cross_batch_boundary(spark):
         (202, T(5), 2, "y", 1),
         # user 3: single event ever -> no pairs
         (301, T(2), 3, "z", 0),
+        # user 4: NULL type ON the batch boundary — (p -> NULL) must
+        # drop and (NULL -> q) must emit with NULL src in batch 1
+        (401, T(1), 4, "p", 0),
+        (402, T(2), 4, None, 0),
+        (403, T(3), 4, "q", 1),
     ]
     src = spark.createDataFrame(
         rows,
@@ -2112,4 +2121,5 @@ def test_transition_pairs_cross_batch_boundary(spark):
         (1, "b", "c"),
         (1, "c", "d"),
         (2, "x", "y"),
+        (4, None, "q"),
     ]
