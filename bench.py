@@ -136,9 +136,21 @@ def main() -> None:
         3,
     )
     setup_total = round(sum(setup_times.values()), 3)
+    try:
+        load_avg = [round(v, 2) for v in os.getloadavg()]
+    except OSError:
+        load_avg = None
     out = {
         "queries": times,
         "setups": setup_times,
+        # host-load attribution (r11 VERDICT "What's wrong" #4): totals
+        # swing ~1.4x with background load on this shared host — the
+        # 1/5/15-min load averages + a wall-clock stamp make the
+        # "host-load class" call on any round-over-round mover
+        # mechanical instead of argued (diff per-query medians, never
+        # single totals — BASELINE.md).
+        "host_loadavg_1_5_15": load_avg,
+        "wall_clock_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "metric": "catalog_total",
         # headline includes the named setups: the same work r10 charged
         # to first-family queries now rides its own lines, so the

@@ -397,7 +397,8 @@ def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
     )
     SELECT n_exact, n_lsh, n_hit,
-           CAST(n_hit AS DOUBLE) / n_exact AS recall
+           CASE WHEN n_exact > 0
+                THEN CAST(n_hit AS DOUBLE) / n_exact END AS recall
     FROM agg
     """,
     doc="LSH recall measured against EXACT truth — the calibration "
@@ -440,11 +441,18 @@ def lsh_recall_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_a").isNotNull() & F.col("la").isNotNull(), 1)
         ).alias("n_hit"),
     )
+    # Zero-pair corpora: Spark's Divide yields NULL at 0/0 while
+    # DuckDB's double division is version-dependent (NaN/inf) — guard
+    # BOTH sides identically so the degenerate case stays bit-identical
+    # (NULL recall means "no truth pairs to recall against").
     return agg.select(
         "n_exact",
         "n_lsh",
         "n_hit",
-        (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+        F.when(
+            F.col("n_exact") > 0,
+            F.col("n_hit").cast("double") / F.col("n_exact"),
+        ).alias("recall"),
     )
 
 

@@ -1217,7 +1217,19 @@ def pagerank_ranks(nodes_in: DataFrame, edges: DataFrame) -> DataFrame:
     `behavior_pagerank` (edges from the batch lag window) and
     `behavior_pagerank_stream` (edges from the keyed-state transition
     operator): same expression tree, so both share one chained-CTE
-    oracle."""
+    oracle.
+
+    PRECONDITION (guarded): every node must have at least one
+    out-edge. This helper deliberately omits the dangling-mass
+    redistribute term — on a dangling-free graph the term is exactly
+    0 and both certified oracles mirror the omission — so on a graph
+    WITH dangling nodes it would silently leak rank mass instead.
+    The guard raises rather than mis-rank; callers with dangling
+    nodes want :func:`~..operators.graph.pagerank_partitioned`, which
+    carries the redistribute term (and the corpus-scale join
+    strategy). The check is one left-anti count over the two already
+    1-partition-cached type-sized frames — sub-millisecond here,
+    and exactly the invariant a wider reuse would violate first."""
     from ..operators.cache import scoped_persist
 
     # deg derives FROM edges: rename its key before the rejoin so the
@@ -1244,6 +1256,18 @@ def pagerank_ranks(nodes_in: DataFrame, edges: DataFrame) -> DataFrame:
         .coalesce(1)
     )
     nodes = scoped_persist(nodes_in.coalesce(1))
+    dangling = nodes.join(
+        nrm.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    )
+    n_dangling = dangling.count()
+    if n_dangling:
+        names = [r["node"] for r in dangling.limit(5).collect()]
+        raise ValueError(
+            f"pagerank_ranks: {n_dangling} node(s) without out-edges "
+            f"(e.g. {names}); this helper drops dangling rank mass by "
+            "design — use operators.graph.pagerank_partitioned, which "
+            "redistributes it."
+        )
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
     d, reset = float(PAGERANK_D), float(PAGERANK_RESET)
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
