@@ -410,6 +410,144 @@ def prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+# -- exact substring-level dedup (the Lee et al. "ExactSubstr" recipe) --
+#
+# Deduplicating Training Data Makes Language Models Better (Lee et al.
+# 2022) removes any >= L-token run that repeats across the corpus,
+# keeping the rest of the document — finer-grained than whole-doc
+# near-dup removal (a unique article quoting a boilerplate license
+# keeps the article, loses the license). The paper builds a suffix
+# array; the distributed stand-in is SORTED-SHINGLE ADJACENCY: every
+# length-L token window, keyed by content hash — a window repeated
+# across >= 2 documents marks L covered positions in each, and the
+# union of covered positions is exactly the set of tokens lying inside
+# SOME duplicated run of length >= L (a maximal duplicated run of
+# length m >= L contributes m - L + 1 duplicated windows whose union
+# re-covers all m tokens). Linear in total shingles — one count
+# shuffle on the 16-hex window key, one doc-keyed agg, NO pair join:
+# the 600-copy boilerplate block that makes pairwise dedup quadratic
+# costs this operator nothing but a hot count cell (map-side
+# combined).
+
+SUBSTR_RUN = 8  # L: minimum duplicated token-run length removed
+
+
+def gram_positions(docs: DataFrame, id_col: str, text_col: str, run_len: int = SUBSTR_RUN) -> DataFrame:
+    """(doc_id, pos, gh): every length-``run_len`` token window with
+    its 0-based start position; gh = 16-hex md5 of the space-joined
+    window (shuffles move fixed-width keys, never window text)."""
+    base = spread(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")),
+        "doc_id",
+    )
+    toks = base.select("doc_id", tokenize(F.col("_t")).alias("toks"))
+    return toks.select(
+        "doc_id", F.posexplode(shingles(F.col("toks"), run_len)).alias("pos", "g")
+    ).select("doc_id", "pos", F.substring(F.md5("g"), 1, 16).alias("gh"))
+
+
+def duplicated_run_starts(grams: DataFrame, min_docs: int = 2) -> DataFrame:
+    """(doc_id, starts): per document, the SORTED 0-based start
+    positions of its windows that repeat in >= ``min_docs`` distinct
+    documents. The count is a two-stage distinct aggregate on the hash
+    key (map-side partials); the join back moves only (pos, gh)."""
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("dc"))
+        .filter(F.col("dc") >= min_docs)
+        .select("gh")
+    )
+    return (
+        grams.join(dup, "gh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+
+
+def substring_cut(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    run_len: int = SUBSTR_RUN,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document substring-dedup result: (doc_id, n_tokens,
+    n_removed, n_spans, cut_hash).
+
+    - n_removed: tokens inside some cross-doc duplicated run — the
+      union of [s, s+L) over the sorted starts, folded as
+      sum(min(L, s_i - s_{i-1})) (first start contributes L): exact
+      interval-union size without materializing per-token rows.
+    - n_spans: maximal duplicated regions (a new region starts when
+      the gap to the previous start exceeds L — overlap OR adjacency
+      merge, so two abutting runs are one contiguous removed region).
+    - cut_hash: md5 of the kept tokens (space-joined) — the cut
+      corpus itself, content-addressed so the certified row stays
+      bytes-small while pinning every kept token. The keep test is
+      O(tokens x starts) per document — bounded by doc length squared
+      WITHIN one row, never cross-doc; production corpora with
+      megabyte docs would binary-search the sorted starts instead.
+
+    Documents with no duplicated window pass through whole
+    (n_removed = 0, cut_hash = hash of all tokens). Tokenization is
+    the engine's standard fold (lowercase, whitespace), so the cut
+    text is canonical token text, not raw bytes — the audit, not the
+    re-emitted corpus, is the certified surface.
+    """
+    L = run_len
+    base = spread(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")),
+        "doc_id",
+    )
+    toks = base.select("doc_id", tokenize(F.col("_t")).alias("toks"))
+    starts = duplicated_run_starts(
+        gram_positions(docs, id_col, text_col, L), min_docs
+    )
+    j = toks.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias("starts"),
+    )
+    st = F.col("starts")
+    k = F.size(st)
+    # interval-union size over same-length sorted intervals
+    contrib = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.when(i == 1, F.lit(L)).otherwise(
+            F.least(F.lit(L), F.element_at(st, i) - F.element_at(st, i - 1))
+        ),
+    )
+    n_removed = F.when(
+        k > 0, F.aggregate(contrib, F.lit(0), lambda a, x: a + x)
+    ).otherwise(F.lit(0))
+    # maximal regions: breaks where the gap exceeds L (sequence(2, k)
+    # guarded — Spark's sequence(2, 1) would count DOWN)
+    n_spans = (
+        F.when(k == 0, F.lit(0))
+        .when(k == 1, F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    F.sequence(F.lit(2), k),
+                    lambda i: F.element_at(st, i) - F.element_at(st, i - 1) > L,
+                )
+            )
+        )
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(st, lambda s: (s <= i) & (i < s + F.lit(L))),
+    )
+    return j.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        n_removed.alias("n_removed"),
+        n_spans.alias("n_spans"),
+        F.md5(F.concat_ws(" ", kept)).alias("cut_hash"),
+    )
+
+
 SIMHASH_BITS = 16
 
 

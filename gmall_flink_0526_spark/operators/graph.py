@@ -111,6 +111,124 @@ def connected_components(
     return labels
 
 
+def pagerank_partitioned(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+    d: float = 0.85,
+    reset: float = 0.15,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """K-step PageRank at CORPUS vertex scale: (node) x (src, dst, w)
+    -> (node, pagerank), with the dangling-mass redistribute term.
+
+    This is the web-scale shape ``plans.logs.pagerank_ranks`` only
+    documents: that helper runs on an entity-type-sized graph (25
+    nodes) and broadcasts the rank table into every step; HERE the
+    rank table is corpus-sized, so each iteration CO-PARTITIONS ranks
+    with the normalized edge table on the source key and runs a
+    shuffle join (``merge`` hint — broadcast is banned from the loop:
+    at 100 TB the rank table is a thousand-partition frame, and the
+    plan must not depend on it fitting in an executor). The edge table
+    is normalized and hash-partitioned ONCE and persisted; per
+    iteration the only corpus-sized movement is the rank shuffle the
+    algorithm fundamentally requires (contribs re-key node -> dst).
+
+    Unlike ``pagerank_ranks`` (which guards a no-dangling
+    precondition), nodes WITHOUT out-edges are first-class here: their
+    rank mass is redistributed uniformly each step — ``pr'(v) =
+    reset/N + d * (sum_in(v) + ds/N)`` where ``ds`` is the exact
+    decimal-accumulated dangling rank sum. On a similarity graph most
+    documents are singletons, so ds carries most of the mass and
+    dropping it (the naive port) would deflate every rank.
+
+    Numerics: ranks are carried SCALED BY N (start at exactly 1.0, not
+    1/N) so the DECIMAL(30,6) exact-accumulation quantum stays ~1e-6
+    RELATIVE at any corpus size — at N=5e6 an unscaled rank of 2e-7
+    would round to zero inside exact_sum. The caller's oracle divides
+    by N once at the end, exactly as this returns ``pr / N``.
+
+    Each iteration ``localCheckpoint``s the rank table: ds and the
+    contribution join both read the previous ranks, so an untruncated
+    lineage doubles per step (the connected_components lesson); on a
+    cluster with executor churn swap in reliable ``checkpoint()``.
+    The final iteration is left lazy so the returned plan exposes one
+    full step for plan assertions (and the caller's one materialization
+    computes it once).
+
+    Reference parity: the reference has no graph operator at all —
+    this extends its DWS aggregation layer the way production
+    behavior-analytics pipelines rank entities; cf. the in-repo
+    ``plans/logs.py`` behavior_pagerank for the type-sized twin.
+    """
+    spark = nodes.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    deg = (
+        edges.groupBy("src")
+        .agg(F.sum("w").alias("deg"))
+        .withColumnRenamed("src", "_deg_src")
+    )
+    # deg is edge-derived (corpus-sized at scale): the normalization
+    # join shuffles too — merge-hinted like every join in this operator
+    nrm = scoped_persist(
+        edges.hint("merge").join(deg, F.col("src") == F.col("_deg_src"))
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("deg").cast("double")).alias("p"),
+        )
+        .repartition(n_part, "src")
+    )
+    srcs = nrm.select(F.col("src").alias("node")).distinct()
+    nd = scoped_persist(
+        nodes.hint("merge")
+        .join(srcs.withColumn("_has", F.lit(True)), "node", "left")
+        .select("node", F.coalesce(F.col("_has"), F.lit(False)).alias("has_out"))
+        .repartition(n_part, "node")
+    )
+    # one scalar memo: N (exact integer; as a double it is bit-identical
+    # to the oracle's CAST(COUNT(*) AS DOUBLE) for any N < 2^53)
+    nf = float(nd.count())
+    from ..functions.exact import exact_sum
+
+    ranks = nd.withColumn("pr", F.lit(1.0)).localCheckpoint()
+    for it in range(iters):
+        # dangling mass, decimal-accumulated (empty set -> 0.0, both
+        # engines COALESCE identically)
+        ds = ranks.filter(~F.col("has_out")).agg(
+            F.coalesce(exact_sum(F.col("pr")), F.lit(0.0)).alias("ds")
+        )
+        contrib = (
+            ranks.filter(F.col("has_out"))
+            .hint("merge")
+            .join(nrm, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(exact_sum(F.col("pr") * F.col("p")).alias("s"))
+        )
+        ranks = (
+            ranks.select("node", "has_out")
+            .crossJoin(F.broadcast(ds))
+            .hint("merge")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "has_out",
+                (
+                    F.lit(reset)
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("ds") / F.lit(nf)
+                    )
+                ).alias("pr"),
+            )
+            .repartition(n_part, "node")
+        )
+        if it < iters - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", (F.col("pr") / F.lit(nf)).alias("pagerank"))
+
+
 def with_cluster_sizes(comp: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Attach per-cluster member counts: (node, comp) ->
     (doc_id, cluster_id, cluster_size). One shuffle on the component

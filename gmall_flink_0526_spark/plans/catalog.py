@@ -189,6 +189,9 @@ _PRIORITY = (
     #    S-curve + rep-cap loss, measured not argued).
     "prefix_filter_near_dup",
     "lsh_recall_exact",
+    "doc_pagerank",
+    "substring_dedup",
+    "substring_dedup_audit",
     # -- CHANGED in r11: hist_bin's long-domain clamp (both quantile
     #    audits, both drift audits); apply_merge grew the sep joiner
     #    (bpe_apply_merge); temporal_join's typed state carry

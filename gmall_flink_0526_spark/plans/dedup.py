@@ -195,6 +195,27 @@ SQL_LSH_CANDIDATES = f"""
 """
 
 
+# The EXACT threshold-join pair set as oracle CTEs (requires ``sh``
+# from SQL_SHINGLES3 in scope): brute-force shared-shingle candidates +
+# Jaccard verify — DuckDB's equivalent of the prefix-filter join's
+# output (the pruning is lossless, so brute force IS the same set).
+SQL_EXACT_PAIRS = f"""
+  tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
+  bf AS (
+    SELECT a.doc_id AS da, b.doc_id AS db
+    FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ),
+  exact_pairs AS (
+    SELECT bf.da AS doc_a, bf.db AS doc_b
+    FROM bf JOIN sh a ON bf.da = a.doc_id
+            JOIN sh b ON bf.db = b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+  )
+"""
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -454,6 +475,120 @@ def lsh_recall_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hit").cast("double") / F.col("n_exact"),
         ).alias("recall"),
     )
+
+
+# -- corpus-vertex PageRank over the similarity graph --------------------
+#
+# Fixed partition width for the rank-shuffle loop at catalog scale
+# (the CC_PARTITIONS rationale: 5 iterations x 32-way tiny tasks is
+# pure scheduler overhead at test SF); at 100 TB size it to the
+# corpus like every other num_partitions parameter here.
+DOC_PR_PARTITIONS = 8
+
+
+def _sql_doc_pagerank() -> str:
+    """Chained-CTE mirror of operators/graph.pagerank_partitioned over
+    the document similarity graph: one CTE pair (dangling sum, rank
+    step) per power iteration, every floating fan-in
+    decimal-accumulated (sql_sum) so both engines carry bit-identical
+    doubles between steps — the behavior_pagerank chaining argument,
+    now WITH the dangling-mass redistribute term (on this graph most
+    documents are singletons, so ds carries most of the mass)."""
+    from ..functions.exact import sql_sum
+    from .logs import PAGERANK_D, PAGERANK_ITERS, PAGERANK_RESET
+
+    # every r{{i}} is referenced THREE times (dangling sum, contrib
+    # join, next node list) and nrm once PER iteration: left to the
+    # planner's inlining heuristic the pair derivation re-expands
+    # per reference (measured: the inlined chain ran minutes at
+    # sf0.001 vs sub-second materialized) — AS MATERIALIZED is the
+    # oracle's equivalent of the Spark side's localCheckpoint.
+    its = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        its.append(f"""
+    ds{i} AS MATERIALIZED (
+      SELECT COALESCE(CAST(SUM(CAST(pr AS DECIMAL(30,6))) AS DOUBLE), 0.0) AS ds
+      FROM {prev} WHERE NOT has_out
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT p.node, p.has_out,
+             {PAGERANK_RESET} + {PAGERANK_D}
+               * (COALESCE(c.s, 0.0) + x.ds / nn.n) AS pr
+      FROM {prev} p CROSS JOIN ds{i} x CROSS JOIN nn
+      LEFT JOIN (
+        SELECT nrm.dst AS node, {sql_sum("q.pr * nrm.p")} AS s
+        FROM nrm JOIN {prev} q ON q.node = nrm.src AND q.has_out
+        GROUP BY nrm.dst
+      ) c ON c.node = p.node
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH {SQL_SHINGLES3},
+    {SQL_EXACT_PAIRS},
+    e AS (SELECT doc_a AS src, doc_b AS dst, 1 AS w FROM exact_pairs
+          UNION ALL SELECT doc_b, doc_a, 1 FROM exact_pairs),
+    degt AS (SELECT src, SUM(w) AS deg FROM e GROUP BY 1),
+    nrm AS MATERIALIZED (
+      SELECT e.src, e.dst,
+             CAST(e.w AS DOUBLE) / CAST(d.deg AS DOUBLE) AS p
+      FROM e JOIN degt d USING (src)),
+    srcs AS (SELECT DISTINCT src AS node FROM nrm),
+    nd AS (SELECT d.doc_id AS node, s.node IS NOT NULL AS has_out
+           FROM documents d LEFT JOIN srcs s ON d.doc_id = s.node),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nd),
+    r0 AS MATERIALIZED (SELECT node, has_out, 1.0 AS pr FROM nd),
+    {",".join(its)}
+    SELECT node AS doc_id, pr / nn.n AS pagerank
+    FROM {prev} CROSS JOIN nn
+    """
+
+
+@register(
+    "doc_pagerank",
+    oracle=_sql_doc_pagerank(),
+    doc="PageRank over the corpus-sized document similarity graph — "
+    "the iterative-join path proven at CORPUS vertex scale (r11 "
+    "VERDICT #2). Nodes = every document (most are dangling "
+    "singletons: the redistribute term is load-bearing, not "
+    "decorative); edges = the exact prefix-filter threshold pairs "
+    "(symmetrized, unit weight) — the similarity graph a dedup run "
+    "already materializes, here re-consumed to rank documents by "
+    "duplication centrality (a boilerplate-detection signal: high "
+    "rank = the hub of a near-dup neighborhood). Contrast "
+    "behavior_pagerank, whose 25-node graph rides broadcast joins: "
+    "HERE each of the K=5 steps SHUFFLES the corpus-sized rank table "
+    "into a co-partitioned merge join against the once-partitioned "
+    "edge table — zero BroadcastHashJoin in the loop (plan-pinned), "
+    "the only broadcast the 1-row dangling-mass scalar. Ranks are "
+    "carried scaled by N so the decimal-accumulation quantum stays "
+    "relative at any corpus size; the oracle divides once at the "
+    "end, exactly as the operator does. 100 TB: per-iteration cost "
+    "= one rank shuffle + one edge-key aggregate, both linear in "
+    "edges; lineage localCheckpoint-truncated per step.",
+    tags=("documents", "graph", "dedup", "prefix-filter", "agg"),
+)
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_partitioned
+    from .logs import PAGERANK_D, PAGERANK_ITERS, PAGERANK_RESET
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = prefix_filter_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .withColumn("w", F.lit(1))
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    pr = pagerank_partitioned(
+        nodes,
+        edges,
+        iters=PAGERANK_ITERS,
+        d=float(PAGERANK_D),
+        reset=float(PAGERANK_RESET),
+        num_partitions=DOC_PR_PARTITIONS,
+    )
+    return pr.select(F.col("node").alias("doc_id"), "pagerank")
 
 
 @register(
@@ -937,6 +1072,146 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_dup_cov"
             ),
             F.sum(F.when(F.col("dup_cov") >= DUP_COV_HIGH, 1).otherwise(0)).alias("docs_high"),
+        )
+    )
+
+
+# -- exact substring-level dedup (Lee et al. ExactSubstr) ----------------
+
+
+def _sql_substring_cut() -> str:
+    """The per-doc substring-dedup derivation as DuckDB CTEs ending in
+    ``res`` (doc_id, n_tokens, n_removed, n_spans, cut_hash) — the
+    exact mirror of operators/dedup.substring_cut: same window hash,
+    same interval-union fold over sorted starts, same 0-based keep
+    test (DuckDB lambda indexes are 1-based, hence the i - 1)."""
+    L = D.SUBSTR_RUN
+    return f"""
+    toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    gr AS (SELECT doc_id, t, unnest(range(1, len(t) - {L} + 2)) AS i FROM toks),
+    grams AS (SELECT doc_id, i - 1 AS pos,
+                     substr(md5(array_to_string(t[i:i+{L - 1}], ' ')), 1, 16) AS gh
+              FROM gr),
+    dup AS (SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS dc
+                            FROM grams GROUP BY gh) WHERE dc >= 2),
+    st AS (SELECT doc_id, list_sort(list(pos)) AS starts
+           FROM grams JOIN dup USING (gh) GROUP BY doc_id),
+    wide AS (
+      SELECT t.doc_id, t.t, len(t.t) AS n_tokens,
+             COALESCE(s.starts, CAST([] AS BIGINT[])) AS starts
+      FROM toks t LEFT JOIN st s USING (doc_id)
+    ),
+    res AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN len(starts) > 0 THEN
+               list_sum(list_transform(range(1, len(starts) + 1),
+                 i -> CASE WHEN i = 1 THEN {L}
+                      ELSE least({L}, starts[i] - starts[i-1]) END))
+             ELSE 0 END AS n_removed,
+             CASE WHEN len(starts) = 0 THEN 0
+                  WHEN len(starts) = 1 THEN 1
+                  ELSE 1 + len(list_filter(range(2, len(starts) + 1),
+                       i -> starts[i] - starts[i-1] > {L})) END AS n_spans,
+             md5(COALESCE(array_to_string(
+               list_filter(t, (x, i) ->
+                 len(list_filter(starts,
+                     s -> s <= i - 1 AND i - 1 < s + {L})) = 0), ' '), '')) AS cut_hash
+      FROM wide
+    )"""
+
+
+@register(
+    "substring_dedup",
+    oracle=f"""
+    WITH {_sql_substring_cut()}
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(n_spans AS BIGINT) AS n_spans, cut_hash
+    FROM res
+    """,
+    doc="Exact substring-level dedup — the Lee et al. (2022) "
+    "ExactSubstr recipe the catalog's duplicate_ngram_coverage only "
+    "AUDITED (it measured duplicate mass; this removes it): every "
+    "maximal token run >= L that repeats across documents is cut, "
+    "the rest of each document kept. Distributed via sorted-shingle "
+    "adjacency (the scalable suffix-array stand-in): length-L "
+    "windows keyed by 16-hex hash, repeated windows mark covered "
+    "positions, interval-union per doc = exactly the tokens inside "
+    "some >= L duplicated run. Linear in total shingles — one count "
+    "shuffle + one doc-keyed agg, NO pair join: the boilerplate "
+    "block that makes pairwise dedup quadratic costs one hot "
+    "map-side-combined count cell here. Emits the per-doc audit row "
+    "with the cut corpus content-addressed (cut_hash pins every "
+    "kept token, so the green row certifies the REMOVAL, not just "
+    "the counts). All-integer + hex surface: bit-identity needs no "
+    "decimal bridge.",
+    tags=("documents", "dedup", "substring", "text"),
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    cut = D.substring_cut(docs, "doc_id", "text")
+    return cut.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "cut_hash",
+    )
+
+
+@register(
+    "substring_dedup_audit",
+    oracle=f"""
+    WITH {_sql_substring_cut()}
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN r.n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_affected,
+           CAST(SUM(r.n_tokens) AS BIGINT) AS tok_total,
+           CAST(SUM(r.n_removed) AS BIGINT) AS tok_removed,
+           CAST(SUM(r.n_spans) AS BIGINT) AS spans_total,
+           CASE WHEN SUM(r.n_tokens) > 0
+                THEN CAST(SUM(r.n_removed) AS DOUBLE) / SUM(r.n_tokens)
+           END AS removal_rate
+    FROM res r JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="Removal audit for substring_dedup, grouped by source: how "
+    "much token mass the cut removes and how it concentrates — the "
+    "go/no-go read a production run checks before committing a cut "
+    "corpus (a source losing half its mass is a crawl-config bug, "
+    "not dedup). removal_rate is one integer-ratio double division "
+    "(identical bits both engines), zero-guarded per the "
+    "lsh_recall_exact precedent. Same linear pipeline as "
+    "substring_dedup plus one source-keyed agg.",
+    tags=("documents", "dedup", "substring", "stats"),
+)
+def substring_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    cut = D.substring_cut(docs, "doc_id", "text")
+    return (
+        cut.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_removed") > 0, 1).otherwise(0)).alias(
+                "docs_affected"
+            ),
+            F.sum("n_tokens").alias("tok_total"),
+            F.sum("n_removed").alias("tok_removed"),
+            F.sum("n_spans").alias("spans_total"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "docs_affected",
+            "tok_total",
+            "tok_removed",
+            "spans_total",
+            F.when(
+                F.col("tok_total") > 0,
+                F.col("tok_removed").cast("double") / F.col("tok_total"),
+            ).alias("removal_rate"),
         )
     )
 

@@ -50,3 +50,66 @@ def test_cluster_sizes(spark):
     comp = connected_components(edges)
     rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in with_cluster_sizes(comp).collect()}
     assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)}
+
+
+# -- corpus-scale PageRank (pagerank_partitioned) -------------------------
+
+
+def _pr(spark, nodes, edges, iters=5):
+    nd = spark.createDataFrame([(n,) for n in nodes], schema="node long")
+    ed = spark.createDataFrame(edges, schema="src long, dst long, w long")
+    from gmall_flink_0526_spark.operators.graph import pagerank_partitioned
+
+    got = pagerank_partitioned(nd, ed, iters=iters, num_partitions=4)
+    return {r["node"]: r["pagerank"] for r in got.collect()}
+
+
+def _pr_model(nodes, edges, iters=5, d=0.85, reset=0.15):
+    """Driver-side reference model (plain floats, no decimal
+    quantization — assertions use a tolerance above the
+    DECIMAL(30,6)/N quantum)."""
+    out_w: dict[int, float] = {}
+    for s, _t, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        ds = sum(p for v, p in pr.items() if v not in out_w)
+        nxt = {v: reset / n + d * ds / n for v in nodes}
+        for s, t, w in edges:
+            nxt[t] += d * pr[s] * (w / out_w[s])
+        pr = nxt
+    return pr
+
+
+def test_pagerank_partitioned_matches_model_and_conserves_mass(spark):
+    # a hub, a chain into it, a 2-cycle, and two dangling singletons —
+    # dangling mass redistribution is load-bearing here
+    nodes = list(range(8))
+    edges = [(0, 1, 1), (1, 2, 1), (2, 0, 1), (3, 0, 2), (3, 2, 1), (4, 5, 1), (5, 4, 1)]
+    got = _pr(spark, nodes, edges)
+    want = _pr_model(nodes, edges)
+    assert abs(sum(got.values()) - 1.0) < 1e-6, "rank mass must be conserved"
+    for v in nodes:
+        assert abs(got[v] - want[v]) < 1e-5, (v, got[v], want[v])
+
+
+def test_pagerank_partitioned_all_dangling_is_uniform(spark):
+    # zero edges: every step redistributes the whole mass uniformly —
+    # ranks stay exactly 1/N (and nothing divides by zero)
+    got = _pr(spark, [1, 2, 3, 4], [])
+    for v, p in got.items():
+        assert abs(p - 0.25) < 1e-9, (v, p)
+
+
+def test_pagerank_ranks_guards_dangling(spark):
+    # the type-sized helper must REFUSE a dangling graph rather than
+    # silently leak rank mass (r11 ADVICE #2)
+    import pytest
+
+    from gmall_flink_0526_spark.plans.logs import pagerank_ranks
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], schema="node long")
+    edges = spark.createDataFrame([(1, 2, 1)], schema="src long, dst long, w long")
+    with pytest.raises(ValueError, match="without out-edges"):
+        pagerank_ranks(nodes, edges)

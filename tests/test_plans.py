@@ -153,6 +153,10 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         "mixture_temperature",
         "vocab_coverage",
         "packing_length_histogram",
+        # doc_pagerank's per-step dangling-mass scalar is a broadcast
+        # 1-row crossJoin; the rank/edge joins themselves are
+        # merge-hinted (asserted broadcast-free below)
+        "doc_pagerank",
         # probe_clusters fans each probe out against the broadcast
         # k-row centroid table (config-sized build side, like
         # with_cluster's large-k argmin)
@@ -431,3 +435,35 @@ def test_heavy_hitters_cms_sketch_plan(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2
+
+
+def test_doc_pagerank_loop_is_broadcast_free(spark):
+    """The corpus-vertex PageRank loop must SHUFFLE the rank table
+    into a merge join each step, never broadcast it (r11 VERDICT #2:
+    at 100 TB the rank table is corpus-sized; a plan that depends on
+    it fitting in an executor is wrong even when test SF would allow
+    it). Asserted on the operator with trivially-derived inputs so
+    the plan shows ONLY the loop (the catalog query's full plan also
+    carries the prefix-filter edge DERIVATION, whose own broadcasts
+    are legitimate and separately asserted); the final iteration is
+    left un-checkpointed for exactly this visibility. Both the
+    contrib join and the rank-update left join must be SortMergeJoin;
+    the only broadcast is the 1-row dangling-mass scalar
+    (BroadcastNestedLoopJoin, not Hash)."""
+    import contextlib
+    import io
+
+    from gmall_flink_0526_spark.operators.graph import pagerank_partitioned
+
+    nodes = spark.range(64).selectExpr("id as node")
+    edges = spark.range(32).selectExpr(
+        "id as src", "(id + 1) % 32 as dst", "1 as w"
+    )
+    df = pagerank_partitioned(nodes, edges, iters=2, num_partitions=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" not in p, "rank loop must not broadcast-join"
+    assert len(re.findall(r"SortMergeJoin", p)) >= 2
+    assert "CartesianProduct" not in p

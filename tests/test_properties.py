@@ -776,3 +776,55 @@ def test_prefix_filter_join_is_exact_vs_bruteforce(spark, sets, t):
             if inter / union >= t:
                 exp.add((i, j))
     assert got == exp
+
+
+# -- substring-level dedup vs a brute-force Python model -----------------
+
+
+def py_substring_cut(texts: list[str], L: int, min_docs: int = 2):
+    """Brute force: every L-token window; windows in >= min_docs docs
+    mark covered positions; per doc -> (n_tokens, n_removed, n_spans,
+    kept tokens)."""
+    toks = [py_tokenize(t) for t in texts]
+    where: dict[str, set[int]] = {}
+    for d, ts in enumerate(toks):
+        for i in range(max(0, len(ts) - L + 1)):
+            where.setdefault(" ".join(ts[i : i + L]), set()).add(d)
+    dup = {g for g, docs in where.items() if len(docs) >= min_docs}
+    out = []
+    for d, ts in enumerate(toks):
+        covered = set()
+        for i in range(max(0, len(ts) - L + 1)):
+            if " ".join(ts[i : i + L]) in dup:
+                covered.update(range(i, i + L))
+        spans = sum(1 for p in covered if p - 1 not in covered)
+        kept = [t for i, t in enumerate(ts) if i not in covered]
+        out.append((len(ts), len(covered), spans, kept))
+    return out
+
+
+# tiny vocab + repetition-heavy docs so cross-doc >=L-token runs occur
+WORDS = st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=14)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(WORDS.map(" ".join), min_size=2, max_size=5), st.integers(2, 4))
+def test_substring_cut_matches_python_model(spark, texts, L):
+    import hashlib
+
+    from gmall_flink_0526_spark.operators.dedup import substring_cut
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["n_spans"], r["cut_hash"])
+        for r in substring_cut(df, "doc_id", "text", run_len=L).collect()
+    }
+    want = py_substring_cut(texts, L)
+    assert set(got) == set(range(len(texts)))
+    for d, (n_tok, n_rm, n_sp, kept) in enumerate(want):
+        khash = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert got[d] == (n_tok, n_rm, n_sp, khash), (
+            d, texts[d], got[d], (n_tok, n_rm, n_sp, khash)
+        )
