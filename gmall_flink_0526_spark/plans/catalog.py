@@ -190,6 +190,7 @@ _PRIORITY = (
     "prefix_filter_near_dup",
     "lsh_recall_exact",
     "doc_pagerank",
+    "lsh_recall_post_dedup",
     "substring_dedup",
     "substring_dedup_audit",
     # -- CHANGED in r11: hist_bin's long-domain clamp (both quantile

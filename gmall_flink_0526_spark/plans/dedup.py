@@ -195,6 +195,75 @@ SQL_LSH_CANDIDATES = f"""
 """
 
 
+# Parameterized twins of the shared CTEs above, for oracles that run
+# the shingle/LSH chain over a DERIVED corpus (adversarial replication,
+# exact-dedup survivors) — or twice in one statement. The legacy
+# constants stay byte-identical (their queries' certified oracle text
+# must not churn); these generate the same derivations with a source
+# table and a CTE-name suffix.
+
+
+def sql_shingles3_from(src: str, x: str = "") -> str:
+    """toks{x}/sh{x}: the SQL_SHINGLES3 derivation over ``src``."""
+    return f"""
+  toks{x} AS (SELECT doc_id, {SQL_TOKS} AS t FROM {src}),
+  sh{x} AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END) AS s
+    FROM toks{x}
+  )
+"""
+
+
+def sql_lsh_candidates_from(x: str = "") -> str:
+    """mh{x}/bands{x}/bstat{x}/cand{x}: the SQL_LSH_CANDIDATES
+    derivation (hot-bucket rep cap included) over ``sh{x}``."""
+    return f"""
+  mh{x} AS (
+    SELECT doc_id, [{_MINHASHES}] AS m
+    FROM sh{x} WHERE len(s) > 0
+  ),
+  bands{x} AS (
+    SELECT doc_id, b, [{_BANDS}][b + 1] AS bk
+    FROM mh{x}, (SELECT unnest(range(0, {D.LSH_BANDS})) AS b) bb
+  ),
+  bstat{x} AS (
+    SELECT b, bk, COUNT(*) AS bct, MIN(doc_id) AS rep
+    FROM bands{x} GROUP BY b, bk
+  ),
+  cand{x} AS (
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM bands{x} a
+    JOIN bstat{x} t0 ON a.b = t0.b AND a.bk = t0.bk
+              AND t0.bct <= {D.MAX_BUCKET}
+    JOIN bands{x} c
+      ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id
+    UNION
+    SELECT t.rep AS doc_a, bn.doc_id AS doc_b
+    FROM bands{x} bn JOIN bstat{x} t ON bn.b = t.b AND bn.bk = t.bk
+    WHERE t.bct > {D.MAX_BUCKET} AND bn.doc_id > t.rep
+  )
+"""
+
+
+def sql_verified_pairs_from(x: str, out: str) -> str:
+    """{out}: cand{x} Jaccard-verified against sh{x} at the catalog
+    threshold — the (doc_a, doc_b) near-dup pair set."""
+    return f"""
+  {out} AS (
+    SELECT cand{x}.doc_a, cand{x}.doc_b
+    FROM cand{x}
+    JOIN sh{x} a ON cand{x}.doc_a = a.doc_id
+    JOIN sh{x} b ON cand{x}.doc_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+  )
+"""
+
+
 # The EXACT threshold-join pair set as oracle CTEs (requires ``sh``
 # from SQL_SHINGLES3 in scope): brute-force shared-shingle candidates +
 # Jaccard verify — DuckDB's equivalent of the prefix-filter join's
@@ -474,6 +543,205 @@ def lsh_recall_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_exact") > 0,
             F.col("n_hit").cast("double") / F.col("n_exact"),
         ).alias("recall"),
+    )
+
+
+# -- the adversarial-corpus mitigation, certified -------------------------
+#
+# SCALE.md's 10x probe measured LSH recall 0.025 on a 600-copy
+# boilerplate block: the hot-bucket rep cap deliberately trades the
+# block's quadratic pair set for linear (rep, member) pairs. The
+# documented mitigation is "run exact dedup first". This query turns
+# that prose into a certified number by BUILDING the adversarial
+# corpus inside the query (doc 0's text replicated REP_COPIES times —
+# derivable identically by both engines, no side fixture), measuring
+# raw recall on the identical-text truth, then recall after exact
+# dedup against the prefix-filter exact truth.
+REP_COPIES = 256  # > operators/dedup.MAX_BUCKET so the rep cap fires
+REP_BASE_ID = 1_000_000  # clear of every fixture's doc_id range
+
+
+def _sql_lsh_recall_post_dedup() -> str:
+    return f"""
+    WITH adv AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT {REP_BASE_ID} + r AS doc_id, d.text
+      FROM range(0, {REP_COPIES}) t(r)
+      CROSS JOIN (SELECT text FROM documents WHERE doc_id = 0) d
+    ),
+    {sql_shingles3_from("adv", "a")},
+    {sql_lsh_candidates_from("a")},
+    {sql_verified_pairs_from("a", "lshva")},
+    texts AS MATERIALIZED (SELECT doc_id, md5(text) AS th FROM adv),
+    idp AS (
+      SELECT CAST(SUM(ct * (ct - 1) // 2) AS BIGINT) AS n_id_pairs_raw
+      FROM (SELECT COUNT(*) AS ct FROM texts GROUP BY th)
+    ),
+    rawhit AS (
+      SELECT COUNT(*) AS n_lsh_id_hits_raw
+      FROM lshva v JOIN texts ta ON v.doc_a = ta.doc_id
+                   JOIN texts tb ON v.doc_b = tb.doc_id
+      WHERE ta.th = tb.th
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM adv GROUP BY md5(text)),
+    surv AS MATERIALIZED (
+      SELECT adv.doc_id, adv.text FROM adv JOIN keep USING (doc_id)
+    ),
+    {sql_shingles3_from("surv", "s")},
+    {sql_lsh_candidates_from("s")},
+    {sql_verified_pairs_from("s", "lshvs")},
+    toke AS (SELECT doc_id, unnest(s) AS g FROM shs),
+    bfs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM toke a JOIN toke b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exacts AS (
+      SELECT bfs.da AS doc_a, bfs.db AS doc_b
+      FROM bfs JOIN shs a ON bfs.da = a.doc_id
+               JOIN shs b ON bfs.db = b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+    ),
+    post AS (
+      SELECT COUNT(*) FILTER (WHERE e.doc_a IS NOT NULL) AS n_exact_post,
+             COUNT(*) FILTER (WHERE e.doc_a IS NOT NULL
+                                AND m.doc_a IS NOT NULL) AS n_hit_post
+      FROM exacts e FULL OUTER JOIN lshvs m
+        ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
+    )
+    SELECT (SELECT COUNT(*) FROM adv) AS n_docs_raw,
+           (SELECT COUNT(*) FROM surv) AS n_survivors,
+           idp.n_id_pairs_raw,
+           rawhit.n_lsh_id_hits_raw,
+           CASE WHEN idp.n_id_pairs_raw > 0
+                THEN CAST(rawhit.n_lsh_id_hits_raw AS DOUBLE)
+                     / idp.n_id_pairs_raw END AS recall_raw,
+           post.n_exact_post,
+           post.n_hit_post,
+           CASE WHEN post.n_exact_post > 0
+                THEN CAST(post.n_hit_post AS DOUBLE)
+                     / post.n_exact_post END AS recall_post
+    FROM idp, rawhit, post
+    """
+
+
+@register(
+    "lsh_recall_post_dedup",
+    oracle=_sql_lsh_recall_post_dedup(),
+    doc="The adversarial-LSH mitigation, certified (r11 VERDICT #3): "
+    "SCALE.md measured recall 0.025 under the hot-bucket rep cap on "
+    "a replicated-boilerplate corpus; the production guidance was "
+    "'run exact dedup first' — prose until now. The query derives "
+    "the adversarial corpus IN-PLAN (doc 0's text replicated "
+    f"{REP_COPIES}x > MAX_BUCKET, ids offset to {REP_BASE_ID} — both "
+    "engines rebuild it bit-identically from the parquet alone), "
+    "then certifies both halves: recall_raw = capped-LSH hits over "
+    "the identical-text pair truth (counted analytically per text "
+    "group, sum ct*(ct-1)/2 — no quadratic enumeration), expected "
+    "~2/REP_COPIES; recall_post = LSH over the exact-dedup SURVIVORS "
+    "measured against the prefix-filter exact truth, expected 1.0 on "
+    "this corpus (the r11 natural-corpus measurement, now green "
+    "under the adversarial fixture too). Both divisions zero-guarded "
+    "identically both sides. Scale shape: the raw chain is the "
+    "production capped-LSH path (linear in the block); the only "
+    "quadratic object, the identical-pair TRUTH, is never "
+    "materialized — counted from group sizes.",
+    tags=("dedup", "lsh", "audit", "prefix-filter", "adversarial"),
+)
+def lsh_recall_post_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") == 0).select("text")
+    copies = (
+        spark.range(REP_COPIES)
+        .crossJoin(F.broadcast(base))
+        .select(
+            (F.lit(REP_BASE_ID) + F.col("id")).cast("long").alias("doc_id"),
+            "text",
+        )
+    )
+    adv = scoped_persist(docs.union(copies))
+
+    def verified_lsh(sh: DataFrame) -> DataFrame:
+        cand = D.lsh_pairs_from_bands(
+            D.band_keys_from_sigs(D.minhash_sigs(sh))
+        )
+        return (
+            D.jaccard_verify(sh, cand)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b")
+        )
+
+    sha = scoped_persist(D.doc_shingles(adv, "doc_id", "text"))
+    lshva = verified_lsh(sha)
+    texts = scoped_persist(adv.select("doc_id", F.md5("text").alias("th")))
+    idp = (
+        texts.groupBy("th")
+        .agg(F.count("*").alias("ct"))
+        .agg(F.sum(F.expr("ct * (ct - 1) div 2")).alias("n_id_pairs_raw"))
+    )
+    ta = texts.select(F.col("doc_id").alias("da"), F.col("th").alias("tha"))
+    tb = texts.select(F.col("doc_id").alias("db"), F.col("th").alias("thb"))
+    rawhit = (
+        lshva.join(ta, lshva["doc_a"] == ta["da"])
+        .join(tb, lshva["doc_b"] == tb["db"])
+        .filter(F.col("tha") == F.col("thb"))
+        .agg(F.count("*").alias("n_lsh_id_hits_raw"))
+    )
+    keep = adv.groupBy(F.md5("text").alias("th")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = scoped_persist(adv.join(keep.select("doc_id"), "doc_id"))
+    shs = scoped_persist(D.doc_shingles(surv, "doc_id", "text"))
+    lshvs = verified_lsh(shs).select(
+        F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
+    )
+    exacts = (
+        D.jaccard_verify(shs, D.prefix_filter_candidates(shs, JACCARD_THRESHOLD))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    post = (
+        exacts.join(
+            lshvs,
+            (exacts["doc_a"] == lshvs["la"]) & (exacts["doc_b"] == lshvs["lb"]),
+            "full_outer",
+        )
+        .agg(
+            F.count(F.when(F.col("doc_a").isNotNull(), 1)).alias("n_exact_post"),
+            F.count(
+                F.when(F.col("doc_a").isNotNull() & F.col("la").isNotNull(), 1)
+            ).alias("n_hit_post"),
+        )
+    )
+    n_raw = adv.agg(F.count("*").alias("n_docs_raw"))
+    n_surv = surv.agg(F.count("*").alias("n_survivors"))
+    row = (
+        n_raw.crossJoin(F.broadcast(n_surv))
+        .crossJoin(F.broadcast(idp))
+        .crossJoin(F.broadcast(rawhit))
+        .crossJoin(F.broadcast(post))
+    )
+    return row.select(
+        "n_docs_raw",
+        "n_survivors",
+        "n_id_pairs_raw",
+        "n_lsh_id_hits_raw",
+        F.when(
+            F.col("n_id_pairs_raw") > 0,
+            F.col("n_lsh_id_hits_raw").cast("double") / F.col("n_id_pairs_raw"),
+        ).alias("recall_raw"),
+        "n_exact_post",
+        "n_hit_post",
+        F.when(
+            F.col("n_exact_post") > 0,
+            F.col("n_hit_post").cast("double") / F.col("n_exact_post"),
+        ).alias("recall_post"),
     )
 
 

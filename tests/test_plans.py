@@ -157,6 +157,9 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         # 1-row crossJoin; the rank/edge joins themselves are
         # merge-hinted (asserted broadcast-free below)
         "doc_pagerank",
+        # the adversarial-corpus replication (1-row broadcast text) and
+        # the final scalar fan-in row are both 1-row crossJoins
+        "lsh_recall_post_dedup",
         # probe_clusters fans each probe out against the broadcast
         # k-row centroid table (config-sized build side, like
         # with_cluster's large-k argmin)
