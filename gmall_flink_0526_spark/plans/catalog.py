@@ -191,6 +191,8 @@ _PRIORITY = (
     "lsh_recall_exact",
     "doc_pagerank",
     "lsh_recall_post_dedup",
+    "funnel_attribution_4",
+    "funnel_attribution_4_stream",
     "substring_dedup",
     "substring_dedup_audit",
     # -- CHANGED in r11: hist_bin's long-domain clamp (both quantile

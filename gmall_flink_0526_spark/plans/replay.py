@@ -1084,6 +1084,62 @@ def _register_funnel_attribution_stream():
 _register_funnel_attribution_stream()
 
 
+def _register_funnel_attribution_4_stream():
+    from .logs import _SQL_FUNNEL_ATTR4
+
+    @register(
+        "funnel_attribution_4_stream",
+        oracle=_SQL_FUNNEL_ATTR4,
+        doc="FOUR-stage funnel attribution as ONE keyed stateful "
+        "stream — the N-stage generalization proven past the shape it "
+        "was built on (streaming/stateful.funnel_chain_n with stages "
+        "signup/view/click, probe purchase; the 3-stage certified "
+        "queries run through the same operator as its M=2 instance). "
+        "State per key is three chain vectors (6 scalars), each link "
+        "bound at its stage's arrival and STORED — the newer-event "
+        "hazard the 3-stage edge test pins applies at every level. "
+        "Oracle: the batch funnel_attribution_4's chained DuckDB ASOF "
+        "SQL verbatim.",
+        tags=("state", "streaming", "events", "cep", "asof", "funnel"),
+    )
+    def funnel_attribution_4_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        events = load_tables(spark, sf_dir, "events")["events"]
+        ev = events.filter(
+            F.col("event_type").isin("signup", "view", "click", "purchase")
+        ).select("event_id", "ts", "user_id", "event_type")
+        mn, mx = ev.select(F.min("ts"), F.max("ts")).first()
+        ts_type = ev.schema["ts"].dataType.simpleString()
+        cut1 = F.lit(mn + (mx - mn) / 2).cast(ts_type)
+        file_of = F.when(F.col("ts") <= cut1, 0).otherwise(1)
+        out = replay_stateful(
+            spark,
+            ev,
+            lambda df: stateful.funnel_chain_n(
+                df, stages=("signup", "view", "click"), probe_type="purchase"
+            ),
+            order_by=["ts", "event_id"],
+            cache_key=f"events_funnel4_tspan:{sf_dir}",
+            file_of=file_of,
+            n_files=2,
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.col("probe_ts").alias("purchase_ts"),
+            "click_ts",
+            "view_ts",
+            "signup_ts",
+            F.when(F.col("signup_ts").isNotNull(), 4)
+            .when(F.col("view_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .otherwise(1)
+            .alias("depth"),
+        )
+
+
+_register_funnel_attribution_4_stream()
+
+
 def _register_heavy_hitters_stream():
     from .text import CMS_TOP, _sql_cms_audit
 

@@ -565,6 +565,162 @@ def transition_pairs(
     )
 
 
+def funnel_chain_n(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click"),
+    probe_type: str = "purchase",
+    key: str = "user_id",
+    ts: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """N-stage CEP funnel attribution as ONE keyed stateful operator —
+    the generalized pattern chain the reference's flink-cep dependency
+    implies (r11 VERDICT #5 lifted the 3-stage query into an
+    operator): ``stages`` lists the funnel's earlier stages IN ORDER;
+    every ``probe_type`` row emits the user's latest ``stages[-1]`` at
+    or before it, and for each resolved stage the latest PREVIOUS
+    stage at or before THAT — each link binding at the later stage's
+    ARRIVAL and stored with it, exactly when the Flink pattern step
+    would fire (the state's single slot per stage may already hold a
+    NEWER event than a stored link should see, so links are never
+    recomputed from later state).
+
+    State per key is M = len(stages) chain vectors, level i holding
+    (own ts, i inherited link timestamps) — M(M+1)/2 scalars total,
+    O(1) forever for a fixed funnel. Within a batch rows sort by
+    (ts, stage order) so a same-instant earlier stage is visible to
+    its successor — the inclusive-backward rule of the chained ASOF
+    oracle; carries are vectorized positional ffills per level (the
+    temporal_enrich idiom), so the per-batch cost is M gathers, not a
+    python loop over rows. Seeded state re-entries keep their STORED
+    vectors. Equal-(key, ts) duplicates within one stage are out of
+    contract — ``distinct()`` the stage streams upstream, as the
+    batch twin does.
+
+    Output: (id, key, probe_ts, {stages[-1]}_ts, ..., {stages[0]}_ts)
+    with LEFT semantics — a NULL suffix where the chain ran out.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    stages = tuple(stages)
+    M = len(stages)
+    if M < 1:
+        raise ValueError("funnel_chain_n: need at least one stage before the probe")
+    _ORD = {s: i for i, s in enumerate(stages)}
+    if probe_type in _ORD:
+        raise ValueError("funnel_chain_n: probe_type must not repeat a stage")
+    _ORD[probe_type] = M
+    # flat state layout: level i occupies slots [offs[i], offs[i+1]) —
+    # the vector [ts_i, link_{i-1}, ..., link_0], all epoch micros
+    offs = [i * (i + 1) // 2 for i in range(M + 1)]
+    total = offs[M]
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        flat = (
+            list(state.get[0])
+            if state.exists and state.get[0] is not None
+            else [None] * total
+        )
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        pdf = pdf[pdf[type_col].isin(list(_ORD))]
+        if not len(pdf):
+            return
+        # _seed: which level this row re-enters from state (-1 = fresh)
+        pdf = pdf.assign(_seed=-1)
+        seeds = []
+        for li, stg in enumerate(stages):
+            sts = flat[offs[li]]
+            if sts is not None:
+                seeds.append(
+                    {ts: pd.Timestamp(sts, unit="us"), type_col: stg, "_seed": li}
+                )
+        if seeds:
+            seed = pd.DataFrame(seeds)
+            try:
+                seed[ts] = seed[ts].astype(pdf[ts].dtype)
+            except (TypeError, ValueError):
+                pass
+            pdf = pd.concat([seed, pdf], ignore_index=True)
+        pdf = (
+            pdf.assign(_ord=pdf[type_col].map(_ORD))
+            .sort_values([ts, "_ord"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(pdf)
+        types_arr = pdf[type_col].to_numpy()
+        seed_lvl = pdf["_seed"].to_numpy()
+        ts_us = pdf[ts].astype("int64").to_numpy() // 1000  # ns -> us
+        carry = None  # after level li: (n, li+1) vector of last li-row <= pos
+        new_flat = list(flat)
+        for li, stg in enumerate(stages):
+            is_s = types_arr == stg
+            vec = np.full((n, li + 1), np.nan)
+            vec[is_s, 0] = ts_us[is_s]
+            if li > 0:
+                # fresh rows bind the previous level's carry AT their
+                # position — the link resolves at arrival
+                fresh = is_s & (seed_lvl != li)
+                vec[fresh, 1:] = carry[fresh]
+            sr = np.where(is_s & (seed_lvl == li))[0]
+            if len(sr):
+                stored = flat[offs[li] : offs[li + 1]]
+                vec[sr[0]] = [np.nan if v is None else float(v) for v in stored]
+            pos = pd.Series(np.where(is_s, np.arange(n), np.nan)).ffill()
+            has = pos.notna().to_numpy()
+            idx = pos.fillna(0).astype(int).to_numpy()
+            carry = vec[idx]
+            carry[~has] = np.nan
+            if is_s.any():
+                last = vec[np.where(is_s)[0][-1]]
+                new_flat[offs[li] : offs[li + 1]] = [
+                    None if np.isnan(v) else int(v) for v in last
+                ]
+        state.update((new_flat,))
+        is_p = types_arr == probe_type
+        if not is_p.any():
+            return
+        out = {
+            id_col: pdf.loc[is_p, id_col].to_numpy(),
+            key: key_tuple[0],
+            "probe_ts": pdf.loc[is_p, ts].to_numpy(),
+        }
+        pv = carry[is_p]  # columns: [ts_{M-1}, link_{M-2}, ..., link_0]
+        for j in range(M):
+            out[f"{stages[M - 1 - j]}_ts"] = pd.to_datetime(
+                pd.Series(pv[:, j]), unit="us"
+            ).to_numpy()
+        yield pd.DataFrame(out)
+
+    field = {c: events.schema[c].dataType for c in (key, ts, id_col)}
+    out_t = T.StructType(
+        [
+            T.StructField(id_col, field[id_col]),
+            T.StructField(key, field[key]),
+            T.StructField("probe_ts", field[ts]),
+        ]
+        + [T.StructField(f"{s}_ts", field[ts]) for s in reversed(stages)]
+    )
+    state_t = T.StructType(
+        [T.StructField("flat", T.ArrayType(T.LongType(), True))]
+    )
+    # NoTimeout: funnel attribution state must persist for the
+    # stream's lifetime, like the other as-of carries
+    return events.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_t,
+        stateStructType=state_t,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def funnel_chain(
     events: DataFrame,
     key: str = "user_id",
@@ -575,144 +731,17 @@ def funnel_chain(
     click_type: str = "click",
     probe_type: str = "purchase",
 ) -> DataFrame:
-    """Three-step CEP funnel attribution as ONE keyed stateful operator
-    — the multi-step pattern state the reference's CEP dependency
-    implies beyond the bounce job: every ``probe_type`` row (purchase)
-    emits the user's latest ``click_type`` at or before it, and for
-    THAT click the latest ``view_type`` at or before the click — the
-    chain resolving exactly when the Flink pattern would: the
-    view->click link binds at CLICK arrival (stored with the click),
-    the click->purchase link at purchase arrival. State per key is two
-    levels, both O(1) forever: the latest view ts, and the latest
-    click (ts, view-at-click ts).
-
-    Within a batch rows sort by (ts, view<click<purchase) so a
-    same-instant earlier stage is visible to its successor — the
-    inclusive-backward rule of the chained ASOF oracle. Carries are
-    vectorized positional ffills (the temporal_enrich idiom); the
-    seeded click row re-enters with its STORED view attachment rather
-    than recomputing it, because the state's single view slot may
-    already hold a NEWER view than the stored click should see.
-    Equal-(key, ts) duplicates within one stage are out of contract —
-    ``distinct()`` the stage streams upstream, as the batch twin does.
-
-    Output: (id, key, probe_ts, click_ts, view_ts) with LEFT
-    semantics — NULL click columns before any click, NULL view_ts for
-    a click no view preceded.
-    """
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-
-    _ORD = {view_type: 0, click_type: 1, probe_type: 2}
-
-    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
-        vts, cts, cva = state.get if state.exists else (None, None, None)
-        frames = [p for p in pdfs if len(p)]
-        if not frames:
-            return
-        pdf = pd.concat(frames)
-        pdf = pdf[pdf[type_col].isin(list(_ORD))]
-        if not len(pdf):
-            return
-        # _att: a click row's resolved view-at-click micros (float; NaN
-        # = none); _seeded marks state re-entries whose _att must be
-        # TRUSTED, not recomputed from the in-batch view carry
-        pdf = pdf.assign(_att=np.nan, _seeded=False)
-        seeds = []
-        if vts is not None:
-            seeds.append(
-                {ts: pd.Timestamp(vts, unit="us"), type_col: view_type,
-                 "_att": np.nan, "_seeded": True}
-            )
-        if cts is not None:
-            seeds.append(
-                {ts: pd.Timestamp(cts, unit="us"), type_col: click_type,
-                 "_att": float(cva) if cva is not None else np.nan,
-                 "_seeded": True}
-            )
-        if seeds:
-            seed = pd.DataFrame(seeds)
-            for c in (ts,):
-                try:
-                    seed[c] = seed[c].astype(pdf[c].dtype)
-                except (TypeError, ValueError):
-                    pass
-            pdf = pd.concat([seed, pdf], ignore_index=True)
-        pdf = (
-            pdf.assign(_ord=pdf[type_col].map(_ORD))
-            .sort_values([ts, "_ord"], kind="mergesort")
-            .reset_index(drop=True)
-        )
-        n = len(pdf)
-        is_v = (pdf[type_col] == view_type).to_numpy()
-        is_c = (pdf[type_col] == click_type).to_numpy()
-        is_p = (pdf[type_col] == probe_type).to_numpy()
-        ts_us = pdf[ts].astype("int64").to_numpy() // 1000  # ns -> us
-        # stage 1: view position carry; a click resolves its view here
-        vpos = pd.Series(np.where(is_v, np.arange(n), np.nan)).ffill()
-        has_v = vpos.notna().to_numpy()
-        v_at = np.where(
-            has_v, ts_us[vpos.fillna(0).astype(int).to_numpy()], np.nan
-        )
-        att = pdf["_att"].to_numpy(dtype=float)
-        seeded = pdf["_seeded"].to_numpy()
-        # fresh clicks bind the carry; seeded clicks keep their stored
-        # attachment (may be NaN = click genuinely had no view)
-        att = np.where(is_c & ~seeded, v_at, att)
-        # stage 2: click position carry; probes read (click ts, att)
-        cpos = pd.Series(np.where(is_c, np.arange(n), np.nan)).ffill()
-        # state update: last view / last click row of the sorted batch
-        new_vts = int(ts_us[np.where(is_v)[0][-1]]) if is_v.any() else vts
-        if is_c.any():
-            last_c = np.where(is_c)[0][-1]
-            new_cts = int(ts_us[last_c])
-            new_cva = None if np.isnan(att[last_c]) else int(att[last_c])
-        else:
-            new_cts, new_cva = cts, cva
-        state.update((new_vts, new_cts, new_cva))
-        if not is_p.any():
-            return
-        pp = cpos[is_p]
-        matched = pp.notna().to_numpy()
-        idx = pp.fillna(0).astype(int).to_numpy()
-        m = pd.Series(matched)
-        out = {
-            id_col: pdf.loc[is_p, id_col].to_numpy(),
-            key: key_tuple[0],
-            "probe_ts": pdf.loc[is_p, ts].to_numpy(),
-            "click_ts": pdf[ts].iloc[idx].reset_index(drop=True).where(m).to_numpy(),
-            # view_ts rides the click's attachment: float micros -> ts
-            "view_ts": pd.to_datetime(
-                pd.Series(att[idx]).where(m), unit="us"
-            ).to_numpy(),
-        }
-        yield pd.DataFrame(out)
-
-    field = {c: events.schema[c].dataType for c in (key, ts, id_col)}
-    out_t = T.StructType(
-        [
-            T.StructField(id_col, field[id_col]),
-            T.StructField(key, field[key]),
-            T.StructField("probe_ts", field[ts]),
-            T.StructField("click_ts", field[ts]),
-            T.StructField("view_ts", field[ts]),
-        ]
-    )
-    state_t = T.StructType(
-        [
-            T.StructField("vts", T.LongType()),
-            T.StructField("cts", T.LongType()),
-            T.StructField("cva", T.LongType()),
-        ]
-    )
-    # NoTimeout: funnel attribution state must persist for the
-    # stream's lifetime, like the other as-of carries
-    return events.groupBy(key).applyInPandasWithState(
-        fn,
-        outputStructType=out_t,
-        stateStructType=state_t,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    """The 3-stage funnel (view -> click -> purchase) as an instance of
+    :func:`funnel_chain_n` — kept as the named operator the certified
+    funnel_attribution_stream query and its tests run through, so the
+    generalization is re-proven by the existing oracle rows. Output:
+    (id, key, probe_ts, click_ts, view_ts), LEFT semantics."""
+    return funnel_chain_n(
+        events,
+        stages=(view_type, click_type),
+        probe_type=probe_type,
+        key=key,
+        ts=ts,
+        id_col=id_col,
+        type_col=type_col,
     )

@@ -2123,3 +2123,76 @@ def test_transition_pairs_cross_batch_boundary(spark):
         (2, "x", "y"),
         (4, None, "q"),
     ]
+
+
+def test_funnel_chain_n_four_stage_cross_batch_edges(spark):
+    """funnel_chain_n at M=3 (signup -> view -> click -> purchase):
+    the 3-stage edge hazards, re-pinned at the DEEPER levels the
+    generalization added:
+
+    - STORED CHAIN: user 1's click@3 bound view@2 which bound
+      signup@1; newer signup@4 and view@5 then land in state. A
+      purchase@6 in the NEXT batch must read (3, 2, 1) — recomputing
+      any link from seeded state would steal the newer events.
+    - MIDDLE NULL: user 2's view had no signup; the click binds that
+      view (signup NULL); a later signup must not retro-attach
+      through the stored chain, but a NEW view after it picks it up.
+    - Same-instant 4-chain: user 3's four stages at one ts resolve
+      fully (inclusive backward at every link).
+    """
+    from gmall_flink_0526_spark.streaming.replay import replay_stateful
+    from gmall_flink_0526_spark.streaming.stateful import funnel_chain_n
+
+    def T(sec):
+        return f"2024-01-01 00:00:{sec:02d}"
+
+    rows = [
+        (101, T(1), 1, "signup", 0),
+        (102, T(2), 1, "view", 0),
+        (103, T(3), 1, "click", 0),
+        (104, T(4), 1, "signup", 0),
+        (105, T(5), 1, "view", 0),
+        (106, T(6), 1, "purchase", 1),
+        (201, T(1), 2, "view", 0),
+        (202, T(2), 2, "click", 0),
+        (203, T(3), 2, "purchase", 0),
+        (204, T(4), 2, "signup", 0),
+        (205, T(5), 2, "purchase", 1),   # still the old chain: signup NULL
+        (206, T(6), 2, "view", 1),
+        (207, T(7), 2, "click", 1),
+        (208, T(8), 2, "purchase", 1),   # new view after signup binds it
+        (301, T(7), 3, "signup", 1),
+        (302, T(7), 3, "view", 1),
+        (303, T(7), 3, "click", 1),
+        (304, T(7), 3, "purchase", 1),
+    ]
+    src = spark.createDataFrame(
+        [(e, t, u, y, b) for e, t, u, y, b in rows],
+        "event_id long, ts_s string, user_id long, event_type string, b int",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "b"
+    )
+    out = {
+        r["event_id"]: (r["click_ts"], r["view_ts"], r["signup_ts"])
+        for r in replay_stateful(
+            spark,
+            src,
+            lambda df: funnel_chain_n(
+                df, stages=("signup", "view", "click"), probe_type="purchase"
+            ),
+            order_by=["ts", "event_id"],
+            file_of=F.col("b"),
+            n_files=2,
+        ).collect()
+    }
+
+    def ts(sec):
+        import datetime
+
+        return datetime.datetime(2024, 1, 1, 0, 0, sec)
+
+    assert out[106] == (ts(3), ts(2), ts(1))  # stored chain, not state's 4/5
+    assert out[203] == (ts(2), ts(1), None)   # middle NULL preserved
+    assert out[205] == (ts(2), ts(1), None)   # signup@4 must not retro-attach
+    assert out[208] == (ts(7), ts(6), ts(4))  # fresh view binds the signup
+    assert out[304] == (ts(7), ts(7), ts(7))  # same-instant full chain

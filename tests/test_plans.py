@@ -470,3 +470,14 @@ def test_doc_pagerank_loop_is_broadcast_free(spark):
     assert "BroadcastHashJoin" not in p, "rank loop must not broadcast-join"
     assert len(re.findall(r"SortMergeJoin", p)) >= 2
     assert "CartesianProduct" not in p
+
+
+def test_funnel_attribution_4_is_chained_union_fill(spark):
+    """The generalized K-link chain keeps the 3-stage plan shape at
+    K=4: THREE asof_join sorted-union fills (one Window per link), no
+    join operator anywhere, exchanges hashed on user_id."""
+    p = plan_of(spark, "funnel_attribution_4")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 3  # one per chained link
+    assert re.search(r"hashpartitioning\(user_id", p)
