@@ -120,17 +120,89 @@ _LOADED = False
 # (`tools/vanilla_gate.py`, result recorded in BASELINE.md) — so no
 # query ever stands on an unchecked stale row, even past the window.
 _PRIORITY = (
-    # -- r11 rotation, per the r10 VERDICT's prescription. Lead: the
-    #    stalest-green queries (last driver row predates r9; they did
-    #    not fit the r10 window). The verdict named 29; the window
-    #    arithmetic holds 23 of them — r11's changed (14) + new (13)
-    #    sets are the contract's MANDATORY entries (changed code is
-    #    always re-proven the round it changes), leaving 50-27 = 23
-    #    lead slots. The 6 displaced (see the overflow block after
-    #    the changed set) lead r12 and are covered this round by the
-    #    full sf0.001 pytest sweep and the in-repo full-catalog
-    #    vanilla gate at sf0.01 (BASELINE.md r11) — the documented
-    #    round-5 overflow rule. -----------------------------------------
+    # -- r12 rotation, per the r11 VERDICT's prescription. Lead: the
+    #    29 queries whose last driver row is round 8 — three rounds
+    #    under the window; the r11 verdict named them explicitly and
+    #    they MUST head this window — plus the 2 remaining r11
+    #    overflow entries (the other 4 overflow names are inside the
+    #    29). All 31 were value-verified in r11 by the in-repo
+    #    full-catalog vanilla gate; this rotation refreshes the
+    #    DRIVER's own record. ---------------------------------------------
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "ann_topk_vectorized",
+    "simhash_fingerprint",
+    "simhash_near_dup",
+    "rhp_near_dup",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_method_agreement",
+    "dedup_token_retention",
+    "minhash_estimate_audit",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+    "embedding_coverage",
+    "near_dup_rate_by_source",
+    "duplicate_ngram_coverage",
+    "lsh_bucket_audit",
+    "decontaminate_fuzzy",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_score",
+    "token_stats",
+    "tfidf_top_terms",
+    "funnel_conversion",
+    "retention_cohorts",
+    "value_percentiles",
+    "local_supplier_volume",
+    "product_stats_approx",
+    "vocab_coverage",
+    "mixture_temperature",
+    # -- NEW in r12: corpus-VERTEX PageRank over the prefix-filter
+    #    similarity graph (co-partitioned merge-join rank loop with
+    #    the dangling-mass redistribute term — zero BroadcastHashJoin,
+    #    plan-pinned); the adversarial-LSH mitigation certified
+    #    (in-plan 256-copy corpus: recall_raw 0.0078 under the rep
+    #    cap, recall_post 1.0 after exact dedup); exact
+    #    substring-level dedup (Lee et al. ExactSubstr via
+    #    sorted-shingle adjacency — linear, no pair join) per-doc +
+    #    per-source audit; and the FOUR-stage funnel instance of the
+    #    generalized N-stage chain, batch + CEP-state stream sharing
+    #    one 3-link ASOF oracle. -------------------------------------------
+    "doc_pagerank",
+    "lsh_recall_post_dedup",
+    "substring_dedup",
+    "substring_dedup_audit",
+    "funnel_attribution_4",
+    "funnel_attribution_4_stream",
+    # -- CHANGED in r12: lsh_recall_exact's zero-guarded recall (both
+    #    engines); behavior_pagerank/_stream's shared helper grew the
+    #    dangling-node guard; funnel_attribution/_stream now run
+    #    through the generalized funnel_chain_n / funnel_chain_batch
+    #    operators (changed code is always re-proven the round it
+    #    changes). ---------------------------------------------------------
+    "lsh_recall_exact",
+    "behavior_pagerank",
+    "behavior_pagerank_stream",
+    "funnel_attribution",
+    "funnel_attribution_stream",
+    # -- ... and the 8 oldest-green fill entries completing the
+    #    window (head of the r11 post-cut order). -------------------------
+    "asof_click_attribution",
+    "is_new_fix",
+    "bounce_stats",
+    "session_stats",
+    "visitor_stats_union",
+    "log_explode_displays",
+    "cdc_delete_filter",
+    "jdbc_round_trip",
+    # == the 50-query window cut falls here (31 stale + 6 new + 5
+    #    changed + 8 oldest-green fill) ================================
+    # -- oldest-green fill continues: previous-round relative order
+    #    preserved; everything below the cut is covered this round by
+    #    the full sf0.001 pytest sweep and the in-repo full-catalog
+    #    vanilla gate at sf0.01 (BASELINE.md r12). ----------------------
     "uv_first_visit",
     "uv_first_visit_stream",
     "is_new_fix_stream",
@@ -154,55 +226,14 @@ _PRIORITY = (
     "payment_wide_join",
     "dim_enrichment",
     "dedup_exact",
-    # -- NEW in r11: the char-level N-merge BPE trainer loop
-    #    (word-frequency vocab, chained list_reduce oracle), its
-    #    encode step (corpus token mass under the learned merges), the
-    #    epoch-range distribution-drift audit over the shared
-    #    histogram store, multi-step funnel ATTRIBUTION — the
-    #    chained-asof_join composition plus its chained-CEP-state
-    #    streaming twin (funnel_chain), sharing one oracle — and the
-    #    SLIDING-window pair completing the window-family trio
-    #    (tumbling/session/hop), batch + watermarked stream sharing
-    #    one unnested-hops oracle. --------------------------------------
     "bpe_train_loop",
     "bpe_encode_corpus",
     "value_drift_chi2_stream",
-    "funnel_attribution",
-    "funnel_attribution_stream",
     "visitor_stats_sliding",
     "visitor_stats_sliding_stream",
-    #    ... and the HLL cardinality audit completing the mergeable-
-    #    sketch family (CMS/Bloom/histogram/HLL) with its max-merged
-    #    epoch-store streaming twin, sharing one oracle. ----------------
     "approx_distinct_hll",
     "approx_distinct_hll_stream",
-    #    ... and K-step PageRank over the behavior-transition graph:
-    #    heavy edge aggregation + entity-sized unrolled power
-    #    iterations, decimal-accumulated per step, chained-CTE oracle.
-    "behavior_pagerank",
-    "behavior_pagerank_stream",
-    #    ... and the EXACT threshold similarity join via prefix
-    #    filtering (PPJoin principle) — lossless counterpart to LSH,
-    #    oracle = the brute-force all-pairs join, so a green row
-    #    certifies the pruning loses nothing on this corpus — and the
-    #    LSH-recall-vs-exact-truth audit built on it (the banding
-    #    S-curve + rep-cap loss, measured not argued).
     "prefix_filter_near_dup",
-    "lsh_recall_exact",
-    "doc_pagerank",
-    "lsh_recall_post_dedup",
-    "funnel_attribution_4",
-    "funnel_attribution_4_stream",
-    "substring_dedup",
-    "substring_dedup_audit",
-    # -- CHANGED in r11: hist_bin's long-domain clamp (both quantile
-    #    audits, both drift audits); apply_merge grew the sep joiner
-    #    (bpe_apply_merge); temporal_join's typed state carry
-    #    (asof_click_stream); asof_join's validate probe (both asof
-    #    batch queries); the replay-floor trim — n_files 3 -> 2 on the
-    #    split-independent replays and the shared 4-epoch histogram
-    #    store (quantile_sketch_stream); per-instance cache-scope
-    #    tokens (both incremental streams). -----------------------------
     "value_drift_chi2",
     "quantile_histogram_audit",
     "quantile_sketch_stream",
@@ -217,37 +248,6 @@ _PRIORITY = (
     "decontaminate_bloom_stream",
     "dedup_incremental_stream",
     "embedding_incremental_stream",
-    # == the 50-query window cut falls here (23 stale + 13 new + 14
-    #    changed) ======================================================
-    # -- OVERFLOW: the 6 of the verdict's 29 stale-green displaced by
-    #    r11's new queries — they LEAD the r12 window per the round-5
-    #    overflow rule and are gate/pytest-covered this round. ----------
-    "dedup_minhash_lsh",
-    "simhash_near_dup",
-    "rhp_near_dup",
-    "tfidf_top_terms",
-    "vocab_coverage",
-    "mixture_temperature",
-    # -- oldest-green fill: head of the block whose last driver row is
-    #    r7/r8. Everything below the cut is covered this round by the
-    #    full sf0.001 pytest sweep and the in-repo full-catalog
-    #    vanilla gate at sf0.01 (BASELINE.md r11). ----------------------
-    # -- freshest: previous-round order preserved (asof_click_attribution
-    #    leads: its only r11 delta is asof_join's opt-in validate
-    #    signature extension, default path unchanged and re-proven
-    #    in-window by dim_enrichment_asof on the same operator). --------
-    "asof_click_attribution",
-    "token_stats",
-    "simhash_fingerprint",
-    "doc_fingerprint",
-    "lang_id",
-    "is_new_fix",
-    "bounce_stats",
-    "session_stats",
-    "visitor_stats_union",
-    "log_explode_displays",
-    "cdc_delete_filter",
-    "jdbc_round_trip",
     "embedding_norm_stats",
     "rhp_signature",
     "ann_topk_rhp",
@@ -277,27 +277,6 @@ _PRIORITY = (
     "corpus_gate_funnel",
     "heavy_hitters_cms",
     "json_dead_letter",
-    "quality_score",
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "embedding_near_dup",
-    "ngram_jaccard_pairs",
-    "dedup_clusters",
-    "dedup_survivors",
-    "dedup_token_retention",
-    "near_dup_rate_by_source",
-    "minhash_estimate_audit",
-    "dedup_method_agreement",
-    "decontaminate_fuzzy",
-    "product_stats_approx",
-    "local_supplier_volume",
-    "value_percentiles",
-    "funnel_conversion",
-    "retention_cohorts",
-    "lsh_bucket_audit",
-    "duplicate_ngram_coverage",
-    "ann_topk_vectorized",
-    "embedding_coverage",
     "pricing_summary",
     "shipping_priority",
     "sales_rollup",
