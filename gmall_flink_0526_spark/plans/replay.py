@@ -1140,6 +1140,52 @@ def _register_funnel_attribution_4_stream():
 _register_funnel_attribution_4_stream()
 
 
+def _register_funnel_attribution_windowed_stream():
+    from .logs import _SQL_FUNNEL_ATTR_WINDOWED, _windowed_funnel_select
+
+    @register(
+        "funnel_attribution_windowed_stream",
+        oracle=_SQL_FUNNEL_ATTR_WINDOWED,
+        doc="The within()-window attribution rule over the LIVE CEP "
+        "chain: the keyed funnel_chain state resolves last-touch "
+        "links exactly as before (the stored-attachment contract is "
+        "window-agnostic — links bind at arrival), and the lookback "
+        "gate is a map-side CASE on the emitted rows, so the "
+        "windowed stream shares the windowed batch oracle verbatim "
+        "and the stream pays nothing extra. This is where the CEP "
+        "state design earns its keep: because every link is STORED "
+        "with its stage, the gate can be applied at emission with "
+        "exact micros — a recompute-from-state design would have "
+        "already lost the stale links it needs to void.",
+        tags=("state", "streaming", "events", "cep", "asof", "funnel"),
+    )
+    def funnel_attribution_windowed_stream(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        events = load_tables(spark, sf_dir, "events")["events"]
+        ev = events.filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        ).select("event_id", "ts", "user_id", "event_type")
+        mn, mx = ev.select(F.min("ts"), F.max("ts")).first()
+        ts_type = ev.schema["ts"].dataType.simpleString()
+        cut1 = F.lit(mn + (mx - mn) / 2).cast(ts_type)
+        file_of = F.when(F.col("ts") <= cut1, 0).otherwise(1)
+        out = replay_stateful(
+            spark, ev, stateful.funnel_chain, order_by=["ts", "event_id"],
+            cache_key=f"events_funnel_tspan:{sf_dir}", file_of=file_of, n_files=2,
+        ).select(
+            "event_id",
+            "user_id",
+            F.col("probe_ts").alias("purchase_ts"),
+            "click_ts",
+            "view_ts",
+        )
+        return _windowed_funnel_select(out)
+
+
+_register_funnel_attribution_windowed_stream()
+
+
 def _register_heavy_hitters_stream():
     from .text import CMS_TOP, _sql_cms_audit
 

@@ -461,6 +461,57 @@ def probe_incremental_stream(spark, sf_dir: str, n_epochs: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_doc_pagerank(spark, sf_dir: str) -> dict:
+    """r12: the corpus-VERTEX rank loop in isolation — the pair-table
+    build is shared with the prefix-filter family (corpus-persisted),
+    so this times ONLY the K merge-join iterations and reports the
+    edge count they shuffle against: per-iteration wall must track
+    edges, with no corpus² term (the 10x corpus's boilerplate block
+    inflates the TRUE pair graph quadratically by definition — that is
+    the edge count growing, not the loop degrading)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.operators.graph import pagerank_partitioned
+    from gmall_flink_0526_spark.plans.dedup import (
+        DOC_PR_PARTITIONS,
+        prefix_filter_pairs,
+    )
+    from gmall_flink_0526_spark.plans.logs import (
+        PAGERANK_D,
+        PAGERANK_ITERS,
+        PAGERANK_RESET,
+    )
+    from gmall_flink_0526_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = prefix_filter_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .withColumn("w", F.lit(1))
+    ).persist()
+    n_edges = edges.count()  # materializes the shared pair build too
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    t0 = time.time()
+    ranks = pagerank_partitioned(
+        nodes,
+        edges,
+        iters=PAGERANK_ITERS,
+        d=float(PAGERANK_D),
+        reset=float(PAGERANK_RESET),
+        num_partitions=DOC_PR_PARTITIONS,
+    )
+    n_nodes = ranks.count()
+    loop_s = round(time.time() - t0, 2)
+    edges.unpersist()
+    return {
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+        "loop_sec": loop_s,
+        "per_iter_sec": round(loop_s / PAGERANK_ITERS, 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=50_000)
@@ -591,6 +642,16 @@ def main() -> None:
             # corpus-persisted build
             "prefix_filter_near_dup",
             "lsh_recall_exact",
+            # r12: substring-level dedup is one count shuffle + one
+            # doc-keyed agg (NO pair join) — the ratio must track total
+            # shingles even though the corpus carries the 600-copy
+            # block that makes pairwise dedup quadratic; the audit adds
+            # one source-keyed agg. The post-dedup recall composition
+            # adds a fixed 256-copy block, so its wall tracks the
+            # natural corpus.
+            "substring_dedup",
+            "substring_dedup_audit",
+            "lsh_recall_post_dedup",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
@@ -708,6 +769,13 @@ def main() -> None:
         tfidf_skew = probe_tfidf_skew(spark)
         hot_rep = probe_hot_bucket_rep(spark, sf1)
 
+        # r12: the corpus-vertex rank loop, isolated from the shared
+        # pair build — per-iteration wall vs edge count at both scales
+        doc_pr = {
+            label: probe_doc_pagerank(spark, sf_dir)
+            for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1))
+        }
+
         # connected-components round count is log(diameter): assert the
         # probe corpus (chains via mutation-of-mutation) stays shallow
         out = {
@@ -721,6 +789,7 @@ def main() -> None:
             "skew_join": skew,
             "tfidf_skew": tfidf_skew,
             "hot_bucket_rep": hot_rep,
+            "doc_pagerank_loop": doc_pr,
             "incremental_stream": inc,
             "hot_buckets_capped": len(dropped),
             "quadratic_pairs_saved": int(saved_pairs),
