@@ -494,15 +494,31 @@ def substring_cut(
     text is canonical token text, not raw bytes — the audit, not the
     re-emitted corpus, is the certified surface.
     """
-    L = run_len
+    starts = duplicated_run_starts(
+        gram_positions(docs, id_col, text_col, run_len), min_docs
+    )
+    return substring_cut_rows(doc_tokens(docs, id_col, text_col), starts, run_len)
+
+
+def doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, toks): the spread+staged tokenize projection shared by
+    the per-window and per-doc passes."""
     base = spread(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")),
         "doc_id",
     )
-    toks = base.select("doc_id", tokenize(F.col("_t")).alias("toks"))
-    starts = duplicated_run_starts(
-        gram_positions(docs, id_col, text_col, L), min_docs
-    )
+    return base.select("doc_id", tokenize(F.col("_t")).alias("toks"))
+
+
+def substring_cut_rows(
+    toks: DataFrame, starts: DataFrame, run_len: int = SUBSTR_RUN
+) -> DataFrame:
+    """The per-doc cut/audit projection given an externally-derived
+    duplicated-start table — split out of :func:`substring_cut` so the
+    incremental streaming app can feed starts computed against its
+    epoch-store window index while sharing the exact expression tree
+    (same fold, same keep test, same hash)."""
+    L = run_len
     j = toks.join(starts, "doc_id", "left").select(
         "doc_id",
         "toks",

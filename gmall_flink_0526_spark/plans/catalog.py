@@ -174,6 +174,7 @@ _PRIORITY = (
     "lsh_recall_post_dedup",
     "substring_dedup",
     "substring_dedup_audit",
+    "substring_dedup_stream",
     "funnel_attribution_4",
     "funnel_attribution_4_stream",
     #    ... and the within()-window attribution rule (Flink CEP's
@@ -201,13 +202,14 @@ _PRIORITY = (
     "bounce_stats",
     "session_stats",
     "visitor_stats_union",
+    # == the 50-query window cut falls here (31 stale + 9 new + 5
+    #    changed + 5 oldest-green fill) ================================
+    # -- OVERFLOW: the 3 fill entries displaced when the windowed
+    #    funnel pair and the substring stream landed late in the round
+    #    — they lead r13 and are covered this round by the full-catalog
+    #    sf0.01 vanilla gate (BASELINE.md r12), per the round-5
+    #    overflow rule. --------------------------------------------------
     "log_explode_displays",
-    # == the 50-query window cut falls here (31 stale + 8 new + 5
-    #    changed + 6 oldest-green fill) ================================
-    # -- OVERFLOW: the 2 fill entries displaced when the windowed
-    #    funnel pair landed late in the round — they lead r13 and are
-    #    covered this round by the full-catalog sf0.01 vanilla gate
-    #    (BASELINE.md r12), per the round-5 overflow rule. --------------
     "cdc_delete_filter",
     "jdbc_round_trip",
     # -- oldest-green fill continues: previous-round relative order

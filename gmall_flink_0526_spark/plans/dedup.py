@@ -1347,23 +1347,14 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- exact substring-level dedup (Lee et al. ExactSubstr) ----------------
 
 
-def _sql_substring_cut() -> str:
-    """The per-doc substring-dedup derivation as DuckDB CTEs ending in
-    ``res`` (doc_id, n_tokens, n_removed, n_spans, cut_hash) — the
-    exact mirror of operators/dedup.substring_cut: same window hash,
-    same interval-union fold over sorted starts, same 0-based keep
-    test (DuckDB lambda indexes are 1-based, hence the i - 1)."""
+def _sql_substr_res_tail() -> str:
+    """The wide/res CTE tail of the substring-dedup derivation —
+    requires ``toks`` (doc_id, t, ...) and ``st`` (doc_id, starts) in
+    scope; shared verbatim by the batch oracle and the incremental
+    stream's unrolled per-epoch oracle (the Spark twins share
+    operators/dedup.substring_cut_rows the same way)."""
     L = D.SUBSTR_RUN
     return f"""
-    toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
-    gr AS (SELECT doc_id, t, unnest(range(1, len(t) - {L} + 2)) AS i FROM toks),
-    grams AS (SELECT doc_id, i - 1 AS pos,
-                     substr(md5(array_to_string(t[i:i+{L - 1}], ' ')), 1, 16) AS gh
-              FROM gr),
-    dup AS (SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS dc
-                            FROM grams GROUP BY gh) WHERE dc >= 2),
-    st AS (SELECT doc_id, list_sort(list(pos)) AS starts
-           FROM grams JOIN dup USING (gh) GROUP BY doc_id),
     wide AS (
       SELECT t.doc_id, t.t, len(t.t) AS n_tokens,
              COALESCE(s.starts, CAST([] AS BIGINT[])) AS starts
@@ -1386,6 +1377,27 @@ def _sql_substring_cut() -> str:
                      s -> s <= i - 1 AND i - 1 < s + {L})) = 0), ' '), '')) AS cut_hash
       FROM wide
     )"""
+
+
+def _sql_substring_cut() -> str:
+    """The full-corpus per-doc substring-dedup derivation as DuckDB
+    CTEs ending in ``res`` (doc_id, n_tokens, n_removed, n_spans,
+    cut_hash) — the exact mirror of operators/dedup.substring_cut:
+    same window hash, same interval-union fold over sorted starts,
+    same 0-based keep test (DuckDB lambda indexes are 1-based, hence
+    the i - 1 in the shared tail)."""
+    L = D.SUBSTR_RUN
+    return f"""
+    toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    gr AS (SELECT doc_id, t, unnest(range(1, len(t) - {L} + 2)) AS i FROM toks),
+    grams AS (SELECT doc_id, i - 1 AS pos,
+                     substr(md5(array_to_string(t[i:i+{L - 1}], ' ')), 1, 16) AS gh
+              FROM gr),
+    dup AS (SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS dc
+                            FROM grams GROUP BY gh) WHERE dc >= 2),
+    st AS (SELECT doc_id, list_sort(list(pos)) AS starts
+           FROM grams JOIN dup USING (gh) GROUP BY doc_id),
+    {_sql_substr_res_tail()}"""
 
 
 @register(

@@ -1186,6 +1186,111 @@ def _register_funnel_attribution_windowed_stream():
 _register_funnel_attribution_windowed_stream()
 
 
+_N_SUBSTR_BATCHES = 2
+
+
+def _sql_substring_incremental(n_epochs: int) -> str:
+    """Unrolled incremental-semantics oracle for substring_dedup_stream:
+    per epoch e, the duplicated-window set is derived over ALL docs
+    with epoch <= e (MIN(doc_id) <> MAX(doc_id) — the app's exact
+    min/max distinct-doc rule), and starts are taken for epoch-e docs
+    only; the shared res tail then cuts every doc with its
+    at-arrival starts. An early doc keeping a run that only later
+    becomes duplicated is the SEMANTICS, reproduced here — not drift."""
+    from ..operators import dedup as D
+    from .dedup import _sql_substr_res_tail
+    from .text import SQL_TOKS
+
+    L = D.SUBSTR_RUN
+    per_epoch = []
+    for e in range(n_epochs):
+        per_epoch.append(f"""
+    dup{e} AS (SELECT gh FROM (
+        SELECT gh, MIN(doc_id) AS lo, MAX(doc_id) AS hi
+        FROM grams WHERE ep <= {e} GROUP BY gh) WHERE lo <> hi),
+    st{e} AS (SELECT doc_id, list_sort(list(pos)) AS starts
+              FROM grams JOIN dup{e} USING (gh)
+              WHERE ep = {e} GROUP BY doc_id)""")
+    st_union = " UNION ALL ".join(f"SELECT * FROM st{e}" for e in range(n_epochs))
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t,
+                         doc_id % {n_epochs} AS ep FROM documents),
+    gr AS (SELECT doc_id, ep, t,
+                  unnest(range(1, len(t) - {L} + 2)) AS i FROM toks),
+    grams AS (SELECT doc_id, ep, i - 1 AS pos,
+                     substr(md5(array_to_string(t[i:i+{L - 1}], ' ')), 1, 16) AS gh
+              FROM gr),
+    {",".join(per_epoch)},
+    st AS ({st_union}),
+    {_sql_substr_res_tail()}
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(n_spans AS BIGINT) AS n_spans, cut_hash
+    FROM res
+    """
+
+
+@register(
+    "substring_dedup_stream",
+    oracle=_sql_substring_incremental(_N_SUBSTR_BATCHES),
+    doc="Streaming incremental substring-level dedup under the external "
+    "oracle: the real foreachBatch app (streaming/pipelines."
+    "substring_dedup_app) replays `documents` in 2 micro-batches split "
+    "by doc_id % 2; each batch is cut against the duplicated-window "
+    "set accumulated so far (prior epochs + the batch itself) and "
+    "contributes its windows to the index store. The index holds only "
+    "(gh, MIN doc, MAX doc) per window — 'in >= 2 distinct docs' is "
+    "exactly min != max, so the cross-epoch merge is a fixed-width "
+    "min/max groupBy: idempotent under replay (the HLL-merge class), "
+    "never a pair join, corpus growth touches the batch only through "
+    "this bounded index. Incremental semantics (early docs keep runs "
+    "that later become duplicated; the batch substring_dedup is the "
+    "periodic full reconcile — the lambda split every incremental "
+    "dedup app here documents) are unrolled EXACTLY in the per-epoch "
+    "oracle CTEs, which share the batch oracle's res tail verbatim.",
+    tags=("dedup", "substring", "streaming", "incremental"),
+)
+def substring_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.registry import ChannelRegistry, write_replay
+    from ..streaming.pipelines import substring_dedup_app
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text"
+    )
+    root = temp_replay_root("gmall_substr_")
+    reg = ChannelRegistry(root)
+    reg.register("ods_documents", schema="doc_id long, text string")
+    write_replay(
+        docs,
+        reg.channels["ods_documents"].path,
+        n_files=_N_SUBSTR_BATCHES,
+        order_by=["doc_id"],
+        file_of=F.col("doc_id") % _N_SUBSTR_BATCHES,
+    )
+    reg.register("dwd_documents_cut")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # JVM-side window-hash joins: 8 commit/shuffle units, the
+        # incremental-dedup trade
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = substring_dedup_app(
+            spark, reg, os.path.join(root, "ckpt"), os.path.join(root, "store")
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return reg.read_batch(spark, "dwd_documents_cut").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "cut_hash",
+    )
+
+
 def _register_heavy_hitters_stream():
     from .text import CMS_TOP, _sql_cms_audit
 

@@ -624,6 +624,93 @@ def doc_incremental_dedup_app(
     )
 
 
+def substring_dedup_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    store_root: str,
+    source: str = "ods_documents",
+    out_channel: str = "dwd_documents_cut",
+    run_len: int | None = None,
+):
+    """Streaming incremental SUBSTRING-level dedup — the Lee et al.
+    ExactSubstr cut applied at ingest: every micro-batch of documents
+    is cut against the duplicated-window set accumulated so far (all
+    prior epochs PLUS the batch itself — in-batch cross-doc runs cut
+    immediately), and contributes its own windows to the index store.
+
+    The index is the operator's scaling story: per window hash the
+    store keeps only ``(gh, lo, hi)`` = the min and max doc_id seen —
+    "appears in >= 2 DISTINCT docs" is exactly ``min != max``, so the
+    cross-epoch merge is a min/max groupBy: fixed-width per window,
+    IDEMPOTENT under replay (the HLL max-merge class — even an honest
+    double write could not corrupt it), mergeable map-side, and never
+    a doc-pair join. Store writes still follow the incremental apps'
+    crash rule (a foreachBatch retry OVERWRITES its own ``epoch=<id>``
+    directory; reads prune to ``epoch < current``), and the cut rows
+    are ``localCheckpoint``-ed before any store write so their lineage
+    never re-resolves against the post-append store.
+
+    Incremental semantics, documented like ``doc_incremental_dedup``'s:
+    an early doc keeps runs that only LATER become duplicated — the
+    periodic batch ``substring_dedup`` is the full-corpus reconcile,
+    the standard lambda split. Output rows are the batch query's
+    (doc_id, n_tokens, n_removed, n_spans, cut_hash) via the shared
+    ``substring_cut_rows`` expression tree.
+    """
+    from ..operators import dedup as D
+
+    L = run_len or D.SUBSTR_RUN
+    idx_path = os.path.join(store_root, "win_index")
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+    scope_token = uuid.uuid4().hex[:12]
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        with cache_scope(f"stream:{out_channel}:{scope_token}"):
+            _epoch(batch, epoch_id)
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        grams = D.gram_positions(batch, "doc_id", "text", L).persist()
+        try:
+            grid = grams.groupBy("gh").agg(
+                F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+            )
+            if hfs.exists(sess, idx_path):
+                merged = read_epoch_store(sess, idx_path, epoch_id).union(grid)
+            else:
+                merged = grid
+            dup = (
+                merged.groupBy("gh")
+                .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+                .filter(F.col("lo") != F.col("hi"))
+                .select("gh")
+            )
+            starts = (
+                grams.join(dup, "gh")
+                .groupBy("doc_id")
+                .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+            )
+            cut = D.substring_cut_rows(
+                D.doc_tokens(batch, "doc_id", "text"), starts, L
+            ).localCheckpoint()
+            out_ch = reg._get(out_channel)
+            cut.write.mode("overwrite").parquet(
+                os.path.join(out_ch.path, f"epoch={epoch_id}")
+            )
+            grid.write.mode("overwrite").parquet(
+                os.path.join(idx_path, f"epoch={epoch_id}")
+            )
+        finally:
+            grams.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(ckpt, "substring_dedup"))
+        .start()
+    )
+
+
 def emb_incremental_dedup_app(
     spark: SparkSession,
     reg: ChannelRegistry,

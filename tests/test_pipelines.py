@@ -2196,3 +2196,92 @@ def test_funnel_chain_n_four_stage_cross_batch_edges(spark):
     assert out[205] == (ts(2), ts(1), None)   # signup@4 must not retro-attach
     assert out[208] == (ts(7), ts(6), ts(4))  # fresh view binds the signup
     assert out[304] == (ts(7), ts(7), ts(7))  # same-instant full chain
+
+
+def test_substring_dedup_app_recovers_from_poisoned_epoch(spark, tmp_path):
+    """substring_dedup_app's crash contract: a batch attempt that died
+    after writing a poisoned output + window-index epoch but BEFORE the
+    checkpoint commit is fully rewritten on restart — and because the
+    index merge is MIN/MAX (idempotent), the recovered run's cut rows
+    equal an uninterrupted run's exactly, poison rows gone."""
+    import shutil
+
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    stream_in = docs.select(
+        "doc_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("ts"),
+        "text",
+    )
+    schema = "doc_id long, ts timestamp, text string"
+    split = F.col("doc_id") % 2
+
+    def run_all(root):
+        r = ChannelRegistry(str(root))
+        r.register("ods_documents", schema=schema)
+        write_replay(
+            stream_in, r.channels["ods_documents"].path, n_files=2,
+            order_by=["doc_id"], file_of=split,
+        )
+        r.register("dwd_documents_cut")
+        return r
+
+    def rows_of(reg):
+        return {
+            (r.doc_id, r.n_tokens, r.n_removed, r.n_spans, r.cut_hash)
+            for r in spark.read.parquet(reg.channels["dwd_documents_cut"].path)
+            .select("doc_id", "n_tokens", "n_removed", "n_spans", "cut_hash")
+            .collect()
+        }
+
+    regA = run_all(tmp_path / "A")
+    qa = pipelines.substring_dedup_app(
+        spark, regA, str(tmp_path / "A" / "ckpt"), str(tmp_path / "A" / "store")
+    )
+    qa.processAllAvailable()
+    qa.stop()
+    baseline = rows_of(regA)
+
+    # crashed run: hide epoch 1's file, run epoch 0, poison epoch=1
+    regB = run_all(tmp_path / "B")
+    src_path = regB.channels["ods_documents"].path
+    files = sorted(
+        (
+            f
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ),
+        key=lambda f: os.path.getmtime(os.path.join(src_path, f)),
+    )
+    hidden = files[-1]
+    shutil.move(os.path.join(src_path, hidden), str(tmp_path / "hidden.parquet"))
+    qb = pipelines.substring_dedup_app(
+        spark, regB, str(tmp_path / "B" / "ckpt"), str(tmp_path / "B" / "store")
+    )
+    qb.processAllAvailable()
+    qb.stop()
+    out_path = regB.channels["dwd_documents_cut"].path
+    spark.createDataFrame(
+        [(999_999, 1, 1, 1, "poison")],
+        "doc_id long, n_tokens int, n_removed int, n_spans int, cut_hash string",
+    ).write.mode("overwrite").parquet(os.path.join(out_path, "epoch=1"))
+    spark.createDataFrame(
+        [("deadbeefdeadbeef", 999_999, 999_999)], "gh string, lo long, hi long"
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "B" / "store" / "win_index" / "epoch=1")
+    )
+
+    shutil.move(str(tmp_path / "hidden.parquet"), os.path.join(src_path, hidden))
+    qb2 = pipelines.substring_dedup_app(
+        spark, regB, str(tmp_path / "B" / "ckpt"), str(tmp_path / "B" / "store")
+    )
+    qb2.processAllAvailable()
+    qb2.stop()
+
+    got = rows_of(regB)
+    assert not any(r[0] == 999_999 for r in got)
+    idx = spark.read.parquet(str(tmp_path / "B" / "store" / "win_index"))
+    assert idx.filter(F.col("gh") == "deadbeefdeadbeef").count() == 0
+    assert got == baseline
