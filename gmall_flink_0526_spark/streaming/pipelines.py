@@ -1158,6 +1158,7 @@ def compact_signature_store(
     store_root: str,
     upto_epoch: int,
     subs: tuple[str, ...] = ("sig_bands", "sig_shingles"),
+    reduce_fn=None,
 ) -> None:
     """Compact the incremental-dedup signature store: merge every
     ``epoch=<id>`` directory with id <= ``upto_epoch`` (plus any
@@ -1194,6 +1195,19 @@ def compact_signature_store(
     app's (bands + shingles) by default; pass ``("vec_store",)`` for
     the embedding app's kept-vector store — the layout and crash
     contract are identical, so one compactor serves both.
+
+    ``reduce_fn`` (optional) replaces the default ``distinct()`` merge
+    with the store family's OWN merge — the sketch-class stores are
+    mergeable by construction (CMS/histogram grids SUM, Bloom words
+    bit_or, HLL registers MAX, the substring window index MIN/MAX),
+    so compacting them through their merge collapses N epochs to ONE
+    row per cell instead of N distinct rows per cell, and the reader's
+    subsequent merge over the compacted base is unchanged because the
+    merge is associative (and, for the max/min/or families, even a
+    crash-duplicated generation stays harmless — idempotent). The
+    default ``distinct()`` remains right for the SET-like stores
+    (signatures, shingles, vectors), where a row is a fact, not a
+    partial aggregate.
     """
     for sub in subs:
         path = os.path.join(store_root, sub)
@@ -1207,11 +1221,10 @@ def compact_signature_store(
         if len(to_merge) <= 1:
             continue
         new_gen = min(min(to_merge) - 1, -1)
-        merged = (
-            df.filter(F.col("epoch").isin([int(g) for g in to_merge]))
-            .drop("epoch")
-            .distinct()
+        picked = df.filter(F.col("epoch").isin([int(g) for g in to_merge])).drop(
+            "epoch"
         )
+        merged = reduce_fn(picked) if reduce_fn is not None else picked.distinct()
         merged.write.mode("overwrite").parquet(tmp)
         hfs.rename(spark, tmp, os.path.join(path, f"epoch={new_gen}"))
         for g in to_merge:

@@ -2285,3 +2285,72 @@ def test_substring_dedup_app_recovers_from_poisoned_epoch(spark, tmp_path):
     idx = spark.read.parquet(str(tmp_path / "B" / "store" / "win_index"))
     assert idx.filter(F.col("gh") == "deadbeefdeadbeef").count() == 0
     assert got == baseline
+
+
+def test_compactor_reduce_fn_collapses_mergeable_stores(spark, tmp_path):
+    """Sketch-class epoch stores compact through their OWN merge
+    (reduce_fn): the substring window index (min/max) and a CMS-style
+    sum grid collapse to one row per cell, readers see identical
+    merged values before and after, and the compacted base rides the
+    usual negative-generation epoch id."""
+    import os
+
+    # window index: 3 epochs with overlapping gh cells
+    idx = str(tmp_path / "store" / "win_index")
+    rows = {
+        0: [("g1", 5, 5), ("g2", 7, 7)],
+        1: [("g1", 9, 9), ("g3", 1, 4)],
+        2: [("g2", 2, 2)],
+    }
+    for ep, rs in rows.items():
+        spark.createDataFrame(rs, "gh string, lo long, hi long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(idx, f"epoch={ep}"))
+
+    def merged_idx():
+        return {
+            (r.gh, r.lo, r.hi)
+            for r in spark.read.parquet(idx)
+            .groupBy("gh")
+            .agg(F.min("lo").alias("lo"), F.max("hi").alias("hi"))
+            .collect()
+        }
+
+    before = merged_idx()
+    pipelines.compact_signature_store(
+        spark,
+        str(tmp_path / "store"),
+        upto_epoch=1,
+        subs=("win_index",),
+        reduce_fn=lambda df: df.groupBy("gh").agg(
+            F.min("lo").alias("lo"), F.max("hi").alias("hi")
+        ),
+    )
+    assert merged_idx() == before  # reader-visible merge unchanged
+    gens = sorted(
+        r.epoch for r in spark.read.parquet(idx).select("epoch").distinct().collect()
+    )
+    assert gens == [-1, 2]  # epochs 0,1 folded into one base generation
+    base = spark.read.parquet(os.path.join(idx, "epoch=-1"))
+    assert base.count() == base.select("gh").distinct().count()  # 1 row/cell
+
+    # sum-grid store: additive merge must compact to summed cells
+    grid = str(tmp_path / "store2" / "cms_grid")
+    for ep, rs in {0: [(0, 1, 3), (0, 2, 1)], 1: [(0, 1, 2)]}.items():
+        spark.createDataFrame(rs, "i int, b int, ct long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(grid, f"epoch={ep}"))
+    pipelines.compact_signature_store(
+        spark,
+        str(tmp_path / "store2"),
+        upto_epoch=1,
+        subs=("cms_grid",),
+        reduce_fn=lambda df: df.groupBy("i", "b").agg(F.sum("ct").alias("ct")),
+    )
+    got = {
+        (r.i, r.b): r.ct
+        for r in spark.read.parquet(grid).groupBy("i", "b").agg(
+            F.sum("ct").alias("ct")
+        ).collect()
+    }
+    assert got == {(0, 1): 5, (0, 2): 1}
