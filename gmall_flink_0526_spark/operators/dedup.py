@@ -436,11 +436,13 @@ def gram_positions(docs: DataFrame, id_col: str, text_col: str, run_len: int = S
     """(doc_id, pos, gh): every length-``run_len`` token window with
     its 0-based start position; gh = 16-hex md5 of the space-joined
     window (shuffles move fixed-width keys, never window text)."""
-    base = spread(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")),
-        "doc_id",
-    )
-    toks = base.select("doc_id", tokenize(F.col("_t")).alias("toks"))
+    return gram_positions_from(doc_tokens(docs, id_col, text_col), run_len)
+
+
+def gram_positions_from(toks: DataFrame, run_len: int = SUBSTR_RUN) -> DataFrame:
+    """:func:`gram_positions` over an already-staged (doc_id, toks)
+    frame — callers that also need the token frame for the cut pass
+    (substring_cut, the streaming app) tokenize ONCE and feed both."""
     return toks.select(
         "doc_id", F.posexplode(shingles(F.col("toks"), run_len)).alias("pos", "g")
     ).select("doc_id", "pos", F.substring(F.md5("g"), 1, 16).alias("gh"))
@@ -494,10 +496,11 @@ def substring_cut(
     text is canonical token text, not raw bytes — the audit, not the
     re-emitted corpus, is the certified surface.
     """
-    starts = duplicated_run_starts(
-        gram_positions(docs, id_col, text_col, run_len), min_docs
-    )
-    return substring_cut_rows(doc_tokens(docs, id_col, text_col), starts, run_len)
+    # ONE staged tokenize feeds both the window pass and the cut pass
+    # (scoped-persisted: the regex split is the per-byte cost here)
+    toks = scoped_persist(doc_tokens(docs, id_col, text_col))
+    starts = duplicated_run_starts(gram_positions_from(toks, run_len), min_docs)
+    return substring_cut_rows(toks, starts, run_len)
 
 
 def doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -186,6 +186,28 @@ def pagerank_partitioned(
         .select("node", F.coalesce(F.col("_has"), F.lit(False)).alias("has_out"))
         .repartition(n_part, "node")
     )
+    # PRECONDITION (guarded): every edge endpoint must appear in
+    # ``nodes`` — a dst outside the node table would DROP its
+    # contributions at the rank-update left join (mass leak, the
+    # pagerank_ranks guard's sibling hazard), and a src outside it
+    # would contribute rank that was never seeded. One anti-join count
+    # over the endpoint set (bounded by the edge table, already
+    # partitioned+persisted) — the same pass-shaped price the dangling
+    # flag costs, paid once outside the loop.
+    endpoints = (
+        nrm.select(F.col("src").alias("node"))
+        .union(nrm.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    orphans = endpoints.hint("merge").join(nd.select("node"), "node", "left_anti")
+    n_orphans = orphans.count()
+    if n_orphans:
+        names = [r["node"] for r in orphans.limit(5).collect()]
+        raise ValueError(
+            f"pagerank_partitioned: {n_orphans} edge endpoint(s) missing "
+            f"from nodes (e.g. {names}) — their rank mass would silently "
+            "leak; pass a node table covering every edge endpoint."
+        )
     # one scalar memo: N (exact integer; as a double it is bit-identical
     # to the oracle's CAST(COUNT(*) AS DOUBLE) for any N < 2^53)
     nf = float(nd.count())

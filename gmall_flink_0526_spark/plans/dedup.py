@@ -264,25 +264,34 @@ def sql_verified_pairs_from(x: str, out: str) -> str:
 """
 
 
-# The EXACT threshold-join pair set as oracle CTEs (requires ``sh``
-# from SQL_SHINGLES3 in scope): brute-force shared-shingle candidates +
-# Jaccard verify — DuckDB's equivalent of the prefix-filter join's
-# output (the pruning is lossless, so brute force IS the same set).
-SQL_EXACT_PAIRS = f"""
-  tok AS (SELECT doc_id, unnest(s) AS g FROM sh),
-  bf AS (
+# The EXACT threshold-join pair set as oracle CTEs (requires ``sh{x}``
+# in scope): brute-force shared-shingle candidates + Jaccard verify —
+# DuckDB's equivalent of the prefix-filter join's output (the pruning
+# is lossless, so brute force IS the same set). ONE derivation,
+# suffix-parameterized like the shingle/LSH builders above, so the
+# threshold and verify expression can never desynchronize between the
+# batch truth and a derived-corpus consumer.
+
+
+def sql_exact_pairs_from(x: str = "") -> str:
+    return f"""
+  tok{x} AS (SELECT doc_id, unnest(s) AS g FROM sh{x}),
+  bf{x} AS (
     SELECT a.doc_id AS da, b.doc_id AS db
-    FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+    FROM tok{x} a JOIN tok{x} b ON a.g = b.g AND a.doc_id < b.doc_id
     GROUP BY 1, 2
   ),
-  exact_pairs AS (
-    SELECT bf.da AS doc_a, bf.db AS doc_b
-    FROM bf JOIN sh a ON bf.da = a.doc_id
-            JOIN sh b ON bf.db = b.doc_id
+  exact_pairs{x} AS (
+    SELECT bf{x}.da AS doc_a, bf{x}.db AS doc_b
+    FROM bf{x} JOIN sh{x} a ON bf{x}.da = a.doc_id
+            JOIN sh{x} b ON bf{x}.db = b.doc_id
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
   )
 """
+
+
+SQL_EXACT_PAIRS = sql_exact_pairs_from("")
 
 
 @register(
@@ -591,24 +600,12 @@ def _sql_lsh_recall_post_dedup() -> str:
     {sql_shingles3_from("surv", "s")},
     {sql_lsh_candidates_from("s")},
     {sql_verified_pairs_from("s", "lshvs")},
-    toke AS (SELECT doc_id, unnest(s) AS g FROM shs),
-    bfs AS (
-      SELECT a.doc_id AS da, b.doc_id AS db
-      FROM toke a JOIN toke b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    exacts AS (
-      SELECT bfs.da AS doc_a, bfs.db AS doc_b
-      FROM bfs JOIN shs a ON bfs.da = a.doc_id
-               JOIN shs b ON bfs.db = b.doc_id
-      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
-    ),
+    {sql_exact_pairs_from("s")},
     post AS (
       SELECT COUNT(*) FILTER (WHERE e.doc_a IS NOT NULL) AS n_exact_post,
              COUNT(*) FILTER (WHERE e.doc_a IS NOT NULL
                                 AND m.doc_a IS NOT NULL) AS n_hit_post
-      FROM exacts e FULL OUTER JOIN lshvs m
+      FROM exact_pairss e FULL OUTER JOIN lshvs m
         ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
     )
     SELECT (SELECT COUNT(*) FROM adv) AS n_docs_raw,

@@ -1528,10 +1528,11 @@ def _windowed_funnel_select(out: DataFrame) -> DataFrame:
     "click — last-touch, then gate), and a voided link voids "
     "everything deeper, keeping depth monotone. Composition: the "
     "same two chained sorted-union fills as funnel_attribution, then "
-    "one map-side CASE over exact integer micros (unix_micros / "
-    "epoch_us — no interval arithmetic, both engines compare the "
-    "same BIGINTs). Free at any scale: the windowing adds zero "
-    "shuffles.",
+    "one map-side CASE comparing native timestamp differences to an "
+    "INTERVAL literal (exact integer micros under the hood; "
+    "unix_micros would reject the fixture's NTZ timestamps, and a TZ "
+    "cast would expose the vanilla session's zone). Free at any "
+    "scale: the windowing adds zero shuffles.",
     tags=("events", "join", "asof", "funnel", "cep"),
 )
 def funnel_attribution_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:

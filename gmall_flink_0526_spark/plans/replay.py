@@ -1154,9 +1154,10 @@ def _register_funnel_attribution_windowed_stream():
         "windowed stream shares the windowed batch oracle verbatim "
         "and the stream pays nothing extra. This is where the CEP "
         "state design earns its keep: because every link is STORED "
-        "with its stage, the gate can be applied at emission with "
-        "exact micros — a recompute-from-state design would have "
-        "already lost the stale links it needs to void.",
+        "with its stage, the gate can be applied at emission as a "
+        "native timestamp-interval comparison — a recompute-from-"
+        "state design would have already lost the stale links it "
+        "needs to void.",
         tags=("state", "streaming", "events", "cep", "asof", "funnel"),
     )
     def funnel_attribution_windowed_stream(

@@ -671,7 +671,8 @@ def substring_dedup_app(
 
     def _epoch(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
-        grams = D.gram_positions(batch, "doc_id", "text", L).persist()
+        toks = D.doc_tokens(batch, "doc_id", "text").persist()
+        grams = D.gram_positions_from(toks, L).persist()
         try:
             grid = grams.groupBy("gh").agg(
                 F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
@@ -691,9 +692,7 @@ def substring_dedup_app(
                 .groupBy("doc_id")
                 .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
             )
-            cut = D.substring_cut_rows(
-                D.doc_tokens(batch, "doc_id", "text"), starts, L
-            ).localCheckpoint()
+            cut = D.substring_cut_rows(toks, starts, L).localCheckpoint()
             out_ch = reg._get(out_channel)
             cut.write.mode("overwrite").parquet(
                 os.path.join(out_ch.path, f"epoch={epoch_id}")
@@ -703,6 +702,7 @@ def substring_dedup_app(
             )
         finally:
             grams.unpersist()
+            toks.unpersist()
 
     return (
         src.writeStream.foreachBatch(process)

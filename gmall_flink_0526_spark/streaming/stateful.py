@@ -610,6 +610,8 @@ def funnel_chain_n(
     M = len(stages)
     if M < 1:
         raise ValueError("funnel_chain_n: need at least one stage before the probe")
+    if len(set(stages)) != len(stages):
+        raise ValueError("funnel_chain_n: stage names must be distinct")
     _ORD = {s: i for i, s in enumerate(stages)}
     if probe_type in _ORD:
         raise ValueError("funnel_chain_n: probe_type must not repeat a stage")

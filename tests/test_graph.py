@@ -113,3 +113,16 @@ def test_pagerank_ranks_guards_dangling(spark):
     edges = spark.createDataFrame([(1, 2, 1)], schema="src long, dst long, w long")
     with pytest.raises(ValueError, match="without out-edges"):
         pagerank_ranks(nodes, edges)
+
+
+def test_pagerank_partitioned_guards_unknown_endpoints(spark):
+    # an edge endpoint missing from the node table would silently leak
+    # rank mass through the update left join — must raise instead
+    import pytest
+
+    from gmall_flink_0526_spark.operators.graph import pagerank_partitioned
+
+    nodes = spark.createDataFrame([(1,), (2,)], schema="node long")
+    edges = spark.createDataFrame([(1, 3, 1)], schema="src long, dst long, w long")
+    with pytest.raises(ValueError, match="edge endpoint"):
+        pagerank_partitioned(nodes, edges, iters=1, num_partitions=2)

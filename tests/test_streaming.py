@@ -229,3 +229,17 @@ def test_jsonl_channel_round_trip(spark, tmp_path):
     ][0]
     first = open(os.path.join(src_ch.path, part)).readline()
     assert first.startswith("{") and "event_id" in first
+
+
+def test_funnel_chain_n_rejects_bad_stage_lists(spark):
+    import pytest
+
+    from gmall_flink_0526_spark.streaming.stateful import funnel_chain_n
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_chain_n(ev, stages=("view", "view"))
+    with pytest.raises(ValueError, match="probe_type"):
+        funnel_chain_n(ev, stages=("view", "click"), probe_type="click")
