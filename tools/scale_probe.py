@@ -461,6 +461,92 @@ def probe_incremental_stream(spark, sf_dir: str, n_epochs: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_substring_stream(spark, sf_dir: str, n_epochs: int) -> dict:
+    """r12: replay ``sf_dir``'s documents through the REAL incremental
+    substring-dedup app in ``n_epochs`` micro-batches (doc_id %
+    n_epochs — the boilerplate block split across every epoch), then
+    one compaction cycle THROUGH the min/max reduce_fn. Claims under
+    test: per-epoch trigger wall stays flat as the window index grows
+    (cost ∝ batch windows + index overlap, never corpus²), and the
+    reduced compaction collapses the index to one row per still-
+    distinct window cell."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.session import load_tables
+    from gmall_flink_0526_spark.sources.registry import ChannelRegistry, write_replay
+    from gmall_flink_0526_spark.streaming.pipelines import (
+        compact_signature_store,
+        substring_dedup_app,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="gmall_substrprobe_")
+    try:
+        reg = ChannelRegistry(root)
+        reg.register("ods_documents", schema="doc_id long, text string")
+        write_replay(
+            docs,
+            reg.channels["ods_documents"].path,
+            n_files=n_epochs,
+            order_by=["doc_id"],
+            file_of=F.col("doc_id") % n_epochs,
+        )
+        reg.register("dwd_documents_cut")
+        store = os.path.join(root, "store")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        t0 = time.time()
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = substring_dedup_app(spark, reg, os.path.join(root, "ckpt"), store)
+            q.processAllAvailable()
+            progress = [
+                {
+                    "epoch": p["batchId"],
+                    "rows": p["numInputRows"],
+                    "sec": round(p["durationMs"]["triggerExecution"] / 1000.0, 2),
+                }
+                for p in (json.loads(x.json) for x in q.recentProgress)
+                if p["numInputRows"] > 0
+            ]
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        total_s = round(time.time() - t0, 2)
+        idx = spark.read.parquet(os.path.join(store, "win_index"))
+        growth = {
+            int(r["epoch"]): int(r["ct"])
+            for r in idx.groupBy("epoch").agg(F.count("*").alias("ct")).collect()
+        }
+        rows_before = idx.count()
+        cut_docs = spark.read.parquet(reg.channels["dwd_documents_cut"].path).count()
+        t0 = time.time()
+        compact_signature_store(
+            spark,
+            store,
+            upto_epoch=n_epochs - 1,
+            subs=("win_index",),
+            reduce_fn=lambda df: df.groupBy("gh").agg(
+                F.min("lo").alias("lo"), F.max("hi").alias("hi")
+            ),
+        )
+        compact_s = round(time.time() - t0, 2)
+        after = spark.read.parquet(os.path.join(store, "win_index"))
+        return {
+            "epochs": progress,
+            "total_sec": total_s,
+            "cut_docs": int(cut_docs),
+            "index_rows_per_epoch": growth,
+            "index_rows_before_compaction": int(rows_before),
+            "index_rows_after_reduced_compaction": int(after.count()),
+            "compact_sec": compact_s,
+            "generations_after_compaction": sorted(
+                int(r["epoch"]) for r in after.select("epoch").distinct().collect()
+            ),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_doc_pagerank(spark, sf_dir: str) -> dict:
     """r12: the corpus-VERTEX rank loop in isolation — the pair-table
     build is shared with the prefix-filter family (corpus-persisted),
@@ -776,6 +862,14 @@ def main() -> None:
             for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1))
         }
 
+        # r12: the incremental substring app's per-epoch wall must stay
+        # flat as the window index grows; compaction runs through the
+        # min/max reduce_fn
+        substr_stream = {
+            label: probe_substring_stream(spark, sf_dir, args.stream_epochs)
+            for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1))
+        }
+
         # connected-components round count is log(diameter): assert the
         # probe corpus (chains via mutation-of-mutation) stays shallow
         out = {
@@ -790,6 +884,7 @@ def main() -> None:
             "tfidf_skew": tfidf_skew,
             "hot_bucket_rep": hot_rep,
             "doc_pagerank_loop": doc_pr,
+            "substring_stream": substr_stream,
             "incremental_stream": inc,
             "hot_buckets_capped": len(dropped),
             "quadratic_pairs_saved": int(saved_pairs),
