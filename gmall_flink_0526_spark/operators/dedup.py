@@ -372,6 +372,28 @@ def prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     negatives), and the float size bound rejects the borderline
     |small| = t*|large| pair the same way. Integer ceil and
     cross-multiplication have no such edge."""
+    pref = prefix_rows(sh, threshold)
+    return _prefix_pairs_from(pref, pref, threshold)
+
+
+def prefix_rows(sh: DataFrame, threshold: float, order: str = "df") -> DataFrame:
+    """(doc_id, g, n): each doc's prefix shingles of length
+    n - ceil(t*n) + 1 under a COMMON TOTAL ORDER, plus its shingle
+    count — the reusable half of :func:`prefix_filter_candidates`.
+
+    ``order="df"`` is the production rarity order (ascending global
+    frequency, ties by value): hot shingles sort to the END of every
+    prefix window and rarely enter one — the pruning that keeps
+    candidate buckets small. ``order="hash"`` orders by the shingle's
+    16-hex md5 (ties by value): a CONTENT-DEFINED order that never
+    changes as the corpus grows, so a doc's prefix can be computed
+    ONCE at arrival and stored — the property the incremental
+    similarity-graph app needs (a df order would re-prefix the whole
+    corpus every batch as frequencies shift). COMPLETENESS holds for
+    ANY common total order (the prefix principle only needs both docs
+    of a qualifying pair ordered the same way — hypothesis-pinned for
+    both orders); the hash order just gives up the rarity pruning,
+    which production recovers by running exact dedup first."""
     from fractions import Fraction
 
     from pyspark.sql import Window as W
@@ -379,19 +401,37 @@ def prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     fr = Fraction(threshold).limit_denominator(10**9)
     num, den = fr.numerator, fr.denominator
     tok = sh.select("doc_id", F.explode("s").alias("g"))
-    dfreq = tok.groupBy("g").agg(F.count("*").alias("df"))
+    if order == "df":
+        dfreq = tok.groupBy("g").agg(F.count("*").alias("df"))
+        tok = tok.join(dfreq, "g")
+        w = W.partitionBy("doc_id").orderBy("df", "g")
+    elif order == "hash":
+        tok = tok.withColumn("_hk", F.substring(F.md5("g"), 1, 16))
+        w = W.partitionBy("doc_id").orderBy("_hk", "g")
+    else:
+        raise ValueError(f"prefix_rows: unknown order {order!r}")
     sizes = sh.select("doc_id", F.size("s").alias("n"))
-    w = W.partitionBy("doc_id").orderBy("df", "g")
     # prefix length n - ceil(t*n) + 1 with exact integer ceil
     ceil_tn = F.expr(f"(cast({num} as bigint) * n + {den} - 1) div {den}")
-    pref = (
-        tok.join(dfreq, "g")
-        .select("doc_id", "g", F.row_number().over(w).alias("pos"))
+    return (
+        tok.select("doc_id", "g", F.row_number().over(w).alias("pos"))
         .join(sizes, "doc_id")
         .filter(F.col("pos") <= F.col("n") - ceil_tn + 1)
         .select("doc_id", "g", "n")
     )
-    a, b = pref.alias("a"), pref.alias("b")
+
+
+def _prefix_pairs_from(
+    pref_a: DataFrame, pref_b: DataFrame, threshold: float
+) -> DataFrame:
+    """Candidate pairs between two prefix-row tables (same order,
+    same threshold): shared prefix shingle + the necessary size bound
+    in exact cross-multiplied integers."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10**9)
+    num, den = fr.numerator, fr.denominator
+    a, b = pref_a.alias("a"), pref_b.alias("b")
     return (
         a.join(b, "g")
         .filter(
@@ -405,6 +445,41 @@ def prefix_filter_candidates(sh: DataFrame, threshold: float) -> DataFrame:
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def prefix_filter_candidates_against(
+    pref_new: DataFrame, pref_all: DataFrame, threshold: float
+) -> DataFrame:
+    """Candidate pairs with at least one side from ``pref_new``,
+    against ``pref_all`` (which INCLUDES the new side, so in-batch
+    pairs surface too) — the incremental form: a pair qualifies at
+    the epoch its LATER doc arrives, when both docs are present under
+    the same (content-defined) prefix order, so accumulating these
+    per epoch reconstructs the full-corpus threshold join exactly.
+    Pairs are normalized (doc_a = smaller id) and deduped; arrival
+    order and id order are independent (a new doc may carry a smaller
+    id than stored docs), hence the least/greatest instead of
+    prefix_filter_candidates' a < b."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(10**9)
+    num, den = fr.numerator, fr.denominator
+    a, b = pref_new.alias("a"), pref_all.alias("b")
+    return (
+        a.join(b, "g")
+        .filter(
+            (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (
+                F.lit(num).cast("long") * F.greatest("a.n", "b.n")
+                <= F.lit(den).cast("long") * F.least("a.n", "b.n")
+            )
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
         .distinct()
     )

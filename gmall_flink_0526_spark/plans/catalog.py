@@ -171,6 +171,7 @@ _PRIORITY = (
     #    generalized N-stage chain, batch + CEP-state stream sharing
     #    one 3-link ASOF oracle. -------------------------------------------
     "doc_pagerank",
+    "doc_pagerank_stream",
     "lsh_recall_post_dedup",
     "substring_dedup",
     "substring_dedup_audit",
@@ -201,14 +202,14 @@ _PRIORITY = (
     "is_new_fix",
     "bounce_stats",
     "session_stats",
+    # == the 50-query window cut falls here (31 stale + 10 new + 5
+    #    changed + 4 oldest-green fill) ================================
+    # -- OVERFLOW: the 4 fill entries displaced when the windowed
+    #    funnel pair, the substring stream and the pagerank stream
+    #    landed late in the round — they lead r13 and are covered this
+    #    round by the full-catalog sf0.01 vanilla gate (BASELINE.md
+    #    r12), per the round-5 overflow rule. ---------------------------
     "visitor_stats_union",
-    # == the 50-query window cut falls here (31 stale + 9 new + 5
-    #    changed + 5 oldest-green fill) ================================
-    # -- OVERFLOW: the 3 fill entries displaced when the windowed
-    #    funnel pair and the substring stream landed late in the round
-    #    — they lead r13 and are covered this round by the full-catalog
-    #    sf0.01 vanilla gate (BASELINE.md r12), per the round-5
-    #    overflow rule. --------------------------------------------------
     "log_explode_displays",
     "cdc_delete_filter",
     "jdbc_round_trip",

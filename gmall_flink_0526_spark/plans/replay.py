@@ -1187,6 +1187,83 @@ def _register_funnel_attribution_windowed_stream():
 _register_funnel_attribution_windowed_stream()
 
 
+def _register_doc_pagerank_stream():
+    from .dedup import DOC_PR_PARTITIONS, _sql_doc_pagerank
+
+    @register(
+        "doc_pagerank_stream",
+        oracle=_sql_doc_pagerank(),
+        doc="Corpus-vertex PageRank over an INCREMENTALLY discovered "
+        "similarity graph: the real foreachBatch app (streaming/"
+        "pipelines.similarity_graph_app) replays `documents` in 2 "
+        "micro-batches (doc_id % 2 — id order independent of arrival "
+        "order, so pairs straddle the epochs both ways) and discovers "
+        "each batch's exact threshold pairs against everything seen "
+        "so far via the hash-order prefix-filter join (prefixes "
+        "computed once at arrival and stored; a pair surfaces when "
+        "its later doc arrives — the completeness theorem for a "
+        "stable order, hypothesis-pinned). The accumulated pair "
+        "store then feeds the SAME co-partitioned merge-join rank "
+        "loop as doc_pagerank, and the query shares doc_pagerank's "
+        "chained-CTE oracle VERBATIM — the green row certifies the "
+        "stream reconstructed the batch prefix-filter graph "
+        "bit-for-bit before a single rank step ran.",
+        tags=("documents", "graph", "dedup", "streaming", "incremental"),
+    )
+    def doc_pagerank_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..operators.graph import pagerank_partitioned
+        from ..sources.registry import ChannelRegistry, write_replay
+        from ..streaming.pipelines import similarity_graph_app
+        from .logs import PAGERANK_D, PAGERANK_ITERS, PAGERANK_RESET
+
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        root = temp_replay_root("gmall_simgraph_")
+        reg = ChannelRegistry(root)
+        reg.register("ods_documents", schema="doc_id long, text string")
+        write_replay(
+            docs.select("doc_id", "text"),
+            reg.channels["ods_documents"].path,
+            n_files=2,
+            order_by=["doc_id"],
+            file_of=F.col("doc_id") % 2,
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = similarity_graph_app(
+                spark, reg, os.path.join(root, "ckpt"), os.path.join(root, "store")
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        pairs = spark.read.parquet(os.path.join(root, "store", "pairs")).select(
+            "doc_a", "doc_b"
+        )
+        edges = (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .union(
+                pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+            )
+            .withColumn("w", F.lit(1))
+        )
+        nodes = docs.select(F.col("doc_id").alias("node"))
+        pr = pagerank_partitioned(
+            nodes,
+            edges,
+            iters=PAGERANK_ITERS,
+            d=float(PAGERANK_D),
+            reset=float(PAGERANK_RESET),
+            num_partitions=DOC_PR_PARTITIONS,
+        )
+        return pr.select(F.col("node").alias("doc_id"), "pagerank")
+
+
+_register_doc_pagerank_stream()
+
+
 _N_SUBSTR_BATCHES = 2
 
 

@@ -711,6 +711,97 @@ def substring_dedup_app(
     )
 
 
+def similarity_graph_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    store_root: str,
+    source: str = "ods_documents",
+    jaccard_min: float = 0.5,
+):
+    """Streaming incremental EXACT similarity-graph maintenance: every
+    micro-batch of documents discovers its threshold pairs (Jaccard >=
+    ``jaccard_min``) against everything seen so far — in-batch pairs
+    included — via the prefix-filter join under the CONTENT-DEFINED
+    hash order (``operators/dedup.prefix_rows(order="hash")``): a
+    doc's prefix is a pure function of its shingles, so it is computed
+    ONCE at arrival and stored; a qualifying pair surfaces at the
+    epoch its LATER doc arrives, when both prefixes exist under the
+    same order — accumulating per-epoch discoveries therefore
+    reconstructs the FULL-corpus threshold join exactly (the
+    completeness theorem for any common total order,
+    hypothesis-pinned; a df rarity order would re-prefix the corpus
+    every batch as frequencies shift). The price of order stability is
+    the rarity pruning — production runs exact dedup upstream so
+    identical-copy blocks never reach this join, the documented
+    lsh_recall_post_dedup contract.
+
+    Stores (all epoch-addressed, overwrite-own-epoch crash rule, reads
+    pruned to ``epoch < current``): ``pref`` (doc_id, g, n) prefix
+    rows, ``sh`` (doc_id, s) shingle arrays for the exact verify, and
+    ``pairs`` (doc_a, doc_b) — the graph itself, disjoint across
+    epochs by the later-doc rule so the accumulated union needs no
+    cross-epoch dedup. The batch side is bounded by contract: it
+    broadcasts into the store-side joins, so the growing corpus is
+    only ever touched through its (bucketed) prefix index.
+
+    Consumers read the pair store as the edge set — doc_pagerank's
+    streaming twin runs the SAME corpus-vertex rank loop over it and
+    shares the batch chained-CTE oracle verbatim: a green row
+    certifies the incremental discovery reconstructed the batch
+    prefix-filter graph bit-for-bit.
+    """
+    from ..operators import dedup as D
+
+    pref_path = os.path.join(store_root, "pref")
+    sh_path = os.path.join(store_root, "sh")
+    pairs_path = os.path.join(store_root, "pairs")
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+    scope_token = uuid.uuid4().hex[:12]
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        with cache_scope(f"stream:simgraph:{scope_token}"):
+            _epoch(batch, epoch_id)
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        bsh = D.doc_shingles(batch, "doc_id", "text").persist()
+        bpref = D.prefix_rows(bsh, jaccard_min, order="hash").persist()
+        try:
+            if hfs.exists(sess, pref_path):
+                all_pref = read_epoch_store(sess, pref_path, epoch_id).union(bpref)
+                all_sh = read_epoch_store(sess, sh_path, epoch_id).union(bsh)
+            else:
+                all_pref, all_sh = bpref, bsh
+            cand = D.prefix_filter_candidates_against(
+                F.broadcast(bpref), all_pref, jaccard_min
+            )
+            new_pairs = (
+                D.jaccard_verify(all_sh, cand)
+                .filter(F.col("jaccard") >= jaccard_min)
+                .select("doc_a", "doc_b")
+                .localCheckpoint()  # cut lineage before the store writes
+            )
+            new_pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_path, f"epoch={epoch_id}")
+            )
+            bpref.write.mode("overwrite").parquet(
+                os.path.join(pref_path, f"epoch={epoch_id}")
+            )
+            bsh.write.mode("overwrite").parquet(
+                os.path.join(sh_path, f"epoch={epoch_id}")
+            )
+        finally:
+            bpref.unpersist()
+            bsh.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(ckpt, "similarity_graph"))
+        .start()
+    )
+
+
 def emb_incremental_dedup_app(
     spark: SparkSession,
     reg: ChannelRegistry,

@@ -828,3 +828,63 @@ def test_substring_cut_matches_python_model(spark, texts, L):
         assert got[d] == (n_tok, n_rm, n_sp, khash), (
             d, texts[d], got[d], (n_tok, n_rm, n_sp, khash)
         )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.sets(st.integers(0, 40), min_size=1, max_size=18),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0.5, 0.6, 0.8]),
+)
+def test_incremental_hash_prefix_discovery_is_exact(spark, sets, t):
+    """The incremental similarity-graph discovery rule vs brute force:
+    docs arrive in two epochs (even/odd ids — id order independent of
+    arrival order), each epoch's candidates are
+    prefix_filter_candidates_against(batch prefixes, all prefixes so
+    far) under the CONTENT-DEFINED hash order (prefixes computed once
+    at arrival, never recomputed), verified exactly; the union over
+    epochs must equal the full-corpus brute-force threshold join — the
+    completeness theorem under a stable order, which is the claim the
+    streaming similarity-graph app (and doc_pagerank_stream's shared
+    batch oracle) stands on."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.operators.dedup import (
+        jaccard_verify,
+        prefix_filter_candidates_against,
+        prefix_rows,
+    )
+
+    rows = [(i, sorted(str(x) for x in s)) for i, s in enumerate(sets)]
+    got = set()
+    seen_rows: list = []
+    for ep in (0, 1):
+        batch_rows = [r for r in rows if r[0] % 2 == ep]
+        if not batch_rows:
+            continue
+        seen_rows = seen_rows + batch_rows
+        bsh = spark.createDataFrame(batch_rows, "doc_id long, s array<string>")
+        allsh = spark.createDataFrame(seen_rows, "doc_id long, s array<string>")
+        cand = prefix_filter_candidates_against(
+            prefix_rows(bsh, t, order="hash"),
+            prefix_rows(allsh, t, order="hash"),
+            t,
+        )
+        got |= {
+            (r["doc_a"], r["doc_b"])
+            for r in jaccard_verify(allsh, cand)
+            .filter(F.col("jaccard") >= t)
+            .collect()
+        }
+
+    exp = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if inter / union >= t:
+                exp.add((i, j))
+    assert got == exp
