@@ -547,6 +547,67 @@ def probe_substring_stream(spark, sf_dir: str, n_epochs: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_similarity_graph_stream(spark, sf_dir: str, n_epochs: int) -> dict:
+    """r12: replay documents through the incremental similarity-graph
+    app. Honest claims: per-epoch wall tracks batch x per-gram store
+    overlap PLUS the epoch's true pair output (under the stable hash
+    order there is no rarity pruning — a duplicate block's pair set is
+    quadratic by definition, the prefix_filter_near_dup caveat:
+    production runs exact dedup upstream); the pair store accumulates
+    disjoint per-epoch discoveries."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.session import load_tables
+    from gmall_flink_0526_spark.sources.registry import ChannelRegistry, write_replay
+    from gmall_flink_0526_spark.streaming.pipelines import similarity_graph_app
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="gmall_simgraphprobe_")
+    try:
+        reg = ChannelRegistry(root)
+        reg.register("ods_documents", schema="doc_id long, text string")
+        write_replay(
+            docs,
+            reg.channels["ods_documents"].path,
+            n_files=n_epochs,
+            order_by=["doc_id"],
+            file_of=F.col("doc_id") % n_epochs,
+        )
+        store = os.path.join(root, "store")
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        t0 = time.time()
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = similarity_graph_app(spark, reg, os.path.join(root, "ckpt"), store)
+            q.processAllAvailable()
+            progress = [
+                {
+                    "epoch": p["batchId"],
+                    "rows": p["numInputRows"],
+                    "sec": round(p["durationMs"]["triggerExecution"] / 1000.0, 2),
+                }
+                for p in (json.loads(x.json) for x in q.recentProgress)
+                if p["numInputRows"] > 0
+            ]
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        total_s = round(time.time() - t0, 2)
+        pairs = spark.read.parquet(os.path.join(store, "pairs"))
+        per_epoch_pairs = {
+            int(r["epoch"]): int(r["ct"])
+            for r in pairs.groupBy("epoch").agg(F.count("*").alias("ct")).collect()
+        }
+        return {
+            "epochs": progress,
+            "total_sec": total_s,
+            "pairs_per_epoch": per_epoch_pairs,
+            "total_pairs": int(sum(per_epoch_pairs.values())),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_doc_pagerank(spark, sf_dir: str) -> dict:
     """r12: the corpus-VERTEX rank loop in isolation — the pair-table
     build is shared with the prefix-filter family (corpus-persisted),
@@ -870,6 +931,14 @@ def main() -> None:
             for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1))
         }
 
+        # r12: incremental similarity-graph discovery — per-epoch wall
+        # vs true pair output (quadratic in the boilerplate block by
+        # definition; exact dedup is the documented upstream gate)
+        simgraph_stream = {
+            label: probe_similarity_graph_stream(spark, sf_dir, args.stream_epochs)
+            for label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", sf1))
+        }
+
         # connected-components round count is log(diameter): assert the
         # probe corpus (chains via mutation-of-mutation) stays shallow
         out = {
@@ -885,6 +954,7 @@ def main() -> None:
             "hot_bucket_rep": hot_rep,
             "doc_pagerank_loop": doc_pr,
             "substring_stream": substr_stream,
+            "similarity_graph_stream": simgraph_stream,
             "incremental_stream": inc,
             "hot_buckets_capped": len(dropped),
             "quadratic_pairs_saved": int(saved_pairs),
