@@ -23,7 +23,16 @@ similarity" contract):
   across epochs like the adversarial oracle fixture — keeps per-epoch
   wall time flat as the signature store grows (cost ∝ batch x bucket
   overlap, never store²), and one compaction cycle collapses the
-  epoch directories into a single base generation.
+  epoch directories into a single base generation;
+- (r12) the incremental SUBSTRING-dedup app's per-epoch wall stays
+  flat as its min/max window index grows, and the index compacts
+  through its own reduce to one row per cell;
+- (r12) the incremental similarity-graph app reconstructs the batch
+  prefix-filter pair set EXACTLY at both scales (the bit-equal pair
+  counts are asserted against the batch numbers), per-epoch wall
+  tracking the epoch's own pair output;
+- (r12) the corpus-vertex rank loop's per-iteration wall vs edge
+  count, isolated from the shared pair build.
 
 Usage:  python tools/scale_probe.py [--docs 50000] [--vecs 20000]
 Prints one JSON line with timings + bucket stats; paste into SCALE.md.
