@@ -653,6 +653,18 @@ def lsh_recall_post_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"].select(
         "doc_id", "text"
     )
+    # Precondition, checked not assumed (r12 advice): the replica ids
+    # start at REP_BASE_ID, so a fixture whose own ids reach that range
+    # would silently alias replicas onto real docs ON BOTH ENGINES —
+    # the certified row would stay green while measuring a different
+    # corpus. One-row validator collect, the limit(1) pattern.
+    mx = docs.agg(F.max("doc_id").alias("mx")).first()["mx"]
+    if mx is not None and mx >= REP_BASE_ID:
+        raise ValueError(
+            f"lsh_recall_post_dedup: fixture doc_id range reaches {mx} "
+            f">= REP_BASE_ID={REP_BASE_ID}; raise REP_BASE_ID above the "
+            "corpus id range so replica ids cannot collide"
+        )
     base = docs.filter(F.col("doc_id") == 0).select("text")
     copies = (
         spark.range(REP_COPIES)

@@ -35,6 +35,46 @@ def delete(spark: SparkSession, path: str) -> None:
     fs.delete(p, True)
 
 
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child names of a directory (empty if absent) — the store
+    compactor's generation discovery, FS-API-routed like everything
+    else so it sees HDFS/S3 the way Spark does."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file (overwrite). Used for store manifests —
+    always written into a NOT-YET-PUBLISHED temp directory, so the
+    write itself never needs to be atomic; the directory rename is."""
+    fs, p = _fs_and_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file written by :func:`write_text`."""
+    fs, p = _fs_and_path(spark, path)
+    stream = fs.open(p)
+    try:
+        reader = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
 def rename(spark: SparkSession, src: str, dst: str) -> None:
     """Atomic-where-the-FS-supports-it rename (HDFS: atomic; S3A:
     copy+delete under the hood — the same trade every Hadoop commit

@@ -23,6 +23,7 @@ an independently runnable query pair of (read channel, write channel).
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -503,12 +504,54 @@ def session_window_agg(
     )
 
 
+_BASE_MANIFEST = "_superseded.json"
+
+
+def superseded_epochs(sess: SparkSession, path: str) -> set[int]:
+    """Epoch ids already folded into a COMMITTED base generation.
+
+    Each compaction publishes, inside its new ``epoch=<gen>`` directory
+    and through the SAME atomic rename that publishes the merged rows,
+    a hidden ``_superseded.json`` naming the epoch ids it merged (the
+    leading underscore keeps the file out of parquet partition
+    discovery). Readers exclude those ids even while the merged
+    directories are still on disk, so the commit point is the rename —
+    NOT the post-rename deletes. A crash between the two therefore
+    cannot double-count an ADDITIVE store (the CMS/histogram SUM
+    merges; the idempotent max/min/or/distinct families never could):
+    the next read skips the superseded dirs and the next compaction
+    finishes the sweep. Only base generations (negative ids) carry
+    manifests, so this scans at most #compactions tiny files."""
+    sup: set[int] = set()
+    for name in hfs.list_names(sess, path):
+        if not name.startswith("epoch=-"):
+            continue
+        mf = os.path.join(path, name, _BASE_MANIFEST)
+        if hfs.exists(sess, mf):
+            sup.update(int(g) for g in json.loads(hfs.read_text(sess, mf)))
+    return sup
+
+
+def read_store(sess: SparkSession, path: str) -> DataFrame:
+    """Read an epoch-addressed store with manifest-superseded
+    generations excluded (an anti ``isin`` on the epoch partition
+    column — pruned at planning, the skipped dirs are never opened).
+    Every merged_* view, the incremental apps' pruned reads and the
+    compactor itself go through this, so all of them observe a
+    crashed compaction as if its deletes had completed."""
+    df = sess.read.parquet(path)
+    sup = superseded_epochs(sess, path)
+    if sup:
+        df = df.filter(~F.col("epoch").isin(sorted(sup)))
+    return df
+
+
 def read_epoch_store(sess: SparkSession, path: str, epoch_id: int) -> DataFrame:
     """Read an epoch-addressed store pruned to STRICTLY earlier epochs
     (partition pruning on the epoch=<id> dirs): a retried epoch never
     sees its own first-attempt output — the crash contract both
     incremental-dedup apps and the compactor share."""
-    return sess.read.parquet(path).filter(F.col("epoch") < epoch_id).drop("epoch")
+    return read_store(sess, path).filter(F.col("epoch") < epoch_id).drop("epoch")
 
 
 def doc_incremental_dedup_app(
@@ -711,6 +754,12 @@ def substring_dedup_app(
     )
 
 
+# Doc-id bucket fanout for the similarity-graph shingle store: the
+# verify's partition pruning reads at most this many buckets per epoch
+# (usually far fewer — only buckets holding a candidate doc).
+SIM_SH_BUCKETS = 32
+
+
 def similarity_graph_app(
     spark: SparkSession,
     reg: ChannelRegistry,
@@ -741,9 +790,15 @@ def similarity_graph_app(
     rows, ``sh`` (doc_id, s) shingle arrays for the exact verify, and
     ``pairs`` (doc_a, doc_b) — the graph itself, disjoint across
     epochs by the later-doc rule so the accumulated union needs no
-    cross-epoch dedup. The batch side is bounded by contract: it
-    broadcasts into the store-side joins, so the growing corpus is
-    only ever touched through its (bucketed) prefix index.
+    cross-epoch dedup. Per-epoch scan contract, stated exactly: the
+    PREFIX index is the one store read in full each epoch — that scan
+    IS candidate generation, probed by the broadcast batch side. The
+    SHINGLE store is never scanned in full: it is written partitioned
+    by a doc_id bucket (``SIM_SH_BUCKETS``), and the verify reads only
+    the buckets holding a candidate doc — the touched-bucket set is
+    collected from the (persisted, batch-bounded) candidate pairs, at
+    most SIM_SH_BUCKETS ids, a constant-bounded validator-style
+    round-trip.
 
     Consumers read the pair store as the edge set — doc_pagerank's
     streaming twin runs the SAME corpus-vertex rank loop over it and
@@ -763,19 +818,44 @@ def similarity_graph_app(
         with cache_scope(f"stream:simgraph:{scope_token}"):
             _epoch(batch, epoch_id)
 
+    def _bkt(col_name: str):
+        return F.pmod(F.xxhash64(F.col(col_name)), F.lit(SIM_SH_BUCKETS))
+
     def _epoch(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
         bsh = D.doc_shingles(batch, "doc_id", "text").persist()
         bpref = D.prefix_rows(bsh, jaccard_min, order="hash").persist()
+        cand = None
         try:
             if hfs.exists(sess, pref_path):
                 all_pref = read_epoch_store(sess, pref_path, epoch_id).union(bpref)
-                all_sh = read_epoch_store(sess, sh_path, epoch_id).union(bsh)
             else:
-                all_pref, all_sh = bpref, bsh
+                all_pref = bpref
             cand = D.prefix_filter_candidates_against(
                 F.broadcast(bpref), all_pref, jaccard_min
-            )
+            ).persist()
+            if hfs.exists(sess, sh_path):
+                # index-shaped verify: read ONLY the store buckets a
+                # candidate doc lives in (<= SIM_SH_BUCKETS ids — a
+                # constant-bounded collect; partition-pruned read)
+                touched = [
+                    r["bkt"]
+                    for r in cand.select(
+                        F.explode(
+                            F.array(_bkt("doc_a"), _bkt("doc_b"))
+                        ).alias("bkt")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                all_sh = (
+                    read_epoch_store(sess, sh_path, epoch_id)
+                    .filter(F.col("bkt").isin(touched))
+                    .drop("bkt")
+                    .union(bsh)
+                )
+            else:
+                all_sh = bsh
             new_pairs = (
                 D.jaccard_verify(all_sh, cand)
                 .filter(F.col("jaccard") >= jaccard_min)
@@ -788,10 +868,12 @@ def similarity_graph_app(
             bpref.write.mode("overwrite").parquet(
                 os.path.join(pref_path, f"epoch={epoch_id}")
             )
-            bsh.write.mode("overwrite").parquet(
-                os.path.join(sh_path, f"epoch={epoch_id}")
-            )
+            bsh.withColumn("bkt", _bkt("doc_id")).write.partitionBy(
+                "bkt"
+            ).mode("overwrite").parquet(os.path.join(sh_path, f"epoch={epoch_id}"))
         finally:
+            if cand is not None:
+                cand.unpersist()
             bpref.unpersist()
             bsh.unpersist()
 
@@ -1109,7 +1191,7 @@ def merged_bloom_words(spark: SparkSession, store_root: str) -> DataFrame:
     one generation the way ``compact_signature_store`` does; the
     read-side or is correct either way.)"""
     return (
-        spark.read.parquet(os.path.join(store_root, "bloom_words"))
+        read_store(spark, os.path.join(store_root, "bloom_words"))
         .groupBy("w")
         .agg(F.expr("bit_or(bits)").alias("bits"))
     )
@@ -1165,7 +1247,7 @@ def merged_hll_registers(
     must match the producing app's (the merged_hist_grid pairing
     contract)."""
     return (
-        spark.read.parquet(os.path.join(store_root, "hll_regs"))
+        read_store(spark, os.path.join(store_root, "hll_regs"))
         .groupBy(group, "j")
         .agg(F.max("r").alias("r"))
     )
@@ -1178,7 +1260,7 @@ def merged_cms_grid(spark: SparkSession, store_root: str) -> DataFrame:
     one the way ``compact_signature_store`` does; the read-side sum is
     correct either way.)"""
     return (
-        spark.read.parquet(os.path.join(store_root, "cms_grid"))
+        read_store(spark, os.path.join(store_root, "cms_grid"))
         .groupBy("i", "b")
         .agg(F.sum("ct").alias("ct"))
     )
@@ -1238,7 +1320,7 @@ def merged_hist_grid(
     sums per (group, bin) — at most groups*bins result rows, however
     many epochs accumulated."""
     return (
-        spark.read.parquet(os.path.join(store_root, "hist_grid"))
+        read_store(spark, os.path.join(store_root, "hist_grid"))
         .groupBy(group, "b")
         .agg(F.sum("ct").alias("ct"))
     )
@@ -1276,11 +1358,18 @@ def compact_signature_store(
     Crash safety, in order of failure point: a crash while writing the
     temp directory leaves an orphan the next compaction sweeps before
     starting (the store itself is untouched); a crash after the rename
-    but before the old directories are removed leaves DUPLICATE
-    signatures, which the dedup decision path tolerates (candidates
-    and drop-sets are ``distinct``-ed; duplicates cost compute, never
-    correctness) and the next compaction's ``distinct()`` sweeps away.
-    Run it from the maintenance schedule between micro-batches.
+    but before the old directories are removed is ALREADY COMMITTED —
+    the new base carries a ``_superseded.json`` manifest (written into
+    the temp directory, so the rename publishes rows and manifest
+    atomically) naming every merged epoch, and every reader goes
+    through :func:`read_store`, which excludes manifest-superseded
+    directories still on disk. The post-rename deletes are therefore
+    pure cleanup; the next compaction finishes any the crash skipped.
+    This holds for ADDITIVE merges too (see ``reduce_fn``) — without
+    the manifest, a half-deleted SUM-family store would double-count
+    every compacted cell and the next compaction would bake the
+    duplication in. Run it from the maintenance schedule between
+    micro-batches.
 
     ``subs`` names the store's epoch-addressed tables: the MinHash
     app's (bands + shingles) by default; pass ``("vec_store",)`` for
@@ -1294,8 +1383,9 @@ def compact_signature_store(
     so compacting them through their merge collapses N epochs to ONE
     row per cell instead of N distinct rows per cell, and the reader's
     subsequent merge over the compacted base is unchanged because the
-    merge is associative (and, for the max/min/or families, even a
-    crash-duplicated generation stays harmless — idempotent). The
+    merge is associative. The manifest commit above makes this safe
+    even for the ADDITIVE merges: a crash can never leave a state
+    where a reader sums both a base and the epochs it absorbed. The
     default ``distinct()`` remains right for the SET-like stores
     (signatures, shingles, vectors), where a row is a fact, not a
     partial aggregate.
@@ -1306,7 +1396,11 @@ def compact_signature_store(
             continue
         tmp = path + ".compact.tmp"
         hfs.delete(spark, tmp)  # sweep an orphan from a crashed run
-        df = spark.read.parquet(path)
+        # finish a crashed run's deletes: manifest-superseded dirs are
+        # already committed-away — sweep them before reading
+        for g in sorted(superseded_epochs(spark, path)):
+            hfs.delete(spark, os.path.join(path, f"epoch={g}"))
+        df = read_store(spark, path)
         gens = sorted(r["epoch"] for r in df.select("epoch").distinct().collect())
         to_merge = [g for g in gens if g <= upto_epoch]
         if len(to_merge) <= 1:
@@ -1317,6 +1411,13 @@ def compact_signature_store(
         )
         merged = reduce_fn(picked) if reduce_fn is not None else picked.distinct()
         merged.write.mode("overwrite").parquet(tmp)
+        # the manifest rides the SAME rename as the merged rows: either
+        # both are visible (readers skip the old dirs) or neither is
+        hfs.write_text(
+            spark,
+            os.path.join(tmp, _BASE_MANIFEST),
+            json.dumps(sorted(int(g) for g in to_merge)),
+        )
         hfs.rename(spark, tmp, os.path.join(path, f"epoch={new_gen}"))
         for g in to_merge:
             hfs.delete(spark, os.path.join(path, f"epoch={g}"))

@@ -42,6 +42,29 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 DAY_MS = 24 * 3600 * 1000
 
 
+def _seed_safe_ids(pdf: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """Prepare a batch frame for concat with state-seed rows: the seed
+    frame has no id column, and plain ``pd.concat`` NaN-pads it —
+    silently widening an int64 id to float64, so an id >= 2^53 would
+    round through the float trip and be emitted corrupted. Cast the id
+    to pandas *nullable* Int64 first: the padding becomes NA and every
+    real batch row keeps its exact integer. Read back with
+    :func:`_exact_ids` at the output site."""
+    if pd.api.types.is_integer_dtype(pdf[id_col].dtype):
+        return pdf.assign(**{id_col: pdf[id_col].astype("Int64")})
+    return pdf
+
+
+def _exact_ids(ids: pd.Series):
+    """Output-side twin of :func:`_seed_safe_ids`: probe/output rows
+    are always real batch rows (seeds carry build/stage types only),
+    so the nullable Int64 column never holds NA where it is read —
+    cast back to exact int64 for Arrow serialization."""
+    if pd.api.types.is_extension_array_dtype(ids.dtype):
+        return ids.astype("int64").to_numpy()
+    return ids.to_numpy()
+
+
 def daily_dedup(
     events: DataFrame,
     key: str = "user_id",
@@ -277,7 +300,7 @@ def temporal_enrich(
                     seed[c] = seed[c].astype(pdf[c].dtype)
                 except (TypeError, ValueError):
                     pass
-            pdf = pd.concat([seed, pdf], ignore_index=True)
+            pdf = pd.concat([seed, _seed_safe_ids(pdf, id_col)], ignore_index=True)
         is_b = pdf[type_col] == build_type
         # sort by (ts, build-before-probe) ONLY: equal-(key, ts) builds
         # are out of contract (pre-aggregate upstream), so value
@@ -317,7 +340,7 @@ def temporal_enrich(
         matched = pp.notna().to_numpy()
         idx = pp.fillna(0).astype(int).to_numpy()
         out = {
-            id_col: pdf.loc[probes, id_col].to_numpy(),
+            id_col: _exact_ids(pdf.loc[probes, id_col]),
             key: key_tuple[0],
             "probe_ts": pdf.loc[probes, ts].to_numpy(),
         }
@@ -433,7 +456,7 @@ def temporal_join(
                     seed[c] = seed[c].astype(pdf[c].dtype)
                 except (TypeError, ValueError):
                     pass
-            pdf = pd.concat([seed, pdf], ignore_index=True)
+            pdf = pd.concat([seed, _seed_safe_ids(pdf, id_col)], ignore_index=True)
         is_b = pdf[type_col] == build_type
         pdf = pdf.assign(_side=(~is_b).astype(int))
         pdf = pdf.sort_values([ts, "_side", value_col], kind="mergesort")
@@ -462,7 +485,7 @@ def temporal_join(
         if probes.any():
             yield pd.DataFrame(
                 {
-                    id_col: pdf.loc[probes, id_col].to_numpy(),
+                    id_col: _exact_ids(pdf.loc[probes, id_col]),
                     key: key_tuple[0],
                     "probe_ts": pdf.loc[probes, ts].to_numpy(),
                     "probe_value": pdf.loc[probes, value_col].to_numpy(),
@@ -649,7 +672,7 @@ def funnel_chain_n(
                 seed[ts] = seed[ts].astype(pdf[ts].dtype)
             except (TypeError, ValueError):
                 pass
-            pdf = pd.concat([seed, pdf], ignore_index=True)
+            pdf = pd.concat([seed, _seed_safe_ids(pdf, id_col)], ignore_index=True)
         pdf = (
             pdf.assign(_ord=pdf[type_col].map(_ORD))
             .sort_values([ts, "_ord"], kind="mergesort")
@@ -689,7 +712,7 @@ def funnel_chain_n(
         if not is_p.any():
             return
         out = {
-            id_col: pdf.loc[is_p, id_col].to_numpy(),
+            id_col: _exact_ids(pdf.loc[is_p, id_col]),
             key: key_tuple[0],
             "probe_ts": pdf.loc[is_p, ts].to_numpy(),
         }

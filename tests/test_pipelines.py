@@ -2354,3 +2354,118 @@ def test_compactor_reduce_fn_collapses_mergeable_stores(spark, tmp_path):
         ).collect()
     }
     assert got == {(0, 1): 5, (0, 2): 1}
+
+
+def test_compactor_crash_after_rename_never_double_counts_additive(spark, tmp_path):
+    """The ADDITIVE-merge crash contract (r12 advice, medium): the
+    compaction commit point is the rename of the new base generation —
+    whose ``_superseded.json`` manifest names the epochs it merged —
+    NOT the post-rename deletes. Simulate the worst crash window (base
+    committed, merged epoch dirs still on disk): readers must not
+    double-count a SUM-family cell, and the NEXT compaction must sweep
+    the orphans and keep the totals exact."""
+    import os
+
+    grid = str(tmp_path / "store" / "cms_grid")
+    eps = {0: [(0, 1, 3), (0, 2, 1)], 1: [(0, 1, 2)], 2: [(0, 1, 7)]}
+
+    def write_epoch(ep):
+        spark.createDataFrame(eps[ep], "i int, b int, ct long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(grid, f"epoch={ep}"))
+
+    def reduce_fn(df):
+        return df.groupBy("i", "b").agg(F.sum("ct").alias("ct"))
+
+    def totals():
+        return {
+            (r.i, r.b): r.ct
+            for r in pipelines.read_store(spark, grid)
+            .groupBy("i", "b")
+            .agg(F.sum("ct").alias("ct"))
+            .collect()
+        }
+
+    for ep in (0, 1, 2):
+        write_epoch(ep)
+    want = {(0, 1): 12, (0, 2): 1}
+    assert totals() == want
+    pipelines.compact_signature_store(
+        spark, str(tmp_path / "store"), upto_epoch=1, subs=("cms_grid",),
+        reduce_fn=reduce_fn,
+    )
+    # crash simulation: resurrect the merged epoch dirs as if the
+    # post-rename deletes never ran
+    for ep in (0, 1):
+        write_epoch(ep)
+    sup = pipelines.superseded_epochs(spark, grid)
+    assert sup == {0, 1}
+    assert totals() == want  # manifest exclusion: no double count
+    # next compaction finishes the sweep and folds base + epoch 2
+    pipelines.compact_signature_store(
+        spark, str(tmp_path / "store"), upto_epoch=2, subs=("cms_grid",),
+        reduce_fn=reduce_fn,
+    )
+    gens = sorted(
+        r.epoch
+        for r in spark.read.parquet(grid).select("epoch").distinct().collect()
+    )
+    assert gens == [-2]
+    assert totals() == want
+    # the epoch-pruned incremental read honors the exclusion too
+    assert {
+        (r.i, r.b, r.ct)
+        for r in pipelines.read_epoch_store(spark, grid, epoch_id=99).collect()
+    } == {(0, 1, 12), (0, 2, 1)}
+
+
+def test_seed_concat_keeps_ids_exact_above_2_53(spark):
+    """The r12-advice id-exactness contract: a state-seed concat must
+    not widen the int64 id column to float64 — a probe id >= 2^53
+    would silently round through the float trip. Drive funnel_chain
+    and temporal_join across two batches (so batch 2's frames concat
+    against a real state seed) with ids around 2^53 + odd offsets
+    that float64 CANNOT represent, and assert they come back exact."""
+    from gmall_flink_0526_spark.streaming.replay import replay_stateful
+    from gmall_flink_0526_spark.streaming.stateful import funnel_chain, temporal_join
+
+    BIG = (1 << 53) + 1  # first integer float64 cannot represent
+    rows = [
+        (BIG, "2024-01-01 00:00:01", 1, "view", 0),
+        (BIG + 2, "2024-01-01 00:00:02", 1, "click", 0),
+        (BIG + 4, "2024-01-01 00:00:05", 1, "purchase", 1),
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, b int"
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "event_type", "b"
+    )
+    got = {
+        r["event_id"]
+        for r in replay_stateful(
+            spark, src, funnel_chain, order_by=["ts", "event_id"],
+            file_of=F.col("b"), n_files=2,
+        ).collect()
+    }
+    assert got == {BIG + 4}
+
+    jrows = [
+        (BIG, "2024-01-01 00:00:01", 1, "build", 7, 0),
+        (BIG + 2, "2024-01-01 00:00:03", 1, "probe", 0, 1),
+    ]
+    jsrc = spark.createDataFrame(
+        jrows,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value long, b int",
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id",
+        "event_type", "value", "b",
+    )
+    jout = replay_stateful(
+        spark, jsrc,
+        lambda s: temporal_join(s, key="user_id", build_type="build",
+                                probe_type="probe", value_col="value"),
+        order_by=["ts", "event_id"], file_of=F.col("b"), n_files=2,
+    ).collect()
+    assert {r["event_id"] for r in jout} == {BIG + 2}
+    assert jout[0]["build_value"] == 7
