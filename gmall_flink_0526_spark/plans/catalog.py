@@ -157,6 +157,7 @@ _PRIORITY = (
     "value_percentiles",
     "local_supplier_volume",
     "product_stats_approx",
+    "product_stats_hll",
     "vocab_coverage",
     "mixture_temperature",
     # -- NEW in r12: corpus-VERTEX PageRank over the prefix-filter

@@ -521,12 +521,15 @@ def sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "product_stats_approx",
     oracle=None,  # sketch values are engine-specific: rows-only by design
-    doc="A2 scale path — the same ProductStats aggregate with "
-    "approx_count_distinct (HyperLogLog++, ~2% relative error) in place "
-    "of the exact collect_set accumulator: constant memory per group at "
-    "any cardinality, map-side partial-aggregable. The exact twin "
-    "(product_stats) is the value-checked query; this one is checked "
-    "rows-only because HLL sketches are not cross-engine reproducible.",
+    doc="A2 scale path, PRODUCTION form — the same ProductStats "
+    "aggregate with Spark's own approx_count_distinct (HLL++, ~2% "
+    "relative error) in place of the exact collect_set accumulator: "
+    "constant memory per group at any cardinality, map-side "
+    "partial-aggregable. Kept as the inline-HLL smoke for the engine "
+    "path a cluster would actually run; rows-only by design because "
+    "HLL++ register layouts are engine-private. The CERTIFIED twin is "
+    "product_stats_hll (explicit registers, bit-identical oracle), "
+    "and the exact twin is product_stats.",
     tags=("agg", "distinct", "approx"),
 )
 def product_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,6 +542,111 @@ def product_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_orderkey").alias("order_ct_approx"),
             F.count("*").alias("line_ct"),
         )
+    )
+
+
+def _sql_product_stats_hll() -> str:
+    """The per-brand HLL distinct-order audit as DuckDB SQL — the
+    grouped-dimension instance of ``_sql_hll_audit`` (plans/logs.py),
+    over the lineitem⋈part join instead of the events stream. Same
+    bit-exact derivation everywhere: bucket and rho from disjoint md5
+    hex slices (rho = pure string arithmetic), harmonic sum as an
+    exact BIGINT of 2^(33-r) contributions, estimate = ONE shared
+    double constant divided by that integer."""
+    from ..operators.aggregates import HLL_ALPHA_NUM, HLL_M
+    from .text import sql_hex_val
+
+    stripped = "regexp_replace(substr(hx, 9, 8), '^0+', '')"
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT p.p_brand, l.l_orderkey
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    h AS (
+      SELECT p_brand, md5(CAST(l_orderkey AS VARCHAR)) AS hx
+      FROM base WHERE l_orderkey IS NOT NULL
+    ),
+    rr AS (
+      SELECT p_brand,
+             ({sql_hex_val('hx', 8)}) % {HLL_M} AS j,
+             CASE WHEN {stripped} = '' THEN 33
+                  ELSE 4 * (8 - length({stripped}))
+                       + CASE WHEN substr({stripped}, 1, 1)
+                                   IN ('8','9','a','b','c','d','e','f') THEN 0
+                              WHEN substr({stripped}, 1, 1)
+                                   IN ('4','5','6','7') THEN 1
+                              WHEN substr({stripped}, 1, 1)
+                                   IN ('2','3') THEN 2
+                              ELSE 3 END + 1
+             END AS r
+      FROM h
+    ),
+    regs AS (SELECT p_brand, j, MAX(r) AS r FROM rr GROUP BY 1, 2),
+    agg AS (
+      SELECT p_brand,
+             CAST({HLL_M} - COUNT(*) AS BIGINT) AS zeros,
+             SUM(CAST(1 AS BIGINT) << (33 - r))
+               + CAST({HLL_M} - COUNT(*) AS BIGINT)
+                 * (CAST(1 AS BIGINT) << 33) AS s
+      FROM regs GROUP BY 1
+    ),
+    ex AS (SELECT p_brand,
+                  COUNT(DISTINCT l_orderkey) AS n_exact,
+                  CAST(COUNT(*) AS BIGINT) AS line_ct
+           FROM base GROUP BY 1)
+    SELECT e.p_brand, e.line_ct, e.n_exact, a.zeros,
+           {HLL_ALPHA_NUM!r} / CAST(a.s AS DOUBLE) AS hll_est,
+           ({HLL_ALPHA_NUM!r} / CAST(a.s AS DOUBLE)
+              - CAST(e.n_exact AS DOUBLE))
+             / CAST(e.n_exact AS DOUBLE) * 100 AS err_pct
+    FROM ex e JOIN agg a USING (p_brand)
+    """
+
+
+@register(
+    "product_stats_hll",
+    oracle=_sql_product_stats_hll(),
+    doc="A2 scale path, CERTIFIED form (r12 VERDICT #1 — the catalog's "
+    "last no-oracle row closed): the per-brand distinct-order count "
+    "through the explicit-register HLL the audit family already "
+    "proved cross-engine (operators/aggregates.hll_registers / "
+    "hll_estimate — 32 registers per brand, register = MAX rho of an "
+    "md5 slice, mergeable by plain MAX across shards/epochs). Unlike "
+    "product_stats_approx (Spark's engine-private HLL++, rows-only), "
+    "every derivation here is string/integer arithmetic plus ONE "
+    "final IEEE division, so DuckDB re-derives the per-brand estimate "
+    "bit-for-bit; err_pct is the sketch error actually paid against "
+    "the exact distinct (raw estimator only — the per-brand order "
+    "cardinality keeps the linear-counting branch's ln() out of the "
+    "certified surface). Scale: ONE grouped max builds the register "
+    "grid map-side (25 brands x 32 registers however many lineitems), "
+    "the exact side is the certification cost, not the production "
+    "path.",
+    tags=("agg", "distinct", "sketch", "approx"),
+)
+def product_stats_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import hll_estimate, hll_registers
+
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    base = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "l_orderkey")
+    )
+    regs = hll_registers(base, "p_brand", "l_orderkey")
+    est = hll_estimate(regs, "p_brand")
+    ex = base.groupBy("p_brand").agg(
+        F.countDistinct("l_orderkey").alias("n_exact"),
+        F.count("*").alias("line_ct"),
+    )
+    n_dbl = F.col("n_exact").cast("double")
+    return ex.join(est, "p_brand").select(
+        "p_brand",
+        "line_ct",
+        "n_exact",
+        "zeros",
+        "hll_est",
+        ((F.col("hll_est") - n_dbl) / n_dbl * 100).alias("err_pct"),
     )
 
 

@@ -35,6 +35,16 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+# The production format string for kind="kafka" channels. A module
+# constant so the contract tests can execute the ENTIRE construction
+# path (option mapping, value projection, topic-column routing,
+# checkpoint wiring) against a Python-DataSource stand-in registered
+# under a test name — "kafka" itself is a reserved source name that
+# cannot be shadowed, and this container ships no connector jar
+# (probed every round since r5). On a connector-equipped cluster the
+# branch runs unchanged. Reference: RT/utils/MyKafkaUtil.java:21-43.
+KAFKA_FORMAT = "kafka"
+
 
 @dataclass
 class Channel:
@@ -72,7 +82,7 @@ class ChannelRegistry:
         if ch.kind == "memory":
             return spark.sql(f"SELECT * FROM {_mem_name(name)}")
         if ch.kind == "kafka":
-            reader = spark.read.format("kafka")
+            reader = spark.read.format(KAFKA_FORMAT)
             for k, v in ch.options.items():
                 reader = reader.option(k, v)
             return reader.load()
@@ -95,7 +105,7 @@ class ChannelRegistry:
     def read_stream(self, spark: SparkSession, name: str, max_files_per_trigger: int | None = None) -> DataFrame:
         ch = self._get(name)
         if ch.kind == "kafka":
-            reader = spark.readStream.format("kafka")
+            reader = spark.readStream.format(KAFKA_FORMAT)
             for k, v in ch.options.items():
                 reader = reader.option(k, v)
             return reader.load().selectExpr("CAST(value AS STRING) AS value", "timestamp")
@@ -126,7 +136,7 @@ class ChannelRegistry:
         if ch.kind == "memory":
             return writer.format("memory").queryName(_mem_name(name)).start()
         if ch.kind == "kafka":
-            writer = writer.format("kafka")
+            writer = writer.format(KAFKA_FORMAT)
             for k, v in ch.options.items():
                 writer = writer.option(k, v)
             return writer.start()
