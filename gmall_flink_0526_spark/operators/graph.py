@@ -163,9 +163,17 @@ def pagerank_partitioned(
     """
     spark = nodes.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
+    from ..functions.exact import exact_sum
+
+    # deg decimal-accumulated: for integer weights this is the exact
+    # value a plain SUM gives (so the unit-weight oracles are
+    # unchanged); for FLOAT weights (the jaccard-weighted graph) a
+    # plain double sum would be accumulation-order-dependent and no
+    # external oracle could mirror it bit-for-bit — the operator is
+    # weight-generic only because this sum is order-insensitive.
     deg = (
         edges.groupBy("src")
-        .agg(F.sum("w").alias("deg"))
+        .agg(exact_sum(F.col("w").cast("double")).alias("deg"))
         .withColumnRenamed("src", "_deg_src")
     )
     # deg is edge-derived (corpus-sized at scale): the normalization
@@ -211,8 +219,6 @@ def pagerank_partitioned(
     # one scalar memo: N (exact integer; as a double it is bit-identical
     # to the oracle's CAST(COUNT(*) AS DOUBLE) for any N < 2^53)
     nf = float(nd.count())
-    from ..functions.exact import exact_sum
-
     ranks = nd.withColumn("pr", F.lit(1.0)).localCheckpoint()
     for it in range(iters):
         # dangling mass, decimal-accumulated (empty set -> 0.0, both

@@ -173,10 +173,12 @@ _PRIORITY = (
     #    one 3-link ASOF oracle. -------------------------------------------
     "doc_pagerank",
     "doc_pagerank_stream",
+    "doc_pagerank_weighted",
     "lsh_recall_post_dedup",
     "substring_dedup",
     "substring_dedup_audit",
     "substring_dedup_stream",
+    "substring_dedup_l16",
     "funnel_attribution_4",
     "funnel_attribution_4_stream",
     #    ... and the within()-window attribution rule (Flink CEP's

@@ -763,14 +763,22 @@ def lsh_recall_post_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_PR_PARTITIONS = 8
 
 
-def _sql_doc_pagerank() -> str:
+def _sql_doc_pagerank(weighted: bool = False) -> str:
     """Chained-CTE mirror of operators/graph.pagerank_partitioned over
     the document similarity graph: one CTE pair (dangling sum, rank
     step) per power iteration, every floating fan-in
     decimal-accumulated (sql_sum) so both engines carry bit-identical
     doubles between steps — the behavior_pagerank chaining argument,
     now WITH the dangling-mass redistribute term (on this graph most
-    documents are singletons, so ds carries most of the mass)."""
+    documents are singletons, so ds carries most of the mass).
+
+    ``weighted=True`` swaps the unit-weight edge prologue for the
+    jaccard-weighted one: w = the verified Jaccard (an int/int IEEE
+    division, bit-identical both engines), per-source normalization
+    through a DECIMAL-accumulated degree (sql_sum — mirroring the
+    operator's exact_sum, the only way a float out-degree can be
+    order-insensitive). The iteration chain is IDENTICAL in both
+    variants — the weight never appears past ``nrm``."""
     from ..functions.exact import sql_sum
     from .logs import PAGERANK_D, PAGERANK_ITERS, PAGERANK_RESET
 
@@ -800,16 +808,36 @@ def _sql_doc_pagerank() -> str:
       ) c ON c.node = p.node
     )""")
         prev = f"r{i}"
-    return f"""
-    WITH {SQL_SHINGLES3},
-    {SQL_EXACT_PAIRS},
+    jac = (
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(a.s, b.s)))"
+    )
+    if weighted:
+        edge_cte = f"""
+    wpairs AS MATERIALIZED (
+      SELECT bf.da AS doc_a, bf.db AS doc_b, {jac} AS jaccard
+      FROM bf JOIN sh a ON bf.da = a.doc_id
+              JOIN sh b ON bf.db = b.doc_id
+      WHERE {jac} >= {JACCARD_THRESHOLD}
+    ),
+    e AS (SELECT doc_a AS src, doc_b AS dst, jaccard AS w FROM wpairs
+          UNION ALL SELECT doc_b, doc_a, jaccard FROM wpairs),
+    degt AS (SELECT src, {sql_sum('w')} AS deg FROM e GROUP BY 1),
+    nrm AS MATERIALIZED (
+      SELECT e.src, e.dst, e.w / d.deg AS p
+      FROM e JOIN degt d USING (src)),"""
+    else:
+        edge_cte = """
     e AS (SELECT doc_a AS src, doc_b AS dst, 1 AS w FROM exact_pairs
           UNION ALL SELECT doc_b, doc_a, 1 FROM exact_pairs),
     degt AS (SELECT src, SUM(w) AS deg FROM e GROUP BY 1),
     nrm AS MATERIALIZED (
       SELECT e.src, e.dst,
              CAST(e.w AS DOUBLE) / CAST(d.deg AS DOUBLE) AS p
-      FROM e JOIN degt d USING (src)),
+      FROM e JOIN degt d USING (src)),"""
+    return f"""
+    WITH {SQL_SHINGLES3},
+    {SQL_EXACT_PAIRS},{edge_cte}
     srcs AS (SELECT DISTINCT src AS node FROM nrm),
     nd AS (SELECT d.doc_id AS node, s.node IS NOT NULL AS has_out
            FROM documents d LEFT JOIN srcs s ON d.doc_id = s.node),
@@ -855,6 +883,55 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .withColumn("w", F.lit(1))
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    pr = pagerank_partitioned(
+        nodes,
+        edges,
+        iters=PAGERANK_ITERS,
+        d=float(PAGERANK_D),
+        reset=float(PAGERANK_RESET),
+        num_partitions=DOC_PR_PARTITIONS,
+    )
+    return pr.select(F.col("node").alias("doc_id"), "pagerank")
+
+
+@register(
+    "doc_pagerank_weighted",
+    oracle=_sql_doc_pagerank(weighted=True),
+    doc="Jaccard-WEIGHTED PageRank over the document similarity graph "
+    "(r12 VERDICT #5): edge weight = the verified Jaccard from the "
+    "prefix-filter table, normalized per source, through the SAME "
+    "pagerank_partitioned loop as doc_pagerank — rank flows in "
+    "proportion to similarity mass, so a hub tightly duplicated by "
+    "its neighborhood outranks one loosely touching many docs: the "
+    "curation signal the unit-weight loop only approximates. Proves "
+    "the operator weight-generic: the only float-weight hazard is "
+    "the out-degree sum, which the operator decimal-accumulates "
+    "(order-insensitive), letting the oracle mirror the whole chain "
+    "bit-for-bit — w itself is an int/int IEEE division and the "
+    "iteration CTEs are shared verbatim with the unit-weight oracle. "
+    "Scale shape identical to doc_pagerank: edges partitioned once, "
+    "per-step one rank shuffle into a co-partitioned merge join, "
+    "zero BroadcastHashJoin in the loop.",
+    tags=("documents", "graph", "dedup", "prefix-filter", "agg"),
+)
+def doc_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_partitioned
+    from .logs import PAGERANK_D, PAGERANK_ITERS, PAGERANK_RESET
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = prefix_filter_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        F.col("jaccard").alias("w"),
+    ).union(
+        pairs.select(
+            F.col("doc_b").alias("src"),
+            F.col("doc_a").alias("dst"),
+            F.col("jaccard").alias("w"),
+        )
     )
     nodes = docs.select(F.col("doc_id").alias("node"))
     pr = pagerank_partitioned(
@@ -1356,13 +1433,16 @@ def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- exact substring-level dedup (Lee et al. ExactSubstr) ----------------
 
 
-def _sql_substr_res_tail() -> str:
+def _sql_substr_res_tail(L: int | None = None) -> str:
     """The wide/res CTE tail of the substring-dedup derivation —
     requires ``toks`` (doc_id, t, ...) and ``st`` (doc_id, starts) in
     scope; shared verbatim by the batch oracle and the incremental
     stream's unrolled per-epoch oracle (the Spark twins share
-    operators/dedup.substring_cut_rows the same way)."""
-    L = D.SUBSTR_RUN
+    operators/dedup.substring_cut_rows the same way). ``L`` defaults
+    to the engine constant; the run length is a PARAMETER of the
+    derivation (Lee et al. use L=50 tokens), not a baked constant —
+    substring_dedup_l16 certifies a second instance."""
+    L = D.SUBSTR_RUN if L is None else L
     return f"""
     wide AS (
       SELECT t.doc_id, t.t, len(t.t) AS n_tokens,
@@ -1388,14 +1468,15 @@ def _sql_substr_res_tail() -> str:
     )"""
 
 
-def _sql_substring_cut() -> str:
+def _sql_substring_cut(L: int | None = None) -> str:
     """The full-corpus per-doc substring-dedup derivation as DuckDB
     CTEs ending in ``res`` (doc_id, n_tokens, n_removed, n_spans,
     cut_hash) — the exact mirror of operators/dedup.substring_cut:
     same window hash, same interval-union fold over sorted starts,
     same 0-based keep test (DuckDB lambda indexes are 1-based, hence
-    the i - 1 in the shared tail)."""
-    L = D.SUBSTR_RUN
+    the i - 1 in the shared tail). ``L`` parameterizes the run
+    length end to end (window build + tail)."""
+    L = D.SUBSTR_RUN if L is None else L
     return f"""
     toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
     gr AS (SELECT doc_id, t, unnest(range(1, len(t) - {L} + 2)) AS i FROM toks),
@@ -1406,7 +1487,7 @@ def _sql_substring_cut() -> str:
                             FROM grams GROUP BY gh) WHERE dc >= 2),
     st AS (SELECT doc_id, list_sort(list(pos)) AS starts
            FROM grams JOIN dup USING (gh) GROUP BY doc_id),
-    {_sql_substr_res_tail()}"""
+    {_sql_substr_res_tail(L)}"""
 
 
 @register(
@@ -1439,6 +1520,41 @@ def _sql_substring_cut() -> str:
 def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     cut = D.substring_cut(docs, "doc_id", "text")
+    return cut.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        "cut_hash",
+    )
+
+
+SUBSTR_RUN_LONG = 16  # the second certified L (Lee et al. use 50)
+
+
+@register(
+    "substring_dedup_l16",
+    oracle=f"""
+    WITH {_sql_substring_cut(SUBSTR_RUN_LONG)}
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           CAST(n_spans AS BIGINT) AS n_spans, cut_hash
+    FROM res
+    """,
+    doc="substring_dedup at L=16 — certifying that the run length is "
+    "a PARAMETER of the whole derivation (operator + oracle), not a "
+    "baked constant (r12 VERDICT #6; Lee et al. run L=50 tokens in "
+    "production). Same linear sorted-shingle-adjacency pipeline, "
+    "wider windows: coverage at 2L is a SUBSET of coverage at L "
+    "(every duplicated >=2L run is made of duplicated >=L runs over "
+    "the same tokens — hypothesis-pinned), so raising L only ever "
+    "keeps more text; the per-doc rows here differ from the L=8 row "
+    "exactly where a repeated run is >= 8 but < 16 tokens long.",
+    tags=("documents", "dedup", "substring", "text"),
+)
+def substring_dedup_l16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    cut = D.substring_cut(docs, "doc_id", "text", run_len=SUBSTR_RUN_LONG)
     return cut.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),

@@ -155,8 +155,10 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         "packing_length_histogram",
         # doc_pagerank's per-step dangling-mass scalar is a broadcast
         # 1-row crossJoin; the rank/edge joins themselves are
-        # merge-hinted (asserted broadcast-free below)
+        # merge-hinted (asserted broadcast-free below) — same loop,
+        # same scalar, for the jaccard-weighted variant
         "doc_pagerank",
+        "doc_pagerank_weighted",
         # the adversarial-corpus replication (1-row broadcast text) and
         # the final scalar fan-in row are both 1-row crossJoins
         "lsh_recall_post_dedup",

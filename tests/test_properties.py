@@ -831,6 +831,40 @@ def test_substring_cut_matches_python_model(spark, texts, L):
 
 
 @settings(max_examples=10, deadline=None)
+@given(st.lists(WORDS.map(" ".join), min_size=2, max_size=5), st.integers(2, 3))
+def test_substring_coverage_monotone_in_run_length(spark, texts, L):
+    """Coverage at 2L is a SUBSET of coverage at L (substring_dedup_l16's
+    stated contract): every token inside a cross-doc duplicated run of
+    length >= 2L also lies inside a duplicated run of length >= L, so
+    raising the run length only ever removes LESS — n_removed(2L) <=
+    n_removed(L) per doc, and the tokens kept at L are kept at 2L.
+    Pinned against the Python model at both lengths (the Spark
+    operator itself is pinned to the model above)."""
+    want_s = py_substring_cut(texts, L)
+    want_l = py_substring_cut(texts, 2 * L)
+    for (n_tok_s, n_rm_s, _, kept_s), (n_tok_l, n_rm_l, _, kept_l) in zip(
+        want_s, want_l
+    ):
+        assert n_tok_s == n_tok_l
+        assert n_rm_l <= n_rm_s
+        # kept-at-L is a subsequence of kept-at-2L (coverage shrinks)
+        it = iter(kept_l)
+        assert all(tok in it for tok in kept_s) or kept_s == []
+        # and the Spark operator agrees at the doubled length too
+    from gmall_flink_0526_spark.operators.dedup import substring_cut
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"])
+        for r in substring_cut(df, "doc_id", "text", run_len=2 * L).collect()
+    }
+    for d, (n_tok, n_rm, _, _) in enumerate(want_l):
+        assert got[d] == (n_tok, n_rm)
+
+
+@settings(max_examples=10, deadline=None)
 @given(
     st.lists(
         st.sets(st.integers(0, 40), min_size=1, max_size=18),
