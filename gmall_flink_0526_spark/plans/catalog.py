@@ -272,6 +272,8 @@ _PRIORITY = (
     "keyword_stats_cjk",
     "media_resize_audit",
     "media_features_head",
+    "media_near_dup",
+    "media_near_dup_audit",
     "dataset_split",
     "doc_chunking",
     "pii_scrub",

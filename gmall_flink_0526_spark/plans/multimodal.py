@@ -233,3 +233,164 @@ def media_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features").alias("cv"),
     )
     return S.topk_neighbors(probes, corpus, TOP_K, bucket=True)
+
+
+# -- perceptual near-dup (byte-level dHash) -------------------------------
+
+MEDIA_HAMMING = 3  # pairs within this Hamming distance are near-dups
+_PHASH_BANDS = 8
+_PHASH_WIDTH = M.PHASH_BITS // _PHASH_BANDS  # 7-bit bands
+_PHASH_MASK = (1 << _PHASH_WIDTH) - 1
+
+
+def _sql_media_phash_pairs() -> str:
+    """DuckDB mirror of perceptual_hash + simhash_near_dup_pairs over
+    the media fixture, ending in ``mpairs`` (media_a, media_b,
+    hamming): the same cell grid, 4-hex intensity, horizontal-compare
+    bit pack, 7-bit band equi-join with the hot-bucket rep cap, and
+    popcount verify — bit for bit."""
+    from ..operators import dedup as D
+    from .text import sql_hex_val
+
+    g = M.PHASH_GRID
+    cells = g * g
+    return f"""
+    mm AS (
+      SELECT doc_id AS media_id, {SQL_KIND} AS kind, text AS txt,
+             length(text) AS n
+      FROM documents
+    ),
+    mcell AS (
+      SELECT media_id, kind, i,
+             md5(substr(txt, CAST((i * n) // {cells} AS INTEGER) + 1,
+                 CAST(((i + 1) * n) // {cells} - (i * n) // {cells}
+                      AS INTEGER))) AS h
+      FROM mm, (SELECT unnest(range(0, {cells})) AS i) ii
+    ),
+    mval AS (SELECT media_id, kind, i, {sql_hex_val('h', 4)} AS v FROM mcell),
+    mfp AS (
+      SELECT a.media_id, a.kind,
+             CAST(SUM(CASE WHEN a.v > b.v
+                  THEN CAST(1 AS BIGINT) << ((a.i // {g}) * {g - 1} + a.i % {g})
+                  ELSE 0 END) AS BIGINT) AS phash
+      FROM mval a JOIN mval b
+        ON a.media_id = b.media_id AND b.i = a.i + 1 AND a.i % {g} < {g - 1}
+      GROUP BY a.media_id, a.kind
+    ),
+    mbanded AS (
+      SELECT media_id, phash, b,
+             (phash >> (b * {_PHASH_WIDTH})) & {_PHASH_MASK} AS bv
+      FROM mfp, (SELECT unnest(range(0, {_PHASH_BANDS})) AS b) bb
+    ),
+    mbstat AS (
+      SELECT b, bv, COUNT(*) AS bct, MIN(media_id) AS rep,
+             arg_min(phash, media_id) AS rep_ph
+      FROM mbanded GROUP BY b, bv
+    ),
+    mcand AS (
+      SELECT a.media_id AS media_a, c.media_id AS media_b,
+             a.phash AS pa, c.phash AS pb
+      FROM mbanded a
+      JOIN mbstat ON a.b = mbstat.b AND a.bv = mbstat.bv
+                 AND mbstat.bct <= {D.MAX_BUCKET}
+      JOIN mbanded c
+        ON a.b = c.b AND a.bv = c.bv AND a.media_id < c.media_id
+      UNION
+      SELECT t.rep AS media_a, mbanded.media_id AS media_b,
+             t.rep_ph AS pa, mbanded.phash AS pb
+      FROM mbanded JOIN mbstat t ON mbanded.b = t.b AND mbanded.bv = t.bv
+      WHERE t.bct > {D.MAX_BUCKET} AND mbanded.media_id > t.rep
+    ),
+    mpairs AS (
+      SELECT media_a, media_b, bit_count(xor(pa, pb)) AS hamming
+      FROM mcand
+      WHERE bit_count(xor(pa, pb)) <= {MEDIA_HAMMING}
+    )"""
+
+
+def _media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    ph = M.perceptual_hash(_media(spark, sf_dir))
+    fp = ph.select(F.col("media_id").alias("doc_id"), F.col("phash").alias("simhash"))
+    return D.simhash_near_dup_pairs(
+        fp, bits=M.PHASH_BITS, max_hamming=MEDIA_HAMMING, bands=_PHASH_BANDS
+    ).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )
+
+
+@register(
+    "media_near_dup",
+    oracle=f"""
+    WITH {_sql_media_phash_pairs()}
+    SELECT media_a, media_b, CAST(hamming AS INT) AS hamming FROM mpairs
+    """,
+    doc="Perceptual near-duplicate MEDIA pairs — dedup extended past "
+    "text/embeddings to the binary payload column (r12 VERDICT #4): "
+    "a blockwise difference-hash (dHash — 8x8 intensity cells, one "
+    "bit per horizontally adjacent pair, 56-bit fingerprint) computed "
+    "entirely in JVM string/integer expressions, then the SAME banded "
+    "Hamming candidate machinery as simhash_near_dup (7-bit bands, "
+    "pigeonhole completeness for Hamming <= 3, hot-bucket rep cap) "
+    "and an exact popcount verify. With no codec in the container the "
+    "cell 'pixel read' is content-addressed (4-hex md5 of the cell "
+    "slice) — robust to length-preserving local edits and exact-dup "
+    "payloads; a real build swaps ONE expression for mean luminance "
+    "and the grid/pack/band/verify chain ships unchanged. Scale: "
+    "64 cell rows per media, one band equi-join — never all-pairs.",
+    tags=("multimodal", "dedup", "sketch"),
+)
+def media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _media_phash_pairs(spark, sf_dir).select(
+        "media_a", "media_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@register(
+    "media_near_dup_audit",
+    oracle=f"""
+    WITH {_sql_media_phash_pairs()},
+    mkind AS (SELECT doc_id AS media_id, {SQL_KIND} AS kind FROM documents)
+    SELECT ka.kind AS kind_a, kb.kind AS kind_b,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_identical,
+           CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS frac_identical
+    FROM mpairs p
+    JOIN mkind ka ON p.media_a = ka.media_id
+    JOIN mkind kb ON p.media_b = kb.media_id
+    GROUP BY 1, 2
+    """,
+    doc="Near-dup rate by modality pair — the go/no-go read before "
+    "committing a media dedup cut: which modality combinations carry "
+    "the duplicate mass, and how much of it is bit-identical "
+    "(hamming 0) vs perceptually close. Same pair derivation as "
+    "media_near_dup plus two broadcast kind lookups and one grouped "
+    "agg; frac_identical is one int-ratio IEEE division (group "
+    "nonempty by construction).",
+    tags=("multimodal", "dedup", "stats"),
+)
+def media_near_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media(spark, sf_dir).select("media_id", "kind")
+    pairs = _media_phash_pairs(spark, sf_dir)
+    ka = media.select(F.col("media_id").alias("media_a"), F.col("kind").alias("kind_a"))
+    kb = media.select(F.col("media_id").alias("media_b"), F.col("kind").alias("kind_b"))
+    return (
+        pairs.join(F.broadcast(ka), "media_a")
+        .join(F.broadcast(kb), "media_b")
+        .groupBy("kind_a", "kind_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_identical"),
+            (
+                F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("frac_identical"),
+        )
+    )
