@@ -511,3 +511,194 @@ def rhp_candidate_pairs(sigs: DataFrame, max_bucket: int | None = None) -> DataF
         id_col="vec_id",
         out=("vec_a", "vec_b"),
     )
+
+
+# -- product quantization (PQ) -------------------------------------------
+#
+# The 100 TB embedding-store ladder: float32 (4*dim bytes) -> int8
+# (dim bytes, quantize_int8) -> PQ (m bytes: one small-codebook code
+# per subvector). m=8 over dim=64 float32 is a 32x shrink (8x past
+# int8); scoring is ADC — per probe, one (m x ks) lookup table of
+# partial distances, each corpus vector scored by m table lookups,
+# never a float-vector read.
+
+
+def pq_fit(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    fit_limit: int | None = None,
+) -> list[tuple[int, int, list[float]]]:
+    """Deterministic PQ codebook fit: split each vector into ``m``
+    equal subvectors and run :func:`kmeans_fit`'s exact Lloyd recipe
+    INDEPENDENTLY per subspace — seeds = the ``ks`` lowest-id vectors'
+    subvector slices, ``iters`` assign/recompute rounds, component
+    means decimal-accumulated so an oracle engine re-derives every
+    codebook bit-for-bit. All m subspaces train in the SAME passes
+    (the subspace index is a column, not a loop): per iteration one
+    broadcast-join assignment and one grouped decimal mean over
+    (subspace, cluster, pos), then one m*ks*(dim/m) = ks*dim-value
+    driver collect — config-sized, like the IVF fit's.
+
+    Returns ``[(j, c, centroid), ...]`` sorted by (j, c); empty
+    clusters drop out (GROUP BY recompute — both engines agree).
+    """
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    src = emb if fit_limit is None else emb.orderBy(id_col).limit(fit_limit)
+    sub = pq_subvectors(src, d_sub, m, vec_col=vec_col, id_col=id_col)
+    seeds = src.orderBy(id_col).limit(ks).select(vec_col).collect()
+    cents = [
+        (j, i, [float(x) for x in r[0][j * d_sub : (j + 1) * d_sub]])
+        for j in range(m)
+        for i, r in enumerate(seeds)
+    ]
+    for _ in range(iters):
+        assigned = pq_assign(sub, _pq_cents_df(emb.sparkSession, cents), id_col=id_col)
+        comp = assigned.select("j", "c", F.posexplode(F.col("sv")).alias("pos", "v"))
+        rows = (
+            comp.groupBy("j", "c", "pos")
+            .agg(
+                # float -> double -> decimal, the kmeans_fit rounding
+                # bridge (see that docstring's measured divergence)
+                (
+                    F.sum(F.col("v").cast("double").cast(KMEANS_DEC)).cast("double")
+                    / F.count("*")
+                ).alias("mv")
+            )
+            .collect()
+        )
+        by: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            by.setdefault((r["j"], r["c"]), {})[r["pos"]] = r["mv"]
+        cents = [(j, c, [d[p] for p in sorted(d)]) for (j, c), d in sorted(by.items())]
+    return cents
+
+
+def pq_subvectors(
+    emb: DataFrame,
+    d_sub: int,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, j, sv): each vector split into its m subvector slices —
+    one explode of m literal-sliced structs, map-only."""
+    return emb.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("_x"),
+    ).select(id_col, "_x.j", "_x.sv")
+
+
+def _pq_cents_df(spark, cents: list[tuple[int, int, list[float]]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(j), int(c), [float(x) for x in cv]) for j, c, cv in cents],
+        "j int, _kc int, _cv array<double>",
+    )
+
+
+def pq_assign(
+    sub: DataFrame, cents_df: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Nearest-codebook-entry assignment per (vector, subspace):
+    broadcast the m*ks codebook, score with the shared sq_dist fold,
+    argmin = grouped min over a (dist, c, sv) struct — ties to the
+    lowest c, map-side partial-aggregated like with_cluster's
+    large-k path. Output: (id, j, c, sv, sub_err) where sub_err is
+    the winning squared subdistance (the reconstruction error's
+    per-subspace term, free here)."""
+    scored = sub.join(F.broadcast(cents_df), "j").withColumn(
+        "_kd", sq_dist(F.col("sv"), F.col("_cv"))
+    )
+    agg = scored.groupBy(id_col, "j").agg(
+        F.min(F.struct(F.col("_kd"), F.col("_kc"), F.col("sv"))).alias("_m")
+    )
+    return agg.select(
+        id_col,
+        "j",
+        F.col("_m._kc").alias("c"),
+        F.col("_m.sv").alias("sv"),
+        F.col("_m._kd").alias("sub_err"),
+    )
+
+
+def pq_codes(
+    emb: DataFrame,
+    cents: list[tuple[int, int, list[float]]],
+    dim: int,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The integer code table: (id, j, c, sub_err) — long form, one
+    row per (vector, subspace), which is exactly the shape ADC joins
+    on (pack to an array<int> at the sink if serving bytes). Map-only
+    over the corpus + one broadcast codebook join; at 100 TB this is
+    the one full-corpus pass PQ ever takes."""
+    d_sub = dim // m
+    sub = pq_subvectors(emb, d_sub, m, vec_col=vec_col, id_col=id_col)
+    return pq_assign(sub, _pq_cents_df(emb.sparkSession, cents), id_col=id_col).drop(
+        "sv"
+    )
+
+
+def pq_adc_topk(
+    probes: DataFrame,
+    codes: DataFrame,
+    cents: list[tuple[int, int, list[float]]],
+    dim: int,
+    m: int,
+    k: int,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k: per probe, build
+    the (m x ks) lookup table of partial squared distances from the
+    FLOAT probe subvectors to every codebook entry, then score each
+    corpus vector as the sum of its m looked-up cells — the probe
+    never touches a corpus float. The per-vector sum of m doubles is
+    DECIMAL-accumulated (exact_sum) so the ADC score — and therefore
+    the ranking an oracle re-derives — is order-insensitive.
+
+    ``probes`` = (qid, qv); returns (qid, cid, adc_dist, rn <= k),
+    ranked ascending with id tie-break. Scale: the LUT is
+    probes x m x ks rows (config-sized, broadcast); the corpus-side
+    cost is one broadcast join on (j, c) over the code table + one
+    (qid, cid)-keyed sum — linear in codes, never a float-vector scan.
+    """
+    from ..functions.exact import exact_sum
+    from pyspark.sql import Window as W
+
+    d_sub = dim // m
+    qsub = pq_subvectors(probes, d_sub, m, vec_col="qv", id_col="qid")
+    lut = (
+        qsub.join(F.broadcast(_pq_cents_df(probes.sparkSession, cents)), "j")
+        .select(
+            "qid",
+            "j",
+            F.col("_kc").alias("c"),
+            sq_dist(F.col("sv"), F.col("_cv")).alias("pd"),
+        )
+    )
+    scored = (
+        codes.withColumnRenamed("vec_id", "cid")
+        .join(F.broadcast(lut), ["j", "c"])
+        .filter(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(exact_sum(F.col("pd")).alias("adc_dist"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("cid").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -318,6 +318,9 @@ _PRIORITY = (
     "packing_length_histogram",
     "ann_topk_ivf_nprobe",
     "ann_recall_nprobe",
+    "embedding_pq_audit",
+    "ann_recall_pq",
+    "ann_recall_pq_rerank",
     "rolling_value_7d",
     "scd2_order_history",
 )

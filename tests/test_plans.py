@@ -137,6 +137,8 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         "ann_recall_ivf",
         "ann_recall_int8",
         "ann_recall_nprobe",
+        "ann_recall_pq",
+        "ann_recall_pq_rerank",
     }
     # a crossJoin against a BROADCAST 1-ROW aggregate (scalar fan-in,
     # e.g. tfidf's n_docs, the mixture/histogram totals) plans as
