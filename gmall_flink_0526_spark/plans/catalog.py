@@ -120,14 +120,87 @@ _LOADED = False
 # (`tools/vanilla_gate.py`, result recorded in BASELINE.md) — so no
 # query ever stands on an unchecked stale row, even past the window.
 _PRIORITY = (
-    # -- r12 rotation, per the r11 VERDICT's prescription. Lead: the
-    #    29 queries whose last driver row is round 8 — three rounds
-    #    under the window; the r11 verdict named them explicitly and
-    #    they MUST head this window — plus the 2 remaining r11
-    #    overflow entries (the other 4 overflow names are inside the
-    #    29). All 31 were value-verified in r11 by the in-repo
-    #    full-catalog vanilla gate; this rotation refreshes the
-    #    DRIVER's own record. ---------------------------------------------
+    # -- r13 rotation. Lead: the 4 queries the r12 window displaced to
+    #    its overflow block (covered in r12 by the full-catalog sf0.01
+    #    vanilla gate; the contract says they head the NEXT window). --------
+    "visitor_stats_union",
+    "log_explode_displays",
+    "cdc_delete_filter",
+    "jdbc_round_trip",
+    # -- NEW in r13: the explicit-register HLL twin closing the
+    #    catalog's last no-oracle gap (product_stats_hll); jaccard-
+    #    WEIGHTED corpus PageRank through the same partitioned loop;
+    #    substring dedup at a second run length (L=16 — the run length
+    #    proven a parameter, not a constant); byte-level perceptual
+    #    (dHash) media near-dup pairs + the rate-by-modality audit;
+    #    and the product-quantization family (codebook audit, raw ADC
+    #    recall, ADC-shortlist + exact-re-rank recall). --------------------
+    "product_stats_hll",
+    "doc_pagerank_weighted",
+    "substring_dedup_l16",
+    "media_near_dup",
+    "media_near_dup_audit",
+    "embedding_pq_audit",
+    "ann_recall_pq",
+    "ann_recall_pq_rerank",
+    # -- CHANGED in r13 (changed code is always re-proven the round
+    #    it changes): pagerank_partitioned's out-degree sum now
+    #    decimal-accumulates (doc_pagerank, doc_pagerank_stream);
+    #    lsh_recall_post_dedup gained the REP_BASE_ID precondition;
+    #    the substring oracle builders were parameterized by L; the
+    #    similarity-graph app's shingle store went doc-id-bucketed
+    #    with an index-shaped verify (doc_pagerank_stream again); the
+    #    stateful seed-concat id fix touched temporal_join/
+    #    temporal_enrich/funnel_chain_n (every *_stream consumer
+    #    re-proven); and the store compactor's manifest commit touched
+    #    read_epoch_store/read_store, so every epoch-store streaming
+    #    query re-certifies. ------------------------------------------------
+    "doc_pagerank",
+    "doc_pagerank_stream",
+    "lsh_recall_post_dedup",
+    "substring_dedup",
+    "substring_dedup_audit",
+    "substring_dedup_stream",
+    "funnel_attribution_stream",
+    "funnel_attribution_4_stream",
+    "funnel_attribution_windowed_stream",
+    "asof_click_stream",
+    "dim_enrichment_asof_stream",
+    "dedup_incremental_stream",
+    "embedding_incremental_stream",
+    "approx_distinct_hll_stream",
+    "heavy_hitters_stream",
+    "decontaminate_bloom_stream",
+    "quantile_sketch_stream",
+    "value_drift_chi2_stream",
+    # -- ... and the 20 oldest-green fill entries completing the
+    #    window (head of the r12 post-cut order). ---------------------------
+    "uv_first_visit",
+    "uv_first_visit_stream",
+    "is_new_fix_stream",
+    "bounce_stats_stream",
+    "cdc_materialize",
+    "cdc_envelope_parse",
+    "config_routing",
+    "base_db_stream",
+    "sql_entry",
+    "product_stats",
+    "province_stats",
+    "record_merge",
+    "snake_to_camel",
+    "date_derive",
+    "log_split_counts",
+    "log_split_stream",
+    "visitor_stats_hourly",
+    "visitor_stats_stream",
+    "session_stats_stream",
+    "order_wide_join",
+    # == the 50-query window cut falls here (4 overflow leads + 8 new
+    #    + 18 changed + 20 oldest-green fill) ================================
+    # -- oldest-green fill continues: previous-round relative order
+    #    preserved; everything below the cut is covered this round by
+    #    the full sf0.001 pytest sweep and the in-repo full-catalog
+    #    vanilla gate at sf0.01 (BASELINE.md r13). ----------------------
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_vectorized",
@@ -157,114 +230,34 @@ _PRIORITY = (
     "value_percentiles",
     "local_supplier_volume",
     "product_stats_approx",
-    "product_stats_hll",
     "vocab_coverage",
     "mixture_temperature",
-    # -- NEW in r12: corpus-VERTEX PageRank over the prefix-filter
-    #    similarity graph (co-partitioned merge-join rank loop with
-    #    the dangling-mass redistribute term — zero BroadcastHashJoin,
-    #    plan-pinned); the adversarial-LSH mitigation certified
-    #    (in-plan 256-copy corpus: recall_raw 0.0078 under the rep
-    #    cap, recall_post 1.0 after exact dedup); exact
-    #    substring-level dedup (Lee et al. ExactSubstr via
-    #    sorted-shingle adjacency — linear, no pair join) per-doc +
-    #    per-source audit; and the FOUR-stage funnel instance of the
-    #    generalized N-stage chain, batch + CEP-state stream sharing
-    #    one 3-link ASOF oracle. -------------------------------------------
-    "doc_pagerank",
-    "doc_pagerank_stream",
-    "doc_pagerank_weighted",
-    "lsh_recall_post_dedup",
-    "substring_dedup",
-    "substring_dedup_audit",
-    "substring_dedup_stream",
-    "substring_dedup_l16",
     "funnel_attribution_4",
-    "funnel_attribution_4_stream",
-    #    ... and the within()-window attribution rule (Flink CEP's
-    #    within clause): lookback-gated links over the SAME resolved
-    #    chain, batch + stream sharing one windowed oracle — a stale
-    #    latest click is no touch, a voided link voids everything
-    #    deeper.
     "funnel_attribution_windowed",
-    "funnel_attribution_windowed_stream",
-    # -- CHANGED in r12: lsh_recall_exact's zero-guarded recall (both
-    #    engines); behavior_pagerank/_stream's shared helper grew the
-    #    dangling-node guard; funnel_attribution/_stream now run
-    #    through the generalized funnel_chain_n / funnel_chain_batch
-    #    operators (changed code is always re-proven the round it
-    #    changes). ---------------------------------------------------------
     "lsh_recall_exact",
     "behavior_pagerank",
     "behavior_pagerank_stream",
     "funnel_attribution",
-    "funnel_attribution_stream",
-    # -- ... and the 8 oldest-green fill entries completing the
-    #    window (head of the r11 post-cut order). -------------------------
     "asof_click_attribution",
     "is_new_fix",
     "bounce_stats",
     "session_stats",
-    # == the 50-query window cut falls here (31 stale + 10 new + 5
-    #    changed + 4 oldest-green fill) ================================
-    # -- OVERFLOW: the 4 fill entries displaced when the windowed
-    #    funnel pair, the substring stream and the pagerank stream
-    #    landed late in the round — they lead r13 and are covered this
-    #    round by the full-catalog sf0.01 vanilla gate (BASELINE.md
-    #    r12), per the round-5 overflow rule. ---------------------------
-    "visitor_stats_union",
-    "log_explode_displays",
-    "cdc_delete_filter",
-    "jdbc_round_trip",
-    # -- oldest-green fill continues: previous-round relative order
-    #    preserved; everything below the cut is covered this round by
-    #    the full sf0.001 pytest sweep and the in-repo full-catalog
-    #    vanilla gate at sf0.01 (BASELINE.md r12). ----------------------
-    "uv_first_visit",
-    "uv_first_visit_stream",
-    "is_new_fix_stream",
-    "bounce_stats_stream",
-    "cdc_materialize",
-    "cdc_envelope_parse",
-    "config_routing",
-    "base_db_stream",
-    "sql_entry",
-    "product_stats",
-    "province_stats",
-    "record_merge",
-    "snake_to_camel",
-    "date_derive",
-    "log_split_counts",
-    "log_split_stream",
-    "visitor_stats_hourly",
-    "visitor_stats_stream",
-    "session_stats_stream",
-    "order_wide_join",
     "payment_wide_join",
     "dim_enrichment",
     "dedup_exact",
     "bpe_train_loop",
     "bpe_encode_corpus",
-    "value_drift_chi2_stream",
     "visitor_stats_sliding",
     "visitor_stats_sliding_stream",
     "approx_distinct_hll",
-    "approx_distinct_hll_stream",
     "prefix_filter_near_dup",
     "value_drift_chi2",
     "quantile_histogram_audit",
-    "quantile_sketch_stream",
     "bpe_apply_merge",
-    "asof_click_stream",
     "dim_enrichment_asof",
-    "dim_enrichment_asof_stream",
     "order_wide_stream",
     "payment_wide_stream",
     "doc_quality_gate_stream",
-    "heavy_hitters_stream",
-    "decontaminate_bloom_stream",
-    "dedup_incremental_stream",
-    "embedding_incremental_stream",
     "embedding_norm_stats",
     "rhp_signature",
     "ann_topk_rhp",
@@ -272,8 +265,6 @@ _PRIORITY = (
     "keyword_stats_cjk",
     "media_resize_audit",
     "media_features_head",
-    "media_near_dup",
-    "media_near_dup_audit",
     "dataset_split",
     "doc_chunking",
     "pii_scrub",
@@ -318,9 +309,6 @@ _PRIORITY = (
     "packing_length_histogram",
     "ann_topk_ivf_nprobe",
     "ann_recall_nprobe",
-    "embedding_pq_audit",
-    "ann_recall_pq",
-    "ann_recall_pq_rerank",
     "rolling_value_7d",
     "scd2_order_history",
 )
