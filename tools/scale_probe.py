@@ -808,6 +808,24 @@ def main() -> None:
             "substring_dedup",
             "substring_dedup_audit",
             "lsh_recall_post_dedup",
+            # r13: the second substring run length rides the same
+            # linear pipeline (wider windows, fewer of them); the
+            # perceptual media hash is 64 fixed cell rows per payload +
+            # one band equi-join (never all-pairs, rep-capped like
+            # simhash); the PQ family's corpus cost is ONE broadcast-
+            # codebook join (fit is sample-bounded) and ADC scoring is
+            # a code-table join + (qid, cid) sum — all ratios must
+            # track data size; the weighted rank loop shares
+            # prefix_filter_near_dup's corpus-persisted pair table, so
+            # its incremental cost is the 5-step merge-join loop the
+            # doc_pagerank probe isolates per-iteration.
+            "substring_dedup_l16",
+            "media_near_dup",
+            "media_near_dup_audit",
+            "embedding_pq_audit",
+            "ann_recall_pq",
+            "ann_recall_pq_rerank",
+            "doc_pagerank_weighted",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
