@@ -143,6 +143,12 @@ _PRIORITY = (
     "embedding_pq_audit",
     "ann_recall_pq",
     "ann_recall_pq_rerank",
+    # -- NEW in r13 (second session): the CCNet-style bigram-LM
+    #    quality gate — model head, per-doc scores, median-threshold
+    #    keep/drop audit (operators/lm.py: exact-integer surprisal). --------
+    "ngram_lm_train",
+    "ngram_lm_perplexity",
+    "perplexity_filter",
     # -- CHANGED in r13 (changed code is always re-proven the round
     #    it changes): pagerank_partitioned's out-degree sum now
     #    decimal-accumulates (doc_pagerank, doc_pagerank_stream);
@@ -192,11 +198,12 @@ _PRIORITY = (
     "log_split_counts",
     "log_split_stream",
     "visitor_stats_hourly",
+    # == the 50-query window cut falls here (4 overflow leads + 11 new
+    #    + 18 changed + 17 oldest-green fill; the 3 fill entries the
+    #    second-session additions displaced lead the below-cut list) ========
     "visitor_stats_stream",
     "session_stats_stream",
     "order_wide_join",
-    # == the 50-query window cut falls here (4 overflow leads + 8 new
-    #    + 18 changed + 20 oldest-green fill) ================================
     # -- oldest-green fill continues: previous-round relative order
     #    preserved; everything below the cut is covered this round by
     #    the full sf0.001 pytest sweep and the in-repo full-catalog
@@ -331,6 +338,7 @@ def _ensure_loaded() -> None:
         multimodal,
         replay,
         llmprep,
+        lmquality,
     )
 
     ordered = {n: CATALOG[n] for n in _PRIORITY if n in CATALOG}

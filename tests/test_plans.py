@@ -177,6 +177,12 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         # node-count scalar into the node table (and its 5-row
         # contrib/ranks frames ride broadcast joins by design)
         "behavior_pagerank",
+        # the bigram-LM family fans two broadcast 1-row scalars: the
+        # vocabulary size into the model, and (in the gate) the
+        # percentile_disc threshold into the scored docs
+        "ngram_lm_train",
+        "ngram_lm_perplexity",
+        "perplexity_filter",
     }
     skip = {"jdbc_round_trip"}  # writes a DB as a side effect
     for name in plans.queries():
@@ -485,3 +491,25 @@ def test_funnel_attribution_4_is_chained_union_fill(spark):
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert len(re.findall(r"\(\d+\) Window", p)) == 3  # one per chained link
     assert re.search(r"hashpartitioning\(user_id", p)
+
+
+def test_ngram_lm_train_distributed_head_and_partial_agg(spark):
+    """The bigram-model head must stay a distributed top-k
+    (TakeOrderedAndProject) and the model's count shuffles must
+    partial-aggregate map-side; the documents scan reads only the two
+    columns the fit needs."""
+    p = plan_of(spark, "ngram_lm_train")
+    assert "TakeOrderedAndProject" in p
+    assert len(re.findall(r"HashAggregate", p)) >= 2  # partial + final
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and "lang" not in m.group(1) and "n_chars" not in m.group(1)
+
+
+def test_perplexity_filter_no_global_sort(spark):
+    """The gate's median threshold is a sort-based AGGREGATE (grouped
+    percentile_disc), never a corpus-wide Sort+Window; the scoring
+    join must be an equi-join on the bigram key (no cartesian beyond
+    the two broadcast 1-row scalars)."""
+    p = plan_of(spark, "perplexity_filter")
+    assert "CartesianProduct" not in p
+    assert "Window" not in p  # threshold is an aggregate, not a ranked scan

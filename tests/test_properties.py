@@ -922,3 +922,49 @@ def test_incremental_hash_prefix_discovery_is_exact(spark, sets, t):
             if inter / union >= t:
                 exp.add((i, j))
     assert got == exp
+
+
+# -- bigram-LM scoring vs a plain-Python model ---------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_lm_scores_match_python_model(spark, texts):
+    """operators/lm.py vs the direct Python derivation: add-one
+    smoothed bigram counts, scaled-integer surprisal (floor division),
+    mean-inverse-probability score — exact arithmetic end to end, so
+    the comparison is == on the integers and on the one final double."""
+    from gmall_flink_0526_spark.operators import lm
+    from gmall_flink_0526_spark.operators.textops import with_tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    staged = with_tokens(df)
+    grams = lm.doc_bigrams(staged)
+    model = lm.bigram_model(grams, lm.vocab_size(staged))
+    got = {
+        r["doc_id"]: (r["n_grams"], r["lm_score"])
+        for r in lm.doc_lm_scores(grams, model).collect()
+    }
+
+    toks = {i: py_tokenize(t) for i, t in enumerate(texts)}
+    bigrams = {i: py_shingles(t, 2) for i, t in toks.items()}
+    all_bg = [g for gs in bigrams.values() for g in gs]
+    vocab = {w for t in toks.values() for w in t}
+    c2: dict[str, int] = {}
+    c1: dict[str, int] = {}
+    for g in all_bg:
+        c2[g] = c2.get(g, 0) + 1
+        w1 = g.split(" ")[0]
+        c1[w1] = c1.get(w1, 0) + 1
+    exp = {}
+    for i, gs in bigrams.items():
+        if not gs:
+            continue
+        s_sum = sum(
+            ((c1[g.split(" ")[0]] + len(vocab)) * lm.LM_SCALE) // (c2[g] + 1)
+            for g in gs
+        )
+        exp[i] = (len(gs), float(s_sum) / float(len(gs) * lm.LM_SCALE))
+    assert got == exp
