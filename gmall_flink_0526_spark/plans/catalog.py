@@ -149,6 +149,10 @@ _PRIORITY = (
     "ngram_lm_train",
     "ngram_lm_perplexity",
     "perplexity_filter",
+    # -- NEW in r13 (second session): hypertable-style dense-grid
+    #    hourly rollups — gap-fill + locf / linear interpolation. ----------
+    "events_gapfill_locf",
+    "events_gapfill_interp",
     # -- CHANGED in r13 (changed code is always re-proven the round
     #    it changes): pagerank_partitioned's out-degree sum now
     #    decimal-accumulates (doc_pagerank, doc_pagerank_stream);
@@ -196,11 +200,11 @@ _PRIORITY = (
     "snake_to_camel",
     "date_derive",
     "log_split_counts",
+    # == the 50-query window cut falls here (4 overflow leads + 13 new
+    #    + 18 changed + 15 oldest-green fill; the 5 fill entries the
+    #    second-session additions displaced lead the below-cut list) ========
     "log_split_stream",
     "visitor_stats_hourly",
-    # == the 50-query window cut falls here (4 overflow leads + 11 new
-    #    + 18 changed + 17 oldest-green fill; the 3 fill entries the
-    #    second-session additions displaced lead the below-cut list) ========
     "visitor_stats_stream",
     "session_stats_stream",
     "order_wide_join",
@@ -339,6 +343,7 @@ def _ensure_loaded() -> None:
         replay,
         llmprep,
         lmquality,
+        timeseries,
     )
 
     ordered = {n: CATALOG[n] for n in _PRIORITY if n in CATALOG}

@@ -183,6 +183,10 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         "ngram_lm_train",
         "ngram_lm_perplexity",
         "perplexity_filter",
+        # the gap-fill grid fans the broadcast 1-row global bucket
+        # bounds into the entity list (entity x bucket generation)
+        "events_gapfill_locf",
+        "events_gapfill_interp",
     }
     skip = {"jdbc_round_trip"}  # writes a DB as a side effect
     for name in plans.queries():
