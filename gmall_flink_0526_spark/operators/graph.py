@@ -257,6 +257,78 @@ def pagerank_partitioned(
     return ranks.select("node", (F.col("pr") / F.lit(nf)).alias("pagerank"))
 
 
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Synchronous weighted label propagation: (node) x (src, dst, w)
+    -> (node, lab) after ``iters`` fixed rounds.
+
+    Community detection one rung finer than
+    :func:`connected_components`: where CC merges everything touching,
+    LP lets each node adopt the label with the LARGEST incident weight
+    sum each round — so a weak bridge between two dense near-dup
+    neighborhoods no longer fuses them. Every node starts as its own
+    label; per round ``lab(v) := argmax_L sum(w(u,v) : lab(u)=L)``
+    over in-neighbors, ties to the SMALLEST label, isolated nodes keep
+    their label. Rounds are synchronous and the count is FIXED (the
+    behavior_pagerank chaining argument): deterministic by
+    construction, so an oracle can mirror the loop as K chained CTEs —
+    asynchronous/converge-until-stable LP is order-dependent and
+    unverifiable.
+
+    Numerics: the per-label weight sum is DECIMAL-accumulated
+    (``exact_sum``) so float weights (verified Jaccard) are
+    order-insensitive; the argmax is a grouped ``max(struct(ws,
+    -lab))`` — map-side combining, no per-node sort.
+
+    Partition discipline matches :func:`pagerank_partitioned`: edges
+    (pre-symmetrized by the caller) are hash-partitioned once and
+    persisted; each round shuffles the node-sized label table into a
+    co-partitioned merge join (broadcast is banned from the loop — at
+    100 TB the label table is a thousand-partition frame), and the
+    label table is localCheckpoint-ed per round so lineage stays flat.
+    """
+    spark = nodes.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    from ..functions.exact import exact_sum
+
+    e = scoped_persist(
+        edges.select("src", "dst", F.col("w").cast("double").alias("w")).repartition(
+            n, "src"
+        )
+    )
+    labels = (
+        nodes.select("node")
+        .withColumn("lab", F.col("node"))
+        .repartition(n, "node")
+        .localCheckpoint()
+    )
+    for i in range(iters):
+        votes = (
+            labels.hint("merge")
+            .join(e, F.col("node") == F.col("src"))
+            .groupBy("dst", "lab")
+            .agg(exact_sum(F.col("w")).alias("ws"))
+        )
+        winners = (
+            votes.groupBy("dst")
+            .agg(F.max(F.struct(F.col("ws"), (-F.col("lab")).alias("nl"))).alias("m"))
+            .select(F.col("dst").alias("w_node"), (-F.col("m.nl")).alias("w_lab"))
+        )
+        labels = (
+            labels.hint("merge")
+            .join(winners, F.col("node") == F.col("w_node"), "left")
+            .select("node", F.coalesce(F.col("w_lab"), F.col("lab")).alias("lab"))
+            .repartition(n, "node")
+        )
+        if i < iters - 1:
+            labels = labels.localCheckpoint()
+    return labels
+
+
 def with_cluster_sizes(comp: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Attach per-cluster member counts: (node, comp) ->
     (doc_id, cluster_id, cluster_size). One shuffle on the component

@@ -153,6 +153,9 @@ _PRIORITY = (
     #    hourly rollups — gap-fill + locf / linear interpolation. ----------
     "events_gapfill_locf",
     "events_gapfill_interp",
+    # -- NEW in r13 (second session): weighted label-propagation
+    #    communities on the jaccard-weighted similarity graph. -------------
+    "doc_communities",
     # -- CHANGED in r13 (changed code is always re-proven the round
     #    it changes): pagerank_partitioned's out-degree sum now
     #    decimal-accumulates (doc_pagerank, doc_pagerank_stream);
@@ -199,10 +202,10 @@ _PRIORITY = (
     "record_merge",
     "snake_to_camel",
     "date_derive",
-    "log_split_counts",
-    # == the 50-query window cut falls here (4 overflow leads + 13 new
-    #    + 18 changed + 15 oldest-green fill; the 5 fill entries the
+    # == the 50-query window cut falls here (4 overflow leads + 14 new
+    #    + 18 changed + 14 oldest-green fill; the 6 fill entries the
     #    second-session additions displaced lead the below-cut list) ========
+    "log_split_counts",
     "log_split_stream",
     "visitor_stats_hourly",
     "visitor_stats_stream",

@@ -945,6 +945,114 @@ def doc_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("doc_id"), "pagerank")
 
 
+# -- weighted label-propagation communities over the similarity graph ----
+
+LP_ROUNDS = 3
+
+
+def _sql_doc_communities() -> str:
+    """Chained-CTE mirror of operators/graph.label_propagation over the
+    jaccard-weighted similarity graph: one (votes, winners, labels) CTE
+    triple per synchronous round. The per-label weight sum is
+    decimal-accumulated (sql_sum = the operator's exact_sum), so the
+    argmax both engines rank is over bit-identical doubles; the winner
+    is ROW_NUMBER ordered (ws DESC, lab) — the window twin of the
+    operator's max(struct(ws, -lab))."""
+    from ..functions.exact import sql_sum
+
+    jac = (
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(a.s, b.s)))"
+    )
+    rounds = []
+    prev = "l0"
+    for i in range(1, LP_ROUNDS + 1):
+        rounds.append(f"""
+    v{i} AS (
+      SELECT e.dst AS node, l.lab AS lab, {sql_sum('e.w')} AS ws
+      FROM e JOIN {prev} l ON l.node = e.src
+      GROUP BY 1, 2
+    ),
+    w{i} AS (
+      SELECT node, lab
+      FROM (SELECT node, lab,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY ws DESC, lab) AS rn
+            FROM v{i})
+      WHERE rn = 1
+    ),
+    l{i} AS MATERIALIZED (
+      SELECT p.node, COALESCE(w{i}.lab, p.lab) AS lab
+      FROM {prev} p LEFT JOIN w{i} ON p.node = w{i}.node
+    )""")
+        prev = f"l{i}"
+    return f"""
+    WITH {SQL_SHINGLES3},
+    {SQL_EXACT_PAIRS},
+    wpairs AS MATERIALIZED (
+      SELECT bf.da AS doc_a, bf.db AS doc_b, {jac} AS jaccard
+      FROM bf JOIN sh a ON bf.da = a.doc_id
+              JOIN sh b ON bf.db = b.doc_id
+      WHERE {jac} >= {JACCARD_THRESHOLD}
+    ),
+    e AS (SELECT doc_a AS src, doc_b AS dst, jaccard AS w FROM wpairs
+          UNION ALL SELECT doc_b, doc_a, jaccard FROM wpairs),
+    l0 AS (SELECT doc_id AS node, doc_id AS lab FROM documents),
+    {",".join(rounds)}
+    SELECT l.node AS doc_id, l.lab AS community, s.ct AS community_size
+    FROM {prev} l JOIN (SELECT lab, COUNT(*) AS ct FROM {prev} GROUP BY lab) s
+      ON l.lab = s.lab
+    """
+
+
+@register(
+    "doc_communities",
+    oracle=_sql_doc_communities(),
+    doc=f"Weighted label-propagation communities over the document "
+    f"similarity graph — {LP_ROUNDS} synchronous rounds of "
+    "operators/graph.label_propagation on the same jaccard-weighted "
+    "verified-pair edges doc_pagerank_weighted ranks. One rung finer "
+    "than dedup_clusters' connected components: each doc adopts the "
+    "label with the LARGEST incident similarity mass (ties to the "
+    "smallest label), so a weak bridge between two dense near-dup "
+    "neighborhoods no longer fuses them into one cluster — the "
+    "community granularity a curation pass actually samples from. "
+    "Deterministic end to end: fixed round count, decimal-accumulated "
+    "vote sums, integer tie-breaks — the oracle re-derives every round "
+    "as chained CTEs. Scale shape = the partitioned rank loop's: edges "
+    "partitioned once and persisted, per round one node-sized label "
+    "shuffle into co-partitioned merge joins, zero broadcast in the "
+    "loop, lineage checkpoint-truncated.",
+    tags=("documents", "graph", "dedup", "prefix-filter", "agg"),
+)
+def doc_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pairs = prefix_filter_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        F.col("jaccard").alias("w"),
+    ).union(
+        pairs.select(
+            F.col("doc_b").alias("src"),
+            F.col("doc_a").alias("dst"),
+            F.col("jaccard").alias("w"),
+        )
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    lab = label_propagation(
+        nodes, edges, iters=LP_ROUNDS, num_partitions=DOC_PR_PARTITIONS
+    )
+    sizes = lab.groupBy("lab").agg(F.count("*").alias("community_size"))
+    return lab.join(sizes, "lab").select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("community"),
+        "community_size",
+    )
+
+
 @register(
     "dedup_clusters",
     oracle=f"""

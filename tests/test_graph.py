@@ -126,3 +126,70 @@ def test_pagerank_partitioned_guards_unknown_endpoints(spark):
     edges = spark.createDataFrame([(1, 3, 1)], schema="src long, dst long, w long")
     with pytest.raises(ValueError, match="edge endpoint"):
         pagerank_partitioned(nodes, edges, iters=1, num_partitions=2)
+
+
+# -- weighted label propagation -------------------------------------------
+
+
+def _lp(spark, weighted_pairs, node_ids, iters=3):
+    from gmall_flink_0526_spark.operators.graph import label_propagation
+
+    pairs = spark.createDataFrame(weighted_pairs, schema="a long, b long, w double")
+    edges = pairs.selectExpr("a as src", "b as dst", "w").union(
+        pairs.selectExpr("b as src", "a as dst", "w")
+    )
+    nodes = spark.createDataFrame([(i,) for i in node_ids], schema="node long")
+    return {
+        r["node"]: r["lab"]
+        for r in label_propagation(nodes, edges, iters=iters).collect()
+    }
+
+
+def test_lp_weak_bridge_keeps_triangles_apart(spark):
+    # two tight triangles (w=0.9) joined by one weak bridge (w=0.1):
+    # connected_components would fuse them; LP must not — each side's
+    # vote mass is dominated by its own triangle
+    tri1 = [(0, 1, 0.9), (1, 2, 0.9), (0, 2, 0.9)]
+    tri2 = [(10, 11, 0.9), (11, 12, 0.9), (10, 12, 0.9)]
+    bridge = [(2, 10, 0.1)]
+    got = _lp(spark, tri1 + tri2 + bridge, range(0, 13))
+    assert got[0] == got[1] == got[2]
+    assert got[10] == got[11] == got[12]
+    assert got[0] != got[10]
+
+
+def test_lp_isolated_nodes_keep_own_label(spark):
+    got = _lp(spark, [(1, 2, 0.5)], [1, 2, 7, 8])
+    assert got[7] == 7 and got[8] == 8
+
+
+def test_lp_tie_breaks_to_smallest_label(spark):
+    # node 5 sees equal mass from labels 1 and 2 in round 1 -> takes 1
+    got = _lp(spark, [(1, 5, 0.5), (2, 5, 0.5)], [1, 2, 5], iters=1)
+    assert got[5] == 1
+
+
+def test_lp_matches_python_model_on_star(spark):
+    # deterministic synchronous-round model on a small weighted star
+    pairs = [(0, 1, 0.3), (0, 2, 0.7), (1, 2, 0.2)]
+    iters = 3
+    got = _lp(spark, pairs, [0, 1, 2], iters=iters)
+
+    import collections
+
+    adj = collections.defaultdict(list)
+    for a, b, w in pairs:
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+    lab = {n: n for n in [0, 1, 2]}
+    for _ in range(iters):
+        new = {}
+        for v in lab:
+            mass = collections.defaultdict(float)
+            for u, w in adj[v]:
+                mass[lab[u]] += w
+            new[v] = (
+                min(mass, key=lambda L: (-mass[L], L)) if mass else lab[v]
+            )
+        lab = new
+    assert got == lab
