@@ -154,8 +154,11 @@ _PRIORITY = (
     "events_gapfill_locf",
     "events_gapfill_interp",
     # -- NEW in r13 (second session): weighted label-propagation
-    #    communities on the jaccard-weighted similarity graph. -------------
+    #    communities on the jaccard-weighted similarity graph; the
+    #    LM gate's streaming twin (model maintained by the real
+    #    epoch-store count app, additive-exact merge). ---------------------
     "doc_communities",
+    "perplexity_gate_stream",
     # -- CHANGED in r13 (changed code is always re-proven the round
     #    it changes): pagerank_partitioned's out-degree sum now
     #    decimal-accumulates (doc_pagerank, doc_pagerank_stream);
@@ -201,10 +204,10 @@ _PRIORITY = (
     "province_stats",
     "record_merge",
     "snake_to_camel",
-    "date_derive",
-    # == the 50-query window cut falls here (4 overflow leads + 14 new
-    #    + 18 changed + 14 oldest-green fill; the 6 fill entries the
+    # == the 50-query window cut falls here (4 overflow leads + 15 new
+    #    + 18 changed + 13 oldest-green fill; the 7 fill entries the
     #    second-session additions displaced lead the below-cut list) ========
+    "date_derive",
     "log_split_counts",
     "log_split_stream",
     "visitor_stats_hourly",

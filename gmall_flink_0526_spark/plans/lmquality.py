@@ -123,9 +123,11 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.doc_lm_scores(grams, model)
 
 
-@register(
-    "perplexity_filter",
-    oracle=f"""
+# The full gate as one oracle string — shared VERBATIM by the batch
+# query and the streaming twin `perplexity_gate_stream` (the model's
+# count merge is additive-exact, so the streamed model and therefore
+# the gate decision are bit-identical to the batch fit).
+SQL_PERPLEXITY_FILTER = f"""
     WITH {_SQL_LM_CTES}, {_SQL_LM_SCORES},
     thr AS (SELECT quantile_disc(lm_score, 0.5) AS thr FROM scores)
     SELECT d.source,
@@ -135,7 +137,35 @@ def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scores JOIN documents d USING (doc_id)
     CROSS JOIN thr
     GROUP BY d.source
-    """,
+    """
+
+
+def gate_output(docs: DataFrame, scores: DataFrame) -> DataFrame:
+    """The executed gate from a per-doc score frame: median threshold
+    (percentile_disc — picks an actual element, cross-engine exact),
+    keep/drop counts and kept-gram mass per source. Shared by the
+    batch query and the streaming twin."""
+    thr = scores.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lm_score)").alias("thr")
+    )
+    kept = F.col("lm_score") <= F.col("thr")
+    return (
+        scores.join(docs.select("doc_id", "source"), "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_ct"),
+            F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("dropped_ct"),
+            F.sum(F.when(kept, F.col("n_grams")).otherwise(0))
+            .cast("long")
+            .alias("kept_gram_sum"),
+        )
+    )
+
+
+@register(
+    "perplexity_filter",
+    oracle=SQL_PERPLEXITY_FILTER,
     doc="The executed gate: keep the low-surprisal half of the corpus "
     "(CCNet keeps the low-perplexity head), reported per source. The "
     "threshold is percentile_disc(0.5) over the per-doc scores — a "
@@ -151,19 +181,4 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, staged, grams = _staged_grams(spark, sf_dir)
     model = lm.bigram_model(grams, lm.vocab_size(staged))
     scores = lm.doc_lm_scores(grams, model)
-    thr = scores.agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lm_score)").alias("thr")
-    )
-    kept = F.col("lm_score") <= F.col("thr")
-    return (
-        scores.join(t["documents"].select("doc_id", "source"), "doc_id")
-        .crossJoin(F.broadcast(thr))
-        .groupBy("source")
-        .agg(
-            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_ct"),
-            F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("dropped_ct"),
-            F.sum(F.when(kept, F.col("n_grams")).otherwise(0))
-            .cast("long")
-            .alias("kept_gram_sum"),
-        )
-    )
+    return gate_output(t["documents"], scores)

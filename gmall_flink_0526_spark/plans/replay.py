@@ -1616,6 +1616,76 @@ def _register_decontaminate_bloom_stream():
 _register_decontaminate_bloom_stream()
 
 
+def _register_perplexity_gate_stream():
+    from .lmquality import SQL_PERPLEXITY_FILTER, gate_output
+
+    @register(
+        "perplexity_gate_stream",
+        oracle=SQL_PERPLEXITY_FILTER,
+        doc="The bigram-LM quality gate with the model maintained by the "
+        "REAL streaming app (streaming/pipelines.lm_counts_app): the "
+        "corpus replays in 2 micro-batches, each writing its own "
+        "(w1, g, ct) count grid and distinct-token set to an "
+        "epoch-addressed store; the live model SUMs the grids "
+        "(additive merge over exact integers — the CMS member of the "
+        "sketch family applied to a model fit), derives prefix totals "
+        "from the MERGED grid and distincts the token sets, so the "
+        "streamed model is BIT-IDENTICAL to the one-shot batch fit and "
+        "this query shares `perplexity_filter`'s oracle VERBATIM — a "
+        "green row certifies that the quality gate can be maintained "
+        "incrementally at ingest time, never refit from scratch. 2 "
+        "micro-batches (split-independent, the r11 replay-floor rule); "
+        "no per-key state — the count grid IS the state, "
+        "distinct-bigram rows however many docs flow. Same "
+        "overwrite-own-epoch crash rule as the CMS app.",
+        tags=("streaming", "replay", "llm-prep", "quality", "lm"),
+    )
+    def perplexity_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..operators import lm, textops
+        from ..operators.cache import scoped_persist
+        from ..operators.partitioning import spread
+        from ..sources.registry import ChannelRegistry, write_replay
+        from ..streaming.pipelines import lm_counts_app, merged_lm_model
+
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        lines = spread(docs, "doc_id").withColumn(
+            "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+        )
+        root = temp_replay_root("gmall_lm_")
+        reg = ChannelRegistry(root)
+        reg.register("ods_documents", schema="doc_id long, text string, ts timestamp")
+        write_replay(
+            lines.select("doc_id", "text", "ts"),
+            reg.channels["ods_documents"].path,
+            n_files=2,
+            order_by=["ts", "doc_id"],
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # per-batch grids are batch-distinct-bigram-sized: 8
+            # shuffle partitions keeps the replay's commit count honest
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = lm_counts_app(
+                spark, reg, os.path.join(root, "ckpt"), os.path.join(root, "store")
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        model = merged_lm_model(spark, os.path.join(root, "store"))
+        staged = scoped_persist(
+            textops.with_tokens(spread(docs, "doc_id")).select("doc_id", "toks")
+        )
+        grams = scoped_persist(lm.doc_bigrams(staged))
+        scores = lm.doc_lm_scores(grams, model)
+        return gate_output(docs, scores)
+
+
+_register_perplexity_gate_stream()
+
+
 def _register_dim_enrichment_asof_stream():
     from .cdc import PIT_T0, PIT_T1, sql_dim_enrichment_asof
 

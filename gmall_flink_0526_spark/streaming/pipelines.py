@@ -1253,6 +1253,76 @@ def merged_hll_registers(
     )
 
 
+def lm_counts_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    store_root: str,
+    source: str = "ods_documents",
+):
+    """Streaming bigram-LM model maintenance — the MODEL-FIT member of
+    the epoch-store family (CMS adds, Bloom ors, histogram adds, HLL
+    maxes; this one adds COUNTS and distincts TOKENS): every
+    micro-batch reduces to its own (w1, g, ct) bigram-count grid and
+    its own distinct-token set, each written to an epoch-addressed
+    store. The live model (:func:`merged_lm_model`) SUMs the count
+    grids (additive merge — exact, so the streamed model is
+    BIT-IDENTICAL to the one-shot batch fit), derives the prefix
+    totals from the merged grid (c1 = sum of c2 over the prefix — the
+    derivation commutes with the merge), and DISTINCTs the token sets
+    (idempotent). Per-epoch store cost is batch-distinct-bigram-sized,
+    never corpus-sized; same overwrite-own-epoch crash rule as the
+    CMS app (pinned by the poison-epoch/restart test)."""
+    from ..operators import lm, textops
+
+    grams_path = os.path.join(store_root, "lm_grams")
+    toks_path = os.path.join(store_root, "lm_toks")
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        staged = textops.with_tokens(batch)
+        lm.doc_bigrams(staged).groupBy("w1", "g").agg(
+            F.count("*").alias("ct")
+        ).write.mode("overwrite").parquet(
+            os.path.join(grams_path, f"epoch={epoch_id}")
+        )
+        staged.select(F.explode("toks").alias("tok")).distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(toks_path, f"epoch={epoch_id}"))
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(ckpt, "lm_counts"))
+        .start()
+    )
+
+
+def merged_lm_model(spark: SparkSession, store_root: str) -> DataFrame:
+    """The live bigram model over an epoch-addressed count store:
+    (g, w1, c2, c1, v, s) with exactly ``operators/lm.bigram_model``'s
+    schema and values — c2 = per-(w1, g) count sum across epochs,
+    c1 derived from the MERGED grid, v = distinct over the epoch token
+    sets, s the scaled integer surprisal. All-integer, so additivity
+    is exact and the streamed model equals the batch fit bit-for-bit."""
+    from ..operators import lm
+
+    c2 = (
+        read_store(spark, os.path.join(store_root, "lm_grams"))
+        .groupBy("w1", "g")
+        .agg(F.sum("ct").alias("c2"))
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = (
+        read_store(spark, os.path.join(store_root, "lm_toks"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    return (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn("s", F.expr(f"((c1 + v) * {lm.LM_SCALE}) div (c2 + 1)"))
+    )
+
+
 def merged_cms_grid(spark: SparkSession, store_root: str) -> DataFrame:
     """The live sketch over an epoch-addressed CMS store: counter sums
     per (row, bucket) — at most depth*width result rows, however many

@@ -2469,3 +2469,81 @@ def test_seed_concat_keeps_ids_exact_above_2_53(spark):
     ).collect()
     assert {r["event_id"] for r in jout} == {BIG + 2}
     assert jout[0]["build_value"] == 7
+
+
+def test_lm_counts_app_sums_to_batch_model_and_survives_retry(spark, tmp_path):
+    """The streaming LM-fit app's two contracts (the sketch family's
+    model-fit member, same shape as the CMS/Bloom/HLL tests): (a)
+    ADDITIVITY — per-epoch bigram-count grids summed, prefix totals
+    derived from the merge, and token sets distinct'd equal the
+    one-shot batch fit bit-for-bit (all-integer arithmetic); (b) the
+    epoch-overwrite crash rule — a dead batch attempt's poisoned grid
+    (a forged high-count bigram that would otherwise deflate real
+    surprisals forever) is rewritten on restart, so the recovered
+    model still equals the uninterrupted one."""
+    import shutil
+
+    from gmall_flink_0526_spark.operators import lm, textops
+    from gmall_flink_0526_spark.operators.partitioning import spread
+
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    stream_in = spread(docs, "doc_id").select(
+        "doc_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("ts"),
+        "text",
+    )
+    reg = ChannelRegistry(str(tmp_path / "chan"))
+    reg.register("ods_documents", schema="doc_id long, ts timestamp, text string")
+    write_replay(
+        stream_in, reg.channels["ods_documents"].path, n_files=3,
+        order_by=["doc_id"], file_of=F.col("doc_id") % 3,
+    )
+
+    # hide batch 2's file; run epochs 0-1 to completion
+    src_path = reg.channels["ods_documents"].path
+    files = sorted(
+        (
+            f
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ),
+        key=lambda f: os.path.getmtime(os.path.join(src_path, f)),
+    )
+    hidden = files[-1]
+    shutil.move(os.path.join(src_path, hidden), str(tmp_path / "hidden.parquet"))
+    q = pipelines.lm_counts_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # dead batch-2 attempt: poisoned grids written, checkpoint not committed
+    spark.createDataFrame(
+        [("the", "the poisoned", 10_000_000)], "w1 string, g string, ct long"
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "store" / "lm_grams" / "epoch=2")
+    )
+    spark.createDataFrame([("poisontok",)], "tok string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "store" / "lm_toks" / "epoch=2"))
+
+    shutil.move(str(tmp_path / "hidden.parquet"), os.path.join(src_path, hidden))
+    q2 = pipelines.lm_counts_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    staged = textops.with_tokens(docs)
+    batch_model = lm.bigram_model(lm.doc_bigrams(staged), lm.vocab_size(staged))
+    exp = {
+        (r["g"], r["c2"], r["c1"], r["v"], r["s"]) for r in batch_model.collect()
+    }
+    got = {
+        (r["g"], r["c2"], r["c1"], r["v"], r["s"])
+        for r in pipelines.merged_lm_model(spark, str(tmp_path / "store")).collect()
+    }
+    assert got == exp  # poison gone, additive merge equals the batch fit
