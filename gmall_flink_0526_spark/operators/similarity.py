@@ -657,6 +657,111 @@ def pq_codes(
     )
 
 
+def ivfpq_residuals(
+    assigned: DataFrame,
+    coarse_cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding, c0): each vector replaced by its RESIDUAL to its
+    coarse IVF centroid — the FAISS IVF-PQ encoding substrate
+    (quantizing residuals concentrates the PQ codebooks on the
+    within-cell distribution, where the variance actually lives).
+    ``assigned`` is the cluster-assigned corpus (``with_cluster``
+    output); one broadcast join + one zip_with, map-only. The float ->
+    double upcast and the per-component subtraction are both exact /
+    correctly-rounded IEEE ops, so an oracle re-derives every residual
+    bit-for-bit."""
+    spark = assigned.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in cv]) for c, cv in coarse_cents],
+        "c int, _ccv array<double>",
+    )
+    return (
+        assigned.withColumn("c", F.col("c").cast("int"))
+        .join(F.broadcast(cdf), "c")
+        .select(
+            id_col,
+            F.zip_with(
+                vec_col, "_ccv", lambda x, y: x.cast("double") - y
+            ).alias("embedding"),
+            F.col("c").alias("c0"),
+        )
+    )
+
+
+def ivfpq_adc_topk(
+    probes: DataFrame,
+    codes: DataFrame,
+    coarse_cents: list[tuple[int, list[float]]],
+    pq_cents: list[tuple[int, int, list[float]]],
+    dim: int,
+    m: int,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """IVF-PQ ADC top-k — the FAISS IVFPQ serving path: route each
+    probe to its ``nprobe`` nearest coarse cells, take the probe's
+    residual to EACH probed centroid (||q - x_hat|| = ||r_q - r_x_hat||
+    when both residuals share the cell's centroid), build the
+    per-(probe, cell) m x ks lookup table over the RESIDUAL codebooks,
+    and score only the code rows of the probed cells — candidate cost
+    is nprobe bucket-sized code scans per probe, never the corpus, and
+    the corpus floats are never read at query time.
+
+    ``codes`` must carry ``c0`` (the owning coarse cell) next to the
+    (vec_id, j, c) residual codes. Per-vector ADC sums are
+    DECIMAL-accumulated like :func:`pq_adc_topk`'s, so the ranking is
+    oracle-derivable. Returns (qid, cid, adc_dist, rn <= k)."""
+    from ..functions.exact import exact_sum
+    from pyspark.sql import Window as W
+
+    spark = probes.sparkSession
+    d_sub = dim // m
+    pc = probe_clusters(probes, coarse_cents, nprobe, out="c0")
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in cv]) for c, cv in coarse_cents],
+        "c0 int, _ccv array<double>",
+    )
+    qres = pc.join(F.broadcast(cdf), "c0").select(
+        "qid",
+        "c0",
+        F.zip_with("qv", "_ccv", lambda x, y: x.cast("double") - y).alias("rv"),
+    )
+    sub = qres.select(
+        "qid",
+        "c0",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(F.col("rv"), j * d_sub + 1, d_sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("_x"),
+    ).select("qid", "c0", "_x.j", "_x.sv")
+    lut = sub.join(F.broadcast(_pq_cents_df(spark, pq_cents)), "j").select(
+        "qid",
+        "c0",
+        "j",
+        F.col("_kc").alias("c"),
+        sq_dist(F.col("sv"), F.col("_cv")).alias("pd"),
+    )
+    scored = (
+        codes.withColumnRenamed("vec_id", "cid")
+        .withColumn("c0", F.col("c0").cast("int"))
+        .join(F.broadcast(lut), ["c0", "j", "c"])
+        .filter(F.col("cid") != F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(exact_sum(F.col("pd")).alias("adc_dist"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("adc_dist").asc(), F.col("cid").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def pq_adc_topk(
     probes: DataFrame,
     codes: DataFrame,

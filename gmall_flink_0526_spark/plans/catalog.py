@@ -159,6 +159,11 @@ _PRIORITY = (
     #    epoch-store count app, additive-exact merge). ---------------------
     "doc_communities",
     "perplexity_gate_stream",
+    # -- NEW in r13 (second session): the composed FAISS IVF-PQ path —
+    #    residual quantization inside the coarse cells, ADC over probed
+    #    cells only, plus its recall decomposition audit. ------------------
+    "ann_topk_ivfpq",
+    "ann_recall_ivfpq",
     # -- CHANGED in r13 (changed code is always re-proven the round
     #    it changes): pagerank_partitioned's out-degree sum now
     #    decimal-accumulates (doc_pagerank, doc_pagerank_stream);
@@ -202,11 +207,11 @@ _PRIORITY = (
     "sql_entry",
     "product_stats",
     "province_stats",
+    # == the 50-query window cut falls here (4 overflow leads + 17 new
+    #    + 18 changed + 11 oldest-green fill; the 9 fill entries the
+    #    second-session additions displaced lead the below-cut list) ========
     "record_merge",
     "snake_to_camel",
-    # == the 50-query window cut falls here (4 overflow leads + 15 new
-    #    + 18 changed + 13 oldest-green fill; the 7 fill entries the
-    #    second-session additions displaced lead the below-cut list) ========
     "date_derive",
     "log_split_counts",
     "log_split_stream",

@@ -1506,32 +1506,41 @@ def _sql_pq_recompute(a_name: str, ctr_name: str) -> str:
     {ctr_name} AS (SELECT j, c, list(mv ORDER BY pos) AS cv FROM m_{ctr_name} GROUP BY j, c)"""
 
 
-_SQL_PQ_CTES = f"""
-    pfit AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KM_FIT_N}),
-    pjj AS (SELECT unnest(range(0, {PQ_M})) AS j),
-    psub AS MATERIALIZED (
+def _sql_pq_ctes_from(src: str, p: str) -> str:
+    """The full PQ chain (sample fit -> 2 Lloyd rounds per subspace ->
+    corpus code assignment) over ``src`` (any (vec_id, embedding) CTE
+    or table), CTE names prefixed by ``p`` so one query can quantize
+    several sources — raw embeddings for the flat-PQ family, coarse
+    IVF residuals for the IVF-PQ family."""
+    return f"""
+    {p}fit AS (SELECT vec_id, embedding FROM {src} ORDER BY vec_id LIMIT {KM_FIT_N}),
+    {p}jj AS (SELECT unnest(range(0, {PQ_M})) AS j),
+    {p}sub AS MATERIALIZED (
       SELECT vec_id, j,
              list_slice(embedding, j * {_PQ_DSUB} + 1, (j + 1) * {_PQ_DSUB}) AS sv
-      FROM pfit, pjj
+      FROM {p}fit, {p}jj
     ),
-    pseeds AS (
+    {p}seeds AS (
       SELECT j, rn - 1 AS c, sv AS cv
       FROM (SELECT j, sv, ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) AS rn
-            FROM psub)
+            FROM {p}sub)
       WHERE rn <= {PQ_KS}
     ),
-    {_sql_pq_assign('psub', 'pseeds', 'pa0')},
-    {_sql_pq_recompute('pa0', 'pctr1')},
-    {_sql_pq_assign('psub', 'pctr1', 'pa1')},
-    {_sql_pq_recompute('pa1', 'pctr2')},
-    pall AS (
+    {_sql_pq_assign(f'{p}sub', f'{p}seeds', f'{p}a0')},
+    {_sql_pq_recompute(f'{p}a0', f'{p}ctr1')},
+    {_sql_pq_assign(f'{p}sub', f'{p}ctr1', f'{p}a1')},
+    {_sql_pq_recompute(f'{p}a1', f'{p}ctr2')},
+    {p}all AS (
       SELECT vec_id, j,
              list_slice(embedding, j * {_PQ_DSUB} + 1, (j + 1) * {_PQ_DSUB}) AS sv
-      FROM embeddings, pjj
+      FROM {src}, {p}jj
     ),
-    {_sql_pq_assign('pall', 'pctr2', 'pcodes_raw')},
-    pcodes AS MATERIALIZED (SELECT vec_id, j, c, sd FROM pcodes_raw)
+    {_sql_pq_assign(f'{p}all', f'{p}ctr2', f'{p}codes_raw')},
+    {p}codes AS MATERIALIZED (SELECT vec_id, j, c, sd FROM {p}codes_raw)
 """
+
+
+_SQL_PQ_CTES = _sql_pq_ctes_from("embeddings", "p")
 
 
 def pq_fit_cached(spark: SparkSession, sf_dir: str, emb: DataFrame):
@@ -1846,6 +1855,248 @@ def ann_recall_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid")
     )
     top_r = top.select(F.col("qid").alias("iqid"), F.col("cid").alias("icid"))
+    return (
+        brute.join(
+            top_r,
+            (F.col("qid") == F.col("iqid")) & (F.col("cid") == F.col("icid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("icid").alias("hit_ct"),
+            (F.count("icid") / F.lit(float(TOP_K))).alias("recall"),
+        )
+    )
+
+
+# -- IVF-PQ: residual product quantization inside the coarse cells -------
+#
+# The FAISS IVFPQ composition, certified end to end: the fixed-k IVF
+# fit partitions the corpus into cells, each vector is re-expressed as
+# its RESIDUAL to its cell centroid, and the PQ codebooks are fit on
+# (and the codes assigned over) those residuals — quantization spends
+# its bits on the within-cell distribution where the variance lives.
+# Query time = coarse routing (nprobe cells) + residual LUT + ADC over
+# the probed cells' code rows only: per probe the cost is nprobe
+# bucket-sized integer scans, never the corpus, and never a float read.
+
+IVFPQ_NPROBE = NPROBE_P
+
+_SQL_IVFPQ_RSD = f"""
+    rsd AS MATERIALIZED (
+      SELECT a.vec_id,
+             list_transform(range(1, {PQ_DIM} + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) - t.cv[i]) AS embedding,
+             a.c AS c0
+      FROM afinal a JOIN ctr2 t ON a.c = t.c
+    )"""
+
+# coarse routing + per-(probe, cell) residual LUT + ADC scoring — the
+# shared tail of both IVF-PQ oracles
+_SQL_IVFPQ_SCORED = f"""
+    qc AS (SELECT k.vec_id, k.j, k.c, r.c0 FROM qcodes k JOIN rsd r USING (vec_id)),
+    iprobes AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {N_PROBES}
+    ),
+    pcell AS (
+      SELECT qid, c0, cv FROM (
+        SELECT p.qid, s.c AS c0, s.cv,
+               ROW_NUMBER() OVER (PARTITION BY p.qid
+                                  ORDER BY {_sql_sqdist('p.qv', 's.cv')}, s.c) AS rn
+        FROM iprobes p CROSS JOIN ctr2 s)
+      WHERE rn <= {IVFPQ_NPROBE}
+    ),
+    qres AS (
+      SELECT pc.qid, pc.c0,
+             list_transform(range(1, {PQ_DIM} + 1),
+                  i -> CAST(p.qv[i] AS DOUBLE) - pc.cv[i]) AS rv
+      FROM pcell pc JOIN iprobes p ON pc.qid = p.qid
+    ),
+    qlut AS (
+      SELECT r.qid, r.c0, s.j, s.c,
+             {_sql_sqdist(f"list_slice(r.rv, s.j * {_PQ_DSUB} + 1, (s.j + 1) * {_PQ_DSUB})", 's.cv')} AS pd
+      FROM qres r, qctr2 s
+    ),
+    scored AS (
+      SELECT l.qid, k.vec_id AS cid,
+             CAST(SUM(CAST(l.pd AS {_DEC})) AS DOUBLE) AS adc_dist
+      FROM qc k JOIN qlut l ON k.c0 = l.c0 AND k.j = l.j AND k.c = l.c
+      WHERE k.vec_id != l.qid
+      GROUP BY 1, 2
+    )"""
+
+
+def ivfpq_residuals_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding=residual double[], c0): the corpus residuals
+    to the fixed-k coarse fit — corpus-scoped; the fit, code and both
+    query consumers share one frame."""
+    from ..operators.cache import corpus_persist
+
+    def build():
+        assigned = ivf_assigned_cached(spark, sf_dir)
+        emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        cents = kmeans_fit_cached(spark, sf_dir, emb)
+        return S.ivfpq_residuals(assigned, cents)
+
+    return corpus_persist(spark, "ivfpq_residuals", sf_dir, build)
+
+
+def ivfpq_fit_cached(spark: SparkSession, sf_dir: str):
+    rsd = ivfpq_residuals_cached(spark, sf_dir)
+    return corpus_value(
+        spark,
+        f"ivfpq_fit:{PQ_M}:{PQ_KS}:{KM_FIT_N}",
+        sf_dir,
+        lambda: S.pq_fit(
+            rsd, PQ_DIM, m=PQ_M, ks=PQ_KS, iters=KM_ITERS, fit_limit=KM_FIT_N
+        ),
+    )
+
+
+def ivfpq_codes_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, j, c, sub_err, c0): the corpus under the residual-PQ
+    code assignment, each row carrying its owning coarse cell — the
+    integer store IVF-PQ serves from."""
+    from ..operators.cache import corpus_persist
+
+    def build():
+        rsd = ivfpq_residuals_cached(spark, sf_dir)
+        cents = ivfpq_fit_cached(spark, sf_dir)
+        return S.pq_codes(rsd, cents, PQ_DIM, PQ_M).join(
+            rsd.select("vec_id", "c0"), "vec_id"
+        )
+
+    return corpus_persist(spark, "ivfpq_codes", sf_dir, build)
+
+
+@register_setup("ivfpq_codebooks")
+def _setup_ivfpq_codebooks(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the coarse fit, residual store, residual-PQ fit and
+    cell-tagged code table the two IVF-PQ queries share."""
+    ivfpq_codes_cached(spark, sf_dir).count()
+
+
+@register(
+    "ann_topk_ivfpq",
+    oracle=f"""
+    WITH {_SQL_KMEANS_CTES},
+    {_SQL_IVFPQ_RSD},
+    {_sql_pq_ctes_from('rsd', 'q')},
+    {_SQL_IVFPQ_SCORED}
+    SELECT qid, cid, adc_dist, CAST(rn AS INTEGER) AS rn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY adc_dist, cid) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+    doc=f"IVF-PQ ADC retrieval — the FAISS IVFPQ serving path as one "
+    f"plan: each probe routes to its {IVFPQ_NPROBE} nearest coarse "
+    "cells, takes its residual to EACH probed centroid (||q - x_hat|| "
+    "= ||r_q - r_x_hat|| within a shared cell), builds the m x ks "
+    "residual lookup table, and ADC-scores ONLY the probed cells' "
+    "code rows — per probe the candidate cost is nprobe bucket-sized "
+    "integer scans; the corpus floats are never read at query time. "
+    "The oracle re-derives the coarse fit, every residual, the "
+    "residual codebooks, the routing and the decimal-exact ADC "
+    "ranking bit-for-bit. Scale: fit sample-bounded, code table one "
+    "map-shaped corpus pass, LUT probes x nprobe x m x ks (broadcast), "
+    "scoring one broadcast join + (qid, cid) sum — linear in the "
+    "probed cells' codes.",
+    tags=("similarity", "ann", "kmeans", "quantization"),
+)
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = scoped_persist(t["embeddings"])
+    coarse = kmeans_fit_cached(spark, sf_dir, emb)
+    pq_cents = ivfpq_fit_cached(spark, sf_dir)
+    codes = ivfpq_codes_cached(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return S.ivfpq_adc_topk(
+        probes, codes, coarse, pq_cents, PQ_DIM, PQ_M, TOP_K, IVFPQ_NPROBE
+    )
+
+
+@register(
+    "ann_recall_ivfpq",
+    oracle=f"""
+    WITH {_SQL_KMEANS_CTES},
+    {_SQL_IVFPQ_RSD},
+    {_sql_pq_ctes_from('rsd', 'q')},
+    {_SQL_IVFPQ_SCORED},
+    itop AS (
+      SELECT qid, cid
+      FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+                                                ORDER BY adc_dist, cid) AS rn
+            FROM scored)
+      WHERE rn <= {TOP_K}
+    ),
+    bscored AS (
+      SELECT qid, vec_id AS cid, {_sql_sqdist('qv', 'embedding')} AS l2
+      FROM embeddings CROSS JOIN iprobes
+      WHERE vec_id != qid
+    ),
+    brute AS (
+      SELECT qid, cid
+      FROM (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+                                                ORDER BY l2, cid) AS rn
+            FROM bscored)
+      WHERE rn <= {TOP_K}
+    )
+    SELECT b.qid,
+           COUNT(i.cid) AS hit_ct,
+           COUNT(i.cid) / {TOP_K}.0 AS recall
+    FROM brute b LEFT JOIN itop i ON b.qid = i.qid AND b.cid = i.cid
+    GROUP BY b.qid
+    """,
+    doc="IVF-PQ retrieval-quality audit — recall@k of the full "
+    "composed pipeline (coarse routing x residual quantization) "
+    "against the exact squared-L2 brute-force ranking. Reading it "
+    "next to ann_recall_nprobe (routing loss alone) and ann_recall_pq "
+    "(quantization loss alone) decomposes exactly where the composed "
+    "system loses candidates — the calibration read FAISS users do "
+    "before picking nprobe and m. Oracle re-derives both rankings "
+    "bit-for-bit; the brute baseline is the documented allowed "
+    "cartesian, the IVF-PQ side never leaves bucket-sized joins.",
+    tags=("similarity", "ann", "kmeans", "quantization", "audit"),
+)
+def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.cache import scoped_persist
+    from ..operators.partitioning import spread
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = scoped_persist(t["embeddings"])
+    coarse = kmeans_fit_cached(spark, sf_dir, emb)
+    pq_cents = ivfpq_fit_cached(spark, sf_dir)
+    codes = ivfpq_codes_cached(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    ivfpq_top = S.ivfpq_adc_topk(
+        probes, codes, coarse, pq_cents, PQ_DIM, PQ_M, TOP_K, IVFPQ_NPROBE
+    ).select("qid", "cid")
+    corpus = spread(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
+        "cid",
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("l2", S.sq_dist(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("l2").asc(), F.col("cid").asc())
+    brute = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cid")
+    )
+    top_r = ivfpq_top.select(F.col("qid").alias("iqid"), F.col("cid").alias("icid"))
     return (
         brute.join(
             top_r,

@@ -139,6 +139,7 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         "ann_recall_nprobe",
         "ann_recall_pq",
         "ann_recall_pq_rerank",
+        "ann_recall_ivfpq",
     }
     # a crossJoin against a BROADCAST 1-ROW aggregate (scalar fan-in,
     # e.g. tfidf's n_docs, the mixture/histogram totals) plans as
@@ -168,6 +169,7 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         # k-row centroid table (config-sized build side, like
         # with_cluster's large-k argmin)
         "ann_topk_ivf_nprobe",
+        "ann_topk_ivfpq",
         "embedding_cluster_stats",
         "embedding_semdedup",
         "semdedup_survivors",
@@ -517,3 +519,14 @@ def test_perplexity_filter_no_global_sort(spark):
     p = plan_of(spark, "perplexity_filter")
     assert "CartesianProduct" not in p
     assert "Window" not in p  # threshold is an aggregate, not a ranked scan
+
+
+def test_ivfpq_bucketed_codes_join_not_cartesian(spark):
+    """IVF-PQ serving: the corpus-side score must be an equi-join of
+    the code table against the broadcast probe LUT on (c0, j, c) —
+    bucket-sized integer scans, never a corpus cartesian and never a
+    float-vector read of the corpus at query time (scan pruning: the
+    code table join needs no embedding column)."""
+    p = plan_of(spark, "ann_topk_ivfpq")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # LUT + codebook joins broadcast
