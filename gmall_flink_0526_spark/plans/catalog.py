@@ -164,6 +164,11 @@ _PRIORITY = (
     #    cells only, plus its recall decomposition audit. ------------------
     "ann_topk_ivfpq",
     "ann_recall_ivfpq",
+    # -- NEW in r13 (second session): OHLC candlestick downsample and
+    #    the gap-fill rollup's streaming twin (continuous aggregate
+    #    maintained by the epoch-store rollup app, decimal-exact merge).
+    "events_ohlc_hourly",
+    "events_gapfill_stream",
     # -- CHANGED in r13 (changed code is always re-proven the round
     #    it changes): pagerank_partitioned's out-degree sum now
     #    decimal-accumulates (doc_pagerank, doc_pagerank_stream);
@@ -205,11 +210,11 @@ _PRIORITY = (
     "config_routing",
     "base_db_stream",
     "sql_entry",
+    # == the 50-query window cut falls here (4 overflow leads + 19 new
+    #    + 18 changed + 9 oldest-green fill; the 11 fill entries the
+    #    second-session additions displaced lead the below-cut list) ========
     "product_stats",
     "province_stats",
-    # == the 50-query window cut falls here (4 overflow leads + 17 new
-    #    + 18 changed + 11 oldest-green fill; the 9 fill entries the
-    #    second-session additions displaced lead the below-cut list) ========
     "record_merge",
     "snake_to_camel",
     "date_derive",

@@ -1686,6 +1686,67 @@ def _register_perplexity_gate_stream():
 _register_perplexity_gate_stream()
 
 
+def _register_events_gapfill_stream():
+    from .timeseries import SQL_GAPFILL_LOCF, dense_from_rollup, locf_output
+
+    @register(
+        "events_gapfill_stream",
+        oracle=SQL_GAPFILL_LOCF,
+        doc="The locf gap-fill with the hourly rollup maintained by the "
+        "REAL streaming app (streaming/pipelines.events_rollup_app — "
+        "the hypertable continuous-aggregate shape): events replay in "
+        "2 micro-batches, each writing its own (entity, hour) count + "
+        "DECIMAL value-sum grid to an epoch-addressed store; the live "
+        "rollup sums counts as integers and value sums as exact "
+        "decimals (never rounded through a double at an epoch "
+        "boundary), so the merged grid is BIT-IDENTICAL to the "
+        "one-shot batch rollup and this query shares "
+        "`events_gapfill_locf`'s oracle VERBATIM — a green row "
+        "certifies that the downsampled serving layer can be "
+        "maintained incrementally at ingest. 2 micro-batches "
+        "(split-independent additive merge); the grid IS the state, "
+        "entity x hour rows forever; same overwrite-own-epoch crash "
+        "rule as the CMS app.",
+        tags=("streaming", "replay", "events", "timeseries"),
+    )
+    def events_gapfill_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..operators.partitioning import spread
+        from ..sources.registry import ChannelRegistry, write_replay
+        from ..streaming.pipelines import events_rollup_app, merged_events_rollup
+
+        ev = load_tables(spark, sf_dir, "events")["events"]
+        lines = spread(ev, "event_id").select("event_id", "ts", "event_type", "value")
+        root = temp_replay_root("gmall_roll_")
+        reg = ChannelRegistry(root)
+        reg.register(
+            "ods_events",
+            schema="event_id long, ts timestamp, event_type string, value double",
+        )
+        write_replay(
+            lines, reg.channels["ods_events"].path, n_files=2,
+            order_by=["ts", "event_id"],
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # per-batch grids are entity x hour rows: 8 shuffle
+            # partitions keeps the replay's commit count honest
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = events_rollup_app(
+                spark, reg, os.path.join(root, "ckpt"), os.path.join(root, "store")
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        roll = merged_events_rollup(spark, os.path.join(root, "store"))
+        return locf_output(dense_from_rollup(roll))
+
+
+_register_events_gapfill_stream()
+
+
 def _register_dim_enrichment_asof_stream():
     from .cdc import PIT_T0, PIT_T1, sql_dim_enrichment_asof
 

@@ -47,20 +47,14 @@ _SQL_GRID_CTES = f"""
     )"""
 
 
-def _dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(event_type, h, ct, value_sum) on the dense hourly grid; ct and
-    value_sum NULL on gap buckets."""
-    t = load_tables(spark, sf_dir, "events")
-    ev = t["events"]
-    roll = ev.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).agg(F.count("*").alias("ct"), exact_sum(F.col("value")).alias("value_sum"))
-    bounds = ev.agg(
-        F.min(F.date_trunc("hour", F.col("ts"))).alias("hmin"),
-        F.max(F.date_trunc("hour", F.col("ts"))).alias("hmax"),
-    )
+def dense_from_rollup(roll: DataFrame) -> DataFrame:
+    """Dense (event_type, h, ct, value_sum) grid from a rollup frame —
+    bounds and the entity list derive from the rollup itself (its h
+    values cover exactly the raw rows' hours), so the batch query and
+    the epoch-store streaming twin share this tail verbatim."""
+    bounds = roll.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
     grid = (
-        ev.select("event_type")
+        roll.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
@@ -73,32 +67,9 @@ def _dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(roll, ["event_type", "h"], "left")
 
 
-@register(
-    "events_gapfill_locf",
-    oracle=f"""
-    WITH {_SQL_GRID_CTES}
-    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS stt,
-           event_type,
-           COALESCE(ct, 0) AS ct,
-           (ct IS NULL) AS filled,
-           last_value(value_sum IGNORE NULLS)
-             OVER (PARTITION BY event_type ORDER BY h
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
-    FROM dense
-    """,
-    doc="Gap-filled hourly rollup with last-observation-carried-forward "
-    "— time_bucket_gapfill + locf(sum(value)), the hypertable "
-    "downsampling query a monitoring/feature pipeline serves. Gaps are "
-    "REAL rows (ct=0, filled=true) on the dense entity x hour grid "
-    "generated from the broadcast 1-row bounds; the carried value is "
-    "an IGNORE NULLS running last over the per-entity ordered window "
-    "(leading gaps stay NULL — nothing to carry). The rollup itself is "
-    "decimal-exact, so the carried doubles are bit-identical "
-    "cross-engine.",
-    tags=("events", "timeseries", "window"),
-)
-def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dense = _dense_grid(spark, sf_dir)
+def locf_output(dense: DataFrame) -> DataFrame:
+    """The locf gap-fill projection over a dense grid (shared by the
+    batch query and the streaming twin)."""
     w = (
         W.partitionBy("event_type")
         .orderBy("h")
@@ -111,6 +82,52 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ct").isNull().alias("filled"),
         F.last("value_sum", ignorenulls=True).over(w).alias("locf_value"),
     )
+
+
+def _dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, h, ct, value_sum) on the dense hourly grid; ct and
+    value_sum NULL on gap buckets."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    roll = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("ct"), exact_sum(F.col("value")).alias("value_sum"))
+    return dense_from_rollup(roll)
+
+
+# The full locf gap-fill as one oracle string — shared VERBATIM by the
+# batch query and the streaming twin `events_gapfill_stream` (the
+# per-epoch rollup grids merge additively: counts as integers, value
+# sums as exact decimals, so the streamed dense grid is bit-identical).
+SQL_GAPFILL_LOCF = f"""
+    WITH {_SQL_GRID_CTES}
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type,
+           COALESCE(ct, 0) AS ct,
+           (ct IS NULL) AS filled,
+           last_value(value_sum IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+    FROM dense
+    """
+
+
+@register(
+    "events_gapfill_locf",
+    oracle=SQL_GAPFILL_LOCF,
+    doc="Gap-filled hourly rollup with last-observation-carried-forward "
+    "— time_bucket_gapfill + locf(sum(value)), the hypertable "
+    "downsampling query a monitoring/feature pipeline serves. Gaps are "
+    "REAL rows (ct=0, filled=true) on the dense entity x hour grid "
+    "generated from the broadcast 1-row bounds; the carried value is "
+    "an IGNORE NULLS running last over the per-entity ordered window "
+    "(leading gaps stay NULL — nothing to carry). The rollup itself is "
+    "decimal-exact, so the carried doubles are bit-identical "
+    "cross-engine.",
+    tags=("events", "timeseries", "window"),
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return locf_output(_dense_grid(spark, sf_dir))
 
 
 @register(
@@ -196,4 +213,67 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
         )
         .alias("interp_value"),
+    )
+
+
+@register(
+    "events_ohlc_hourly",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type,
+           COUNT(*) AS ct,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+           {sql_sum('value')} AS value_sum
+    FROM ranked
+    GROUP BY h, event_type
+    """,
+    doc="OHLC hourly downsample — the candlestick rollup every "
+    "time-series store serves (timescale candlestick_agg / kdb xbar): "
+    "per (entity, hour) the first/last/extreme values with a "
+    "decimal-exact volume sum. First/last are (ts, event_id)-ordered — "
+    "event ids are unique, so the pick is deterministic and "
+    "oracle-derivable (Spark takes min/max over a (ts, event_id, "
+    "value) struct — one grouped agg, map-side combined, NO window "
+    "pass; the oracle's rank form selects the same rows). Scale: one "
+    "shuffle on the (entity, hour) key; output is grid-sized.",
+    tags=("events", "timeseries", "agg"),
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return ev.groupBy("h", "event_type").agg(
+        F.count("*").alias("ct"),
+        first_s.getField("value").alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        last_s.getField("value").alias("close_v"),
+        exact_sum(F.col("value")).alias("value_sum"),
+    ).select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        "event_type",
+        "ct",
+        "open_v",
+        "high_v",
+        "low_v",
+        "close_v",
+        "value_sum",
     )

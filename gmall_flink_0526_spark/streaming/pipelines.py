@@ -1323,6 +1323,60 @@ def merged_lm_model(spark: SparkSession, store_root: str) -> DataFrame:
     )
 
 
+def events_rollup_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    store_root: str,
+    source: str = "ods_events",
+):
+    """Streaming hourly-rollup maintenance — the continuous-aggregate
+    member of the epoch-store family (the hypertable 'continuous
+    aggregate' shape): every micro-batch reduces to its own
+    (event_type, hour) count + decimal value-sum grid and writes it to
+    an epoch-addressed store. Counts merge by integer SUM and the
+    value sums are stored AS DECIMAL (never rounded through a double
+    at the epoch boundary), so the merged rollup
+    (:func:`merged_events_rollup`) is bit-identical to the one-shot
+    batch rollup — decimal addition is exact and associative, the
+    same argument that makes exact_sum order-insensitive. Per-epoch
+    store cost is grid-sized, never row-sized; same
+    overwrite-own-epoch crash rule as the CMS app."""
+    grid_path = os.path.join(store_root, "roll_grid")
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        batch.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        ).agg(
+            F.count("*").alias("ct"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("vsum"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(grid_path, f"epoch={epoch_id}")
+        )
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(ckpt, "events_rollup"))
+        .start()
+    )
+
+
+def merged_events_rollup(spark: SparkSession, store_root: str) -> DataFrame:
+    """The live hourly rollup over an epoch-addressed grid store:
+    (event_type, h, ct, value_sum) with exactly the batch rollup's
+    schema and values — integer count sum, decimal value sum cast to
+    double ONCE at the read edge."""
+    return (
+        read_store(spark, os.path.join(store_root, "roll_grid"))
+        .groupBy("event_type", "h")
+        .agg(
+            F.sum("ct").alias("ct"),
+            F.sum("vsum").cast("double").alias("value_sum"),
+        )
+    )
+
+
 def merged_cms_grid(spark: SparkSession, store_root: str) -> DataFrame:
     """The live sketch over an epoch-addressed CMS store: counter sums
     per (row, bucket) — at most depth*width result rows, however many

@@ -826,6 +826,25 @@ def main() -> None:
             "ann_recall_pq",
             "ann_recall_pq_rerank",
             "doc_pagerank_weighted",
+            # r13 (second session): the bigram-LM family's model is
+            # distinct-bigram-bounded (corpus-SUBLINEAR under Zipf) and
+            # scoring is one bigram-keyed hash join — both ratios must
+            # track data size; the gate adds one doc-count-sized
+            # percentile aggregate. Label propagation shares the
+            # prefix pair table; its 3 rounds are edge-bound like the
+            # rank loop. IVF-PQ's corpus cost is the residual pass +
+            # code assignment (map-shaped), ADC is bucket-bound; the
+            # recall row carries the probes x corpus brute baseline by
+            # design (linear in corpus at fixed probes). The gap-fill
+            # rollups are one grouped agg + entity-keyed windows over
+            # a grid bounded by entities x hours — at 10x rows the
+            # grid is unchanged, so wall must track the rollup scan.
+            "ngram_lm_perplexity",
+            "perplexity_filter",
+            "doc_communities",
+            "ann_recall_ivfpq",
+            "events_gapfill_locf",
+            "events_gapfill_interp",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
