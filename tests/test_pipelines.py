@@ -2547,3 +2547,77 @@ def test_lm_counts_app_sums_to_batch_model_and_survives_retry(spark, tmp_path):
         for r in pipelines.merged_lm_model(spark, str(tmp_path / "store")).collect()
     }
     assert got == exp  # poison gone, additive merge equals the batch fit
+
+
+def test_events_rollup_app_sums_to_batch_rollup_and_survives_retry(spark, tmp_path):
+    """The streaming continuous-aggregate app's two contracts: (a)
+    ADDITIVITY — per-epoch (entity, hour) grids merge to the one-shot
+    batch rollup bit-for-bit, including the DOUBLE value sums, because
+    the per-epoch sums are stored as decimals and only the merged
+    total is cast (decimal addition is exact and associative); (b) the
+    epoch-overwrite crash rule — a dead batch attempt's poisoned grid
+    is rewritten on restart."""
+    import shutil
+
+    from decimal import Decimal
+
+    from gmall_flink_0526_spark.functions.exact import exact_sum
+    from gmall_flink_0526_spark.operators.partitioning import spread
+
+    ev = load_tables(spark, SF_SMOKE, "events")["events"]
+    stream_in = spread(ev, "event_id").select("event_id", "ts", "event_type", "value")
+    reg = ChannelRegistry(str(tmp_path / "chan"))
+    reg.register(
+        "ods_events",
+        schema="event_id long, ts timestamp, event_type string, value double",
+    )
+    write_replay(
+        stream_in, reg.channels["ods_events"].path, n_files=3,
+        order_by=["event_id"], file_of=F.col("event_id") % 3,
+    )
+
+    src_path = reg.channels["ods_events"].path
+    files = sorted(
+        (
+            f
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ),
+        key=lambda f: os.path.getmtime(os.path.join(src_path, f)),
+    )
+    hidden = files[-1]
+    shutil.move(os.path.join(src_path, hidden), str(tmp_path / "hidden.parquet"))
+    q = pipelines.events_rollup_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # dead batch-2 attempt: poisoned grid written, checkpoint not committed
+    spark.createDataFrame(
+        [("poison", None, 10_000, Decimal("9999.000000"))],
+        "event_type string, h timestamp, ct long, vsum decimal(30,6)",
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "store" / "roll_grid" / "epoch=2")
+    )
+
+    shutil.move(str(tmp_path / "hidden.parquet"), os.path.join(src_path, hidden))
+    q2 = pipelines.events_rollup_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    batch = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").alias("ct"), exact_sum(F.col("value")).alias("value_sum"))
+    exp = {
+        (r["event_type"], r["h"], r["ct"], r["value_sum"]) for r in batch.collect()
+    }
+    got = {
+        (r["event_type"], r["h"], r["ct"], r["value_sum"])
+        for r in pipelines.merged_events_rollup(
+            spark, str(tmp_path / "store")
+        ).collect()
+    }
+    assert got == exp  # poison gone, decimal merge equals the batch rollup
