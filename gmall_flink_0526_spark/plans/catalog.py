@@ -169,6 +169,9 @@ _PRIORITY = (
     #    maintained by the epoch-store rollup app, decimal-exact merge).
     "events_ohlc_hourly",
     "events_gapfill_stream",
+    # -- NEW in r13 (second session): BM25 sparse retrieval through
+    #    the inverted index — the sparse complement of ann_topk. ----------
+    "bm25_topk",
     # -- CHANGED in r13 (changed code is always re-proven the round
     #    it changes): pagerank_partitioned's out-degree sum now
     #    decimal-accumulates (doc_pagerank, doc_pagerank_stream);
@@ -209,10 +212,10 @@ _PRIORITY = (
     "cdc_envelope_parse",
     "config_routing",
     "base_db_stream",
-    "sql_entry",
-    # == the 50-query window cut falls here (4 overflow leads + 19 new
-    #    + 18 changed + 9 oldest-green fill; the 11 fill entries the
+    # == the 50-query window cut falls here (4 overflow leads + 20 new
+    #    + 18 changed + 8 oldest-green fill; the 12 fill entries the
     #    second-session additions displaced lead the below-cut list) ========
+    "sql_entry",
     "product_stats",
     "province_stats",
     "record_merge",

@@ -893,3 +893,142 @@ def _setup_bpe_memos(spark: SparkSession, sf_dir: str) -> None:
     _bpe_top_pair(spark, sf_dir)
     # the loop's own accessors memoize vocab + merges
     bpe_train_loop(spark, sf_dir).count()
+
+
+# -- BM25 sparse retrieval ------------------------------------------------
+#
+# The sparse complement of the dense ANN family: per-query top-k over
+# the corpus by BM25 scoring through the inverted index (a token-keyed
+# equi-join — the decontamination shape, never query x corpus). The
+# idf factor is the RAW ratio n_docs/df (the tfidf precedent): every
+# arithmetic step is then either exact-integer or a fixed-order IEEE
+# double op, so both engines produce identical scores and rankings —
+# a raw-ratio BM25 variant weights rare terms more steeply than the
+# log form (documented, not hidden); swap in log-idf on a stack whose
+# engines share one libm. k1/b are the standard 1.2/0.75.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_QUERIES = 4  # the first N docs play the query set
+BM25_TOP = 10
+
+
+def _sql_bm25() -> str:
+    from ..functions.exact import sql_sum
+
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, tok
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks WHERE len(t) > 0),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    q AS (
+      SELECT DISTINCT doc_id AS qid, tok
+      FROM tf WHERE doc_id < {BM25_N_QUERIES}
+    ),
+    terms AS (
+      SELECT q.qid, tf.doc_id,
+             (n_docs / df) * ((CAST(tf AS DOUBLE) * {1.0 + BM25_K1})
+               / (CAST(tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}
+                    * (CAST(dl AS DOUBLE) / avgdl)))) AS term
+      FROM q
+      JOIN tf ON q.tok = tf.tok AND tf.doc_id != q.qid
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN dfreq ON q.tok = dfreq.tok
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT qid, doc_id, {sql_sum('term')} AS score
+      FROM terms GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id, score, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY score DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= {BM25_TOP}
+    """
+
+
+@register(
+    "bm25_topk",
+    oracle=_sql_bm25(),
+    doc=f"BM25 sparse retrieval: the first {BM25_N_QUERIES} documents "
+    f"play the query set, and each retrieves its top-{BM25_TOP} corpus "
+    "documents by BM25 over the shared-token inverted index — the "
+    "sparse complement of the ann_topk family (hybrid retrieval runs "
+    "both and fuses). Scoring joins query tokens to the tf table on "
+    "the TOKEN key (the decontamination shape — candidates are "
+    "token-overlap-bounded, never query x corpus), per-(query, doc) "
+    "scores are DECIMAL-accumulated over fixed-order IEEE terms with "
+    "raw-ratio idf (tfidf's bit-reproducibility precedent, steeper on "
+    "rare terms than log-idf — documented variant), and the top-k is "
+    "a per-query window over the scored candidates. Scale: tf/df are "
+    "map-side-combined grouped counts; the scalar stats ride one "
+    "broadcast row; cost is sum over query tokens of posting-list "
+    "length — the classic inverted-index bound.",
+    tags=("text", "llm-prep", "search"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import exact_sum
+    from ..operators.cache import scoped_persist
+    from ..operators.partitioning import spread
+
+    t = load_tables(spark, sf_dir, "documents")
+    staged = scoped_persist(
+        textops.with_tokens(spread(t["documents"], "doc_id")).select("doc_id", "toks")
+    )
+    tf = scoped_persist(
+        staged.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = staged.filter(F.size("toks") > 0).select(
+        "doc_id", F.size("toks").cast("long").alias("dl")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    q = (
+        tf.filter(F.col("doc_id") < BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("qid"), "tok")
+        .distinct()
+    )
+    tfv = F.col("tf").cast("double")
+    term = (F.col("n_docs") / F.col("df")) * (
+        (tfv * F.lit(1.0 + BM25_K1))
+        / (
+            tfv
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+    )
+    terms = (
+        q.join(tf, (q["tok"] == tf["tok"]) & (tf["doc_id"] != q["qid"]))
+        .drop(q["tok"])
+        .join(dl, "doc_id")
+        .join(dfreq, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "doc_id", term.alias("term"))
+    )
+    scored = terms.groupBy("qid", "doc_id").agg(exact_sum(F.col("term")).alias("score"))
+    w = W.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOP)
+        .select("qid", "doc_id", "score", "rk")
+    )

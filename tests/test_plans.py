@@ -185,6 +185,8 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         "ngram_lm_train",
         "ngram_lm_perplexity",
         "perplexity_filter",
+        # bm25's corpus stats (n_docs, avgdl) are one broadcast row
+        "bm25_topk",
         # the gap-fill grid fans the broadcast 1-row global bucket
         # bounds into the entity list (entity x bucket generation)
         "events_gapfill_locf",

@@ -845,6 +845,10 @@ def main() -> None:
             "ann_recall_ivfpq",
             "events_gapfill_locf",
             "events_gapfill_interp",
+            "events_ohlc_hourly",
+            # bm25's cost is sum over query tokens of posting-list
+            # length — linear in corpus rows at a fixed query set
+            "bm25_topk",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
