@@ -245,8 +245,11 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event ids are unique, so the pick is deterministic and "
     "oracle-derivable (Spark takes min/max over a (ts, event_id, "
     "value) struct — one grouped agg, map-side combined, NO window "
-    "pass; the oracle's rank form selects the same rows). Scale: one "
-    "shuffle on the (entity, hour) key; output is grid-sized.",
+    "pass; the oracle's rank form selects the same rows). "
+    "PRECONDITION: ts is non-null (event streams stamp every row) — "
+    "a null ts would sort nulls-first in Spark's struct ordering but "
+    "nulls-last in the oracle's ORDER BY. Scale: one shuffle on the "
+    "(entity, hour) key; output is grid-sized.",
     tags=("events", "timeseries", "agg"),
 )
 def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
