@@ -843,9 +843,6 @@ def main() -> None:
             "perplexity_filter",
             "doc_communities",
             "ann_recall_ivfpq",
-            "events_gapfill_locf",
-            "events_gapfill_interp",
-            "events_ohlc_hourly",
             # bm25's cost is sum over query tokens of posting-list
             # length — linear in corpus rows at a fixed query set
             "bm25_topk",
@@ -935,6 +932,14 @@ def main() -> None:
                 "asof_click_attribution",
                 "behavior_pagerank",
                 "approx_distinct_hll",
+                # r13 second session: the gap-fill rollups are one
+                # grouped agg + entity-keyed windows over a grid
+                # bounded by entities x hours — at 10x rows the grid
+                # is unchanged, so wall must track the rollup scan;
+                # OHLC is one map-side-combined grouped agg
+                "events_gapfill_locf",
+                "events_gapfill_interp",
+                "events_ohlc_hourly",
             ):
                 for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", wh)):
                     t0 = time.time()
