@@ -35,7 +35,7 @@ DECIMAL(38,0) unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from . import textops
 
@@ -104,8 +104,3 @@ def doc_lm_scores(grams: DataFrame, model: DataFrame, id_col: str = "doc_id") ->
             ).alias("lm_score"),
         )
     )
-
-
-def lm_score_col(n_grams: Column, s_sum: Column) -> Column:
-    """The score division as a reusable column (stream twin shares it)."""
-    return s_sum.cast("double") / (n_grams * F.lit(LM_SCALE)).cast("double")

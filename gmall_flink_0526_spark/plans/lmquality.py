@@ -16,10 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..operators import lm, textops
-from ..operators.cache import scoped_persist
+from ..operators.cache import corpus_persist, scoped_persist
 from ..operators.partitioning import spread
 from ..session import load_tables
-from .catalog import register
+from .catalog import register, register_setup
 from .text import SQL_TOKS
 
 LM_TOP = 20
@@ -66,6 +66,27 @@ def _staged_grams(spark: SparkSession, sf_dir: str):
     return t, staged, grams
 
 
+def lm_model_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(g, w1, c2, c1, v, s): the corpus-fit bigram model — a pure
+    function of the corpus, corpus-persisted so the three family
+    queries share ONE fit instead of re-counting exploded bigrams each
+    (self-review r13; the ivfpq_codebooks precedent). The build's
+    staged/gram frames are query-scoped; the persisted model frame is
+    distinct-bigram-sized."""
+
+    def build():
+        _t, staged, grams = _staged_grams(spark, sf_dir)
+        return lm.bigram_model(grams, lm.vocab_size(staged))
+
+    return corpus_persist(spark, "lm_model", sf_dir, build)
+
+
+@register_setup("lm_model")
+def _setup_lm_model(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the corpus-fit bigram model the LM family shares."""
+    lm_model_cached(spark, sf_dir).count()
+
+
 @register(
     "ngram_lm_train",
     oracle=f"""
@@ -86,8 +107,7 @@ def _staged_grams(spark: SparkSession, sf_dir: str):
     tags=("llm-prep", "quality", "lm"),
 )
 def ngram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, staged, grams = _staged_grams(spark, sf_dir)
-    model = lm.bigram_model(grams, lm.vocab_size(staged))
+    model = lm_model_cached(spark, sf_dir)
     head = model.orderBy(F.desc("c2"), "g").limit(LM_TOP)
     w = W.orderBy(F.desc("c2"), "g")
     return head.withColumn("rk", F.row_number().over(w)).select(
@@ -118,9 +138,8 @@ def ngram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm-prep", "quality", "lm"),
 )
 def ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, staged, grams = _staged_grams(spark, sf_dir)
-    model = lm.bigram_model(grams, lm.vocab_size(staged))
-    return lm.doc_lm_scores(grams, model)
+    _, _staged, grams = _staged_grams(spark, sf_dir)
+    return lm.doc_lm_scores(grams, lm_model_cached(spark, sf_dir))
 
 
 # The full gate as one oracle string — shared VERBATIM by the batch
@@ -178,7 +197,6 @@ def gate_output(docs: DataFrame, scores: DataFrame) -> DataFrame:
     tags=("llm-prep", "quality", "lm", "agg"),
 )
 def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t, staged, grams = _staged_grams(spark, sf_dir)
-    model = lm.bigram_model(grams, lm.vocab_size(staged))
-    scores = lm.doc_lm_scores(grams, model)
+    t, _staged, grams = _staged_grams(spark, sf_dir)
+    scores = lm.doc_lm_scores(grams, lm_model_cached(spark, sf_dir))
     return gate_output(t["documents"], scores)

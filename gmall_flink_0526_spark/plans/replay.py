@@ -1617,7 +1617,7 @@ _register_decontaminate_bloom_stream()
 
 
 def _register_perplexity_gate_stream():
-    from .lmquality import SQL_PERPLEXITY_FILTER, gate_output
+    from .lmquality import SQL_PERPLEXITY_FILTER, _staged_grams, gate_output
 
     @register(
         "perplexity_gate_stream",
@@ -1643,8 +1643,7 @@ def _register_perplexity_gate_stream():
     def perplexity_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         import os
 
-        from ..operators import lm, textops
-        from ..operators.cache import scoped_persist
+        from ..operators import lm
         from ..operators.partitioning import spread
         from ..sources.registry import ChannelRegistry, write_replay
         from ..streaming.pipelines import lm_counts_app, merged_lm_model
@@ -1675,12 +1674,11 @@ def _register_perplexity_gate_stream():
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         model = merged_lm_model(spark, os.path.join(root, "store"))
-        staged = scoped_persist(
-            textops.with_tokens(spread(docs, "doc_id")).select("doc_id", "toks")
-        )
-        grams = scoped_persist(lm.doc_bigrams(staged))
+        # the batch family's staging, shared — not re-implemented here
+        # (self-review r13): one staged token frame, one gram frame
+        t, _staged, grams = _staged_grams(spark, sf_dir)
         scores = lm.doc_lm_scores(grams, model)
-        return gate_output(docs, scores)
+        return gate_output(t["documents"], scores)
 
 
 _register_perplexity_gate_stream()

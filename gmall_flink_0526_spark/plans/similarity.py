@@ -1543,6 +1543,53 @@ def _sql_pq_ctes_from(src: str, p: str) -> str:
 _SQL_PQ_CTES = _sql_pq_ctes_from("embeddings", "p")
 
 
+def _l2_brute_topk(emb: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Exact squared-L2 brute-force top-k (qid, cid) — the ground
+    truth every quantization recall audit measures against. ONE
+    definition (self-review r13: three copies had grown in this file):
+    broadcast-probe cross join over the spread corpus, ascending
+    (l2, cid) window. The cartesian is the documented allowed baseline
+    — linear in corpus at the fixed probe count."""
+    from pyspark.sql import Window as W
+
+    from ..operators.partitioning import spread
+
+    corpus = spread(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
+        "cid",
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("l2", S.sq_dist(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("l2").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid")
+    )
+
+
+def _recall_rows(brute: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """(qid, hit_ct, recall): the per-probe hit count of ``approx``
+    (qid, cid) against the brute-force truth — the shared tail of the
+    recall audits."""
+    top_r = approx.select(F.col("qid").alias("iqid"), F.col("cid").alias("icid"))
+    return (
+        brute.join(
+            top_r,
+            (F.col("qid") == F.col("iqid")) & (F.col("cid") == F.col("icid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("icid").alias("hit_ct"),
+            (F.count("icid") / F.lit(float(k))).alias("recall"),
+        )
+    )
+
+
 def pq_fit_cached(spark: SparkSession, sf_dir: str, emb: DataFrame):
     return corpus_value(
         spark,
@@ -1695,40 +1742,8 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_top = S.pq_adc_topk(probes, codes, cents, PQ_DIM, PQ_M, TOP_K).select(
         "qid", "cid"
     )
-    # exact L2 brute force (metric-matched to ADC), topk_neighbors'
-    # broadcast-probe shape with the ascending sq-dist window
-    from pyspark.sql import Window as W
-
-    from ..operators.partitioning import spread
-
-    corpus = spread(
-        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
-        "cid",
-    )
-    scored = (
-        corpus.crossJoin(F.broadcast(probes))
-        .filter(F.col("cid") != F.col("qid"))
-        .withColumn("l2", S.sq_dist(F.col("qv"), F.col("cv")))
-    )
-    w = W.partitionBy("qid").orderBy(F.col("l2").asc(), F.col("cid").asc())
-    brute = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("qid", "cid")
-    )
-    pq_r = pq_top.select(F.col("qid").alias("iqid"), F.col("cid").alias("icid"))
-    return (
-        brute.join(
-            pq_r,
-            (F.col("qid") == F.col("iqid")) & (F.col("cid") == F.col("icid")),
-            "left",
-        )
-        .groupBy("qid")
-        .agg(
-            F.count("icid").alias("hit_ct"),
-            (F.count("icid") / F.lit(float(TOP_K))).alias("recall"),
-        )
-    )
+    # exact L2 brute force (metric-matched to ADC)
+    return _recall_rows(_l2_brute_topk(emb, probes, TOP_K), pq_top, TOP_K)
 
 
 @register_setup("pq_codebooks")
@@ -1840,33 +1855,7 @@ def ann_recall_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "cid")
     )
-    corpus = spread(
-        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
-        "cid",
-    )
-    bscored = (
-        corpus.crossJoin(F.broadcast(probes))
-        .filter(F.col("cid") != F.col("qid"))
-        .withColumn("l2", S.sq_dist(F.col("qv"), F.col("cv")))
-    )
-    brute = (
-        bscored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("qid", "cid")
-    )
-    top_r = top.select(F.col("qid").alias("iqid"), F.col("cid").alias("icid"))
-    return (
-        brute.join(
-            top_r,
-            (F.col("qid") == F.col("iqid")) & (F.col("cid") == F.col("icid")),
-            "left",
-        )
-        .groupBy("qid")
-        .agg(
-            F.count("icid").alias("hit_ct"),
-            (F.count("icid") / F.lit(float(TOP_K))).alias("recall"),
-        )
-    )
+    return _recall_rows(_l2_brute_topk(emb, probes, TOP_K), top, TOP_K)
 
 
 # -- IVF-PQ: residual product quantization inside the coarse cells -------
@@ -2065,10 +2054,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "kmeans", "quantization", "audit"),
 )
 def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from ..operators.cache import scoped_persist
-    from ..operators.partitioning import spread
 
     t = load_tables(spark, sf_dir, "embeddings")
     emb = scoped_persist(t["embeddings"])
@@ -2081,31 +2067,4 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq_top = S.ivfpq_adc_topk(
         probes, codes, coarse, pq_cents, PQ_DIM, PQ_M, TOP_K, IVFPQ_NPROBE
     ).select("qid", "cid")
-    corpus = spread(
-        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
-        "cid",
-    )
-    scored = (
-        corpus.crossJoin(F.broadcast(probes))
-        .filter(F.col("cid") != F.col("qid"))
-        .withColumn("l2", S.sq_dist(F.col("qv"), F.col("cv")))
-    )
-    w = W.partitionBy("qid").orderBy(F.col("l2").asc(), F.col("cid").asc())
-    brute = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("qid", "cid")
-    )
-    top_r = ivfpq_top.select(F.col("qid").alias("iqid"), F.col("cid").alias("icid"))
-    return (
-        brute.join(
-            top_r,
-            (F.col("qid") == F.col("iqid")) & (F.col("cid") == F.col("icid")),
-            "left",
-        )
-        .groupBy("qid")
-        .agg(
-            F.count("icid").alias("hit_ct"),
-            (F.count("icid") / F.lit(float(TOP_K))).alias("recall"),
-        )
-    )
+    return _recall_rows(_l2_brute_topk(emb, probes, TOP_K), ivfpq_top, TOP_K)

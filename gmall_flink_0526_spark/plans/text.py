@@ -931,7 +931,8 @@ def _sql_bm25() -> str:
       FROM dl
     ),
     q AS (
-      SELECT DISTINCT doc_id AS qid, tok
+      -- tf is grouped by (doc_id, tok): rows are already unique
+      SELECT doc_id AS qid, tok
       FROM tf WHERE doc_id < {BM25_N_QUERIES}
     ),
     terms AS (
@@ -1000,10 +1001,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    q = (
-        tf.filter(F.col("doc_id") < BM25_N_QUERIES)
-        .select(F.col("doc_id").alias("qid"), "tok")
-        .distinct()
+    # tf is grouped by (doc_id, tok): the query-term rows are unique
+    q = tf.filter(F.col("doc_id") < BM25_N_QUERIES).select(
+        F.col("doc_id").alias("qid"), "tok"
     )
     tfv = F.col("tf").cast("double")
     term = (F.col("n_docs") / F.col("df")) * (

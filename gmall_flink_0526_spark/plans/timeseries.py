@@ -84,6 +84,48 @@ def locf_output(dense: DataFrame) -> DataFrame:
     )
 
 
+def interp_output(dense: DataFrame) -> DataFrame:
+    """The linear-interpolation gap-fill projection over a dense grid
+    (shared by the query and its unit tests, like locf_output). Value
+    fences AND epoch anchors both key off ``value_sum IS NOT NULL``:
+    a present bucket whose event values are all NULL is a gap for
+    interpolation purposes, so the anchors can never desynchronize
+    from the values they pair with."""
+    back = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    present_e = F.when(F.col("value_sum").isNotNull(), F.unix_timestamp("h"))
+    fenced = dense.select(
+        "event_type",
+        "h",
+        "ct",
+        "value_sum",
+        F.last("value_sum", ignorenulls=True).over(back).alias("prev_v"),
+        F.first("value_sum", ignorenulls=True).over(fwd).alias("next_v"),
+        F.last(present_e, ignorenulls=True).over(back).alias("prev_e"),
+        F.first(present_e, ignorenulls=True).over(fwd).alias("next_e"),
+    )
+    frac = (F.unix_timestamp("h") - F.col("prev_e")).cast("double") / (
+        F.col("next_e") - F.col("prev_e")
+    ).cast("double")
+    return fenced.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+        "event_type",
+        F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+        F.when(F.col("ct").isNotNull(), F.col("value_sum"))
+        .when(F.col("prev_e").isNull() | F.col("next_e").isNull(), F.lit(None))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+        .alias("interp_value"),
+    )
+
+
 def _dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, h, ct, value_sum) on the dense hourly grid; ct and
     value_sum NULL on gap buckets."""
@@ -142,11 +184,11 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
              first_value(value_sum IGNORE NULLS)
                OVER (PARTITION BY event_type ORDER BY h
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
-             last_value(CASE WHEN ct IS NOT NULL
+             last_value(CASE WHEN value_sum IS NOT NULL
                              THEN CAST(epoch(h) AS BIGINT) END IGNORE NULLS)
                OVER (PARTITION BY event_type ORDER BY h
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_e,
-             first_value(CASE WHEN ct IS NOT NULL
+             first_value(CASE WHEN value_sum IS NOT NULL
                               THEN CAST(epoch(h) AS BIGINT) END IGNORE NULLS)
                OVER (PARTITION BY event_type ORDER BY h
                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_e
@@ -168,52 +210,19 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time_bucket_gapfill + interpolate(sum(value)). Each gap bucket "
     "takes prev + (next - prev) * frac between its surrounding "
     "observations (two IGNORE NULLS fence windows per entity — one "
-    "running last, one running first); frac is a single division of "
-    "exact epoch-second integers and the blend is a fixed-order "
-    "3-op double expression, so both engines produce identical bits. "
-    "Leading/trailing gaps (no fence on one side) stay NULL, matching "
-    "timescaledb. Same dense-grid scale shape as the locf twin.",
+    "running last, one running first); BOTH the value fences and the "
+    "epoch anchors key off value_sum IS NOT NULL, so a present bucket "
+    "whose event values are all NULL is a gap for interpolation "
+    "purposes — anchors and values can never desynchronize (self-"
+    "review r13). frac is a single division of exact epoch-second "
+    "integers and the blend is a fixed-order 3-op double expression, "
+    "so both engines produce identical bits. Leading/trailing gaps "
+    "(no fence on one side) stay NULL, matching timescaledb. Same "
+    "dense-grid scale shape as the locf twin.",
     tags=("events", "timeseries", "window"),
 )
 def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dense = _dense_grid(spark, sf_dir)
-    back = (
-        W.partitionBy("event_type")
-        .orderBy("h")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    fwd = (
-        W.partitionBy("event_type")
-        .orderBy("h")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    present_e = F.when(F.col("ct").isNotNull(), F.unix_timestamp("h"))
-    fenced = dense.select(
-        "event_type",
-        "h",
-        "ct",
-        "value_sum",
-        F.last("value_sum", ignorenulls=True).over(back).alias("prev_v"),
-        F.first("value_sum", ignorenulls=True).over(fwd).alias("next_v"),
-        F.last(present_e, ignorenulls=True).over(back).alias("prev_e"),
-        F.first(present_e, ignorenulls=True).over(fwd).alias("next_e"),
-    )
-    frac = (F.unix_timestamp("h") - F.col("prev_e")).cast("double") / (
-        F.col("next_e") - F.col("prev_e")
-    ).cast("double")
-    return fenced.select(
-        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("stt"),
-        "event_type",
-        F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
-        F.when(F.col("ct").isNotNull(), F.col("value_sum"))
-        .when(
-            F.col("prev_e").isNull() | F.col("next_e").isNull(), F.lit(None)
-        )
-        .otherwise(
-            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
-        )
-        .alias("interp_value"),
-    )
+    return interp_output(_dense_grid(spark, sf_dir))
 
 
 @register(

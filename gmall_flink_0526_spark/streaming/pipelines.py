@@ -1345,12 +1345,17 @@ def events_rollup_app(
     grid_path = os.path.join(store_root, "roll_grid")
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
 
+    # the SAME per-row decimal quantum exact_sum uses — a drifting
+    # literal here would silently break the bit-identical-merge
+    # contract the gapfill stream twin certifies (self-review r13)
+    from ..functions.exact import _DEC as _EXACT_DEC
+
     def process(batch: DataFrame, epoch_id: int) -> None:
         batch.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
         ).agg(
             F.count("*").alias("ct"),
-            F.sum(F.col("value").cast("decimal(30,6)")).alias("vsum"),
+            F.sum(F.col("value").cast(_EXACT_DEC)).alias("vsum"),
         ).write.mode("overwrite").parquet(
             os.path.join(grid_path, f"epoch={epoch_id}")
         )

@@ -43,44 +43,41 @@ def test_locf_carries_and_leading_gaps_stay_null(spark):
 
 def test_interp_blends_across_multibucket_gap(spark):
     # one entity, observations at hours 0 (v=1.0) and 3 (v=4.0):
-    # hours 1 and 2 interpolate at 1/3 and 2/3
-    from gmall_flink_0526_spark.plans import queries as _q  # noqa: F401
-    from gmall_flink_0526_spark.plans.timeseries import events_gapfill_interp  # noqa: F401
+    # hours 1 and 2 interpolate at 1/3 and 2/3 (through the SAME
+    # interp_output the registered query runs)
+    from gmall_flink_0526_spark.plans.timeseries import interp_output
 
     roll = _roll(spark, [("a", 0, 1, 1.0), ("a", 3, 1, 4.0)])
-    dense = dense_from_rollup(roll)
-    # reuse the query's fence construction by calling the registered
-    # implementation's building blocks on the synthetic dense frame
-    from pyspark.sql import Window as W
-
-    back = (
-        W.partitionBy("event_type").orderBy("h")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    fwd = (
-        W.partitionBy("event_type").orderBy("h")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
-    )
-    present_e = F.when(F.col("ct").isNotNull(), F.unix_timestamp("h"))
-    fenced = dense.select(
-        "event_type", "h", "ct", "value_sum",
-        F.last("value_sum", ignorenulls=True).over(back).alias("prev_v"),
-        F.first("value_sum", ignorenulls=True).over(fwd).alias("next_v"),
-        F.last(present_e, ignorenulls=True).over(back).alias("prev_e"),
-        F.first(present_e, ignorenulls=True).over(fwd).alias("next_e"),
-    )
-    frac = (F.unix_timestamp("h") - F.col("prev_e")).cast("double") / (
-        F.col("next_e") - F.col("prev_e")
-    ).cast("double")
     got = {
-        r["h"].hour: r["iv"]
-        for r in fenced.select(
-            "h",
-            F.when(F.col("ct").isNotNull(), F.col("value_sum"))
-            .when(F.col("prev_e").isNull() | F.col("next_e").isNull(), F.lit(None))
-            .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
-            .alias("iv"),
-        ).collect()
+        int(r["stt"][11:13]): r["interp_value"]
+        for r in interp_output(dense_from_rollup(roll)).collect()
     }
     assert got[0] == 1.0 and got[3] == 4.0
     assert abs(got[1] - 2.0) < 1e-12 and abs(got[2] - 3.0) < 1e-12
+
+
+def test_interp_anchor_skips_null_valued_present_bucket(spark):
+    # the r13 self-review desync case: h1 is PRESENT (ct=3) but its
+    # value_sum is NULL — the epoch anchor must NOT advance to h1
+    # while the value fence stays at h0. With both fences keyed on
+    # value_sum, the h2 gap interpolates between h0 (v=10) and h3
+    # (v=40) at frac 2/3 -> 30; the desynchronized form would have
+    # yielded 25 (anchor at h1, value from h0).
+    from gmall_flink_0526_spark.plans.timeseries import interp_output
+
+    roll = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 0), 1, 10.0),
+            ("a", dt.datetime(2024, 1, 1, 1), 3, None),
+            ("a", dt.datetime(2024, 1, 1, 3), 1, 40.0),
+        ],
+        "event_type string, h timestamp, ct long, value_sum double",
+    )
+    got = {
+        int(r["stt"][11:13]): (r["ct"], r["interp_value"])
+        for r in interp_output(dense_from_rollup(roll)).collect()
+    }
+    assert got[0] == (1, 10.0)
+    assert got[1] == (3, None)  # present-but-null stays null, not blended
+    assert abs(got[2][1] - 30.0) < 1e-12  # anchored at h0, not h1
+    assert got[3] == (1, 40.0)
