@@ -45,6 +45,12 @@ from . import textops
 #: shard sees; the score division renormalizes it away.
 LM_SCALE = 1_000_000
 
+#: The scaled integer surprisal over (c1, c2, v) columns — ONE
+#: definition shared by the batch fit and the epoch-store merged model
+#: (streaming/pipelines.merged_lm_model), so the formula cannot drift
+#: between the two build paths.
+SURPRISAL_EXPR = f"((c1 + v) * {LM_SCALE}) div (c2 + 1)"
+
 
 def doc_bigrams(staged: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, g, w1): one row per bigram OCCURRENCE (not distinct — the
@@ -81,7 +87,7 @@ def bigram_model(grams: DataFrame, vocab: DataFrame) -> DataFrame:
     return (
         c2.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
-        .withColumn("s", F.expr(f"((c1 + v) * {LM_SCALE}) div (c2 + 1)"))
+        .withColumn("s", F.expr(SURPRISAL_EXPR))
     )
 
 
