@@ -170,8 +170,10 @@ _PRIORITY = (
     "events_ohlc_hourly",
     "events_gapfill_stream",
     # -- NEW in r13 (second session): BM25 sparse retrieval through
-    #    the inverted index — the sparse complement of ann_topk. ----------
+    #    the inverted index — the sparse complement of ann_topk — and
+    #    reciprocal-rank fusion of two ANN rankings (hybrid serving). -----
     "bm25_topk",
+    "ann_rrf_fusion",
     # -- CHANGED in r13 (changed code is always re-proven the round
     #    it changes): pagerank_partitioned's out-degree sum now
     #    decimal-accumulates (doc_pagerank, doc_pagerank_stream);
@@ -211,10 +213,10 @@ _PRIORITY = (
     "cdc_materialize",
     "cdc_envelope_parse",
     "config_routing",
-    "base_db_stream",
-    # == the 50-query window cut falls here (4 overflow leads + 20 new
-    #    + 18 changed + 8 oldest-green fill; the 12 fill entries the
+    # == the 50-query window cut falls here (4 overflow leads + 21 new
+    #    + 18 changed + 7 oldest-green fill; the 13 fill entries the
     #    second-session additions displaced lead the below-cut list) ========
+    "base_db_stream",
     "sql_entry",
     "product_stats",
     "province_stats",

@@ -2068,3 +2068,135 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes, codes, coarse, pq_cents, PQ_DIM, PQ_M, TOP_K, IVFPQ_NPROBE
     ).select("qid", "cid")
     return _recall_rows(_l2_brute_topk(emb, probes, TOP_K), ivfpq_top, TOP_K)
+
+
+# -- reciprocal-rank fusion: the hybrid-retrieval serving pattern --------
+
+RRF_K = 60  # the standard RRF dampening constant (Cormack et al.)
+
+
+@register(
+    "ann_rrf_fusion",
+    oracle=f"""
+    WITH {_SQL_KMEANS_CTES},
+    {_SQL_NPROBE_PC},
+    iscored AS (
+      SELECT qid, a.vec_id AS cid,
+             {_sql_cosine('qv', 'a.embedding')} AS cos_sim
+      FROM afinal a JOIN pc ON a.c = pc.c
+      WHERE a.vec_id != qid
+    ),
+    iranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM iscored
+    ),
+    itop AS (SELECT qid, cid, rn FROM iranked WHERE rn <= {TOP_K}),
+    {SQL_RHP_SIGS},
+    rcand AS (
+      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id != b.vec_id
+      WHERE a.vec_id < {N_PROBES}
+    ),
+    rscored AS (
+      SELECT qid, cid,
+             {_sql_cosine('ea.embedding', 'eb.embedding')} AS cos_sim
+      FROM rcand JOIN embeddings ea ON qid = ea.vec_id
+                 JOIN embeddings eb ON cid = eb.vec_id
+    ),
+    rranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+      FROM rscored
+    ),
+    rtop AS (SELECT qid, cid, rn FROM rranked WHERE rn <= {TOP_K}),
+    fused AS (
+      SELECT COALESCE(i.qid, r.qid) AS qid,
+             COALESCE(i.cid, r.cid) AS cid,
+             COALESCE(1.0 / ({RRF_K} + i.rn), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + r.rn), 0.0) AS rrf_score
+      FROM itop i FULL OUTER JOIN rtop r
+        ON i.qid = r.qid AND i.cid = r.cid
+    )
+    SELECT qid, cid, rrf_score, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY rrf_score DESC, cid) AS rk
+          FROM fused)
+    WHERE rk <= {TOP_K}
+    """,
+    doc=f"Reciprocal-rank fusion of two independent ANN rankings — the "
+    f"hybrid-retrieval serving pattern (RRF, Cormack et al.: score = "
+    f"sum over systems of 1/({RRF_K} + rank), rank-only so incomparable "
+    "scores never need calibration). Fuses the multi-probe IVF ranking "
+    "with the RHP-LSH ranking for the same probes: a candidate "
+    "surfaced by either system scores on its ranks (absent rank "
+    "contributes 0 via COALESCE), ties to the smaller id. Every term "
+    "is one int division + one fixed-order add — bit-identical "
+    "cross-engine, both input rankings already certified exact. "
+    "Scale: both inputs are bucket-join rankings (never a corpus "
+    "scan); the fusion itself is a full outer join of two "
+    "k-per-probe frames + a per-probe window — probe-bounded, "
+    "corpus-size-free. The same fusion fuses bm25_topk with a dense "
+    "ranking when the query side is text (hybrid search); this "
+    "instance certifies the operator on id-aligned rankings.",
+    tags=("similarity", "ann", "search", "fusion"),
+)
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.cache import scoped_persist
+
+    assigned = ivf_assigned_cached(spark, sf_dir)
+    cents = kmeans_fit_cached(spark, sf_dir, assigned)
+    probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pc = S.probe_clusters(probes, cents, NPROBE_P)
+    corpus = assigned.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("c").alias("clabel"),
+    )
+    itop = S.topk_neighbors(pc, corpus, TOP_K, bucket=True).select(
+        "qid", "cid", F.col("rn").alias("rn_i")
+    )
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    sigs = scoped_persist(S.rhp_band_sigs(emb, dim=RHP_DIM))
+    a = sigs.filter(F.col("vec_id") < N_PROBES).alias("a")
+    b = sigs.alias("b")
+    rcand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("cid"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    eb = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    rscored = rcand.join(ea, "qid").join(eb, "cid").withColumn(
+        "cos_sim", S.cosine(F.col("qv"), F.col("cv"))
+    )
+    wr = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    rtop = (
+        rscored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "cid", F.col("rn").alias("rn_r"))
+    )
+    fused = itop.join(rtop, ["qid", "cid"], "full_outer").select(
+        "qid",
+        "cid",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rn_i")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rn_r")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    wf = W.partitionBy("qid").orderBy(F.col("rrf_score").desc(), F.col("cid"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "cid", "rrf_score", "rk")
+    )

@@ -170,6 +170,9 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         # with_cluster's large-k argmin)
         "ann_topk_ivf_nprobe",
         "ann_topk_ivfpq",
+        # the RRF fusion's IVF side rides the same probe_clusters
+        # broadcast centroid fan-out
+        "ann_rrf_fusion",
         "embedding_cluster_stats",
         "embedding_semdedup",
         "semdedup_survivors",
