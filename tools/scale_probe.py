@@ -846,6 +846,10 @@ def main() -> None:
             # bm25's cost is sum over query tokens of posting-list
             # length — linear in corpus rows at a fixed query set
             "bm25_topk",
+            # the RRF fusion is probe-bounded past its two (already
+            # probed) input rankings — a full outer join of two
+            # k-per-probe frames
+            "ann_rrf_fusion",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
