@@ -282,7 +282,11 @@ def label_propagation(
     Numerics: the per-label weight sum is DECIMAL-accumulated
     (``exact_sum``) so float weights (verified Jaccard) are
     order-insensitive; the argmax is a grouped ``max(struct(ws,
-    -lab))`` — map-side combining, no per-node sort.
+    -lab))`` — map-side combining, no per-node sort. PRECONDITION
+    (enforced): ``node`` (hence ``lab``) must be a numeric type — the
+    ``-lab`` negation that encodes "smallest label wins" is undefined
+    on strings; non-numeric node ids raise rather than silently
+    NULL-ing the tie-break.
 
     Partition discipline matches :func:`pagerank_partitioned`: edges
     (pre-symmetrized by the caller) are hash-partitioned once and
@@ -294,6 +298,20 @@ def label_propagation(
     spark = nodes.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     from ..functions.exact import exact_sum
+
+    # The smallest-label tie-break is max(struct(ws, -lab)), which only
+    # means "smallest" for NUMERIC labels; with string node ids the
+    # negation would cast to NULL under non-ANSI semantics and silently
+    # break the tie rule. Fail loudly instead (same spirit as
+    # pagerank_partitioned's endpoint check).
+    node_dt = dict(nodes.dtypes)["node"]
+    if node_dt not in ("tinyint", "smallint", "int", "bigint", "float",
+                      "double") and not node_dt.startswith("decimal"):
+        raise ValueError(
+            f"label_propagation: node/label column must be numeric for "
+            f"the smallest-label tie-break (got {node_dt}); hash string "
+            "ids to BIGINT first (e.g. xxhash64)."
+        )
 
     e = scoped_persist(
         edges.select("src", "dst", F.col("w").cast("double").alias("w")).repartition(

@@ -40,16 +40,38 @@ from pyspark.sql import DataFrame, functions as F
 from . import textops
 
 #: Fixed-point scale of the integer surprisal values. 10^6 keeps the
-#: per-gram value exact in a BIGINT up to corpora of ~9e12 prefix
-#: occurrences per token — far past the per-partition counts any real
-#: shard sees; the score division renormalizes it away.
+#: per-gram value exact in a BIGINT while ``c1 + v`` (c1 is the GLOBAL
+#: corpus-wide prefix count, not a per-partition figure) stays under
+#: ~9.2e12. At 100 TB the top Zipf prefixes can approach that bound,
+#: and non-ANSI BIGINT arithmetic would wrap SILENTLY — so the model
+#: fit enforces the bound with a raise_error guard
+#: (:data:`SURPRISAL_GUARDED_EXPR`); past it, rerun the same
+#: expressions with c1/c2/v cast to DECIMAL(38,0) (the formula is
+#: unchanged, only the carrier type widens).
 LM_SCALE = 1_000_000
+
+#: Largest global prefix count the BIGINT carrier tolerates before
+#: (c1 + v) * LM_SCALE overflows 2^63-1.
+LM_C1_LIMIT = (2**63 - 1) // LM_SCALE
 
 #: The scaled integer surprisal over (c1, c2, v) columns — ONE
 #: definition shared by the batch fit and the epoch-store merged model
 #: (streaming/pipelines.merged_lm_model), so the formula cannot drift
 #: between the two build paths.
 SURPRISAL_EXPR = f"((c1 + v) * {LM_SCALE}) div (c2 + 1)"
+
+#: The same surprisal with the overflow bound ENFORCED: if the global
+#: prefix count ever nears the BIGINT carrier limit the fit fails
+#: loudly instead of wrapping. Values are bit-identical to
+#: :data:`SURPRISAL_EXPR` everywhere in range, so oracles keep using
+#: the raw formula.
+SURPRISAL_GUARDED_EXPR = (
+    f"CASE WHEN c1 + v > {LM_C1_LIMIT} THEN "
+    f"CAST(raise_error('bigram_model: global prefix count c1 + v "
+    f"exceeds {LM_C1_LIMIT}; BIGINT surprisal would overflow — refit "
+    f"with DECIMAL(38,0) carriers') AS BIGINT) "
+    f"ELSE {SURPRISAL_EXPR} END"
+)
 
 
 def doc_bigrams(staged: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -87,7 +109,7 @@ def bigram_model(grams: DataFrame, vocab: DataFrame) -> DataFrame:
     return (
         c2.join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
-        .withColumn("s", F.expr(SURPRISAL_EXPR))
+        .withColumn("s", F.expr(SURPRISAL_GUARDED_EXPR))
     )
 
 

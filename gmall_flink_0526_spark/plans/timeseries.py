@@ -235,6 +235,7 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
                                 ORDER BY ts DESC, event_id DESC) AS rn_d
       FROM events
+      WHERE ts IS NOT NULL
     )
     SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS stt,
            event_type,
@@ -255,20 +256,26 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle-derivable (Spark takes min/max over a (ts, event_id, "
     "value) struct — one grouped agg, map-side combined, NO window "
     "pass; the oracle's rank form selects the same rows). "
-    "PRECONDITION: ts is non-null (event streams stamp every row) — "
-    "a null ts would sort nulls-first in Spark's struct ordering but "
-    "nulls-last in the oracle's ORDER BY. Scale: one shuffle on the "
-    "(entity, hour) key; output is grid-sized.",
+    "PRECONDITION (enforced): ts must be non-null — a null ts would "
+    "sort nulls-first in Spark's struct ordering but nulls-last in "
+    "the oracle's ORDER BY, so BOTH sides filter ts IS NOT NULL and "
+    "the documented precondition is now a plan invariant rather than "
+    "a trap. Scale: one shuffle on the (entity, hour) key; output is "
+    "grid-sized.",
     tags=("events", "timeseries", "agg"),
 )
 def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "events")
-    ev = t["events"].select(
-        "event_type",
-        F.date_trunc("hour", F.col("ts")).alias("h"),
-        "ts",
-        "event_id",
-        "value",
+    ev = (
+        t["events"]
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "ts",
+            "event_id",
+            "value",
+        )
     )
     first_s = F.min(F.struct("ts", "event_id", "value"))
     last_s = F.max(F.struct("ts", "event_id", "value"))

@@ -1319,7 +1319,7 @@ def merged_lm_model(spark: SparkSession, store_root: str) -> DataFrame:
     return (
         c2.join(c1, "w1")
         .crossJoin(F.broadcast(v))
-        .withColumn("s", F.expr(lm.SURPRISAL_EXPR))
+        .withColumn("s", F.expr(lm.SURPRISAL_GUARDED_EXPR))
     )
 
 
