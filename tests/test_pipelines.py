@@ -2621,3 +2621,57 @@ def test_events_rollup_app_sums_to_batch_rollup_and_survives_retry(spark, tmp_pa
         ).collect()
     }
     assert got == exp  # poison gone, decimal merge equals the batch rollup
+
+
+def test_similarity_graph_layouts_identical_and_marker_sticks(spark, reg, tmp_path):
+    """The size-gated shingle-store layout (r14: bucketed writes cost
+    2x the whole replay at small scale) must be invisible to the
+    graph: forced-bucketed and forced-flat runs over the same 2-epoch
+    replay reconstruct identical pair stores, the auto gate picks
+    flat for a small first batch, and the _SH_LAYOUT marker persists
+    the choice for the store's whole life."""
+    import os
+
+    from gmall_flink_0526_spark.sources import fs as hfs
+
+    docs = (
+        load_tables(spark, SF_SMOKE, "documents")["documents"]
+        .select("doc_id", "text")
+        .limit(300)
+    )
+
+    def run(root, **kw):
+        r = ChannelRegistry(str(root))
+        r.register("ods_documents", schema="doc_id long, text string")
+        write_replay(
+            docs, r.channels["ods_documents"].path, n_files=2,
+            order_by=["doc_id"], file_of=F.col("doc_id") % 2,
+        )
+        q = pipelines.similarity_graph_app(
+            spark, r, str(root / "ckpt"), str(root / "store"), **kw
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            tuple(r0)
+            for r0 in spark.read.parquet(str(root / "store" / "pairs"))
+            .select("doc_a", "doc_b")
+            .collect()
+        }
+
+    flat = run(tmp_path / "flat", bucket_layout=False)
+    bucketed = run(tmp_path / "bkt", bucket_layout=True)
+    auto = run(tmp_path / "auto")  # 150-doc first batch << threshold
+    assert flat == bucketed == auto
+    # the bucketed store really is bucket-partitioned; the flat one is not
+    sh_epoch = str(tmp_path / "bkt" / "store" / "sh" / "epoch=1")
+    assert any(n.startswith("bkt=") for n in os.listdir(sh_epoch))
+    flat_epoch = str(tmp_path / "flat" / "store" / "sh" / "epoch=1")
+    assert not any(n.startswith("bkt=") for n in os.listdir(flat_epoch))
+    # auto picked flat and persisted the decision
+    assert hfs.read_text(
+        spark, str(tmp_path / "auto" / "store" / "_SH_LAYOUT")
+    ).strip() == "flat"
+    assert hfs.read_text(
+        spark, str(tmp_path / "bkt" / "store" / "_SH_LAYOUT")
+    ).strip() == "bucketed"

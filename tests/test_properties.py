@@ -968,3 +968,64 @@ def test_lm_scores_match_python_model(spark, texts):
         )
         exp[i] = (len(gs), float(s_sum) / float(len(gs) * lm.LM_SCALE))
     assert got == exp
+
+
+def test_pq_fit_multi_matches_standalone_fits(spark):
+    """The joint Lloyd pass (r13 VERDICT #6 setup consolidation) must
+    return codebooks bit-identical to each source's standalone
+    pq_fit — the source tag partitions every stage, so certified PQ /
+    IVF-PQ oracle values cannot move."""
+    from gmall_flink_0526_spark.operators import similarity as S
+
+    import random
+
+    rng = random.Random(7)
+    dim, m, ks = 8, 2, 4
+    a = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(i, [rng.uniform(-2, 2) for _ in range(dim)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    joint = S.pq_fit_multi({"a": a, "b": b}, dim, m=m, ks=ks, iters=2, fit_limit=32)
+    assert joint["a"] == S.pq_fit(a, dim, m=m, ks=ks, iters=2, fit_limit=32)
+    assert joint["b"] == S.pq_fit(b, dim, m=m, ks=ks, iters=2, fit_limit=32)
+
+
+def test_bigram_model_overflow_guard_raises(spark):
+    """SURPRISAL_GUARDED_EXPR must fail loudly when the global prefix
+    count would overflow the BIGINT carrier (ADVICE r13: the old
+    comment claimed the bound was per-partition; it is global)."""
+    import pytest
+
+    from gmall_flink_0526_spark.operators import lm
+
+    # forge a model row whose c1 sits past the carrier bound
+    bad = spark.createDataFrame(
+        [("a b", "a", 3, lm.LM_C1_LIMIT + 1, 5)],
+        "g string, w1 string, c2 long, c1 long, v long",
+    )
+    with pytest.raises(Exception, match="overflow|exceeds"):
+        bad.withColumn("s", F.expr(lm.SURPRISAL_GUARDED_EXPR)).collect()
+    # ...and stays bit-identical to the raw formula in range
+    ok = spark.createDataFrame(
+        [("a b", "a", 3, 17, 5)], "g string, w1 string, c2 long, c1 long, v long"
+    )
+    got = ok.withColumn("s", F.expr(lm.SURPRISAL_GUARDED_EXPR)).collect()[0]["s"]
+    raw = ok.withColumn("s", F.expr(lm.SURPRISAL_EXPR)).collect()[0]["s"]
+    assert got == raw == ((17 + 5) * lm.LM_SCALE) // (3 + 1)
+
+
+def test_label_propagation_rejects_string_node_ids(spark):
+    """Non-numeric node ids must raise (the -lab tie-break would
+    silently NULL under non-ANSI casts) — ADVICE r13."""
+    import pytest
+
+    from gmall_flink_0526_spark.operators.graph import label_propagation
+
+    nodes = spark.createDataFrame([("x",), ("y",)], "node string")
+    edges = spark.createDataFrame([("x", "y", 1.0)], "src string, dst string, w double")
+    with pytest.raises(ValueError, match="numeric"):
+        label_propagation(nodes, edges, iters=1)
