@@ -120,102 +120,10 @@ _LOADED = False
 # (`tools/vanilla_gate.py`, result recorded in BASELINE.md) — so no
 # query ever stands on an unchecked stale row, even past the window.
 _PRIORITY = (
-    # -- r13 rotation. Lead: the 4 queries the r12 window displaced to
-    #    its overflow block (covered in r12 by the full-catalog sf0.01
-    #    vanilla gate; the contract says they head the NEXT window). --------
-    "visitor_stats_union",
-    "log_explode_displays",
-    "cdc_delete_filter",
-    "jdbc_round_trip",
-    # -- NEW in r13: the explicit-register HLL twin closing the
-    #    catalog's last no-oracle gap (product_stats_hll); jaccard-
-    #    WEIGHTED corpus PageRank through the same partitioned loop;
-    #    substring dedup at a second run length (L=16 — the run length
-    #    proven a parameter, not a constant); byte-level perceptual
-    #    (dHash) media near-dup pairs + the rate-by-modality audit;
-    #    and the product-quantization family (codebook audit, raw ADC
-    #    recall, ADC-shortlist + exact-re-rank recall). --------------------
-    "product_stats_hll",
-    "doc_pagerank_weighted",
-    "substring_dedup_l16",
-    "media_near_dup",
-    "media_near_dup_audit",
-    "embedding_pq_audit",
-    "ann_recall_pq",
-    "ann_recall_pq_rerank",
-    # -- NEW in r13 (second session): the CCNet-style bigram-LM
-    #    quality gate — model head, per-doc scores, median-threshold
-    #    keep/drop audit (operators/lm.py: exact-integer surprisal). --------
-    "ngram_lm_train",
-    "ngram_lm_perplexity",
-    "perplexity_filter",
-    # -- NEW in r13 (second session): hypertable-style dense-grid
-    #    hourly rollups — gap-fill + locf / linear interpolation. ----------
-    "events_gapfill_locf",
-    "events_gapfill_interp",
-    # -- NEW in r13 (second session): weighted label-propagation
-    #    communities on the jaccard-weighted similarity graph; the
-    #    LM gate's streaming twin (model maintained by the real
-    #    epoch-store count app, additive-exact merge). ---------------------
-    "doc_communities",
-    "perplexity_gate_stream",
-    # -- NEW in r13 (second session): the composed FAISS IVF-PQ path —
-    #    residual quantization inside the coarse cells, ADC over probed
-    #    cells only, plus its recall decomposition audit. ------------------
-    "ann_topk_ivfpq",
-    "ann_recall_ivfpq",
-    # -- NEW in r13 (second session): OHLC candlestick downsample and
-    #    the gap-fill rollup's streaming twin (continuous aggregate
-    #    maintained by the epoch-store rollup app, decimal-exact merge).
-    "events_ohlc_hourly",
-    "events_gapfill_stream",
-    # -- NEW in r13 (second session): BM25 sparse retrieval through
-    #    the inverted index — the sparse complement of ann_topk — and
-    #    reciprocal-rank fusion of two ANN rankings (hybrid serving). -----
-    "bm25_topk",
-    "ann_rrf_fusion",
-    # -- CHANGED in r13 (changed code is always re-proven the round
-    #    it changes): pagerank_partitioned's out-degree sum now
-    #    decimal-accumulates (doc_pagerank, doc_pagerank_stream);
-    #    lsh_recall_post_dedup gained the REP_BASE_ID precondition;
-    #    the substring oracle builders were parameterized by L; the
-    #    similarity-graph app's shingle store went doc-id-bucketed
-    #    with an index-shaped verify (doc_pagerank_stream again); the
-    #    stateful seed-concat id fix touched temporal_join/
-    #    temporal_enrich/funnel_chain_n (every *_stream consumer
-    #    re-proven); and the store compactor's manifest commit touched
-    #    read_epoch_store/read_store, so every epoch-store streaming
-    #    query re-certifies. ------------------------------------------------
-    "doc_pagerank",
-    "doc_pagerank_stream",
-    "lsh_recall_post_dedup",
-    "substring_dedup",
-    "substring_dedup_audit",
-    "substring_dedup_stream",
-    "funnel_attribution_stream",
-    "funnel_attribution_4_stream",
-    "funnel_attribution_windowed_stream",
-    "asof_click_stream",
-    "dim_enrichment_asof_stream",
-    "dedup_incremental_stream",
-    "embedding_incremental_stream",
-    "approx_distinct_hll_stream",
-    "heavy_hitters_stream",
-    "decontaminate_bloom_stream",
-    "quantile_sketch_stream",
-    "value_drift_chi2_stream",
-    # -- ... and the 20 oldest-green fill entries completing the
-    #    window (head of the r12 post-cut order). ---------------------------
-    "uv_first_visit",
-    "uv_first_visit_stream",
-    "is_new_fix_stream",
-    "bounce_stats_stream",
-    "cdc_materialize",
-    "cdc_envelope_parse",
-    "config_routing",
-    # == the 50-query window cut falls here (4 overflow leads + 21 new
-    #    + 18 changed + 7 oldest-green fill; the 13 fill entries the
-    #    second-session additions displaced lead the below-cut list) ========
+    # -- r14 rotation. Lead: the 13 fill entries the r13 window's
+    #    second-session additions displaced to its overflow block
+    #    (covered in r13 by the full-catalog sf0.01 vanilla gate; the
+    #    contract says they head the NEXT window). -------------------------
     "base_db_stream",
     "sql_entry",
     "product_stats",
@@ -229,10 +137,55 @@ _PRIORITY = (
     "visitor_stats_stream",
     "session_stats_stream",
     "order_wide_join",
-    # -- oldest-green fill continues: previous-round relative order
-    #    preserved; everything below the cut is covered this round by
-    #    the full sf0.001 pytest sweep and the in-repo full-catalog
-    #    vanilla gate at sf0.01 (BASELINE.md r13). ----------------------
+    # -- NEW in r14: embedding-level benchmark decontamination — the
+    #    semantic screen for paraphrased contamination that shingle /
+    #    Bloom decontamination cannot see (quantizer fit on the train
+    #    side, eval side broadcast, eval-bounded candidate cost) plus
+    #    its rate-by-source audit; and K4's extend semantics certified
+    #    end to end — the real base_db_app under a mid-stream
+    #    table_process update that ADDS a sinkColumns column (the dim
+    #    store widens in place, epoch-0 rows read NULL). -------------------
+    "decontaminate_semantic",
+    "decontaminate_semantic_audit",
+    "dim_schema_evolution",
+    # -- NEW in r14: DSIR importance resampling (Xie et al., 2023) —
+    #    per-doc target-vs-raw bigram-LM surprisal-difference weights
+    #    in the engine's exact-rational form, plus the executed
+    #    selection audited by language (the target language must be
+    #    kept at a higher rate, measured: en 0.92 vs 0.15-0.21 at
+    #    sf0.01). -----------------------------------------------------------
+    "dsir_importance",
+    "dsir_select_audit",
+    # -- NEW in r14: the multi-probe recall rung of the semantic
+    #    screen (2-probe surfaces 2 of the 4 brute pairs at sf0.01,
+    #    strictly dominating the 1-probe screen). -------------------------
+    "decontaminate_semantic_nprobe",
+    # -- CHANGED in r14 (changed code is always re-proven the round it
+    #    changes): events_ohlc_hourly now ENFORCES the non-null-ts
+    #    precondition in plan and oracle; the bigram-LM surprisal is
+    #    overflow-guarded in both fit paths (batch bigram_model and the
+    #    epoch-store merge); label_propagation gained the numeric-label
+    #    guard (doc_communities); the PQ/IVF-PQ codebook fits ride the
+    #    shared joint Lloyd pass (bit-identity pinned by
+    #    test_pq_fit_multi_matches_standalone_fits — all five PQ-family
+    #    consumers re-certify); and the similarity-graph app's shingle
+    #    store went size-gated (flat under SIM_SH_BUCKET_MIN_DOCS,
+    #    bucketed past it — doc_pagerank_stream re-proves the store
+    #    it reads). --------------------------------------------------------
+    "events_ohlc_hourly",
+    "ngram_lm_train",
+    "ngram_lm_perplexity",
+    "perplexity_filter",
+    "perplexity_gate_stream",
+    "doc_communities",
+    "embedding_pq_audit",
+    "ann_recall_pq",
+    "ann_recall_pq_rerank",
+    "ann_topk_ivfpq",
+    "ann_recall_ivfpq",
+    "doc_pagerank_stream",
+    # -- ... and the 23 oldest-green fill entries completing the
+    #    window (head of the r13 post-cut order). ---------------------------
     "ann_topk_bruteforce",
     "ann_topk_ivf",
     "ann_topk_vectorized",
@@ -252,10 +205,57 @@ _PRIORITY = (
     "duplicate_ngram_coverage",
     "lsh_bucket_audit",
     "decontaminate_fuzzy",
+    # == the 50-query window cut falls here (13 overflow leads + 6 new
+    #    + 12 changed + 19 oldest-green fill; doc_fingerprint, lang_id,
+    #    quality_score and token_stats displaced to the overflow
+    #    block) ==============================================================
     "doc_fingerprint",
     "lang_id",
     "quality_score",
     "token_stats",
+    # -- r14 overflow block: the r13 window entries this rotation
+    #    displaced lead the r15 window per contract; everything below
+    #    the cut is covered this round by the full sf0.001 pytest sweep
+    #    and the in-repo full-catalog vanilla gate at sf0.01
+    #    (BASELINE.md r14). -------------------------------------------------
+    "visitor_stats_union",
+    "log_explode_displays",
+    "cdc_delete_filter",
+    "jdbc_round_trip",
+    "product_stats_hll",
+    "doc_pagerank_weighted",
+    "substring_dedup_l16",
+    "media_near_dup",
+    "media_near_dup_audit",
+    "events_gapfill_locf",
+    "events_gapfill_interp",
+    "events_gapfill_stream",
+    "bm25_topk",
+    "ann_rrf_fusion",
+    "doc_pagerank",
+    "lsh_recall_post_dedup",
+    "substring_dedup",
+    "substring_dedup_audit",
+    "substring_dedup_stream",
+    "funnel_attribution_stream",
+    "funnel_attribution_4_stream",
+    "funnel_attribution_windowed_stream",
+    "asof_click_stream",
+    "dim_enrichment_asof_stream",
+    "dedup_incremental_stream",
+    "embedding_incremental_stream",
+    "approx_distinct_hll_stream",
+    "heavy_hitters_stream",
+    "decontaminate_bloom_stream",
+    "quantile_sketch_stream",
+    "value_drift_chi2_stream",
+    "uv_first_visit",
+    "uv_first_visit_stream",
+    "is_new_fix_stream",
+    "bounce_stats_stream",
+    "cdc_materialize",
+    "cdc_envelope_parse",
+    "config_routing",
     "tfidf_top_terms",
     "funnel_conversion",
     "retention_cohorts",

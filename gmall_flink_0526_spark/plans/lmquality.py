@@ -200,3 +200,160 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, _staged, grams = _staged_grams(spark, sf_dir)
     scores = lm.doc_lm_scores(grams, lm_model_cached(spark, sf_dir))
     return gate_output(t["documents"], scores)
+
+
+# -- DSIR-style importance resampling (r14) --------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., 2023): weight
+# each raw-corpus document by how much more probable it is under a
+# TARGET-domain n-gram LM than under the raw-corpus LM, then keep the
+# most target-like mass. In the paper the weight is a sum of hashed
+# n-gram log-ratios; here both models are the engine's add-one bigram
+# LM in scaled-integer surprisal form, so the log-ratio sum becomes an
+# EXACT integer sum of surprisal differences (s_raw - s_target per
+# bigram occurrence) and one correctly-rounded double division — the
+# same rational-arithmetic contract as the perplexity gate, so the
+# oracle re-derives every weight and the selection decision to the bit.
+
+#: The target domain: English documents (the fixture's lang column
+#: plays the "formal text" domain the paper selects toward).
+DSIR_TARGET_LANG = "en"
+
+_SQL_DSIR = f"""
+    {_SQL_LM_CTES},
+    tdocs AS (SELECT doc_id FROM documents WHERE lang = '{DSIR_TARGET_LANG}'),
+    tgrams AS (SELECT doc_id, g, w1 FROM grams JOIN tdocs USING (doc_id)),
+    tvocab AS (SELECT COUNT(DISTINCT tok) AS vt
+               FROM (SELECT unnest(t) AS tok FROM toks JOIN tdocs USING (doc_id))),
+    tc2 AS (SELECT g, COUNT(*) AS tc2 FROM tgrams GROUP BY g),
+    tc1 AS (SELECT w1, COUNT(*) AS tc1 FROM tgrams GROUP BY w1),
+    dsir AS (
+      SELECT grams.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(m.s - (((COALESCE(tc1.tc1, 0) + vt) * {lm.LM_SCALE})
+                             // (COALESCE(tc2.tc2, 0) + 1))) AS DOUBLE)
+               / CAST(COUNT(*) * {lm.LM_SCALE} AS DOUBLE) AS dsir_score
+      FROM grams
+      JOIN (SELECT g, s FROM model) m USING (g)
+      LEFT JOIN tc2 USING (g)
+      LEFT JOIN tc1 ON grams.w1 = tc1.w1
+      CROSS JOIN tvocab
+      GROUP BY grams.doc_id
+    )"""
+
+
+def dsir_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, dsir_score): the per-document importance
+    weight — mean scaled surprisal difference raw-model minus
+    target-model (positive = more probable under the target domain).
+    Corpus-persisted: the flag query and the selection audit share one
+    computation. The target model is two grouped counts over the
+    TARGET slice's bigrams; bigrams/prefixes unseen in the target get
+    the same add-one floor (count 0) via LEFT joins, so every document
+    is scorable — the raw-model join is inner because the raw model
+    saw every corpus bigram by construction. Scale: both models are
+    distinct-bigram-bounded; scoring is the decontamination join shape
+    (bigram-keyed, never doc-vs-doc)."""
+
+    def build():
+        t, staged, grams = _staged_grams(spark, sf_dir)
+        model = lm_model_cached(spark, sf_dir)
+        tids = t["documents"].filter(F.col("lang") == DSIR_TARGET_LANG).select("doc_id")
+        tgrams = grams.join(tids, "doc_id")
+        tc2 = tgrams.groupBy("g").agg(F.count("*").alias("tc2"))
+        tc1 = tgrams.groupBy("w1").agg(F.count("*").alias("tc1"))
+        tv = (
+            staged.join(tids, "doc_id")
+            .select(F.explode("toks").alias("tok"))
+            .agg(F.count_distinct("tok").alias("v"))
+        )
+        scored = (
+            grams.join(model.select("g", F.col("s").alias("s_raw")), "g")
+            .join(tc2, "g", "left")
+            .join(tc1, "w1", "left")
+            .crossJoin(F.broadcast(tv))
+            .withColumn("c1", F.coalesce(F.col("tc1"), F.lit(0)))
+            .withColumn("c2", F.coalesce(F.col("tc2"), F.lit(0)))
+            # the raw model's exact surprisal expression, overflow
+            # guard included, re-pointed at the target counts
+            .withColumn("s_t", F.expr(lm.SURPRISAL_GUARDED_EXPR))
+        )
+        return scored.groupBy("doc_id").agg(
+            F.count("*").alias("n_grams"),
+            (
+                F.sum(F.col("s_raw") - F.col("s_t")).cast("double")
+                / (F.count("*") * F.lit(lm.LM_SCALE)).cast("double")
+            ).alias("dsir_score"),
+        )
+
+    return corpus_persist(spark, "dsir_scores", sf_dir, build)
+
+
+@register(
+    "dsir_importance",
+    oracle=f"""
+    WITH {_SQL_DSIR}
+    SELECT doc_id, n_grams, dsir_score FROM dsir
+    """,
+    doc="DSIR importance weights (Xie et al., 2023): per raw-corpus "
+    f"document, the mean scaled surprisal difference between the "
+    f"corpus-fit bigram LM and a TARGET-domain LM (lang = "
+    f"'{DSIR_TARGET_LANG}' plays the target) — the paper's hashed "
+    "n-gram log-ratio sum in the engine's exact-rational form, so "
+    "both engines derive every weight bit-for-bit. Positive = more "
+    "target-like. Target-unseen bigrams take the add-one floor via "
+    "LEFT joins (count 0), so the weight is defined for every "
+    "document with >= 2 tokens. Scale: the target model is "
+    "distinct-bigram-bounded over the target SLICE; scoring re-uses "
+    "the corpus model join plus two left joins on the same key — "
+    "nothing doc-vs-doc.",
+    tags=("llm-prep", "quality", "lm", "sampling"),
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_scores_cached(spark, sf_dir)
+
+
+@register(
+    "dsir_select_audit",
+    oracle=f"""
+    WITH {_SQL_DSIR},
+    thr AS (SELECT quantile_disc(dsir_score, 0.5) AS thr FROM dsir)
+    SELECT d.lang,
+           COUNT(*) AS total_ct,
+           CAST(SUM(CASE WHEN dsir_score >= thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_ct,
+           CAST(SUM(CASE WHEN dsir_score >= thr THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS keep_rate
+    FROM dsir JOIN documents d USING (doc_id)
+    CROSS JOIN thr
+    GROUP BY d.lang
+    """,
+    doc="The executed DSIR selection, audited by language: keep the "
+    "most-target-like half (threshold = percentile_disc(0.5) over the "
+    "importance weights — an actual element, cross-engine exact; at "
+    "100 TB swap in approx_percentile, the perplexity_filter "
+    "precedent) and report per-language keep rates — the sanity check "
+    "the paper's method implies: the target language must be kept at "
+    "a higher rate than the rest, measured, not assumed. One "
+    "doc-count-sized aggregate for the threshold, one broadcast "
+    "scalar, one grouped gate pass.",
+    tags=("llm-prep", "quality", "lm", "sampling", "audit"),
+)
+def dsir_select_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    scores = dsir_scores_cached(spark, sf_dir)
+    thr = scores.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dsir_score)").alias("thr")
+    )
+    kept = F.col("dsir_score") >= F.col("thr")
+    return (
+        scores.join(t["documents"].select("doc_id", "lang"), "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total_ct"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_ct"),
+            (
+                F.sum(F.when(kept, 1).otherwise(0)).cast("double") / F.count("*")
+            ).alias("keep_rate"),
+        )
+    )

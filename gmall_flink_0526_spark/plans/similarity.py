@@ -2232,3 +2232,244 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("qid", "cid", "rrf_score", "rk")
     )
+
+
+# -- embedding-level decontamination (r13 VERDICT #4) ----------------------
+
+from .llmprep import EVAL_MOD  # noqa: E402  (the mod-7 eval split, shared)
+
+#: Cosine bar for "semantically the same content" — deliberately the
+#: SemDeDup threshold: a train doc that SemDeDup would have collapsed
+#: into an eval doc is exactly what paraphrased contamination looks
+#: like at the embedding layer.
+DECON_COS_T = SEMDEDUP_T
+
+
+def corpus_decon_semantic_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, eid, cos_sim): train-vector x eval-vector same-cluster
+    pairs at cosine >= DECON_COS_T — the shared surface of the two
+    semantic-decontamination queries (flag + rate-by-source audit),
+    corpus-persisted like ``corpus_semdedup_verified``.
+
+    Shape (the decontaminate_fuzzy precedent lifted to the embedding
+    layer): the quantizer is fit on the TRAIN side only (production
+    fits at bootstrap; the eval benchmark must not steer the
+    codebook), BOTH sides are assigned with it, and candidates are
+    train-vs-eval pairs within a shared coarse cell — cost is
+    sum_c(train_ct(c) x eval_ct(c)), bounded by the eval set's size,
+    never corpus². The eval side rides a plain broadcast: it is
+    benchmark-sized by CONTRACT (the bounded_broadcast docstring's
+    documented exception). Unlike SemDeDup, the train side is NOT
+    rep-capped — every train doc must be checked, and the per-cluster
+    cost is already eval-bounded."""
+    from ..operators.cache import corpus_persist
+    from ..operators.partitioning import spread
+
+    def build():
+        assigned, _ = _fit_and_assign(
+            spark,
+            sf_dir,
+            fit_filter=F.col("vec_id") % EVAL_MOD != 0,
+            subset="decon_train",
+        )
+        nrm = F.sqrt(S.norm_sq(F.col("embedding")))
+        ev = assigned.filter(F.col("vec_id") % EVAL_MOD == 0).select(
+            "c",
+            F.col("vec_id").alias("eid"),
+            F.col("embedding").alias("ve"),
+            nrm.alias("ne"),
+        )
+        tr = assigned.filter(F.col("vec_id") % EVAL_MOD != 0).select(
+            "c", "vec_id", F.col("embedding").alias("vt"), nrm.alias("nt")
+        )
+        return (
+            spread(tr, "vec_id")
+            .join(F.broadcast(ev), "c")
+            .withColumn(
+                "cos_sim", S.dot(F.col("vt"), F.col("ve")) / (F.col("nt") * F.col("ne"))
+            )
+            .filter(F.col("cos_sim") >= DECON_COS_T)
+            .select("vec_id", "eid", "cos_sim")
+        )
+
+    return corpus_persist(spark, "decon_semantic_hits", sf_dir, build)
+
+
+_SQL_DECON_SEM_HITS = f"""
+    {_sql_kmeans_ctes_subset(f"vec_id % {EVAL_MOD} != 0")},
+    anorm AS (
+      SELECT vec_id, c, embedding,
+             sqrt({SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM afinal
+    ),
+    hits AS (
+      SELECT t.vec_id, e.vec_id AS eid,
+             {SQL_DOT.format(a='t.embedding', b='e.embedding')} / (t.nrm * e.nrm)
+               AS cos_sim
+      FROM anorm t JOIN anorm e ON t.c = e.c
+      WHERE t.vec_id % {EVAL_MOD} != 0 AND e.vec_id % {EVAL_MOD} = 0
+        AND {SQL_DOT.format(a='t.embedding', b='e.embedding')} / (t.nrm * e.nrm)
+              >= {DECON_COS_T}
+    )"""
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH {_SQL_DECON_SEM_HITS}
+    SELECT vec_id, COUNT(*) AS hit_ct, MAX(cos_sim) AS max_cos
+    FROM hits GROUP BY vec_id
+    """,
+    doc=f"Embedding-level benchmark decontamination: flag training "
+    f"vectors whose cosine to ANY eval vector (vec_id % {EVAL_MOD} == "
+    f"0 plays the benchmark, the decontaminate convention) reaches "
+    f"the SemDeDup bar within a shared coarse cell — the paraphrased "
+    "contamination that shingle/Bloom decontamination cannot see "
+    "(no token n-gram survives a rewrite; the embedding does). "
+    "Quantizer fit on the train side only; candidates are "
+    "train-vs-eval within-cluster pairs, eval side broadcast — cost "
+    "is eval-bounded, never corpus². The oracle re-derives the "
+    "adaptive-k fit, both assignments and every cosine bit-for-bit. "
+    "Cross-cell contamination (train and eval landing in different "
+    "coarse cells) is the documented recall trade every IVF-bucketed "
+    "screen makes — ann_recall_ivf measures that class (at sf0.01 the "
+    "screen surfaces 1 of the 4 brute-force eval-train pairs at this "
+    "bar; production raises recall by multi-probing cells, the "
+    "ann_topk_ivf_nprobe machinery).",
+    tags=("similarity", "kmeans", "llm-prep", "decontamination"),
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        corpus_decon_semantic_hits(spark, sf_dir)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("hit_ct"), F.max("cos_sim").alias("max_cos"))
+    )
+
+
+@register(
+    "decontaminate_semantic_audit",
+    oracle=f"""
+    WITH {_SQL_DECON_SEM_HITS},
+    flagged AS (SELECT DISTINCT vec_id FROM hits)
+    SELECT d.source,
+           COUNT(*) AS train_ct,
+           COUNT(f.vec_id) AS flagged_ct,
+           CAST(COUNT(f.vec_id) AS DOUBLE) / COUNT(*) AS flagged_rate
+    FROM embeddings e
+    JOIN documents d ON d.doc_id = e.vec_id
+    LEFT JOIN flagged f ON e.vec_id = f.vec_id
+    WHERE e.vec_id % {EVAL_MOD} != 0
+    GROUP BY d.source
+    """,
+    doc="Rate-by-source audit of the semantic decontamination screen "
+    "(the quality_by_source pattern): per document source, how many "
+    "train vectors exist and what fraction the embedding screen "
+    "flags — the number a curator reads before dropping a source. "
+    "Rides the corpus-persisted hits surface (the flag query's heavy "
+    "stage runs once); doc_id = vec_id is the fixture's 1:1 "
+    "embedding-document linkage, checked by embedding_doc_coverage. "
+    "The rate is ONE double division of two exact counts.",
+    tags=("similarity", "llm-prep", "decontamination", "audit"),
+)
+def decontaminate_semantic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    flagged = corpus_decon_semantic_hits(spark, sf_dir).select("vec_id").distinct()
+    train = (
+        t["embeddings"]
+        .filter(F.col("vec_id") % EVAL_MOD != 0)
+        .select("vec_id")
+        .join(t["documents"].select(F.col("doc_id").alias("vec_id"), "source"), "vec_id")
+    )
+    return (
+        train.join(flagged.withColumn("_hit", F.lit(1)), "vec_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("train_ct"),
+            F.count("_hit").alias("flagged_ct"),
+            (F.count("_hit").cast("double") / F.count("*")).alias("flagged_rate"),
+        )
+    )
+
+
+#: Cells each eval vector probes in the multi-probe screen — the
+#: recall/cost knob (the nprobe precedent): 1-probe surfaces 1 of the
+#: 4 brute-truth pairs at sf0.01, 2-probe buys back cross-boundary
+#: contamination for one more eval-bounded candidate set per probe.
+DECON_NPROBE = 2
+
+
+@register(
+    "decontaminate_semantic_nprobe",
+    oracle=f"""
+    WITH {_sql_kmeans_ctes_subset(f"vec_id % {EVAL_MOD} != 0")},
+    anorm AS (
+      SELECT vec_id, c, embedding,
+             sqrt({SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+      FROM afinal
+    ),
+    eprd AS (
+      SELECT e.vec_id AS eid, e.embedding AS ev, s.c,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_sql_sqdist('e.embedding', 's.cv')}, s.c)
+               AS prn
+      FROM embeddings e CROSS JOIN ctr2 s
+      WHERE e.vec_id % {EVAL_MOD} = 0
+    ),
+    epc AS (
+      SELECT eid, ev, sqrt({SQL_DOT.format(a='ev', b='ev')}) AS enrm, c
+      FROM eprd WHERE prn <= {DECON_NPROBE}
+    ),
+    hits AS (
+      SELECT t.vec_id, epc.eid,
+             {SQL_DOT.format(a='t.embedding', b='epc.ev')} / (t.nrm * epc.enrm)
+               AS cos_sim
+      FROM anorm t JOIN epc ON t.c = epc.c
+      WHERE t.vec_id % {EVAL_MOD} != 0
+        AND {SQL_DOT.format(a='t.embedding', b='epc.ev')} / (t.nrm * epc.enrm)
+              >= {DECON_COS_T}
+    )
+    SELECT vec_id, COUNT(*) AS hit_ct, MAX(cos_sim) AS max_cos
+    FROM hits GROUP BY vec_id
+    """,
+    doc=f"The multi-probe semantic-decontamination screen: each eval "
+    f"vector probes its {DECON_NPROBE} nearest train-fit cells "
+    "(probe_clusters — the ann_topk_ivf_nprobe knob applied to the "
+    "screen), buying back the cross-Voronoi-boundary contamination "
+    "the 1-probe screen misses for one more eval-bounded candidate "
+    "set per probe. Same cosine bar, same output shape as "
+    "decontaminate_semantic — read the two side by side as the "
+    "recall ladder (1-probe: 1 of 4 brute pairs at sf0.01; 2-probe "
+    "strictly dominates by construction). Cost is still "
+    "sum_c(train_ct x eval_probe_ct), eval-bounded.",
+    tags=("similarity", "kmeans", "llm-prep", "decontamination"),
+)
+def decontaminate_semantic_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.partitioning import spread
+
+    assigned, cents = _fit_and_assign(
+        spark,
+        sf_dir,
+        fit_filter=F.col("vec_id") % EVAL_MOD != 0,
+        subset="decon_train",
+    )
+    nrm = F.sqrt(S.norm_sq(F.col("embedding")))
+    ev = (
+        assigned.filter(F.col("vec_id") % EVAL_MOD == 0)
+        .select(F.col("vec_id").alias("eid"), F.col("embedding").alias("ve"))
+    )
+    epc = S.probe_clusters(ev, cents, DECON_NPROBE, qid_col="eid", vec_col="ve", out="c")
+    epc = epc.withColumn("ne", F.sqrt(S.norm_sq(F.col("ve"))))
+    tr = assigned.filter(F.col("vec_id") % EVAL_MOD != 0).select(
+        "c", "vec_id", F.col("embedding").alias("vt"), nrm.alias("nt")
+    )
+    return (
+        # eval side broadcast: benchmark-sized by contract x NPROBE rows
+        spread(tr, "vec_id")
+        .join(F.broadcast(epc), "c")
+        .withColumn(
+            "cos_sim", S.dot(F.col("vt"), F.col("ve")) / (F.col("nt") * F.col("ne"))
+        )
+        .filter(F.col("cos_sim") >= DECON_COS_T)
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("hit_ct"), F.max("cos_sim").alias("max_cos"))
+    )

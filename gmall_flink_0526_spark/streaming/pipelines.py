@@ -129,28 +129,41 @@ def base_db_app(
     spark: SparkSession,
     reg: ChannelRegistry,
     dim_store: DimStore,
-    config_df: DataFrame,
+    config_df,
     ckpt: str,
     source: str = "ods_base_db",
 ):
     """CDC dispatch: envelope stream x broadcast config -> dynamic-topic
     fact channel + dim MERGE.
 
-    The config is re-read/re-broadcast per micro-batch (R3) — same
-    eventual consistency as Flink broadcast state. The fact branch
-    carries a ``topic`` column (K2's per-record dynamic topic); the dim
-    branch MERGEs into the keyed store (K3) after ensure_table (K4).
+    ``config_df`` is a DataFrame (static config) or a ZERO-ARG CALLABLE
+    returning one — the table_process CONFIG STREAM (the reference
+    tails it with FlinkCDC into broadcast state,
+    RT/app/dwd/BaseDbApp.java:63-75): a provider is re-evaluated at
+    every micro-batch, so a config mutation — including K4's ``extend``
+    case, a sinkColumns update ADDING a column to an existing dim —
+    takes effect from the next micro-batch, exactly Flink's
+    broadcast-state eventual consistency. Schema evolution downstream
+    is free by construction: ``ensure_table`` only creates missing
+    tables, and the MERGE's ``unionByName(allowMissingColumns=True)``
+    widens the stored table with the new column (existing rows read
+    NULL — the ALTER TABLE ADD COLUMN semantics;
+    ``dim_schema_evolution`` certifies the end-to-end path). The fact
+    branch carries a ``topic`` column (K2's per-record dynamic topic);
+    the dim branch MERGEs into the keyed store (K3) after ensure_table
+    (K4).
     """
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
+        cfg = config_df() if callable(config_df) else config_df
         # Stamp source-arrival order BEFORE any join/shuffle: downstream
         # the routing broadcast-join and persist can reorder rows, so a
         # sequence derived later would not be last-writer-wins anymore.
         batch = batch.withColumn("_seq", F.monotonically_increasing_id()).persist()
         try:
             live = filter_deletes(batch)
-            routed = route_by_config(live, F.broadcast(config_df))
+            routed = route_by_config(live, F.broadcast(cfg))
             routed = project_map_columns(routed, "after", "sinkColumns").persist()
             branches = split_by_sink_type(routed)
             # K2: dynamic-topic fact sink — topic is a per-record column

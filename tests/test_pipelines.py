@@ -2809,3 +2809,20 @@ def test_cms_app_duplicate_delivery_no_double_count(spark, tmp_path):
     toks = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
     exp = {(r["i"], r["b"]): r["ct"] for r in cms_counters(toks, "tok").collect()}
     assert grid() == exp  # and still the exact batch sketch
+
+
+def test_dim_schema_evolution_widens_store_in_place(spark):
+    """K4 extend (r13 VERDICT #5): the certified replay query runs the
+    real base_db_app across a mid-stream table_process update adding
+    o_orderstatus — rows merged before the update must read NULL in
+    the added column, rows after must carry it."""
+    from gmall_flink_0526_spark import plans
+
+    df = plans.queries()["dim_schema_evolution"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert set(df.columns) == {"o_orderkey", "o_totalprice", "o_orderstatus"}
+    evens = [r for r in rows if r.o_orderkey % 2 == 0]
+    odds = [r for r in rows if r.o_orderkey % 2 == 1]
+    assert evens and odds  # both config generations wrote rows
+    assert all(r.o_orderstatus is None for r in evens)
+    assert all(r.o_orderstatus is not None for r in odds)

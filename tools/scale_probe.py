@@ -850,6 +850,22 @@ def main() -> None:
             # probed) input rankings — a full outer join of two
             # k-per-probe frames
             "ann_rrf_fusion",
+            # r14: semantic decontamination — candidate cost is
+            # sum_c(train_ct x eval_ct) with the eval side fixed at
+            # 1/7 of the corpus here (a REAL deployment holds eval
+            # constant, making the screen linear in train); the audit
+            # adds one doc-keyed join + grouped counts
+            "decontaminate_semantic",
+            "decontaminate_semantic_audit",
+            # r14: DSIR — target model distinct-bigram-bounded over
+            # the target slice; scoring adds two LEFT joins on the
+            # same bigram key to the perplexity join, so the ratio
+            # must track exploded-bigram volume (the LM family class)
+            "dsir_importance",
+            "dsir_select_audit",
+            # ... and the 2-probe screen: NPROBE x the eval-bounded
+            # candidate set, same class
+            "decontaminate_semantic_nprobe",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
@@ -903,7 +919,12 @@ def main() -> None:
             # r10: dim_enrichment_asof rides the warehouse corpus — the
             # as-of union-fill (one custkey exchange + per-key sort)
             # must track data size with no fan-out term at 10x
-            for name in ("local_supplier_volume", "pricing_summary", "dim_enrichment_asof"):
+            # r14: the schema-evolution replay rides the warehouse
+            # corpus (orders envelopes) — per-epoch cost is the
+            # config-sized broadcast + the dim-bounded MERGE, so the
+            # 2-epoch replay must track the envelope volume
+            for name in ("local_supplier_volume", "pricing_summary", "dim_enrichment_asof",
+                         "dim_schema_evolution"):
                 for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", wh)):
                     t0 = time.time()
                     df = qs[name](spark, sf_dir)
