@@ -194,8 +194,26 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         # bounds into the entity list (entity x bucket generation)
         "events_gapfill_locf",
         "events_gapfill_interp",
+        # the semantic-decontamination family rides _fit_and_assign's
+        # broadcast centroid fan-out (the embedding_semdedup class);
+        # the nprobe variant adds probe_clusters' broadcast k-row
+        # centroid table
+        "decontaminate_semantic",
+        "decontaminate_semantic_audit",
+        "decontaminate_semantic_nprobe",
+        # DSIR fans two broadcast 1-row scalars: the target vocabulary
+        # into the scoring join, and (in the audit) the
+        # percentile_disc threshold — the LM-family class
+        "dsir_importance",
+        "dsir_select_audit",
     }
-    skip = {"jdbc_round_trip"}  # writes a DB as a side effect
+    skip = {
+        "jdbc_round_trip",  # writes a DB as a side effect
+        # runs a 2-epoch foreachBatch replay on call (the *_stream
+        # class without the suffix — its name describes the K4
+        # semantics, not the harness)
+        "dim_schema_evolution",
+    }
     for name in plans.queries():
         if name.endswith("_stream") or name in skip:
             continue  # replay queries execute streams on call
