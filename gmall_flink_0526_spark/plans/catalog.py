@@ -156,6 +156,7 @@ _PRIORITY = (
     #    sf0.01). -----------------------------------------------------------
     "dsir_importance",
     "dsir_select_audit",
+    "dsir_gate_stream",
     # -- NEW in r14: the multi-probe recall rung of the semantic
     #    screen (2-probe surfaces 2 of the 4 brute pairs at sf0.01,
     #    strictly dominating the 1-probe screen). -------------------------
@@ -204,11 +205,11 @@ _PRIORITY = (
     "near_dup_rate_by_source",
     "duplicate_ngram_coverage",
     "lsh_bucket_audit",
+    # == the 50-query window cut falls here (13 overflow leads + 7 new
+    #    + 12 changed + 18 oldest-green fill; decontaminate_fuzzy,
+    #    doc_fingerprint, lang_id, quality_score and token_stats
+    #    displaced to the overflow block) ====================================
     "decontaminate_fuzzy",
-    # == the 50-query window cut falls here (13 overflow leads + 6 new
-    #    + 12 changed + 19 oldest-green fill; doc_fingerprint, lang_id,
-    #    quality_score and token_stats displaced to the overflow
-    #    block) ==============================================================
     "doc_fingerprint",
     "lang_id",
     "quality_score",

@@ -241,6 +241,59 @@ _SQL_DSIR = f"""
     )"""
 
 
+def dsir_scores_from(
+    grams: DataFrame,
+    raw_model: DataFrame,
+    tc2: DataFrame,
+    tc1: DataFrame,
+    tv: DataFrame,
+) -> DataFrame:
+    """The DSIR scoring tail from its five ingredient frames — ONE
+    definition shared by the batch query (frames counted in-plan) and
+    the streaming twin (frames derived from the two epoch-store
+    models), so the weight formula cannot drift between build paths.
+    ``tc2``=(g, tc2), ``tc1``=(w1, tc1), ``tv``=1-row (v)."""
+    scored = (
+        grams.join(raw_model.select("g", F.col("s").alias("s_raw")), "g")
+        .join(tc2, "g", "left")
+        .join(tc1, "w1", "left")
+        .crossJoin(F.broadcast(tv))
+        .withColumn("c1", F.coalesce(F.col("tc1"), F.lit(0)))
+        .withColumn("c2", F.coalesce(F.col("tc2"), F.lit(0)))
+        # the raw model's exact surprisal expression, overflow
+        # guard included, re-pointed at the target counts
+        .withColumn("s_t", F.expr(lm.SURPRISAL_GUARDED_EXPR))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        (
+            F.sum(F.col("s_raw") - F.col("s_t")).cast("double")
+            / (F.count("*") * F.lit(lm.LM_SCALE)).cast("double")
+        ).alias("dsir_score"),
+    )
+
+
+def dsir_audit_output(docs: DataFrame, scores: DataFrame) -> DataFrame:
+    """The executed DSIR selection per language — shared by the batch
+    audit and the streaming twin (gate_output's pattern)."""
+    thr = scores.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dsir_score)").alias("thr")
+    )
+    kept = F.col("dsir_score") >= F.col("thr")
+    return (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total_ct"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_ct"),
+            (
+                F.sum(F.when(kept, 1).otherwise(0)).cast("double") / F.count("*")
+            ).alias("keep_rate"),
+        )
+    )
+
+
 def dsir_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_grams, dsir_score): the per-document importance
     weight — mean scaled surprisal difference raw-model minus
@@ -266,24 +319,7 @@ def dsir_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.explode("toks").alias("tok"))
             .agg(F.count_distinct("tok").alias("v"))
         )
-        scored = (
-            grams.join(model.select("g", F.col("s").alias("s_raw")), "g")
-            .join(tc2, "g", "left")
-            .join(tc1, "w1", "left")
-            .crossJoin(F.broadcast(tv))
-            .withColumn("c1", F.coalesce(F.col("tc1"), F.lit(0)))
-            .withColumn("c2", F.coalesce(F.col("tc2"), F.lit(0)))
-            # the raw model's exact surprisal expression, overflow
-            # guard included, re-pointed at the target counts
-            .withColumn("s_t", F.expr(lm.SURPRISAL_GUARDED_EXPR))
-        )
-        return scored.groupBy("doc_id").agg(
-            F.count("*").alias("n_grams"),
-            (
-                F.sum(F.col("s_raw") - F.col("s_t")).cast("double")
-                / (F.count("*") * F.lit(lm.LM_SCALE)).cast("double")
-            ).alias("dsir_score"),
-        )
+        return dsir_scores_from(grams, model, tc2, tc1, tv)
 
     return corpus_persist(spark, "dsir_scores", sf_dir, build)
 
@@ -312,9 +348,11 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores_cached(spark, sf_dir)
 
 
-@register(
-    "dsir_select_audit",
-    oracle=f"""
+# The full selection audit as one oracle string — shared VERBATIM by
+# the batch audit and the streaming twin `dsir_gate_stream` (both LM
+# count merges are additive-exact, so the streamed models and hence
+# the weights and the gate decision are bit-identical to the batch fit).
+SQL_DSIR_SELECT_AUDIT = f"""
     WITH {_SQL_DSIR},
     thr AS (SELECT quantile_disc(dsir_score, 0.5) AS thr FROM dsir)
     SELECT d.lang,
@@ -326,7 +364,12 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dsir JOIN documents d USING (doc_id)
     CROSS JOIN thr
     GROUP BY d.lang
-    """,
+    """
+
+
+@register(
+    "dsir_select_audit",
+    oracle=SQL_DSIR_SELECT_AUDIT,
     doc="The executed DSIR selection, audited by language: keep the "
     "most-target-like half (threshold = percentile_disc(0.5) over the "
     "importance weights — an actual element, cross-engine exact; at "
@@ -340,20 +383,4 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dsir_select_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
-    scores = dsir_scores_cached(spark, sf_dir)
-    thr = scores.agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dsir_score)").alias("thr")
-    )
-    kept = F.col("dsir_score") >= F.col("thr")
-    return (
-        scores.join(t["documents"].select("doc_id", "lang"), "doc_id")
-        .crossJoin(F.broadcast(thr))
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("total_ct"),
-            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_ct"),
-            (
-                F.sum(F.when(kept, 1).otherwise(0)).cast("double") / F.count("*")
-            ).alias("keep_rate"),
-        )
-    )
+    return dsir_audit_output(t["documents"], dsir_scores_cached(spark, sf_dir))

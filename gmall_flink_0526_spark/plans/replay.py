@@ -2145,3 +2145,89 @@ def dim_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
         F.col("o_orderstatus"),
     )
+
+
+def _register_dsir_gate_stream():
+    from .lmquality import (
+        DSIR_TARGET_LANG,
+        SQL_DSIR_SELECT_AUDIT,
+        _staged_grams,
+        dsir_audit_output,
+        dsir_scores_from,
+    )
+
+    @register(
+        "dsir_gate_stream",
+        oracle=SQL_DSIR_SELECT_AUDIT,
+        doc="DSIR maintained INCREMENTALLY: the raw-corpus and the "
+        "target-domain bigram models are both kept live by the real "
+        "epoch-store count app (streaming/pipelines.lm_counts_app) — "
+        "two instances of the same app one admission predicate apart "
+        f"(the target admits lang = '{DSIR_TARGET_LANG}'), exactly how "
+        "a deployment maintains its selection models from one "
+        "document stream. The count merges are additive-exact and the "
+        "target-side ingredient frames (seen-bigram counts, prefix "
+        "counts, vocabulary) derive from the MERGED model, so the "
+        "streamed weights — and the per-language gate decision — are "
+        "bit-identical to the batch fit: the twin shares "
+        "dsir_select_audit's oracle VERBATIM. The scoring tail is ONE "
+        "shared definition with the batch query (dsir_scores_from), "
+        "so the formula cannot drift between build paths.",
+        tags=("llm-prep", "quality", "lm", "sampling", "streaming", "incremental"),
+    )
+    def dsir_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..operators.partitioning import spread
+        from ..sources.registry import ChannelRegistry, write_replay
+        from ..streaming.pipelines import lm_counts_app, merged_lm_model
+
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        lines = spread(docs, "doc_id").withColumn(
+            "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+        )
+        root = temp_replay_root("gmall_dsir_")
+        reg = ChannelRegistry(root)
+        reg.register(
+            "ods_documents", schema="doc_id long, text string, lang string, ts timestamp"
+        )
+        write_replay(
+            lines.select("doc_id", "text", "lang", "ts"),
+            reg.channels["ods_documents"].path,
+            n_files=2,
+            order_by=["ts", "doc_id"],
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q_raw = lm_counts_app(
+                spark, reg, os.path.join(root, "ckpt_raw"), os.path.join(root, "raw")
+            )
+            q_raw.processAllAvailable()
+            q_raw.stop()
+            q_tgt = lm_counts_app(
+                spark,
+                reg,
+                os.path.join(root, "ckpt_tgt"),
+                os.path.join(root, "tgt"),
+                doc_filter=F.col("lang") == DSIR_TARGET_LANG,
+            )
+            q_tgt.processAllAvailable()
+            q_tgt.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        raw_model = merged_lm_model(spark, os.path.join(root, "raw"))
+        tgt_model = merged_lm_model(spark, os.path.join(root, "tgt"))
+        # target ingredient frames from the merged model: seen-bigram
+        # counts, distinct prefix counts, and the vocabulary scalar
+        tc2 = tgt_model.select("g", F.col("c2").alias("tc2"))
+        tc1 = tgt_model.select("w1", "c1").distinct().select(
+            "w1", F.col("c1").alias("tc1")
+        )
+        tv = tgt_model.agg(F.max("v").alias("v"))
+        t, _staged, grams = _staged_grams(spark, sf_dir)
+        scores = dsir_scores_from(grams, raw_model, tc2, tc1, tv)
+        return dsir_audit_output(t["documents"], scores)
+
+
+_register_dsir_gate_stream()

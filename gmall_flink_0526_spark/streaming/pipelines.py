@@ -1334,6 +1334,7 @@ def lm_counts_app(
     ckpt: str,
     store_root: str,
     source: str = "ods_documents",
+    doc_filter=None,
 ):
     """Streaming bigram-LM model maintenance — the MODEL-FIT member of
     the epoch-store family (CMS adds, Bloom ors, histogram adds, HLL
@@ -1347,7 +1348,12 @@ def lm_counts_app(
     derivation commutes with the merge), and DISTINCTs the token sets
     (idempotent). Per-epoch store cost is batch-distinct-bigram-sized,
     never corpus-sized; same overwrite-own-epoch crash rule as the
-    CMS app (pinned by the poison-epoch/restart test)."""
+    CMS app (pinned by the poison-epoch/restart test).
+
+    ``doc_filter`` (optional Column) admits only matching documents
+    into the model — how a DSIR deployment maintains its TARGET-domain
+    model from the same stream that feeds the raw model: two app
+    instances, one predicate apart (`dsir_gate_stream`)."""
     from ..operators import lm, textops
 
     grams_path = os.path.join(store_root, "lm_grams")
@@ -1355,6 +1361,8 @@ def lm_counts_app(
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
+        if doc_filter is not None:
+            batch = batch.filter(doc_filter)
         staged = textops.with_tokens(batch)
         lm.doc_bigrams(staged).groupBy("w1", "g").agg(
             F.count("*").alias("ct")
