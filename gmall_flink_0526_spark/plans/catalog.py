@@ -157,6 +157,12 @@ _PRIORITY = (
     "dsir_importance",
     "dsir_select_audit",
     "dsir_gate_stream",
+    # -- NEW in r14: the cross-method decontamination audit — exact /
+    #    fuzzy / semantic screens on the shared mod-7 eval split, each
+    #    flagged doc counted under its hit combination (at sf0.01: 84
+    #    exact-only, 9 exact+fuzzy, 1 semantic-only — the paraphrase
+    #    class only the embedding screen sees). ---------------------------
+    "decon_method_agreement",
     # -- NEW in r14: the multi-probe recall rung of the semantic
     #    screen (2-probe surfaces 2 of the 4 brute pairs at sf0.01,
     #    strictly dominating the 1-probe screen). -------------------------
@@ -204,11 +210,11 @@ _PRIORITY = (
     "embedding_coverage",
     "near_dup_rate_by_source",
     "duplicate_ngram_coverage",
+    # == the 50-query window cut falls here (13 overflow leads + 8 new
+    #    + 12 changed + 17 oldest-green fill; lsh_bucket_audit,
+    #    decontaminate_fuzzy, doc_fingerprint, lang_id, quality_score
+    #    and token_stats displaced to the overflow block) ===================
     "lsh_bucket_audit",
-    # == the 50-query window cut falls here (13 overflow leads + 7 new
-    #    + 12 changed + 18 oldest-green fill; decontaminate_fuzzy,
-    #    doc_fingerprint, lang_id, quality_score and token_stats
-    #    displaced to the overflow block) ====================================
     "decontaminate_fuzzy",
     "doc_fingerprint",
     "lang_id",

@@ -309,12 +309,15 @@ DECON_FUZZY_T = 0.5
 EVAL_MOD_FUZZY = 11
 
 
-@register(
-    "decontaminate_fuzzy",
-    oracle=f"""
-    WITH {SQL_SHINGLES3},
-    {SQL_LSH_BANDS.strip().strip(',')},
-    ev AS (SELECT * FROM bands WHERE doc_id % {EVAL_MOD_FUZZY} = 0),
+def sql_fuzzy_chain(eval_mod: int) -> str:
+    """The fuzzy-decontamination CTE chain (bands -> capped eval side
+    -> candidates -> exact-Jaccard verify) with the eval split as a
+    parameter — ONE text shared by decontaminate_fuzzy's oracle
+    (mod 11) and the cross-method agreement oracle (the family's
+    shared mod 7), so the two cannot drift. Assumes SQL_SHINGLES3 +
+    SQL_LSH_BANDS precede it in the WITH list."""
+    return f"""
+    ev AS (SELECT * FROM bands WHERE doc_id % {eval_mod} = 0),
     evstat AS (
       SELECT b, bk, COUNT(*) AS c, MIN(doc_id) AS rep FROM ev GROUP BY b, bk
     ),
@@ -325,7 +328,7 @@ EVAL_MOD_FUZZY = 11
     cand AS (
       SELECT DISTINCT tr.doc_id AS doc_a, evk.doc_id AS doc_b
       FROM bands tr JOIN evk USING (b, bk)
-      WHERE tr.doc_id % {EVAL_MOD_FUZZY} != 0
+      WHERE tr.doc_id % {eval_mod} != 0
     ),
     ver AS (
       SELECT doc_a, doc_b,
@@ -333,7 +336,15 @@ EVAL_MOD_FUZZY = 11
                / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
       FROM cand JOIN sh a ON cand.doc_a = a.doc_id
                 JOIN sh b ON cand.doc_b = b.doc_id
-    )
+    )"""
+
+
+@register(
+    "decontaminate_fuzzy",
+    oracle=f"""
+    WITH {SQL_SHINGLES3},
+    {SQL_LSH_BANDS.strip().strip(',')},
+    {sql_fuzzy_chain(EVAL_MOD_FUZZY).strip()}
     SELECT doc_a AS doc_id, COUNT(*) AS eval_hits,
            MAX(jaccard) AS max_jaccard, MIN(doc_b) AS first_eval_id
     FROM ver WHERE jaccard >= {DECON_FUZZY_T} GROUP BY doc_a
@@ -361,9 +372,18 @@ EVAL_MOD_FUZZY = 11
     tags=("llm-prep", "dedup", "decontamination"),
 )
 def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_contaminated(spark, sf_dir, EVAL_MOD_FUZZY)
+
+
+def fuzzy_contaminated(spark: SparkSession, sf_dir: str, eval_mod: int) -> DataFrame:
+    """decontaminate_fuzzy's whole pipeline with the eval split as a
+    PARAMETER — the certified query keeps its mod-11 split; the
+    cross-method agreement audit re-runs the identical machinery on
+    the family's shared mod-7 split (the substring_dedup_l16
+    parameterization precedent)."""
     sh = corpus_shingles(spark, sf_dir)
     bands = corpus_band_keys(spark, sf_dir)
-    is_eval = F.col("doc_id") % EVAL_MOD_FUZZY == 0
+    is_eval = F.col("doc_id") % eval_mod == 0
     ev = bands.filter(is_eval)
     st = ev.groupBy("band", "bk").agg(
         F.count("*").alias("_c"), F.min("doc_id").alias("_rep")

@@ -2473,3 +2473,98 @@ def decontaminate_semantic_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("vec_id")
         .agg(F.count("*").alias("hit_ct"), F.max("cos_sim").alias("max_cos"))
     )
+
+
+def _register_decon_method_agreement():
+    from .dedup import SQL_LSH_BANDS, SQL_SHINGLES3
+    from .llmprep import DECON_FUZZY_T, DECON_NGRAM, sql_fuzzy_chain
+    from .text import SQL_TOKS
+
+    @register(
+        "decon_method_agreement",
+        oracle=f"""
+    WITH {_SQL_DECON_SEM_HITS},
+    {SQL_SHINGLES3.strip().strip(',')},
+    {SQL_LSH_BANDS.strip().strip(',')},
+    {sql_fuzzy_chain(EVAL_MOD).strip()},
+    sh4 AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= {DECON_NGRAM}
+                  THEN list_transform(range(1, len(t) - {DECON_NGRAM - 2}),
+                       i -> array_to_string(list_slice(t, i, i + {DECON_NGRAM - 1}), ' '))
+                  ELSE [] END) AS s4
+      FROM toks
+    ),
+    train_g AS (
+      SELECT doc_id, md5(unnest(s4)) AS gh FROM sh4 WHERE doc_id % {EVAL_MOD} != 0
+    ),
+    eval_g AS (
+      SELECT DISTINCT md5(unnest(s4)) AS gh FROM sh4 WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    fx AS (SELECT DISTINCT doc_id FROM train_g JOIN eval_g USING (gh)),
+    ff AS (SELECT DISTINCT doc_a AS doc_id FROM ver WHERE jaccard >= {DECON_FUZZY_T}),
+    fs AS (SELECT DISTINCT vec_id AS doc_id FROM hits),
+    allf AS (
+      SELECT doc_id FROM fx UNION SELECT doc_id FROM ff UNION SELECT doc_id FROM fs
+    )
+    SELECT (fx.doc_id IS NOT NULL) AS exact_hit,
+           (ff.doc_id IS NOT NULL) AS fuzzy_hit,
+           (fs.doc_id IS NOT NULL) AS semantic_hit,
+           COUNT(*) AS n_docs
+    FROM allf a
+    LEFT JOIN fx ON a.doc_id = fx.doc_id
+    LEFT JOIN ff ON a.doc_id = ff.doc_id
+    LEFT JOIN fs ON a.doc_id = fs.doc_id
+    GROUP BY 1, 2, 3
+    """,
+        doc="Cross-method DECONTAMINATION audit (dedup_method_agreement's "
+        f"shape for the decon family): the exact {DECON_NGRAM}-gram "
+        "screen, the fuzzy whole-document-Jaccard screen and the "
+        "embedding-level semantic screen, ALL run on the family's "
+        f"shared eval split (doc_id % {EVAL_MOD}), each flagged train "
+        "doc counted under its (exact, fuzzy, semantic) hit "
+        "combination — the report that tells an eval owner which "
+        "contamination classes each screen catches alone (verbatim "
+        "copies -> exact; light edits -> fuzzy; paraphrases -> "
+        "semantic only). The Bloom screen is deliberately absent: it "
+        "is the exact screen behind a prefilter, so its flag set is "
+        "identical by construction. fuzzy rides the parameterized "
+        "sql_fuzzy_chain (the certified mod-11 query's exact text at "
+        "mod 7); each screen stays its own bounded join shape — the "
+        "comparison adds three doc-keyed left joins over the flagged "
+        "union, nothing pairwise.",
+        tags=("llm-prep", "decontamination", "audit"),
+    )
+    def decon_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.cache import scoped_persist
+        from .llmprep import fuzzy_contaminated
+
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        # each flag frame feeds BOTH the union and its own left join —
+        # persist them or the three screens each execute twice more
+        # (measured: 124 s -> ~40 s cold in a vanilla session)
+        ex = scoped_persist(
+            D.contaminated_docs(
+                docs, F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
+            ).select("doc_id")
+        )
+        ff = scoped_persist(fuzzy_contaminated(spark, sf_dir, EVAL_MOD).select("doc_id"))
+        fs = scoped_persist(
+            corpus_decon_semantic_hits(spark, sf_dir)
+            .select(F.col("vec_id").alias("doc_id"))
+            .distinct()
+        )
+        allf = ex.union(ff).union(fs).distinct()
+        j = (
+            allf.join(ex.withColumn("_x", F.lit(1)), "doc_id", "left")
+            .join(ff.withColumn("_f", F.lit(1)), "doc_id", "left")
+            .join(fs.withColumn("_s", F.lit(1)), "doc_id", "left")
+        )
+        return j.groupBy(
+            F.col("_x").isNotNull().alias("exact_hit"),
+            F.col("_f").isNotNull().alias("fuzzy_hit"),
+            F.col("_s").isNotNull().alias("semantic_hit"),
+        ).agg(F.count("*").alias("n_docs"))
+
+
+_register_decon_method_agreement()

@@ -201,6 +201,8 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         "decontaminate_semantic",
         "decontaminate_semantic_audit",
         "decontaminate_semantic_nprobe",
+        # the cross-method audit composes the semantic screen above
+        "decon_method_agreement",
         # DSIR fans two broadcast 1-row scalars: the target vocabulary
         # into the scoring join, and (in the audit) the
         # percentile_disc threshold — the LM-family class

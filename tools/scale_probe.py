@@ -866,6 +866,10 @@ def main() -> None:
             # ... and the 2-probe screen: NPROBE x the eval-bounded
             # candidate set, same class
             "decontaminate_semantic_nprobe",
+            # r14: the cross-method audit composes three probed screen
+            # shapes; its own additions are doc-keyed joins over the
+            # flagged union
+            "decon_method_agreement",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
