@@ -153,6 +153,16 @@ def corpus_value(spark, kind: str, corpus_dir: str, build):
     return vals[kind]
 
 
+def has_corpus_value(spark, kind: str, corpus_dir: str) -> bool:
+    """Warm-check for :func:`corpus_value` without building: True when
+    the memo already holds ``kind`` for this (session, corpus dir)
+    scope. Public so plan-layer seeders (e.g. the joint PQ Lloyd pass)
+    can skip work without reaching into the cache's representation.
+    Shares :func:`corpus_value`'s scope resolution, including its
+    open-on-first-use eviction."""
+    return kind in _CORPUS_VALS[_scope(spark, corpus_dir)]
+
+
 def release_corpus() -> None:
     """Unpersist and forget every corpus-scoped frame (and drop every
     corpus-scoped value). Called automatically when a new (session,

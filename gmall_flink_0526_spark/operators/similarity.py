@@ -642,9 +642,17 @@ def pq_fit_multi(
             by.setdefault(r["_fsrc"], {}).setdefault((r["j"], r["c"]), {})[
                 r["pos"]
             ] = r["mv"]
+        # rebuild from the PREVIOUS iteration's tags, not the collected
+        # rows: a source whose subvector frame is empty produces no
+        # rows, and dropping its tag here would make pq_fit (which
+        # indexes ["_"]) raise KeyError instead of returning the
+        # single-source path's [] for empty input
         cents_by = {
-            tag: [(j, c, [d[p] for p in sorted(d)]) for (j, c), d in sorted(groups.items())]
-            for tag, groups in by.items()
+            tag: [
+                (j, c, [d[p] for p in sorted(d)])
+                for (j, c), d in sorted(by.get(tag, {}).items())
+            ]
+            for tag in cents_by
         }
     return cents_by
 

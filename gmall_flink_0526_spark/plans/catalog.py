@@ -167,6 +167,11 @@ _PRIORITY = (
     #    screen (2-probe surfaces 2 of the 4 brute pairs at sf0.01,
     #    strictly dominating the 1-probe screen). -------------------------
     "decontaminate_semantic_nprobe",
+    # -- NEW in r15: the EXACT broadcast-eval rung closing the
+    #    family's recall gap, and the rung audit measuring (and
+    #    proving containment of) the IVF rungs against it. ----------------
+    "decontaminate_semantic_brute",
+    "decon_semantic_rungs",
     # -- CHANGED in r14 (changed code is always re-proven the round it
     #    changes): events_ohlc_hourly now ENFORCES the non-null-ts
     #    precondition in plan and oracle; the bigram-LM surprisal is

@@ -2224,7 +2224,11 @@ def _register_dsir_gate_stream():
         tc1 = tgt_model.select("w1", "c1").distinct().select(
             "w1", F.col("c1").alias("tc1")
         )
-        tv = tgt_model.agg(F.max("v").alias("v"))
+        # coalesce the scalar: an empty target slice leaves the merged
+        # model rowless, where max(v) is NULL and every score would go
+        # silently NULL — the batch path's count_distinct yields 0
+        # there, so match it
+        tv = tgt_model.agg(F.coalesce(F.max("v"), F.lit(0)).alias("v"))
         t, _staged, grams = _staged_grams(spark, sf_dir)
         scores = dsir_scores_from(grams, raw_model, tc2, tc1, tv)
         return dsir_audit_output(t["documents"], scores)

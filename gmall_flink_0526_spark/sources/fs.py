@@ -57,6 +57,20 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Publish a small text file atomically INTO a live directory:
+    :func:`write_text` is only safe inside a not-yet-published temp
+    dir (non-atomic create — a crash mid-write leaves a truncated
+    file), so markers written next to live data go through a temp
+    name + rename. Rename is the same atomicity primitive every
+    Hadoop commit protocol leans on."""
+    tmp = f"{path}._tmp"
+    fs, p = _fs_and_path(spark, tmp)
+    fs.delete(p, False)  # a crashed earlier attempt's leftover
+    write_text(spark, tmp, text)
+    rename(spark, tmp, path)
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     """Read a small text file written by :func:`write_text`."""
     fs, p = _fs_and_path(spark, path)

@@ -866,12 +866,28 @@ def similarity_graph_app(
         retried first epoch re-derives the same batch, hence the same
         marker, so the rewrite is idempotent."""
         if hfs.exists(sess, layout_path):
-            return hfs.read_text(sess, layout_path).strip() == "bucketed"
-        if bucket_layout is not None:
+            marker = hfs.read_text(sess, layout_path).strip()
+            if marker in ("bucketed", "flat"):
+                return marker == "bucketed"
+            # truncated marker (crash mid-write under the pre-atomic
+            # scheme) — fall through and re-derive, preferring the
+            # on-disk structure below
+        epochs = [n for n in hfs.list_names(sess, sh_path) if n.startswith("epoch=")]
+        if epochs:
+            # a pre-marker (or marker-lost) store already chose its
+            # layout — infer it from the directory structure instead
+            # of the current batch's count, or the gate could mix flat
+            # and bkt-partitioned epoch dirs under one sh/ root and
+            # break read_epoch_store's partition discovery
+            first = os.path.join(sh_path, sorted(epochs)[0])
+            bucketed = any(
+                n.startswith("bkt=") for n in hfs.list_names(sess, first)
+            )
+        elif bucket_layout is not None:
             bucketed = bucket_layout
         else:
             bucketed = batch.count() >= SIM_SH_BUCKET_MIN_DOCS
-        hfs.write_text(sess, layout_path, "bucketed" if bucketed else "flat")
+        hfs.write_text_atomic(sess, layout_path, "bucketed" if bucketed else "flat")
         return bucketed
 
     def _epoch(batch: DataFrame, epoch_id: int) -> None:

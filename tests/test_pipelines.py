@@ -2677,6 +2677,61 @@ def test_similarity_graph_layouts_identical_and_marker_sticks(spark, reg, tmp_pa
     ).strip() == "bucketed"
 
 
+def test_similarity_graph_infers_layout_when_marker_missing(spark, tmp_path):
+    """A pre-marker (or marker-lost) BUCKETED store resumed with a
+    small batch must stay bucketed: the auto gate infers the layout
+    from the existing epoch directory structure instead of the
+    current batch's count (ADVICE r14 — mixing flat and
+    bkt-partitioned epoch dirs under one sh/ root breaks
+    read_epoch_store's partition discovery), and rewrites the marker
+    atomically."""
+    import os
+
+    from gmall_flink_0526_spark.sources import fs as hfs
+
+    docs = (
+        load_tables(spark, SF_SMOKE, "documents")["documents"]
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    r = ChannelRegistry(str(tmp_path))
+    r.register("ods_documents", schema="doc_id long, text string")
+    write_replay(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        r.channels["ods_documents"].path,
+        n_files=1,
+        order_by=["doc_id"],
+    )
+    store = str(tmp_path / "store")
+    q = pipelines.similarity_graph_app(
+        spark, r, str(tmp_path / "ckpt"), store, bucket_layout=True
+    )
+    q.processAllAvailable()
+    q.stop()
+    marker = os.path.join(store, "_SH_LAYOUT")
+    os.remove(marker)  # simulate a pre-marker store
+    # second delivery: a small batch that, by count alone, would gate flat
+    write_replay(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        r.channels["ods_documents"].path,
+        n_files=1,
+        order_by=["doc_id"],
+    )
+    q2 = pipelines.similarity_graph_app(
+        spark, r, str(tmp_path / "ckpt"), store
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert hfs.read_text(spark, marker).strip() == "bucketed"
+    # every epoch dir shares the bucketed layout — none went flat
+    sh = os.path.join(store, "sh")
+    epochs = [n for n in os.listdir(sh) if n.startswith("epoch=")]
+    assert len(epochs) >= 2
+    for e in epochs:
+        children = os.listdir(os.path.join(sh, e))
+        assert any(n.startswith("bkt=") for n in children), e
+
+
 def _recommit_last_epoch(ckpt_dir: str) -> int:
     """Simulate crash-AFTER-sink-write-but-BEFORE-checkpoint-commit —
     the duplicate-delivery case the poison-epoch tests do NOT cover

@@ -123,6 +123,24 @@ def test_nprobe_ivf_bucket_join_and_recall_monotone(spark):
         assert r["recall_nprobe"] >= r["recall_1probe"], r
 
 
+def test_decon_semantic_rungs_containment_and_monotone_recall(spark):
+    """The semantic-decontamination ladder's audit must PROVE the
+    containment theorem on real data: every rung's pair set is a
+    subset of the exact broadcast-eval rung's (extra_pair_ct == 0 —
+    a nonzero value would mean a quantized screen surfaced a pair the
+    exact screen did not, impossible at one shared cosine bar), the
+    exact rung misses nothing by construction, and widening the probe
+    count never loses a pair (missed probe1 >= missed probe2)."""
+    rows = {r["rung"]: r for r in
+            plans.queries()["decon_semantic_rungs"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"probe1", "probe2", "brute"}
+    for r in rows.values():
+        assert r["extra_pair_ct"] == 0, r
+    assert rows["brute"]["missed_pair_ct"] == 0
+    assert rows["probe1"]["missed_pair_ct"] >= rows["probe2"]["missed_pair_ct"]
+    assert rows["probe1"]["pair_ct"] <= rows["probe2"]["pair_ct"] <= rows["brute"]["pair_ct"]
+
+
 def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
     """Catalog-wide invariants: (a) no query plans a cartesian /
     nested-loop join except the documented brute-force ANN baseline;
@@ -140,6 +158,14 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         "ann_recall_pq",
         "ann_recall_pq_rerank",
         "ann_recall_ivfpq",
+        # the exact decontamination rung IS the brute-force shape: the
+        # benchmark-sized-by-contract eval matrix broadcast against the
+        # train corpus (one linear map-side pass, the documented
+        # bounded_broadcast exception), and the rung audit embeds it as
+        # the truth the IVF rungs are measured against
+        "decontaminate_semantic_brute",
+        "decon_semantic_rungs",
+        "decon_method_agreement",
     }
     # a crossJoin against a BROADCAST 1-ROW aggregate (scalar fan-in,
     # e.g. tfidf's n_docs, the mixture/histogram totals) plans as
@@ -201,8 +227,6 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         "decontaminate_semantic",
         "decontaminate_semantic_audit",
         "decontaminate_semantic_nprobe",
-        # the cross-method audit composes the semantic screen above
-        "decon_method_agreement",
         # DSIR fans two broadcast 1-row scalars: the target vocabulary
         # into the scoring join, and (in the audit) the
         # percentile_disc threshold — the LM-family class

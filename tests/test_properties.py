@@ -993,6 +993,15 @@ def test_pq_fit_multi_matches_standalone_fits(spark):
     assert joint["a"] == S.pq_fit(a, dim, m=m, ks=ks, iters=2, fit_limit=32)
     assert joint["b"] == S.pq_fit(b, dim, m=m, ks=ks, iters=2, fit_limit=32)
 
+    # an EMPTY source must stay in the returned dict with an empty
+    # codebook (the single-source pq_fit contract for empty input) —
+    # not silently drop out and make fits["flat"] raise KeyError
+    # (ADVICE r14)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    j2 = S.pq_fit_multi({"a": a, "none": empty}, dim, m=m, ks=ks, iters=2, fit_limit=32)
+    assert j2["none"] == []
+    assert j2["a"] == joint["a"]
+
 
 def test_bigram_model_overflow_guard_raises(spark):
     """SURPRISAL_GUARDED_EXPR must fail loudly when the global prefix
