@@ -172,6 +172,18 @@ _PRIORITY = (
     #    proving containment of) the IVF rungs against it. ----------------
     "decontaminate_semantic_brute",
     "decon_semantic_rungs",
+    # -- NEW in r15: the watermark late-data DROP itself certified
+    #    (the one W1/W2 semantic with no oracle row until now): an
+    #    out-of-order replay whose earliest-hour rows arrive after the
+    #    watermark passed their window and are dropped; the oracle
+    #    states the admission rule. ---------------------------------------
+    "visitor_stats_late_drop",
+    # -- NEW in r15: DSIR in the paper's hashed-feature form — model
+    #    memory corpus-size-FREE over a fixed md5 bucket grid — plus
+    #    the exact-vs-hashed agreement audit (Spearman + gate
+    #    overlap) that prices the collisions. ------------------------------
+    "dsir_hashed",
+    "dsir_hashed_agreement",
     # -- CHANGED in r14 (changed code is always re-proven the round it
     #    changes): events_ohlc_hourly now ENFORCES the non-null-ts
     #    precondition in plan and oracle; the bigram-LM surprisal is

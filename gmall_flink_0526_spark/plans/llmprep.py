@@ -858,12 +858,17 @@ BOILER_RATIO_MAX = 0.6
 DUP_COV_MAX = 0.5
 
 
-def _corpus_gates_sql() -> str:
+def _corpus_gates_sql(sem_hits_sql: str) -> str:
     """The WITH-body every corpus_build-family oracle shares: scored
     docs, dedup survivors, the chunk-boilerplate and shingle-coverage
-    ratios, and the contaminated-doc set. ``corpus_build`` appends the
-    shipping SELECT; ``corpus_gate_funnel`` appends the per-gate
-    attribution SELECT — one definition of the gates, two reports."""
+    ratios, the exact-n-gram contaminated-doc set, and (r15) the
+    SEMANTIC contaminated set — ``sem_hits_sql`` is the embedding
+    screen's CTE chain (plans.similarity._SQL_DECON_SEM_HITS, passed
+    in because that module imports this one mid-file; the corpus
+    oracles register via the deferred hook it calls at its end).
+    ``corpus_build`` appends the shipping SELECT;
+    ``corpus_gate_funnel`` appends the per-gate attribution SELECT —
+    one definition of the gates, two reports."""
     from .dedup import CC_PARTITIONS  # noqa: F401  (parity of constants)
     from .dedup import JACCARD_THRESHOLD, SQL_LSH_CANDIDATES, SQL_SHINGLES3
     from .text import SQL_STOPS
@@ -946,13 +951,15 @@ def _corpus_gates_sql() -> str:
     eval_g5 AS (
       SELECT DISTINCT md5(unnest(s5)) AS gh FROM sh5 WHERE doc_id % {EVAL_MOD} = 0
     ),
-    contam AS (SELECT DISTINCT doc_id FROM train_g5 JOIN eval_g5 USING (gh))
+    contam AS (SELECT DISTINCT doc_id FROM train_g5 JOIN eval_g5 USING (gh)),
+    {sem_hits_sql},
+    contam_sem AS (SELECT DISTINCT vec_id AS doc_id FROM hits)
     """
 
 
-def _corpus_build_oracle() -> str:
+def _corpus_build_oracle(sem_hits_sql: str) -> str:
     return (
-        _corpus_gates_sql()
+        _corpus_gates_sql(sem_hits_sql)
         + f"""
     SELECT s.doc_id, s.n_tokens, s.quality
     FROM scored s JOIN survivors USING (doc_id)
@@ -963,6 +970,7 @@ def _corpus_build_oracle() -> str:
       AND COALESCE(sc.scov, 0.0) < {DUP_COV_MAX}
       AND s.doc_id % {EVAL_MOD} != 0
       AND s.doc_id NOT IN (SELECT doc_id FROM contam)
+      AND s.doc_id NOT IN (SELECT doc_id FROM contam_sem)
     """
     )
 
@@ -975,6 +983,7 @@ def _corpus_build_oracle() -> str:
 GATE_NAMES = (
     "eval_excluded",
     "decontamination",
+    "decon_semantic",
     "near_dup",
     "lang",
     "quality",
@@ -984,10 +993,8 @@ GATE_NAMES = (
 )
 
 
-@register(
-    "corpus_build",
-    oracle=_corpus_build_oracle(),
-    doc="End-to-end training-corpus build — the composition a 100 TB "
+_CORPUS_BUILD_DOC = (
+    "End-to-end training-corpus build — the composition a 100 TB "
     "pipeline actually ships: language gate (stopword-ratio >= 0.05 -> "
     "'en'), quality gate (>= 0.5), near-dup elimination (LSH "
     "candidates -> Jaccard verify -> connected components -> min-id "
@@ -1001,18 +1008,25 @@ GATE_NAMES = (
     "chunk alignment), AND the benchmark-decontamination gate (r7: "
     "the eval set itself is excluded and any training doc sharing a "
     f"{DECON_NGRAM}-gram with it is dropped — `decontaminate`'s hash-keyed "
-    "equi-join run as a gate), finished with doc-keyed hash joins. "
+    "equi-join run as a gate), AND (r15) the SEMANTIC decontamination "
+    "gate (decontaminate_semantic composed in: train docs whose "
+    "embedding reaches the SemDeDup cosine bar against any eval "
+    "vector within a shared train-fit coarse cell are dropped — the "
+    "paraphrased-contamination class no token n-gram gate can see), "
+    "finished with doc-keyed hash joins. "
     "Every "
     "upstream stage is bucketed/bounded (no all-pairs anywhere) and "
     "the gates are map-only or single-shuffle, so the whole build is "
-    "LSH-join cost plus id/digest-keyed joins at corpus scale.",
-    tags=("llm-prep", "dedup", "text", "composition"),
+    "LSH-join cost plus id/digest-keyed joins at corpus scale."
 )
+
+
 def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored, survivors, boiler, shcov, decon = _gate_frames(spark, sf_dir)
+    scored, survivors, boiler, shcov, decon, sem = _gate_frames(spark, sf_dir)
     return (
         scored.filter(F.col("doc_id") % EVAL_MOD != 0)
         .join(decon, "doc_id", "left_anti")
+        .join(sem, "doc_id", "left_anti")
         .join(survivors, "doc_id")
         .join(boiler, "doc_id", "left")
         .join(shcov, "doc_id", "left")
@@ -1027,9 +1041,9 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gate_frames(spark: SparkSession, sf_dir: str):
-    """The five gate inputs corpus_build and corpus_gate_funnel share:
-    (scored, survivors, boiler, shcov, decon) — one definition of the
-    gates on the Spark side, mirroring :func:`_corpus_gates_sql`."""
+    """The six gate inputs corpus_build and corpus_gate_funnel share:
+    (scored, survivors, boiler, shcov, decon, sem) — one definition of
+    the gates on the Spark side, mirroring :func:`_corpus_gates_sql`."""
     from .dedup import corpus_components
 
     t = load_tables(spark, sf_dir, "documents")
@@ -1079,50 +1093,41 @@ def _gate_frames(spark: SparkSession, sf_dir: str):
     decon = D.contaminated_docs(
         docs, F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
     ).select("doc_id")
-    return scored, survivors, boiler, shcov, decon
+    # semantic decontamination gate (decontaminate_semantic composed
+    # in, r15): the embedding screen's flagged train docs — imported
+    # here (not at module top) because plans.similarity imports THIS
+    # module mid-file; at call time both are complete
+    from .similarity import corpus_decon_semantic_hits
 
-
-@register(
-    "corpus_gate_funnel",
-    oracle=_corpus_gates_sql()
-    + f""",
-    flags AS (
-      SELECT s.doc_id, s.n_tokens,
-             CASE WHEN s.doc_id % {EVAL_MOD} = 0 THEN 0
-                  WHEN s.doc_id IN (SELECT doc_id FROM contam) THEN 1
-                  WHEN s.doc_id NOT IN (SELECT doc_id FROM survivors) THEN 2
-                  WHEN s.stop_ratio_v < 0.05 THEN 3
-                  WHEN s.quality < {QUALITY_MIN} THEN 4
-                  WHEN COALESCE(b.br, 0.0) >= {BOILER_RATIO_MAX} THEN 5
-                  WHEN COALESCE(sc.scov, 0.0) >= {DUP_COV_MAX} THEN 6
-                  ELSE 7 END AS gate_order
-      FROM scored s LEFT JOIN boiler b USING (doc_id)
-                    LEFT JOIN shcov sc USING (doc_id)
+    sem = (
+        corpus_decon_semantic_hits(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
     )
-    SELECT gate_order,
-           CASE gate_order {' '.join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(GATE_NAMES))}
-           END AS gate,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS tokens
-    FROM flags GROUP BY gate_order
-    """,
-    doc="Gate-funnel observability for corpus_build — per-gate doc and "
+    return scored, survivors, boiler, shcov, decon, sem
+
+
+_CORPUS_FUNNEL_DOC = (
+    "Gate-funnel observability for corpus_build — per-gate doc and "
     "token attrition, each doc charged to the FIRST gate it fails in "
     "corpus_build's application order (eval exclusion, "
-    "decontamination, near-dup, language, quality, chunk boilerplate, "
+    "decontamination, semantic decontamination, near-dup, language, "
+    "quality, chunk boilerplate, "
     "shingle coverage, shipped). The report a pipeline owner reads "
     "before changing any threshold: which gate costs how many docs "
     "and how much token mass, as a true funnel (every row at gate g "
     "passed gates 0..g-1). Shares every gate frame with corpus_build "
     "itself (_gate_frames / _corpus_gates_sql — one definition, two "
     "reports) plus one small agg; its 'shipped' row is pinned equal "
-    "to corpus_build's row count by a test.",
-    tags=("llm-prep", "audit", "composition"),
+    "to corpus_build's row count by a test."
 )
+
+
 def corpus_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored, survivors, boiler, shcov, decon = _gate_frames(spark, sf_dir)
+    scored, survivors, boiler, shcov, decon, sem = _gate_frames(spark, sf_dir)
     j = (
         scored.join(decon.withColumn("_cont", F.lit(1)), "doc_id", "left")
+        .join(sem.withColumn("_sem", F.lit(1)), "doc_id", "left")
         .join(survivors.withColumn("_surv", F.lit(1)), "doc_id", "left")
         .join(boiler, "doc_id", "left")
         .join(shcov, "doc_id", "left")
@@ -1130,12 +1135,13 @@ def corpus_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate_order = (
         F.when(F.col("doc_id") % EVAL_MOD == 0, 0)
         .when(F.col("_cont").isNotNull(), 1)
-        .when(F.col("_surv").isNull(), 2)
-        .when(F.col("stop_ratio_v") < 0.05, 3)
-        .when(F.col("quality") < QUALITY_MIN, 4)
-        .when(F.coalesce(F.col("br"), F.lit(0.0)) >= BOILER_RATIO_MAX, 5)
-        .when(F.coalesce(F.col("scov"), F.lit(0.0)) >= DUP_COV_MAX, 6)
-        .otherwise(7)
+        .when(F.col("_sem").isNotNull(), 2)
+        .when(F.col("_surv").isNull(), 3)
+        .when(F.col("stop_ratio_v") < 0.05, 4)
+        .when(F.col("quality") < QUALITY_MIN, 5)
+        .when(F.coalesce(F.col("br"), F.lit(0.0)) >= BOILER_RATIO_MAX, 6)
+        .when(F.coalesce(F.col("scov"), F.lit(0.0)) >= DUP_COV_MAX, 7)
+        .otherwise(8)
     )
     names = F.array(*[F.lit(n) for n in GATE_NAMES])
     return (
@@ -1152,6 +1158,51 @@ def corpus_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens",
         )
     )
+
+
+def _register_corpus_queries() -> None:
+    """Register corpus_build + corpus_gate_funnel. DEFERRED: their
+    oracles embed the semantic screen's CTE chain from
+    plans.similarity, which imports THIS module mid-file — so that
+    module calls this hook at the end of its own import, when both
+    are complete (the _register_decon_method_agreement pattern,
+    inverted). Idempotent: register() overwrites by name."""
+    from .similarity import _SQL_DECON_SEM_HITS
+
+    register(
+        "corpus_build",
+        oracle=_corpus_build_oracle(_SQL_DECON_SEM_HITS),
+        doc=_CORPUS_BUILD_DOC,
+        tags=("llm-prep", "dedup", "text", "composition"),
+    )(corpus_build)
+    register(
+        "corpus_gate_funnel",
+        oracle=_corpus_gates_sql(_SQL_DECON_SEM_HITS)
+        + f""",
+    flags AS (
+      SELECT s.doc_id, s.n_tokens,
+             CASE WHEN s.doc_id % {EVAL_MOD} = 0 THEN 0
+                  WHEN s.doc_id IN (SELECT doc_id FROM contam) THEN 1
+                  WHEN s.doc_id IN (SELECT doc_id FROM contam_sem) THEN 2
+                  WHEN s.doc_id NOT IN (SELECT doc_id FROM survivors) THEN 3
+                  WHEN s.stop_ratio_v < 0.05 THEN 4
+                  WHEN s.quality < {QUALITY_MIN} THEN 5
+                  WHEN COALESCE(b.br, 0.0) >= {BOILER_RATIO_MAX} THEN 6
+                  WHEN COALESCE(sc.scov, 0.0) >= {DUP_COV_MAX} THEN 7
+                  ELSE 8 END AS gate_order
+      FROM scored s LEFT JOIN boiler b USING (doc_id)
+                    LEFT JOIN shcov sc USING (doc_id)
+    )
+    SELECT gate_order,
+           CASE gate_order {' '.join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(GATE_NAMES))}
+           END AS gate,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens
+    FROM flags GROUP BY gate_order
+    """,
+        doc=_CORPUS_FUNNEL_DOC,
+        tags=("llm-prep", "audit", "composition"),
+    )(corpus_gate_funnel)
 
 
 @register(

@@ -20,7 +20,7 @@ from ..operators.cache import corpus_persist, scoped_persist
 from ..operators.partitioning import spread
 from ..session import load_tables
 from .catalog import register, register_setup
-from .text import SQL_TOKS
+from .text import SQL_TOKS, sql_hex_val
 
 LM_TOP = 20
 
@@ -384,3 +384,224 @@ SQL_DSIR_SELECT_AUDIT = f"""
 def dsir_select_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     return dsir_audit_output(t["documents"], dsir_scores_cached(spark, sf_dir))
+
+
+# -- hashed-feature DSIR (r14 VERDICT #5) -----------------------------------
+#
+# The paper's actual estimator hashes n-grams into a FIXED-WIDTH bucket
+# grid and fits bag-of-hashed-ngrams models over the buckets — model
+# memory becomes corpus-size-FREE (the CMS precedent: collisions are
+# the accepted price of a bounded sketch) instead of
+# distinct-bigram-bounded, the right shape at 100 TB with open
+# vocabulary. Hashing is the engine's md5-slice arithmetic
+# (heavy_hitters_cms), so the grid is bit-reproducible cross-engine;
+# both bucket models take the same add-one smoothing with the bucket
+# count as the support size, so every weight stays exact-rational.
+
+#: Fixed bucket-grid width. The paper uses 10k hashed buckets; 1024
+#: keeps collisions VISIBLE at fixture scale so the agreement audit
+#: measures a real approximation, not a vacuous one.
+DSIR_HASH_B = 1024
+
+_SQL_DSIR_HASHED = f"""
+    hg AS (
+      SELECT doc_id,
+             CAST(({sql_hex_val('md5(g)', 8)}) % {DSIR_HASH_B} AS BIGINT) AS b
+      FROM grams
+    ),
+    rc AS (SELECT b, COUNT(*) AS c2 FROM hg GROUP BY b),
+    rtot AS (SELECT COUNT(*) AS c1 FROM hg),
+    rs AS (
+      SELECT b, ((c1 + {DSIR_HASH_B}) * {lm.LM_SCALE}) // (c2 + 1) AS s_raw
+      FROM rc CROSS JOIN rtot
+    ),
+    thg AS (SELECT hg.doc_id, b FROM hg JOIN tdocs USING (doc_id)),
+    tcb AS (SELECT b, COUNT(*) AS tc2 FROM thg GROUP BY b),
+    ttot AS (SELECT COUNT(*) AS tc1 FROM thg),
+    hd AS (
+      SELECT hg.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(rs.s_raw
+                      - (((ttot.tc1 + {DSIR_HASH_B}) * {lm.LM_SCALE})
+                         // (COALESCE(tcb.tc2, 0) + 1))) AS DOUBLE)
+               / CAST(COUNT(*) * {lm.LM_SCALE} AS DOUBLE) AS dsir_score
+      FROM hg JOIN rs USING (b)
+      LEFT JOIN tcb USING (b)
+      CROSS JOIN ttot
+      GROUP BY hg.doc_id
+    )"""
+
+
+def _dsir_hash_bucket(col) -> "F.Column":
+    """md5-slice bucket id in [0, DSIR_HASH_B) — heavy_hitters_cms's
+    8-hex-char arithmetic, bit-reproducible cross-engine."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % DSIR_HASH_B
+    )
+
+
+def dsir_hashed_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, dsir_score): the hashed-feature DSIR weight —
+    the exact query's surprisal-difference form with both models
+    re-fit over the md5 bucket grid (support size = DSIR_HASH_B, so
+    the add-one floor smooths over buckets, not vocabulary).
+    Corpus-persisted like the exact weights: the flag query and the
+    agreement audit share one computation. Scale: BOTH model frames
+    are <= DSIR_HASH_B rows and ride broadcasts — scoring is two
+    map-side joins + one per-doc partial-agged sum, zero model-side
+    shuffle at any corpus size (the exact variant's model is
+    distinct-bigram-bounded and must hash-join); the overflow guard
+    still bounds the total gram count at LM_C1_LIMIT, failing loudly
+    past it."""
+
+    def build():
+        t, _staged, grams = _staged_grams(spark, sf_dir)
+        hg = grams.select("doc_id", _dsir_hash_bucket(F.col("g")).alias("b"))
+        rc = hg.groupBy("b").agg(F.count("*").alias("c2"))
+        rtot = hg.agg(F.count("*").alias("c1"))
+        rs = (
+            rc.crossJoin(F.broadcast(rtot))
+            .withColumn("v", F.lit(DSIR_HASH_B))
+            .withColumn("s_raw", F.expr(lm.SURPRISAL_GUARDED_EXPR))
+            .select("b", "s_raw")
+        )
+        tids = t["documents"].filter(F.col("lang") == DSIR_TARGET_LANG).select("doc_id")
+        thg = hg.join(tids, "doc_id")
+        tcb = thg.groupBy("b").agg(F.count("*").alias("tc2"))
+        ttot = thg.agg(F.count("*").alias("tc1"))
+        scored = (
+            hg.join(F.broadcast(rs), "b")
+            .join(F.broadcast(tcb), "b", "left")
+            .crossJoin(F.broadcast(ttot))
+            .withColumn("c2", F.coalesce(F.col("tc2"), F.lit(0)))
+            .withColumn("c1", F.col("tc1"))
+            .withColumn("v", F.lit(DSIR_HASH_B))
+            .withColumn("s_t", F.expr(lm.SURPRISAL_GUARDED_EXPR))
+        )
+        return scored.groupBy("doc_id").agg(
+            F.count("*").alias("n_grams"),
+            (
+                F.sum(F.col("s_raw") - F.col("s_t")).cast("double")
+                / (F.count("*") * F.lit(lm.LM_SCALE)).cast("double")
+            ).alias("dsir_score"),
+        )
+
+    return corpus_persist(spark, "dsir_hashed_scores", sf_dir, build)
+
+
+@register(
+    "dsir_hashed",
+    oracle=f"""
+    WITH {_SQL_LM_CTES},
+    tdocs AS (SELECT doc_id FROM documents WHERE lang = '{DSIR_TARGET_LANG}'),
+    {_SQL_DSIR_HASHED}
+    SELECT doc_id, n_grams, dsir_score FROM hd
+    """,
+    doc=f"DSIR in the paper's HASHED-feature form: every bigram "
+    f"occurrence is hashed into a fixed {DSIR_HASH_B}-bucket grid "
+    "(md5-slice arithmetic, bit-reproducible cross-engine) and both "
+    "the raw and target models are bag-of-buckets with add-one "
+    "smoothing over the grid — same exact-rational surprisal-"
+    "difference weight as dsir_importance, but model memory is "
+    "corpus-size-FREE (<= the grid width, the CMS precedent) instead "
+    "of distinct-bigram-bounded: the right estimator at 100 TB with "
+    "open vocabulary, at the price of hash collisions the agreement "
+    "audit measures (dsir_hashed_agreement). Scoring joins the "
+    "broadcast bucket models map-side — zero model shuffle at any "
+    "corpus size.",
+    tags=("llm-prep", "quality", "lm", "sampling", "sketch"),
+)
+def dsir_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_hashed_scores_cached(spark, sf_dir)
+
+
+@register(
+    "dsir_hashed_agreement",
+    oracle=f"""
+    WITH {_SQL_DSIR},
+    {_SQL_DSIR_HASHED},
+    re AS (SELECT doc_id, dsir_score,
+                  ROW_NUMBER() OVER (ORDER BY dsir_score, doc_id) AS r
+           FROM dsir),
+    rh AS (SELECT doc_id, dsir_score,
+                  ROW_NUMBER() OVER (ORDER BY dsir_score, doc_id) AS r
+           FROM hd),
+    j AS (
+      SELECT re.doc_id, re.r AS rex, rh.r AS rhash,
+             re.dsir_score AS se, rh.dsir_score AS sh
+      FROM re JOIN rh USING (doc_id)
+    ),
+    the AS (SELECT quantile_disc(dsir_score, 0.5) AS te FROM dsir),
+    thh AS (SELECT quantile_disc(dsir_score, 0.5) AS th FROM hd)
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM((rex - rhash) * (rex - rhash)) AS BIGINT) AS sum_d2,
+           1 - CAST(6 * SUM((rex - rhash) * (rex - rhash)) AS DOUBLE)
+             / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE)
+               AS spearman_rho,
+           CAST(SUM(CASE WHEN se >= te THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_exact_ct,
+           CAST(SUM(CASE WHEN sh >= th THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_hashed_ct,
+           CAST(SUM(CASE WHEN se >= te AND sh >= th THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_both_ct
+    FROM j CROSS JOIN the CROSS JOIN thh
+    """,
+    doc="Agreement audit between the exact and the hashed DSIR "
+    "estimators on the same corpus: Spearman rank correlation of the "
+    "two weight vectors (ranks are row_number with doc_id tie-break — "
+    "deterministic cross-engine; sum_d2 is an exact BIGINT, rho one "
+    "double division, valid while n^3 < 2^63) plus the decision-level "
+    "overlap — how many docs each estimator's own median gate keeps "
+    "and how many BOTH keep. This is the number that justifies "
+    "deploying the corpus-size-free estimator: the collision price "
+    "measured on in-catalog truth, the decon_semantic_rungs pattern "
+    "applied to DSIR. Cost: both score frames are already "
+    "corpus-persisted; the audit adds two doc-count windows, one "
+    "doc-keyed join and two percentile scalars.",
+    tags=("llm-prep", "quality", "lm", "sampling", "audit"),
+)
+def dsir_hashed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ex = dsir_scores_cached(spark, sf_dir)
+    hs = dsir_hashed_scores_cached(spark, sf_dir)
+    we = W.orderBy("dsir_score", "doc_id")
+    re_ = ex.select("doc_id", "dsir_score").withColumn("rex", F.row_number().over(we))
+    rh = hs.select("doc_id", "dsir_score").withColumn("rhash", F.row_number().over(we))
+    j = re_.select("doc_id", F.col("dsir_score").alias("se"), "rex").join(
+        rh.select("doc_id", F.col("dsir_score").alias("sh"), "rhash"), "doc_id"
+    )
+    the = ex.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dsir_score)").alias("te")
+    )
+    thh = hs.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dsir_score)").alias("th")
+    )
+    d2 = (F.col("rex") - F.col("rhash")) * (F.col("rex") - F.col("rhash"))
+    n = F.count("*")
+    return (
+        j.crossJoin(F.broadcast(the))
+        .crossJoin(F.broadcast(thh))
+        .agg(
+            n.alias("n_docs"),
+            F.sum(d2).alias("sum_d2"),
+            (
+                F.lit(1)
+                - (F.lit(6) * F.sum(d2)).cast("double")
+                / (n * (n * n - F.lit(1))).cast("double")
+            ).alias("spearman_rho"),
+            F.sum(F.when(F.col("se") >= F.col("te"), 1).otherwise(0))
+            .cast("long")
+            .alias("kept_exact_ct"),
+            F.sum(F.when(F.col("sh") >= F.col("th"), 1).otherwise(0))
+            .cast("long")
+            .alias("kept_hashed_ct"),
+            F.sum(
+                F.when(
+                    (F.col("se") >= F.col("te")) & (F.col("sh") >= F.col("th")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_both_ct"),
+        )
+    )

@@ -404,6 +404,114 @@ def visitor_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("event_type") != "_sentinel")
 
 
+@register(
+    "visitor_stats_late_drop",
+    oracle="""
+    WITH bounds AS (SELECT MIN(ts) AS mn, MAX(ts) AS mx FROM events),
+    lab AS (
+      SELECT event_id, ts, event_type, value,
+             CASE WHEN ts < mn + INTERVAL 1 HOUR
+                    OR ts >= mx - INTERVAL 1 HOUR THEN 2
+                  WHEN event_id % 2 = 1 THEN 1
+                  ELSE 0 END AS bat
+      FROM events CROSS JOIN bounds
+    ),
+    wm AS (
+      SELECT MAX(ts) - INTERVAL 1 HOUR AS wm0 FROM lab WHERE bat = 0
+    ),
+    kept AS (
+      SELECT l.* FROM lab l CROSS JOIN wm
+      WHERE bat < 2 OR date_trunc('hour', ts) + INTERVAL 1 HOUR > wm0
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           event_type,
+           COUNT(*) AS pv_ct,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+    FROM kept
+    GROUP BY 1, 2
+    """,
+    doc="W1/W2's LATE-DATA DROP certified as a semantic, not assumed "
+    "(r14 VERDICT #3 — every other replay is time-ordered so the "
+    "drop path never fires): the visitor_stats tumbling window agg "
+    "over a deliberately OUT-OF-ORDER replay. Batch 0 carries the "
+    "even-id mid-range rows (its max sets the watermark), batch 1 "
+    "the odd-id mid-range rows (a spacer — Spark applies the "
+    "late-row filter with a ONE-BATCH-LAGGED watermark: batch N "
+    "drops against the watermark computed after batch N-2, while "
+    "eviction uses the batch-N-1 value; both visible in the "
+    "StateStoreSave plan node and probed empirically), batch 2 "
+    "delivers the earliest-hour rows (now late: window end <= the "
+    "lagged watermark -> DROPPED, boundary equality included — "
+    "probed) together with the withheld last-hour rows (window end "
+    "past the watermark -> admitted), and batch 3's sentinel "
+    "flushes. The oracle states the admission rule the engine "
+    "enforces — keep iff on-time OR window_end > max(batch-0 ts) - "
+    "1h — so a green row certifies the engine dropped EXACTLY the "
+    "late set, nothing more, nothing less; the spacer batch keeps "
+    "the rule's anchor SQL-derivable. Reference semantics "
+    "RT/app/dwm/OrderWideApp.java:57-62 (the 5s "
+    "BoundedOutOfOrderness assigner). Scale: the drop is a "
+    "stateless per-row filter against a broadcast scalar inside the "
+    "engine; state stays watermark-bounded regardless of how late "
+    "the stragglers are — this query certifies that contract.",
+    tags=("streaming", "events", "agg", "window", "watermark"),
+)
+def visitor_stats_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import exact_sum
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    src = events.select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    bounds = src.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    lab = (
+        src.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bat",
+            F.when(
+                (F.col("ts") < F.col("mn") + F.expr("INTERVAL 1 HOUR"))
+                | (F.col("ts") >= F.col("mx") - F.expr("INTERVAL 1 HOUR")),
+                2,
+            )
+            .when(F.col("event_id") % 2 == 1, 1)
+            .otherwise(0),
+        )
+        .select("event_id", "ts", "event_type", "value", "bat")
+    )
+    sentinel = src.agg(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+        F.lit("_sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(3).alias("bat"),
+    )
+
+    def op(s):
+        return (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("pv_ct"), exact_sum(F.col("value")).alias("value_sum"))
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("stt"),
+                "event_type",
+                "pv_ct",
+                "value_sum",
+            )
+        )
+
+    out = replay_stateful(
+        spark,
+        lab.unionByName(sentinel),
+        op,
+        order_by=["bat", "ts", "event_id"],
+        n_files=4,
+        file_of=F.col("bat"),
+        cache_key=f"visitor_late_drop:{sf_dir}",
+        drain_mode="all_available",
+    )
+    return out.filter(F.col("event_type") != "_sentinel")
+
+
 def _register_visitor_stats_sliding_stream():
     from .logs import _SQL_VISITOR_SLIDING
 

@@ -2788,3 +2788,10 @@ def _register_decon_method_agreement():
 
 
 _register_decon_method_agreement()
+
+# Deferred corpus-build registration: those oracles embed this
+# module's semantic-screen SQL, and this module imports llmprep
+# mid-file — so the hook runs here, when both modules are complete.
+from .llmprep import _register_corpus_queries  # noqa: E402
+
+_register_corpus_queries()

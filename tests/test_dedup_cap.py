@@ -232,6 +232,34 @@ def test_mutated_boilerplate_block_dedups_to_one_representative(spark, tmp_path)
         ),
         str(tmp_path / "documents.parquet"),
     )
+    # corpus_build's r15 semantic gate reads the embeddings table; give
+    # this corpus vectors where the eval side (doc_id % 7 == 0) lives in
+    # dims 0..31 and the train side in dims 32..63 — every train-eval
+    # cosine is exactly 0, so the semantic gate provably flags NOTHING
+    # here and the test keeps certifying the token-level gates alone
+    def _vec(i: int) -> list[float]:
+        v = [0.0] * 64
+        v[(i % 32) + (0 if i % 7 == 0 else 32)] = 1.0 + (i % 5)
+        return v
+
+    ids = [r[0] for r in rows]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": ids,
+                "embedding": [_vec(i) for i in ids],
+                "label": [0] * len(ids),
+            },
+            schema=pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float32())),
+                    ("label", pa.int32()),
+                ]
+            ),
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
     spec = CATALOG["dedup_survivors"]
     out = spec.fn(spark, str(tmp_path)).persist()
     try:

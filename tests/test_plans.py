@@ -141,6 +141,24 @@ def test_decon_semantic_rungs_containment_and_monotone_recall(spark):
     assert rows["probe1"]["pair_ct"] <= rows["probe2"]["pair_ct"] <= rows["brute"]["pair_ct"]
 
 
+def test_visitor_stats_late_drop_actually_drops(spark):
+    """The late-drop certification is only meaningful if the drop path
+    FIRED: the replayed aggregate must be missing exactly the
+    earliest-hour rows (delivered two batches after the watermark
+    passed their windows), so its total pv count is strictly below the
+    corpus event count while every kept window matches the oracle (the
+    catalog sweep checks the values; this pins non-emptiness of the
+    dropped set)."""
+    from gmall_flink_0526_spark.session import load_tables
+
+    from pyspark.sql import functions as F
+
+    out = plans.queries()["visitor_stats_late_drop"](spark, SF_SMOKE)
+    kept = out.agg(F.sum("pv_ct")).collect()[0][0]
+    total = load_tables(spark, SF_SMOKE, "events")["events"].count()
+    assert 0 < kept < total, (kept, total)
+
+
 def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
     """Catalog-wide invariants: (a) no query plans a cartesian /
     nested-loop join except the documented brute-force ANN baseline;
@@ -232,6 +250,12 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         # percentile_disc threshold — the LM-family class
         "dsir_importance",
         "dsir_select_audit",
+        # the hashed variant fans three broadcast 1-row scalars (the
+        # two model totals and, in the audit, two percentile
+        # thresholds); its <=B-row bucket models ride broadcast HASH
+        # joins, never NLJ
+        "dsir_hashed",
+        "dsir_hashed_agreement",
     }
     skip = {
         "jdbc_round_trip",  # writes a DB as a side effect
@@ -239,6 +263,9 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         # class without the suffix — its name describes the K4
         # semantics, not the harness)
         "dim_schema_evolution",
+        # runs a 4-batch out-of-order replay on call (the name
+        # describes the W1/W2 semantic it certifies, not the harness)
+        "visitor_stats_late_drop",
     }
     for name in plans.queries():
         if name.endswith("_stream") or name in skip:
@@ -276,11 +303,15 @@ def test_gate_funnel_shipped_equals_corpus_build(spark):
 
 def test_corpus_build_scan_pruning(spark):
     """The end-to-end corpus build reads only (doc_id, text) from the
-    documents scan — gates and dedup derive everything else."""
+    documents scan and (vec_id, embedding) from the embeddings scan
+    (the r15 semantic gate) — gates and dedup derive everything
+    else."""
     p = plan_of(spark, "corpus_build")
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
         cols = set(re.findall(r"(\w+):", m.group(1)))
-        assert cols <= {"doc_id", "text"}, f"unpruned scan: {cols}"
+        assert cols <= {"doc_id", "text"} or cols <= {"vec_id", "embedding"}, (
+            f"unpruned scan: {cols}"
+        )
 
 
 def test_media_ann_topk_is_bucketed_not_cartesian(spark):

@@ -243,3 +243,42 @@ def test_funnel_chain_n_rejects_bad_stage_lists(spark):
         funnel_chain_n(ev, stages=("view", "view"))
     with pytest.raises(ValueError, match="probe_type"):
         funnel_chain_n(ev, stages=("view", "click"), probe_type="click")
+
+
+def test_watermark_late_drop_boundary_semantics(spark, tmp_path):
+    """Pin the engine's late-data drop rule the late-drop oracle
+    states (probed on this Spark version, would catch an upgrade
+    changing it): the late-row filter uses a ONE-BATCH-LAGGED
+    watermark (batch N drops against the watermark computed after
+    batch N-2), the predicate is window_end <= watermark (boundary
+    equality DROPS), and a raw ts exactly at the watermark survives
+    (its window end is an hour past it)."""
+    from gmall_flink_0526_spark.streaming.replay import replay_stateful
+
+    rows = [
+        (0, "2024-01-01 03:00:00", "on", 0),       # sets wm0 = 02:00
+        (1, "2024-01-01 03:00:00", "spacer", 1),   # lag batch, wm unchanged
+        (2, "2024-01-01 01:30:00", "edge", 2),     # window end == wm0 -> drop
+        (3, "2024-01-01 00:30:00", "late", 2),     # window end <  wm0 -> drop
+        (4, "2024-01-01 02:00:00", "at_wm", 2),    # ts == wm0, end > wm0 -> keep
+        (5, "2024-01-01 02:30:00", "ok", 2),       # window end >  wm0 -> keep
+        (6, "2024-01-01 06:00:00", "_sentinel", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ts string, tag string, bat int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def op(s):
+        return (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "tag")
+            .agg(F.count("*").alias("ct"))
+            .select(F.col("w.start").cast("string").alias("stt"), "tag", "ct")
+        )
+
+    out = replay_stateful(
+        spark, df, op, order_by=["bat", "ts"], n_files=4, file_of=F.col("bat"),
+        drain_mode="all_available",
+    )
+    got = {r["tag"] for r in out.filter(F.col("tag") != "_sentinel").collect()}
+    assert got == {"on", "spacer", "at_wm", "ok"}, got

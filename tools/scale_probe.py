@@ -868,8 +868,22 @@ def main() -> None:
             "decontaminate_semantic_nprobe",
             # r14: the cross-method audit composes three probed screen
             # shapes; its own additions are doc-keyed joins over the
-            # flagged union
+            # flagged union (r15: + the exact screen as a 4th column)
             "decon_method_agreement",
+            # r15: the EXACT semantic screen is one broadcast-eval
+            # linear pass over the train side (eval fixed at 1/7 of
+            # the corpus here; a real deployment holds eval constant,
+            # making it strictly linear); the rung audit adds a
+            # pair-keyed join over the eval-bounded hit sets
+            "decontaminate_semantic_brute",
+            "decon_semantic_rungs",
+            # r15: hashed DSIR — the model is <= DSIR_HASH_B rows at
+            # ANY corpus size (the probe's point: the model frames
+            # stay fixed-width while the corpus grows 10x), scoring
+            # two broadcast map-side joins over exploded bigrams; the
+            # agreement audit adds two doc-count rank windows
+            "dsir_hashed",
+            "dsir_hashed_agreement",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
@@ -969,6 +983,13 @@ def main() -> None:
                 "events_gapfill_locf",
                 "events_gapfill_interp",
                 "events_ohlc_hourly",
+                # r15: the late-drop replay is the windowed agg's
+                # 4-batch out-of-order replay — cost is the replay
+                # write + four watermark-bounded micro-batches, so 10x
+                # events must track the replay volume (state stays
+                # open-window-bounded; the drop itself is a stateless
+                # per-row filter)
+                "visitor_stats_late_drop",
             ):
                 for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", wh)):
                     t0 = time.time()
