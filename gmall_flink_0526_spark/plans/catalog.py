@@ -119,129 +119,40 @@ _LOADED = False
 # (2) an in-repo full-catalog run of the driver-style gate at sf0.01
 # (`tools/vanilla_gate.py`, result recorded in BASELINE.md) — so no
 # query ever stands on an unchecked stale row, even past the window.
-_PRIORITY = (
-    # -- r14 rotation. Lead: the 13 fill entries the r13 window's
-    #    second-session additions displaced to its overflow block
-    #    (covered in r13 by the full-catalog sf0.01 vanilla gate; the
-    #    contract says they head the NEXT window). -------------------------
-    "base_db_stream",
-    "sql_entry",
-    "product_stats",
-    "province_stats",
-    "record_merge",
-    "snake_to_camel",
-    "date_derive",
-    "log_split_counts",
-    "log_split_stream",
-    "visitor_stats_hourly",
-    "visitor_stats_stream",
-    "session_stats_stream",
-    "order_wide_join",
-    # -- NEW in r14: embedding-level benchmark decontamination — the
-    #    semantic screen for paraphrased contamination that shingle /
-    #    Bloom decontamination cannot see (quantizer fit on the train
-    #    side, eval side broadcast, eval-bounded candidate cost) plus
-    #    its rate-by-source audit; and K4's extend semantics certified
-    #    end to end — the real base_db_app under a mid-stream
-    #    table_process update that ADDS a sinkColumns column (the dim
-    #    store widens in place, epoch-0 rows read NULL). -------------------
-    "decontaminate_semantic",
-    "decontaminate_semantic_audit",
-    "dim_schema_evolution",
-    # -- NEW in r14: DSIR importance resampling (Xie et al., 2023) —
-    #    per-doc target-vs-raw bigram-LM surprisal-difference weights
-    #    in the engine's exact-rational form, plus the executed
-    #    selection audited by language (the target language must be
-    #    kept at a higher rate, measured: en 0.92 vs 0.15-0.21 at
-    #    sf0.01). -----------------------------------------------------------
-    "dsir_importance",
-    "dsir_select_audit",
-    "dsir_gate_stream",
-    # -- NEW in r14: the cross-method decontamination audit — exact /
-    #    fuzzy / semantic screens on the shared mod-7 eval split, each
-    #    flagged doc counted under its hit combination (at sf0.01: 84
-    #    exact-only, 9 exact+fuzzy, 1 semantic-only — the paraphrase
-    #    class only the embedding screen sees). ---------------------------
-    "decon_method_agreement",
-    # -- NEW in r14: the multi-probe recall rung of the semantic
-    #    screen (2-probe surfaces 2 of the 4 brute pairs at sf0.01,
-    #    strictly dominating the 1-probe screen). -------------------------
-    "decontaminate_semantic_nprobe",
-    # -- NEW in r15: the EXACT broadcast-eval rung closing the
-    #    family's recall gap, and the rung audit measuring (and
-    #    proving containment of) the IVF rungs against it. ----------------
+
+# This round's NEW or semantically CHANGED queries — the set the
+# mid-round pytest sweep must ALWAYS run at sf0.001 (r14 VERDICT #4:
+# the full-catalog sweep moved the battery near 30 min; mid-round runs
+# now take this set plus a rotating third of the rest, and the closing
+# battery restores the full sweep via SPARK_GRAFT_FULL_SWEEP=1).
+# Maintained each round alongside the _PRIORITY window lead.
+R_NEW_CHANGED = (
     "decontaminate_semantic_brute",
     "decon_semantic_rungs",
-    # -- NEW in r15: the watermark late-data DROP itself certified
-    #    (the one W1/W2 semantic with no oracle row until now): an
-    #    out-of-order replay whose earliest-hour rows arrive after the
-    #    watermark passed their window and are dropped; the oracle
-    #    states the admission rule. ---------------------------------------
+    "decon_method_agreement",          # + semantic_exact_hit column
+    "decontaminate_semantic_nprobe",   # refactored onto the shared hits fn
+    "decontaminate_semantic_stream",
     "visitor_stats_late_drop",
-    # -- NEW in r15: DSIR in the paper's hashed-feature form — model
-    #    memory corpus-size-FREE over a fixed md5 bucket grid — plus
-    #    the exact-vs-hashed agreement audit (Spearman + gate
-    #    overlap) that prices the collisions. ------------------------------
     "dsir_hashed",
     "dsir_hashed_agreement",
-    # -- CHANGED in r14 (changed code is always re-proven the round it
-    #    changes): events_ohlc_hourly now ENFORCES the non-null-ts
-    #    precondition in plan and oracle; the bigram-LM surprisal is
-    #    overflow-guarded in both fit paths (batch bigram_model and the
-    #    epoch-store merge); label_propagation gained the numeric-label
-    #    guard (doc_communities); the PQ/IVF-PQ codebook fits ride the
-    #    shared joint Lloyd pass (bit-identity pinned by
-    #    test_pq_fit_multi_matches_standalone_fits — all five PQ-family
-    #    consumers re-certify); and the similarity-graph app's shingle
-    #    store went size-gated (flat under SIM_SH_BUCKET_MIN_DOCS,
-    #    bucketed past it — doc_pagerank_stream re-proves the store
-    #    it reads). --------------------------------------------------------
-    "events_ohlc_hourly",
-    "ngram_lm_train",
-    "ngram_lm_perplexity",
-    "perplexity_filter",
-    "perplexity_gate_stream",
-    "doc_communities",
-    "embedding_pq_audit",
-    "ann_recall_pq",
-    "ann_recall_pq_rerank",
-    "ann_topk_ivfpq",
-    "ann_recall_ivfpq",
-    "doc_pagerank_stream",
-    # -- ... and the 23 oldest-green fill entries completing the
-    #    window (head of the r13 post-cut order). ---------------------------
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "ann_topk_vectorized",
-    "simhash_fingerprint",
-    "simhash_near_dup",
-    "rhp_near_dup",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_survivors",
-    "dedup_method_agreement",
-    "dedup_token_retention",
-    "minhash_estimate_audit",
-    "ngram_jaccard_pairs",
-    "embedding_near_dup",
-    "embedding_coverage",
-    "near_dup_rate_by_source",
-    "duplicate_ngram_coverage",
-    # == the 50-query window cut falls here (13 overflow leads + 8 new
-    #    + 12 changed + 17 oldest-green fill; lsh_bucket_audit,
-    #    decontaminate_fuzzy, doc_fingerprint, lang_id, quality_score
-    #    and token_stats displaced to the overflow block) ===================
+    "dsir_gate_stream",                # empty-target vocabulary coalesce
+    "corpus_build",                    # + semantic gate
+    "corpus_gate_funnel",              # + decon_semantic row
+    "doc_pagerank_stream",             # shingle-store layout inference fix
+)
+
+_PRIORITY = (
+    # -- r15 rotation. Lead: the 6 entries displaced the longest ago
+    #    (below the r14 cut since that round's second session), then
+    #    32 of the 38 r13-window entries the r14 rotation displaced
+    #    (the r14 overflow block; covered in r14 by its full-catalog
+    #    sf0.01 vanilla gate). ---------------------------------------------
     "lsh_bucket_audit",
     "decontaminate_fuzzy",
     "doc_fingerprint",
     "lang_id",
     "quality_score",
     "token_stats",
-    # -- r14 overflow block: the r13 window entries this rotation
-    #    displaced lead the r15 window per contract; everything below
-    #    the cut is covered this round by the full sf0.001 pytest sweep
-    #    and the in-repo full-catalog vanilla gate at sf0.01
-    #    (BASELINE.md r14). -------------------------------------------------
     "visitor_stats_union",
     "log_explode_displays",
     "cdc_delete_filter",
@@ -274,12 +185,92 @@ _PRIORITY = (
     "quantile_sketch_stream",
     "value_drift_chi2_stream",
     "uv_first_visit",
+    # -- NEW in r15: the EXACT broadcast-eval semantic-decontamination
+    #    rung (recall 1.0 by construction), the rung audit proving the
+    #    probe1 ⊆ probe2 ⊆ brute containment on data, the screen's
+    #    streaming twin (stash/bootstrap-fit/epoch-flag stores, batch
+    #    oracle shared verbatim), the watermark late-data drop
+    #    certified on an out-of-order replay, and hashed DSIR (fixed
+    #    md5 bucket grid, corpus-size-free model) with its
+    #    exact-vs-hashed agreement audit. ----------------------------------
+    "decontaminate_semantic_brute",
+    "decon_semantic_rungs",
+    "decontaminate_semantic_stream",
+    "visitor_stats_late_drop",
+    "dsir_hashed",
+    "dsir_hashed_agreement",
+    # -- CHANGED in r15 (re-proven the round they change): the
+    #    cross-method agreement gains the semantic_exact_hit column;
+    #    the nprobe screen rides the shared hits surface; the DSIR
+    #    gate stream coalesces an empty target vocabulary to 0; the
+    #    corpus build gains the semantic gate (+ funnel row); the
+    #    similarity-graph shingle-store layout is marker-atomic and
+    #    inferred from existing epochs (doc_pagerank_stream re-proves
+    #    the store it reads). ----------------------------------------------
+    "decon_method_agreement",
+    "decontaminate_semantic_nprobe",
+    "dsir_gate_stream",
+    "corpus_build",
+    "corpus_gate_funnel",
+    "doc_pagerank_stream",
+    # == the 50-query window cut falls here ================================
+    # -- r15 overflow block: the 6 r14-displaced entries that did not
+    #    fit lead the r16 window per contract; everything below the
+    #    cut is covered this round by the full-sweep pytest gate
+    #    (SPARK_GRAFT_FULL_SWEEP=1) and the in-repo full-catalog
+    #    vanilla gate at sf0.01 (BASELINE.md r15). -------------------------
     "uv_first_visit_stream",
     "is_new_fix_stream",
     "bounce_stats_stream",
     "cdc_materialize",
     "cdc_envelope_parse",
     "config_routing",
+    "base_db_stream",
+    "sql_entry",
+    "product_stats",
+    "province_stats",
+    "record_merge",
+    "snake_to_camel",
+    "date_derive",
+    "log_split_counts",
+    "log_split_stream",
+    "visitor_stats_hourly",
+    "visitor_stats_stream",
+    "session_stats_stream",
+    "order_wide_join",
+    "decontaminate_semantic",
+    "decontaminate_semantic_audit",
+    "dim_schema_evolution",
+    "dsir_importance",
+    "dsir_select_audit",
+    "events_ohlc_hourly",
+    "ngram_lm_train",
+    "ngram_lm_perplexity",
+    "perplexity_filter",
+    "perplexity_gate_stream",
+    "doc_communities",
+    "embedding_pq_audit",
+    "ann_recall_pq",
+    "ann_recall_pq_rerank",
+    "ann_topk_ivfpq",
+    "ann_recall_ivfpq",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "ann_topk_vectorized",
+    "simhash_fingerprint",
+    "simhash_near_dup",
+    "rhp_near_dup",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_method_agreement",
+    "dedup_token_retention",
+    "minhash_estimate_audit",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup",
+    "embedding_coverage",
+    "near_dup_rate_by_source",
+    "duplicate_ngram_coverage",
     "tfidf_top_terms",
     "funnel_conversion",
     "retention_cohorts",
@@ -339,8 +330,6 @@ _PRIORITY = (
     "decontaminate",
     "decontaminate_bloom",
     "decon_eval_coverage",
-    "corpus_build",
-    "corpus_gate_funnel",
     "heavy_hitters_cms",
     "json_dead_letter",
     "pricing_summary",

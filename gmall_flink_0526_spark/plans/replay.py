@@ -1078,6 +1078,71 @@ def embedding_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reg.read_batch(spark, "dwd_embeddings_unique").select("vec_id")
 
 
+def _register_decon_semantic_stream():
+    from .llmprep import EVAL_MOD
+    from .similarity import SQL_DECON_SEMANTIC
+
+    @register(
+        "decontaminate_semantic_stream",
+        oracle=SQL_DECON_SEMANTIC,
+        doc="The semantic-decontamination screen maintained "
+        "INCREMENTALLY (r14 VERDICT #2): train embeddings arrive as a "
+        "3-batch id-ordered replay while the eval benchmark is the "
+        "static side; streaming/pipelines.decon_screen_app stashes "
+        "pre-fit epochs, bootstrap-fits the quantizer the moment the "
+        "batch fit's exact sample has arrived (adaptive k provisioned "
+        "from the train count — the Bloom-width contract), screens "
+        "the backlog, then screens each later batch against the "
+        "broadcast eval side. The screen is per-train-row independent "
+        "once the quantizer is fixed, so the accumulated epoch-store "
+        "flags ARE the batch flag set — the twin shares "
+        "decontaminate_semantic's oracle VERBATIM; a green row "
+        "certifies fit, assignment and every cosine bit-for-bit "
+        "across build paths. Crash contract: poison-epoch and "
+        "checkpoint-rewind duplicate-delivery tests on the stash, "
+        "fit-marker and flag stores.",
+        tags=("similarity", "kmeans", "llm-prep", "decontamination",
+              "streaming", "incremental"),
+    )
+    def decontaminate_semantic_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..sources.registry import ChannelRegistry, write_replay
+        from ..streaming.pipelines import decon_screen_app, merged_decon_flags
+
+        emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
+            "vec_id", "embedding"
+        )
+        train = emb.filter(F.col("vec_id") % EVAL_MOD != 0)
+        ev = emb.filter(F.col("vec_id") % EVAL_MOD == 0)
+        n_train = train.count()
+        root = temp_replay_root("gmall_deconstream_")
+        reg = ChannelRegistry(root)
+        reg.register("ods_embeddings", schema="vec_id long, embedding array<float>")
+        write_replay(
+            train, reg.channels["ods_embeddings"].path, n_files=3, order_by=["vec_id"]
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = decon_screen_app(
+                spark,
+                reg,
+                os.path.join(root, "ckpt"),
+                os.path.join(root, "store"),
+                eval_df=ev,
+                expected_train=n_train,
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return merged_decon_flags(spark, os.path.join(root, "store"))
+
+
+_register_decon_semantic_stream()
+
+
 @register(
     "asof_click_stream",
     oracle="""

@@ -2313,13 +2313,20 @@ _SQL_DECON_SEM_HITS = f"""
     )"""
 
 
-@register(
-    "decontaminate_semantic",
-    oracle=f"""
+# The flag query's full oracle — shared VERBATIM by the streaming twin
+# `decontaminate_semantic_stream` (the stream's bootstrap fit, per-row
+# assignment and cosine are bit-identical to the batch screen, so one
+# oracle certifies both build paths).
+SQL_DECON_SEMANTIC = f"""
     WITH {_SQL_DECON_SEM_HITS}
     SELECT vec_id, COUNT(*) AS hit_ct, MAX(cos_sim) AS max_cos
     FROM hits GROUP BY vec_id
-    """,
+    """
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=SQL_DECON_SEMANTIC,
     doc=f"Embedding-level benchmark decontamination: flag training "
     f"vectors whose cosine to ANY eval vector (vec_id % {EVAL_MOD} == "
     f"0 plays the benchmark, the decontaminate convention) reaches "

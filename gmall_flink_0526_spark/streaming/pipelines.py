@@ -1118,6 +1118,171 @@ def emb_incremental_dedup_app(
     )
 
 
+def decon_screen_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    store_root: str,
+    eval_df: DataFrame,
+    expected_train: int,
+    source: str = "ods_embeddings",
+):
+    """Streaming SEMANTIC-decontamination screen (r14 VERDICT #2): the
+    train-side quantizer and the flagged set are maintained
+    incrementally as train embeddings arrive; the eval benchmark
+    (``eval_df``) is the STATIC side. Composes
+    ``emb_incremental_dedup_app``'s bootstrap-fit/epoch-store
+    machinery with ``plans.similarity.decontaminate_semantic``'s
+    screen, bit-identically to the batch query:
+
+    - ``expected_train`` provisions the adaptive k up front (the
+      Bloom-width contract: capacity is provisioned, not discovered);
+      the fit TARGET is ``min(expected_train, max(KM_FIT_N,
+      FIT_PER_CLUSTER*k))`` — the batch fit's exact sample size.
+    - Pre-fit epochs STASH their vectors (epoch-addressed). The epoch
+      whose cumulative arrival reaches the target FITS on the
+      ``fit_target`` lowest-id vectors seen (= the batch fit sample
+      when arrival is id-ordered, the bootstrap contract), persists
+      the centroids + a ``_FIT_EPOCH`` marker (atomic rename), and
+      screens the whole backlog into ``flags/epoch=<fit>``.
+    - Post-fit epochs assign with the stored centroids and screen
+      against the broadcast eval side only — per-train-row
+      INDEPENDENT, so no cross-train state exists beyond the
+      centroids; the accumulated flag store IS the batch flag set.
+
+    Crash/redelivery contract (both tested): a retried or redelivered
+    pre-fit epoch rewrites its own stash dir; a redelivered FIT epoch
+    is detected via the marker, reuses the stored centroids (the
+    deterministic refit would be bit-equal) and rewrites the same
+    backlog flags; post-fit epochs overwrite their own flags dir.
+    Scale: the screen joins each batch map-side against the broadcast
+    (benchmark-sized by contract) assigned eval frame — cost is
+    sum_c(batch_ct x eval_ct) per epoch, eval-bounded, the store
+    never rescanned."""
+    from ..operators import similarity as S
+    from ..plans.similarity import (
+        DECON_COS_T,
+        FIT_PER_CLUSTER,
+        KM_FIT_N,
+        KM_ITERS,
+        _semdedup_k,
+    )
+
+    stash_path = os.path.join(store_root, "stash")
+    flags_path = os.path.join(store_root, "flags")
+    cent_path = os.path.join(store_root, "centroids")
+    fit_marker = os.path.join(store_root, "_FIT_EPOCH")
+    k = _semdedup_k(expected_train)
+    fit_target = min(expected_train, max(KM_FIT_N, FIT_PER_CLUSTER * k))
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+    scope_token = uuid.uuid4().hex[:12]
+
+    def _read_cents(sess: SparkSession):
+        return sorted(
+            (int(r["c"]), [float(x) for x in r["cv"]])
+            for r in sess.read.parquet(cent_path).collect()
+        )
+
+    def _screen_and_write(train: DataFrame, cents, epoch_id: int) -> None:
+        nrm = F.sqrt(S.norm_sq(F.col("embedding")))
+        ev = S.with_cluster(eval_df, "embedding", cents).select(
+            "c",
+            F.col("vec_id").alias("eid"),
+            F.col("embedding").alias("ve"),
+            nrm.alias("ne"),
+        )
+        tr = S.with_cluster(train, "embedding", cents).select(
+            "c", "vec_id", F.col("embedding").alias("vt"), nrm.alias("nt")
+        )
+        flags = (
+            tr.join(F.broadcast(ev), "c")
+            .withColumn(
+                "cos_sim",
+                S.dot(F.col("vt"), F.col("ve")) / (F.col("nt") * F.col("ne")),
+            )
+            .filter(F.col("cos_sim") >= DECON_COS_T)
+            .select("vec_id", "eid", "cos_sim")
+            .localCheckpoint()
+        )
+        flags.write.mode("overwrite").parquet(
+            os.path.join(flags_path, f"epoch={epoch_id}")
+        )
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        with cache_scope(f"stream:decon_screen:{scope_token}"):
+            _epoch(batch, epoch_id)
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        batch = batch.persist()
+        allv = None
+        try:
+            fit_ep = (
+                int(hfs.read_text(sess, fit_marker).strip())
+                if hfs.exists(sess, fit_marker)
+                else None
+            )
+            if fit_ep is not None and epoch_id > fit_ep:
+                _screen_and_write(batch, _read_cents(sess), epoch_id)
+                return
+            # pre-fit epochs, the fit epoch, or a REDELIVERED fit epoch
+            if hfs.exists(sess, stash_path):
+                allv = read_epoch_store(sess, stash_path, epoch_id).unionByName(
+                    batch.select("vec_id", "embedding")
+                )
+            else:
+                allv = batch.select("vec_id", "embedding")
+            allv = allv.persist()
+            if fit_ep == epoch_id:
+                # redelivered fit epoch: the stored centroids equal the
+                # deterministic refit bit-for-bit — rewrite the same
+                # backlog flags
+                _screen_and_write(allv, _read_cents(sess), epoch_id)
+            elif allv.count() >= fit_target:
+                cents = S.kmeans_fit(
+                    allv, "embedding", "vec_id", k=k, iters=KM_ITERS,
+                    fit_limit=fit_target,
+                )
+                sess.createDataFrame(
+                    [(c, cv) for c, cv in cents], "c int, cv array<double>"
+                ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+                hfs.write_text_atomic(sess, fit_marker, str(epoch_id))
+                # a crashed first attempt of this epoch can only have
+                # taken THIS branch (the branch choice is a pure
+                # function of the prior stores), but scrub the other
+                # branch's dir anyway — the overwrite-own-epoch rule
+                # held across branches, not per-branch
+                hfs.delete(sess, os.path.join(stash_path, f"epoch={epoch_id}"))
+                _screen_and_write(allv, cents, epoch_id)
+            else:
+                hfs.delete(sess, os.path.join(flags_path, f"epoch={epoch_id}"))
+                batch.select("vec_id", "embedding").write.mode("overwrite").parquet(
+                    os.path.join(stash_path, f"epoch={epoch_id}")
+                )
+        finally:
+            if allv is not None:
+                allv.unpersist()
+            batch.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(ckpt, "decon_screen"))
+        .start()
+    )
+
+
+def merged_decon_flags(spark: SparkSession, store_root: str) -> DataFrame:
+    """The live flag report over the screen app's epoch store:
+    (vec_id, hit_ct, max_cos) with exactly the batch query's shape —
+    flag rows are per-train-row facts, so the merge is one grouped
+    count/max, no cross-epoch reconciliation."""
+    return (
+        read_store(spark, os.path.join(store_root, "flags"))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("hit_ct"), F.max("cos_sim").alias("max_cos"))
+    )
+
+
 def doc_dedup_app(
     spark: SparkSession,
     reg: ChannelRegistry,

@@ -1,8 +1,17 @@
 """Catalog-wide oracle gate: every query with an oracle must match
 DuckDB exactly at sf0.001 (fast inner loop; the driver re-checks at
-sf0.01). Mirrors the driver's CORRECTNESS gate."""
+sf0.01). Mirrors the driver's CORRECTNESS gate.
+
+Sweep policy (r14 VERDICT #4 — the full sweep pushed mid-round pytest
+near 30 min): a default run covers this round's NEW/CHANGED queries
+(catalog.R_NEW_CHANGED — always) plus a rotating third of the rest
+(offset = day ordinal mod 3, stable within a working day). Set
+SPARK_GRAFT_FULL_SWEEP=1 for the full catalog — the closing battery
+and the in-repo vanilla gate still check every query every round."""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -12,7 +21,18 @@ from .conftest import SF_SMOKE, assert_matches_oracle, duck_con
 
 
 def _names():
-    return sorted(plans.queries().keys())
+    all_names = sorted(plans.queries().keys())
+    if os.environ.get("SPARK_GRAFT_FULL_SWEEP") == "1":
+        return all_names
+    from datetime import date
+
+    from gmall_flink_0526_spark.plans.catalog import R_NEW_CHANGED
+
+    off = date.today().toordinal() % 3
+    rest = [n for n in all_names if n not in R_NEW_CHANGED]
+    picked = set(R_NEW_CHANGED) & set(all_names)
+    picked.update(n for i, n in enumerate(rest) if i % 3 == off)
+    return sorted(picked)
 
 
 @pytest.fixture(scope="module")

@@ -2881,3 +2881,142 @@ def test_dim_schema_evolution_widens_store_in_place(spark):
     assert evens and odds  # both config generations wrote rows
     assert all(r.o_orderstatus is None for r in evens)
     assert all(r.o_orderstatus is not None for r in odds)
+
+
+def _decon_train_replay(spark, root):
+    """Id-ordered 3-batch train replay + static eval side for the
+    decon screen app, split by explicit vec_id ranges so epoch
+    membership is deterministic across runs."""
+    from gmall_flink_0526_spark.plans.llmprep import EVAL_MOD
+
+    emb = load_tables(spark, SF_SMOKE, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    train = emb.filter(F.col("vec_id") % EVAL_MOD != 0)
+    ev = emb.filter(F.col("vec_id") % EVAL_MOD == 0)
+    reg = ChannelRegistry(str(root))
+    reg.register("ods_embeddings", schema="vec_id long, embedding array<float>")
+    write_replay(
+        train, reg.channels["ods_embeddings"].path, n_files=3,
+        order_by=["vec_id"],
+        file_of=F.when(F.col("vec_id") < 167, 0)
+        .when(F.col("vec_id") < 333, 1)
+        .otherwise(2),
+    )
+    return reg, train, ev
+
+
+def _decon_flags(spark, store):
+    return {
+        (r["vec_id"], r["eid"], r["cos_sim"])
+        for r in spark.read.parquet(os.path.join(store, "flags"))
+        .select("vec_id", "eid", "cos_sim")
+        .collect()
+    }
+
+
+def test_decon_screen_app_poison_epoch_and_batch_parity(spark, tmp_path):
+    """decon_screen_app's crash contract: an attempt of the FIT epoch
+    that died after writing poisoned flag/stash epochs but BEFORE the
+    checkpoint commit is fully rewritten on restart — the
+    deterministic refit plus overwrite-own-epoch scrubs the poison —
+    and the recovered flag store equals the BATCH screen's hit set
+    exactly (the per-row-independence claim, checked in-process on
+    the raw pair level, finer than the driver's aggregated row)."""
+    import shutil
+
+    from gmall_flink_0526_spark import plans
+    from gmall_flink_0526_spark.plans.similarity import corpus_decon_semantic_hits
+
+    regA, train, ev = _decon_train_replay(spark, tmp_path / "A")
+    n_train = train.count()
+    qa = pipelines.decon_screen_app(
+        spark, regA, str(tmp_path / "A" / "ckpt"), str(tmp_path / "A" / "store"),
+        eval_df=ev, expected_train=n_train,
+    )
+    qa.processAllAvailable()
+    qa.stop()
+    baseline = _decon_flags(spark, str(tmp_path / "A" / "store"))
+    batch_hits = {
+        (r["vec_id"], r["eid"], r["cos_sim"])
+        for r in corpus_decon_semantic_hits(spark, SF_SMOKE).collect()
+    }
+    assert baseline == batch_hits and baseline  # non-empty, bit-equal
+
+    # crashed run: hide the last file, run epochs 0-1 (stash only — the
+    # fit target equals the train count at this SF, so the fit is the
+    # LAST epoch), poison the fit epoch's dirs, restore, restart
+    regB, _, evB = _decon_train_replay(spark, tmp_path / "B")
+    src_path = regB.channels["ods_embeddings"].path
+    files = sorted(
+        (f for f in os.listdir(src_path)
+         if f.endswith(".parquet") and not f.startswith((".", "_"))),
+        key=lambda f: os.path.getmtime(os.path.join(src_path, f)),
+    )
+    hidden = files[-1]
+    shutil.move(os.path.join(src_path, hidden), str(tmp_path / "hidden.parquet"))
+    store_b = str(tmp_path / "B" / "store")
+    qb = pipelines.decon_screen_app(
+        spark, regB, str(tmp_path / "B" / "ckpt"), store_b,
+        eval_df=evB, expected_train=n_train,
+    )
+    qb.processAllAvailable()
+    qb.stop()
+    assert not os.path.exists(os.path.join(store_b, "_FIT_EPOCH"))  # still stashing
+    spark.createDataFrame(
+        [(999_999, 999_999, 1.0)], "vec_id long, eid long, cos_sim double"
+    ).write.mode("overwrite").parquet(os.path.join(store_b, "flags", "epoch=2"))
+    spark.createDataFrame(
+        [(999_999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(os.path.join(store_b, "stash", "epoch=2"))
+
+    shutil.move(str(tmp_path / "hidden.parquet"), os.path.join(src_path, hidden))
+    qb2 = pipelines.decon_screen_app(
+        spark, regB, str(tmp_path / "B" / "ckpt"), store_b,
+        eval_df=evB, expected_train=n_train,
+    )
+    qb2.processAllAvailable()
+    qb2.stop()
+    got = _decon_flags(spark, store_b)
+    assert not any(v == 999_999 for v, _, _ in got)
+    assert got == baseline
+    # the poisoned stash epoch was scrubbed by the fit branch
+    assert not os.path.exists(os.path.join(store_b, "stash", "epoch=2"))
+    assert open(os.path.join(store_b, "_FIT_EPOCH")).read().strip() == "2"
+
+
+def test_decon_screen_app_duplicate_delivery_fit_epoch(spark, tmp_path):
+    """Redelivering the already-committed FIT epoch (checkpoint rewind,
+    the r14 recipe) re-runs it with the same epoch id: the marker
+    routes it to the redelivery path, the stored centroids stand in
+    for the bit-equal refit, and the flag store is bit-unchanged."""
+    regA, train, ev = _decon_train_replay(spark, tmp_path)
+    store = str(tmp_path / "store")
+    q = pipelines.decon_screen_app(
+        spark, regA, str(tmp_path / "ckpt"), store,
+        eval_df=ev, expected_train=train.count(),
+    )
+    q.processAllAvailable()
+    q.stop()
+    before = _decon_flags(spark, store)
+    fit_ep = open(os.path.join(store, "_FIT_EPOCH")).read().strip()
+    cents_before = {
+        (r["c"], tuple(r["cv"]))
+        for r in spark.read.parquet(os.path.join(store, "centroids")).collect()
+    }
+
+    last = _recommit_last_epoch(str(tmp_path / "ckpt" / "decon_screen"))
+    assert str(last) == fit_ep  # the redelivered epoch IS the fit epoch
+    q2 = pipelines.decon_screen_app(
+        spark, regA, str(tmp_path / "ckpt"), store,
+        eval_df=ev, expected_train=train.count(),
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert _decon_flags(spark, store) == before
+    assert open(os.path.join(store, "_FIT_EPOCH")).read().strip() == fit_ep
+    cents_after = {
+        (r["c"], tuple(r["cv"]))
+        for r in spark.read.parquet(os.path.join(store, "centroids")).collect()
+    }
+    assert cents_after == cents_before

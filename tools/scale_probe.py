@@ -884,6 +884,11 @@ def main() -> None:
             # agreement audit adds two doc-count rank windows
             "dsir_hashed",
             "dsir_hashed_agreement",
+            # r15: the screen's streaming twin — per-epoch cost is
+            # batch x broadcast-eval (eval fixed at 1/7 of the corpus
+            # here) plus the one-time bootstrap fit; the flag store
+            # grows with flags, never rescanned
+            "decontaminate_semantic_stream",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
