@@ -132,6 +132,8 @@ R_NEW_CHANGED = (
     "decon_method_agreement",          # + semantic_exact_hit column
     "decontaminate_semantic_nprobe",   # refactored onto the shared hits fn
     "decontaminate_semantic_stream",
+    "ann_recall_matryoshka",
+    "hard_negative_mining",
     "visitor_stats_late_drop",
     "dsir_hashed",
     "dsir_hashed_agreement",
@@ -183,8 +185,6 @@ _PRIORITY = (
     "heavy_hitters_stream",
     "decontaminate_bloom_stream",
     "quantile_sketch_stream",
-    "value_drift_chi2_stream",
-    "uv_first_visit",
     # -- NEW in r15: the EXACT broadcast-eval semantic-decontamination
     #    rung (recall 1.0 by construction), the rung audit proving the
     #    probe1 ⊆ probe2 ⊆ brute containment on data, the screen's
@@ -196,6 +196,8 @@ _PRIORITY = (
     "decontaminate_semantic_brute",
     "decon_semantic_rungs",
     "decontaminate_semantic_stream",
+    "ann_recall_matryoshka",
+    "hard_negative_mining",
     "visitor_stats_late_drop",
     "dsir_hashed",
     "dsir_hashed_agreement",
@@ -219,6 +221,8 @@ _PRIORITY = (
     #    cut is covered this round by the full-sweep pytest gate
     #    (SPARK_GRAFT_FULL_SWEEP=1) and the in-repo full-catalog
     #    vanilla gate at sf0.01 (BASELINE.md r15). -------------------------
+    "value_drift_chi2_stream",
+    "uv_first_visit",
     "uv_first_visit_stream",
     "is_new_fix_stream",
     "bounce_stats_stream",

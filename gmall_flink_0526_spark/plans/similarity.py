@@ -2234,6 +2234,193 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Matryoshka truncation audit + contrastive hard-negative mining (r15) --
+
+#: Truncated prefix widths audited against the full-width ranking —
+#: nested prefixes, the Matryoshka (Kusupati et al.) serving knob:
+#: retrieval at width d costs d/64 of the flops and bytes.
+MRL_DIMS = (16, 32)
+
+
+def _sql_mrl_topk(name: str, d: int) -> str:
+    sliced_q = f"list_slice(qv, 1, {d})"
+    sliced_c = f"list_slice(embedding, 1, {d})"
+    return f"""{name} AS (
+      SELECT qid, cid FROM (
+        SELECT qid, vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY {_sql_cosine(sliced_q, sliced_c)} DESC,
+                                           vec_id) AS rn
+        FROM embeddings CROSS JOIN probes
+        WHERE vec_id != qid
+      ) WHERE rn <= {TOP_K}
+    )"""
+
+
+@register(
+    "ann_recall_matryoshka",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_PROBES}
+    ),
+    bf AS (
+      SELECT qid, cid FROM (
+        SELECT qid, vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY {_sql_cosine('qv', 'embedding')} DESC,
+                                           vec_id) AS rn
+        FROM embeddings CROSS JOIN probes
+        WHERE vec_id != qid
+      ) WHERE rn <= {TOP_K}
+    ),
+    {", ".join(_sql_mrl_topk(f"m{d}", d) for d in MRL_DIMS)},
+    tot AS (SELECT COUNT(*) AS bf_ct FROM bf)
+    {" UNION ALL ".join(
+        f'''SELECT {d} AS trunc_dim,
+           (SELECT COUNT(*) FROM bf JOIN m{d} USING (qid, cid)) AS hit_sum,
+           CAST((SELECT COUNT(*) FROM bf JOIN m{d} USING (qid, cid)) AS DOUBLE)
+             / (SELECT bf_ct FROM tot) AS recall'''
+        for d in MRL_DIMS
+    )}
+    """,
+    doc=f"Matryoshka truncation audit (Kusupati et al.): retrieval "
+    f"recall@{TOP_K} when embeddings are truncated to their first "
+    f"{' / '.join(str(d) for d in MRL_DIMS)} dimensions, measured "
+    "against the full-width brute ranking — the number that decides "
+    "how much of the vector a serving tier can drop (width d costs "
+    "d/64 of the flops, bytes and index size; MRL-trained embeddings "
+    "hold recall at small d, generic ones — like this fixture's — "
+    "pay, and THAT is what the audit surfaces before anyone ships a "
+    "truncated index). hit_sum is an exact join count and recall one "
+    "double division, so both engines agree to the bit. Scale: each "
+    "rung is the probe-bounded brute shape (broadcast probes, one "
+    "linear corpus pass at the truncated width) — the audit runs on a "
+    "probe SAMPLE by construction, never corpus x corpus.",
+    tags=("similarity", "ann", "audit", "quantize"),
+)
+def ann_recall_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cache import scoped_persist
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    bf = scoped_persist(
+        S.topk_neighbors(
+            probes.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")),
+            emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
+            TOP_K,
+        ).select("qid", "cid")
+    )
+    per_dim = []
+    for d in MRL_DIMS:
+        top_d = S.topk_neighbors(
+            probes.select(
+                F.col("vec_id").alias("qid"),
+                F.slice(F.col("embedding"), 1, d).alias("qv"),
+            ),
+            emb.select(
+                F.col("vec_id").alias("cid"),
+                F.slice(F.col("embedding"), 1, d).alias("cv"),
+            ),
+            TOP_K,
+        ).select("qid", "cid")
+        per_dim.append(
+            bf.join(top_d, ["qid", "cid"])
+            .agg(F.count("*").alias("hit_sum"))
+            .select(F.lit(d).alias("trunc_dim"), "hit_sum")
+        )
+    u = per_dim[0]
+    for extra in per_dim[1:]:
+        u = u.unionByName(extra)
+    tot = bf.agg(F.count("*").alias("bf_ct"))
+    return u.crossJoin(F.broadcast(tot)).select(
+        "trunc_dim",
+        "hit_sum",
+        (F.col("hit_sum").cast("double") / F.col("bf_ct")).alias("recall"),
+    )
+
+
+#: The hard-negative band: similar enough to be informative for
+#: contrastive training, below the near-duplicate bar (anything at or
+#: past SEMDEDUP_T is a probable positive/duplicate, not a negative).
+HARD_NEG_LO = 0.15
+HN_K = TOP_K
+
+
+def _register_hard_negative_mining():
+    hi = SEMDEDUP_T
+
+    @register(
+        "hard_negative_mining",
+        oracle=f"""
+    WITH {_SQL_KMEANS_CTES},
+    probes AS (
+      SELECT vec_id AS qid, embedding AS qv, c AS qc
+      FROM afinal WHERE vec_id < {N_PROBES}
+    ),
+    scored AS (
+      SELECT qid, a.vec_id AS cid,
+             {_sql_cosine('qv', 'a.embedding')} AS cos_sim
+      FROM afinal a JOIN probes ON a.c = qc
+      WHERE a.vec_id != qid
+    )
+    SELECT qid, cid, cos_sim, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, cid) AS rn
+      FROM scored
+      WHERE cos_sim >= {HARD_NEG_LO} AND cos_sim < {hi}
+    ) WHERE rn <= {HN_K}
+    """,
+        doc=f"Contrastive hard-negative mining — the training-data op "
+        "behind every embedding-model pipeline: for each anchor, the "
+        f"top-{HN_K} same-coarse-cell vectors whose cosine falls in "
+        f"[{HARD_NEG_LO}, {SEMDEDUP_T}) — similar enough to teach the "
+        "margin, strictly below the SemDeDup bar so probable "
+        "duplicates/positives never leak into the negative set (the "
+        "standard ANN-mined-negatives recipe: mine hard, filter "
+        "false negatives by threshold). Rides the corpus-scoped IVF "
+        "assignment, so candidates are cluster-bounded — the "
+        "ann_topk_ivf_kmeans join shape with a band filter, never a "
+        "corpus cross join; at 100 TB the mining cost is exactly the "
+        "IVF retrieval cost. Band edges are one comparison on the "
+        "bit-identical cosine, so both engines mine the same set.",
+        tags=("similarity", "ann", "llm-prep", "training-data"),
+    )
+    def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        from ..operators.partitioning import spread
+
+        assigned = ivf_assigned_cached(spark, sf_dir)
+        probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("c").alias("qlabel"),
+        )
+        corpus = assigned.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            F.col("c").alias("clabel"),
+        )
+        scored = (
+            spread(corpus, "cid")
+            .join(F.broadcast(probes), F.col("clabel") == F.col("qlabel"))
+            .filter(F.col("cid") != F.col("qid"))
+            .withColumn("cos_sim", S.cosine(F.col("qv"), F.col("cv")))
+            .filter(
+                (F.col("cos_sim") >= HARD_NEG_LO) & (F.col("cos_sim") < SEMDEDUP_T)
+            )
+        )
+        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= HN_K)
+            .select("qid", "cid", "cos_sim", "rn")
+        )
+
+
+_register_hard_negative_mining()
+
+
 # -- embedding-level decontamination (r13 VERDICT #4) ----------------------
 
 from .llmprep import EVAL_MOD  # noqa: E402  (the mod-7 eval split, shared)

@@ -3020,3 +3020,38 @@ def test_decon_screen_app_duplicate_delivery_fit_epoch(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(store, "centroids")).collect()
     }
     assert cents_after == cents_before
+
+
+def test_decon_store_compacts_through_default_merge(spark, tmp_path):
+    """The decon screen's stores are SET-like (a stash vector / flag
+    row is a fact), so the shared compactor's default distinct() merge
+    serves them unchanged: post-compaction the stash rows and the
+    merged flag report are bit-identical and the multi-epoch stash
+    collapses to one base generation (the layout a long pre-fit stream
+    accumulates)."""
+    regA, train, ev = _decon_train_replay(spark, tmp_path)
+    store = str(tmp_path / "store")
+    q = pipelines.decon_screen_app(
+        spark, regA, str(tmp_path / "ckpt"), store,
+        eval_df=ev, expected_train=train.count(),
+    )
+    q.processAllAvailable()
+    q.stop()
+    stash = os.path.join(store, "stash")
+    assert len([d for d in os.listdir(stash) if d.startswith("epoch=")]) > 1
+    rows_before = {
+        r["vec_id"] for r in spark.read.parquet(stash).select("vec_id").collect()
+    }
+    flags_before = _decon_flags(spark, store)
+    assert rows_before and flags_before
+    pipelines.compact_signature_store(
+        spark, store, upto_epoch=10, subs=("stash", "flags")
+    )
+    rows_after = {
+        r["vec_id"]
+        for r in pipelines.read_store(spark, stash).select("vec_id").collect()
+    }
+    assert rows_after == rows_before
+    assert _decon_flags(spark, store) == flags_before
+    stash_epochs = [d for d in os.listdir(stash) if d.startswith("epoch=")]
+    assert len(stash_epochs) == 1 and stash_epochs[0].startswith("epoch=-")

@@ -159,6 +159,37 @@ def test_visitor_stats_late_drop_actually_drops(spark):
     assert 0 < kept < total, (kept, total)
 
 
+def test_matryoshka_monotone_and_hard_negatives_banded(spark):
+    """Value properties of the r15 ANN additions: (a) truncation
+    recall is non-decreasing in prefix width (a wider prefix carries
+    strictly more of the inner product's mass toward the full
+    ranking... not a theorem per-query, but the AGGREGATE recall over
+    the probe set must not invert at fixture scale — pinned
+    empirically); (b) every mined hard negative sits inside the
+    [HARD_NEG_LO, SEMDEDUP_T) band — a violation would leak probable
+    positives into a contrastive negative set."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.plans.similarity import (
+        HARD_NEG_LO,
+        HN_K,
+        MRL_DIMS,
+        SEMDEDUP_T,
+    )
+
+    rec = {
+        r["trunc_dim"]: r["recall"]
+        for r in plans.queries()["ann_recall_matryoshka"](spark, SF_SMOKE).collect()
+    }
+    assert sorted(rec) == sorted(MRL_DIMS)
+    assert rec[16] <= rec[32] <= 1.0
+    hn = plans.queries()["hard_negative_mining"](spark, SF_SMOKE).collect()
+    assert hn  # the band is populated at fixture scale
+    for r in hn:
+        assert HARD_NEG_LO <= r["cos_sim"] < SEMDEDUP_T, r
+        assert 1 <= r["rn"] <= HN_K
+
+
 def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
     """Catalog-wide invariants: (a) no query plans a cartesian /
     nested-loop join except the documented brute-force ANN baseline;
@@ -184,6 +215,9 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         "decontaminate_semantic_brute",
         "decon_semantic_rungs",
         "decon_method_agreement",
+        # the truncation audit embeds the brute baseline per rung —
+        # probe-bounded broadcast passes, the recall-audit class
+        "ann_recall_matryoshka",
     }
     # a crossJoin against a BROADCAST 1-ROW aggregate (scalar fan-in,
     # e.g. tfidf's n_docs, the mixture/histogram totals) plans as

@@ -889,6 +889,13 @@ def main() -> None:
             # here) plus the one-time bootstrap fit; the flag store
             # grows with flags, never rescanned
             "decontaminate_semantic_stream",
+            # r15: the truncation audit is 3 probe-bounded brute
+            # passes (full + 2 truncated widths) — linear in corpus at
+            # fixed probes; hard-negative mining is the IVF bucket
+            # join + a band filter, cluster-bounded like the retrieval
+            # it mirrors
+            "ann_recall_matryoshka",
+            "hard_negative_mining",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
