@@ -1130,7 +1130,9 @@ def decon_screen_app(
     """Streaming SEMANTIC-decontamination screen (r14 VERDICT #2): the
     train-side quantizer and the flagged set are maintained
     incrementally as train embeddings arrive; the eval benchmark
-    (``eval_df``) is the STATIC side. Composes
+    (``eval_df``) is the STATIC side, snapshotted into the store at
+    app start (atomic rename) so every epoch across restarts screens
+    against one pinned benchmark. Composes
     ``emb_incremental_dedup_app``'s bootstrap-fit/epoch-store
     machinery with ``plans.similarity.decontaminate_semantic``'s
     screen, bit-identically to the batch query:
@@ -1171,9 +1173,20 @@ def decon_screen_app(
     stash_path = os.path.join(store_root, "stash")
     flags_path = os.path.join(store_root, "flags")
     cent_path = os.path.join(store_root, "centroids")
+    eval_path = os.path.join(store_root, "eval_side")
     fit_marker = os.path.join(store_root, "_FIT_EPOCH")
     k = _semdedup_k(expected_train)
     fit_target = min(expected_train, max(KM_FIT_N, FIT_PER_CLUSTER * k))
+    # SNAPSHOT the static eval side into the store before the stream
+    # starts (temp dir + rename, atomic publish): every epoch — across
+    # restarts, retries and redeliveries — screens against ONE pinned
+    # benchmark, and the per-batch plans never mix frames from the
+    # outer session into foreachBatch's cloned session
+    if not hfs.exists(spark, eval_path):
+        tmp = eval_path + ".tmp"
+        hfs.delete(spark, tmp)
+        eval_df.select("vec_id", "embedding").write.mode("overwrite").parquet(tmp)
+        hfs.rename(spark, tmp, eval_path)
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
     scope_token = uuid.uuid4().hex[:12]
 
@@ -1184,8 +1197,9 @@ def decon_screen_app(
         )
 
     def _screen_and_write(train: DataFrame, cents, epoch_id: int) -> None:
+        sess = train.sparkSession
         nrm = F.sqrt(S.norm_sq(F.col("embedding")))
-        ev = S.with_cluster(eval_df, "embedding", cents).select(
+        ev = S.with_cluster(sess.read.parquet(eval_path), "embedding", cents).select(
             "c",
             F.col("vec_id").alias("eid"),
             F.col("embedding").alias("ve"),
