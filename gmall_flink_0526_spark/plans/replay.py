@@ -464,6 +464,16 @@ def visitor_stats_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
     )
     bounds = src.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    # documented precondition, enforced loudly (the OHLC null-ts
+    # pattern): the replay's late/held/mid split needs the corpus to
+    # span well past the window + delay, or batch 0's watermark anchor
+    # is empty and the admission rule degenerates
+    b = bounds.collect()[0]
+    if b["mn"] is None or (b["mx"] - b["mn"]).total_seconds() < 3 * 3600:
+        raise ValueError(
+            "visitor_stats_late_drop: events must span >= 3 hours for the "
+            f"late/held split to be well-defined (got {b['mn']}..{b['mx']})"
+        )
     lab = (
         src.crossJoin(F.broadcast(bounds))
         .withColumn(
