@@ -74,6 +74,22 @@ SURPRISAL_GUARDED_EXPR = (
 )
 
 
+#: Width of the hashed-feature DSIR bucket grid (Xie et al.'s hashed
+#: n-gram form): fixed at provisioning time like the Bloom width /
+#: CMS grid, which is exactly what makes the model corpus-size-FREE
+#: and the per-epoch streaming grids additive-mergeable.
+DSIR_HASH_B = 1024
+
+
+def hash_bucket(col: F.Column, buckets: int) -> F.Column:
+    """md5-slice bucket id in [0, buckets) — heavy_hitters_cms's
+    8-hex-char arithmetic, bit-reproducible cross-engine. ONE
+    definition shared by the batch hashed-DSIR fit and the epoch-store
+    grid app (streaming/pipelines.dsir_grid_app), so the routing
+    cannot drift between the two build paths."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % buckets
+
+
 def doc_bigrams(staged: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, g, w1): one row per bigram OCCURRENCE (not distinct — the
     LM is count-based), ``g`` the space-joined bigram, ``w1`` its

@@ -77,6 +77,69 @@ def bounded_broadcast(df: DataFrame, limit: int = BROADCAST_ROW_LIMIT, what: str
     return F.broadcast(df)
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str,
+    npart: int | None = None,
+) -> DataFrame:
+    """``ROW_NUMBER() OVER (ORDER BY order_cols)`` without Spark's
+    single-partition global window.
+
+    An unpartitioned window moves the ENTIRE frame to one task
+    (``WindowExec: No Partition Defined``) — fine over a post-limit
+    head or a histogram, fatal over a corpus. This helper computes the
+    identical ranks in two parallel jobs instead:
+
+    1. range-partition on the order key (explicit ``npart``, so AQE
+       never re-coalesces and the routing is monotone: every row in
+       partition *i* orders before every row in partition *i+1*),
+       rank WITHIN each partition (a partitioned window — parallel),
+    2. count rows per partition (``<= npart`` rows, collected under the
+       :func:`bounded_broadcast` eager-scalar precedent) and add each
+       partition's cumulative predecessor count as a CASE-mapped
+       offset — pure map-side, no join, no second pass over the data.
+
+    ``order_cols`` MUST be tie-broken to uniqueness (append the row's
+    id, as every rank oracle here already does): ranks are then a pure
+    function of the data — bit-identical to the global window and to
+    the SQL oracle regardless of partition boundaries. The frame is
+    scope-persisted so the count pass and the downstream consumer share
+    one computation (batch catalog queries drain the scope on entry).
+    Output rank is LONG: an INT row_number overflows past 2.1 B rows.
+    """
+    spark = df.sparkSession
+    if npart is None:
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    from pyspark.sql.window import Window
+
+    cols = [F.col(c) for c in order_cols]
+    local = (
+        df.repartitionByRange(int(npart), *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lr",
+            F.row_number().over(Window.partitionBy("__pid").orderBy(*cols)),
+        )
+    )
+    local = scoped_persist(local)
+    sizes = {
+        r["__pid"]: r["__ct"]
+        for r in local.groupBy("__pid").agg(F.count("*").alias("__ct")).collect()
+    }
+    case = None
+    run = 0
+    for pid in sorted(sizes):
+        case = (F.when if case is None else case.when)(
+            F.col("__pid") == pid, F.lit(run)
+        )
+        run += sizes[pid]
+    off = case.otherwise(F.lit(0)) if case is not None else F.lit(0)
+    return local.withColumn(
+        out_col, (off + F.col("__lr")).cast("long")
+    ).drop("__pid", "__lr")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

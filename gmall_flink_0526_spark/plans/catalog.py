@@ -127,106 +127,47 @@ _LOADED = False
 # battery restores the full sweep via SPARK_GRAFT_FULL_SWEEP=1).
 # Maintained each round alongside the _PRIORITY window lead.
 R_NEW_CHANGED = (
-    "decontaminate_semantic_brute",
-    "decon_semantic_rungs",
-    "decon_method_agreement",          # + semantic_exact_hit column
-    "decontaminate_semantic_nprobe",   # refactored onto the shared hits fn
-    "decontaminate_semantic_stream",
-    "ann_recall_matryoshka",
-    "hard_negative_mining",
-    "visitor_stats_late_drop",
-    "dsir_hashed",
-    "dsir_hashed_agreement",
-    "dsir_gate_stream",                # empty-target vocabulary coalesce
-    "corpus_build",                    # + semantic gate
-    "corpus_gate_funnel",              # + decon_semantic row
-    "doc_pagerank_stream",             # shingle-store layout inference fix
+    # -- r16 new --
+    "dsir_hashed_stream",
+    "ann_recall_matryoshka_rerank",
+    "hard_negative_mining_nprobe",
+    "hard_negative_rungs",
+    # -- r16 changed --
+    "dsir_hashed",              # grid-scorer refactor (shared with stream)
+    "dsir_hashed_agreement",    # global_row_number ranks (r15 VERDICT #1)
+    "doc_pagerank_stream",      # write_text_atomic delete-dest (r15 ADVICE)
+    "decontaminate_semantic_stream",  # same marker-write path
 )
 
 _PRIORITY = (
-    # -- r15 rotation. Lead: the 6 entries displaced the longest ago
-    #    (below the r14 cut since that round's second session), then
-    #    32 of the 38 r13-window entries the r14 rotation displaced
-    #    (the r14 overflow block; covered in r14 by its full-catalog
-    #    sf0.01 vanilla gate). ---------------------------------------------
-    "lsh_bucket_audit",
-    "decontaminate_fuzzy",
-    "doc_fingerprint",
-    "lang_id",
-    "quality_score",
-    "token_stats",
-    "visitor_stats_union",
-    "log_explode_displays",
-    "cdc_delete_filter",
-    "jdbc_round_trip",
-    "product_stats_hll",
-    "doc_pagerank_weighted",
-    "substring_dedup_l16",
-    "media_near_dup",
-    "media_near_dup_audit",
-    "events_gapfill_locf",
-    "events_gapfill_interp",
-    "events_gapfill_stream",
-    "bm25_topk",
-    "ann_rrf_fusion",
-    "doc_pagerank",
-    "lsh_recall_post_dedup",
-    "substring_dedup",
-    "substring_dedup_audit",
-    "substring_dedup_stream",
-    "funnel_attribution_stream",
-    "funnel_attribution_4_stream",
-    "funnel_attribution_windowed_stream",
-    "asof_click_stream",
-    "dim_enrichment_asof_stream",
-    "dedup_incremental_stream",
-    "embedding_incremental_stream",
-    "approx_distinct_hll_stream",
-    "heavy_hitters_stream",
-    "decontaminate_bloom_stream",
-    "quantile_sketch_stream",
-    # -- NEW in r15: the EXACT broadcast-eval semantic-decontamination
-    #    rung (recall 1.0 by construction), the rung audit proving the
-    #    probe1 ⊆ probe2 ⊆ brute containment on data, the screen's
-    #    streaming twin (stash/bootstrap-fit/epoch-flag stores, batch
-    #    oracle shared verbatim), the watermark late-data drop
-    #    certified on an out-of-order replay, and hashed DSIR (fixed
-    #    md5 bucket grid, corpus-size-free model) with its
-    #    exact-vs-hashed agreement audit. ----------------------------------
-    "decontaminate_semantic_brute",
-    "decon_semantic_rungs",
-    "decontaminate_semantic_stream",
-    "ann_recall_matryoshka",
-    "hard_negative_mining",
-    "visitor_stats_late_drop",
+    # -- r16 rotation. NEW first: the hashed-DSIR streaming twin
+    #    (fixed-width grids kept live by dsir_grid_app, batch oracle
+    #    shared verbatim), the MRL serving-recipe re-rank ladder, and
+    #    the multi-probe hard-negative rung with its containment/delta
+    #    audit. ------------------------------------------------------------
+    "dsir_hashed_stream",
+    "ann_recall_matryoshka_rerank",
+    "hard_negative_mining_nprobe",
+    "hard_negative_rungs",
+    # -- CHANGED in r16 (re-proven the round they change): hashed DSIR
+    #    scoring refactored onto the grid scorer the stream twin
+    #    shares; the agreement audit's ranks go through
+    #    global_row_number (range-partitioned, r15 VERDICT #1); the
+    #    two marker-writing stream apps re-prove the
+    #    write_text_atomic delete-dest fix (r15 ADVICE). -------------------
     "dsir_hashed",
     "dsir_hashed_agreement",
-    # -- CHANGED in r15 (re-proven the round they change): the
-    #    cross-method agreement gains the semantic_exact_hit column;
-    #    the nprobe screen rides the shared hits surface; the DSIR
-    #    gate stream coalesces an empty target vocabulary to 0; the
-    #    corpus build gains the semantic gate (+ funnel row); the
-    #    similarity-graph shingle-store layout is marker-atomic and
-    #    inferred from existing epochs (doc_pagerank_stream re-proves
-    #    the store it reads). ----------------------------------------------
-    "decon_method_agreement",
-    "decontaminate_semantic_nprobe",
-    "dsir_gate_stream",
-    "corpus_build",
-    "corpus_gate_funnel",
     "doc_pagerank_stream",
-    # == the 50-query window cut falls here ================================
-    # -- r15 overflow block: the 6 r14-displaced entries that did not
-    #    fit lead the r16 window per contract; everything below the
-    #    cut is covered this round by the full-sweep pytest gate
-    #    (SPARK_GRAFT_FULL_SWEEP=1) and the in-repo full-catalog
-    #    vanilla gate at sf0.01 (BASELINE.md r15). -------------------------
+    "decontaminate_semantic_stream",
+    # -- the 6 r14-displaced entries that led this round per contract --
     "value_drift_chi2_stream",
     "uv_first_visit",
     "uv_first_visit_stream",
     "is_new_fix_stream",
     "bounce_stats_stream",
     "cdc_materialize",
+    # -- then the r15 overflow block (certified r13-r15 via driver
+    #    windows + full gates; oldest driver rows first) ------------------
     "cdc_envelope_parse",
     "config_routing",
     "base_db_stream",
@@ -263,6 +204,58 @@ _PRIORITY = (
     "ann_topk_vectorized",
     "simhash_fingerprint",
     "simhash_near_dup",
+    # == the 50-query window cut falls here ================================
+    # -- r16 overflow: the r15 window's entries, displaced this round
+    #    (all driver-green r15); they lead the r17 window per
+    #    contract. Everything below the cut is covered this round by
+    #    the full-sweep pytest gate (SPARK_GRAFT_FULL_SWEEP=1) and the
+    #    in-repo full-catalog vanilla gate at sf0.01. ---------------------
+    "lsh_bucket_audit",
+    "decontaminate_fuzzy",
+    "doc_fingerprint",
+    "lang_id",
+    "quality_score",
+    "token_stats",
+    "visitor_stats_union",
+    "log_explode_displays",
+    "cdc_delete_filter",
+    "jdbc_round_trip",
+    "product_stats_hll",
+    "doc_pagerank_weighted",
+    "substring_dedup_l16",
+    "media_near_dup",
+    "media_near_dup_audit",
+    "events_gapfill_locf",
+    "events_gapfill_interp",
+    "events_gapfill_stream",
+    "bm25_topk",
+    "ann_rrf_fusion",
+    "doc_pagerank",
+    "lsh_recall_post_dedup",
+    "substring_dedup",
+    "substring_dedup_audit",
+    "substring_dedup_stream",
+    "funnel_attribution_stream",
+    "funnel_attribution_4_stream",
+    "funnel_attribution_windowed_stream",
+    "asof_click_stream",
+    "dim_enrichment_asof_stream",
+    "dedup_incremental_stream",
+    "embedding_incremental_stream",
+    "approx_distinct_hll_stream",
+    "heavy_hitters_stream",
+    "decontaminate_bloom_stream",
+    "quantile_sketch_stream",
+    "decontaminate_semantic_brute",
+    "decon_semantic_rungs",
+    "ann_recall_matryoshka",
+    "hard_negative_mining",
+    "visitor_stats_late_drop",
+    "decon_method_agreement",
+    "decontaminate_semantic_nprobe",
+    "dsir_gate_stream",
+    "corpus_build",
+    "corpus_gate_funnel",
     "rhp_near_dup",
     "dedup_minhash_lsh",
     "dedup_clusters",

@@ -398,10 +398,12 @@ def dsir_select_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both bucket models take the same add-one smoothing with the bucket
 # count as the support size, so every weight stays exact-rational.
 
-#: Fixed bucket-grid width. The paper uses 10k hashed buckets; 1024
-#: keeps collisions VISIBLE at fixture scale so the agreement audit
+#: Fixed bucket-grid width (defined in operators/lm.py next to the
+#: shared bucket-routing expression; re-exported here for the oracle
+#: f-strings). The paper uses 10k hashed buckets; 1024 keeps
+#: collisions VISIBLE at fixture scale so the agreement audit
 #: measures a real approximation, not a vacuous one.
-DSIR_HASH_B = 1024
+DSIR_HASH_B = lm.DSIR_HASH_B
 
 _SQL_DSIR_HASHED = f"""
     hg AS (
@@ -432,11 +434,53 @@ _SQL_DSIR_HASHED = f"""
 
 
 def _dsir_hash_bucket(col) -> "F.Column":
-    """md5-slice bucket id in [0, DSIR_HASH_B) — heavy_hitters_cms's
-    8-hex-char arithmetic, bit-reproducible cross-engine."""
+    """md5-slice bucket id in [0, DSIR_HASH_B) — ONE definition shared
+    with the epoch-store grid app (operators/lm.hash_bucket), so the
+    batch fit and the streaming twin route grams identically."""
+    return lm.hash_bucket(col, DSIR_HASH_B)
+
+
+def dsir_hashed_scores_from_grid(
+    spark: SparkSession, hg: DataFrame, grid: DataFrame
+) -> DataFrame:
+    """(doc_id, n_grams, dsir_score) from a ``(b, ct, tct)`` bucket
+    grid — ONE shared scoring definition for the batch fit and the
+    streaming twin (`dsir_hashed_stream`), so the formula cannot drift
+    between build paths. Both surprisals are computed per BUCKET on
+    the <= DSIR_HASH_B-row grid (the scaled-integer expression is a
+    pure function of (c1, c2, v), so per-bucket evaluation is
+    bit-identical to per-occurrence evaluation), then ONE broadcast
+    join carries (s_raw, s_t) map-side into the per-doc integer sum —
+    zero model-side shuffle at any corpus size. ``hg`` is the
+    per-gram-occurrence (doc_id, b) frame; ``grid`` must cover every
+    bucket ``hg`` produces (both builders derive it from the same
+    occurrences, so it does)."""
+    rtot = grid.agg(F.sum("ct").alias("rc1"))
+    # coalesce the target total: a target-empty corpus leaves SUM null
+    # where the batch path's COUNT(*) yields 0 — match it
+    ttot = grid.agg(F.coalesce(F.sum("tct"), F.lit(0)).alias("ttc1"))
+    gs = (
+        grid.crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .withColumn("c1", F.col("rc1"))
+        .withColumn("c2", F.col("ct"))
+        .withColumn("v", F.lit(DSIR_HASH_B))
+        .withColumn("s_raw", F.expr(lm.SURPRISAL_GUARDED_EXPR))
+        .withColumn("c1", F.col("ttc1"))
+        .withColumn("c2", F.col("tct"))
+        .withColumn("s_t", F.expr(lm.SURPRISAL_GUARDED_EXPR))
+        .select("b", "s_raw", "s_t")
+    )
     return (
-        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
-        % DSIR_HASH_B
+        hg.join(F.broadcast(gs), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            (
+                F.sum(F.col("s_raw") - F.col("s_t")).cast("double")
+                / (F.count("*") * F.lit(lm.LM_SCALE)).cast("double")
+            ).alias("dsir_score"),
+        )
     )
 
 
@@ -446,57 +490,45 @@ def dsir_hashed_scores_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-fit over the md5 bucket grid (support size = DSIR_HASH_B, so
     the add-one floor smooths over buckets, not vocabulary).
     Corpus-persisted like the exact weights: the flag query and the
-    agreement audit share one computation. Scale: BOTH model frames
-    are <= DSIR_HASH_B rows and ride broadcasts — scoring is two
-    map-side joins + one per-doc partial-agged sum, zero model-side
+    agreement audit share one computation. Scale: the whole (b, ct,
+    tct) grid is <= DSIR_HASH_B rows and rides broadcasts — scoring is
+    one map-side join + one per-doc partial-agged sum, zero model-side
     shuffle at any corpus size (the exact variant's model is
     distinct-bigram-bounded and must hash-join); the overflow guard
     still bounds the total gram count at LM_C1_LIMIT, failing loudly
-    past it."""
+    past it. The scoring tail is ONE shared definition with the
+    streaming twin (:func:`dsir_hashed_scores_from_grid`)."""
 
     def build():
         t, _staged, grams = _staged_grams(spark, sf_dir)
         hg = grams.select("doc_id", _dsir_hash_bucket(F.col("g")).alias("b"))
-        rc = hg.groupBy("b").agg(F.count("*").alias("c2"))
-        rtot = hg.agg(F.count("*").alias("c1"))
-        rs = (
-            rc.crossJoin(F.broadcast(rtot))
-            .withColumn("v", F.lit(DSIR_HASH_B))
-            .withColumn("s_raw", F.expr(lm.SURPRISAL_GUARDED_EXPR))
-            .select("b", "s_raw")
-        )
         tids = t["documents"].filter(F.col("lang") == DSIR_TARGET_LANG).select("doc_id")
         thg = hg.join(tids, "doc_id")
-        tcb = thg.groupBy("b").agg(F.count("*").alias("tc2"))
-        ttot = thg.agg(F.count("*").alias("tc1"))
-        scored = (
-            hg.join(F.broadcast(rs), "b")
-            .join(F.broadcast(tcb), "b", "left")
-            .crossJoin(F.broadcast(ttot))
-            .withColumn("c2", F.coalesce(F.col("tc2"), F.lit(0)))
-            .withColumn("c1", F.col("tc1"))
-            .withColumn("v", F.lit(DSIR_HASH_B))
-            .withColumn("s_t", F.expr(lm.SURPRISAL_GUARDED_EXPR))
+        grid = (
+            hg.groupBy("b")
+            .agg(F.count("*").alias("ct"))
+            .join(thg.groupBy("b").agg(F.count("*").alias("tct")), "b", "left")
+            .withColumn("tct", F.coalesce(F.col("tct"), F.lit(0)))
         )
-        return scored.groupBy("doc_id").agg(
-            F.count("*").alias("n_grams"),
-            (
-                F.sum(F.col("s_raw") - F.col("s_t")).cast("double")
-                / (F.count("*") * F.lit(lm.LM_SCALE)).cast("double")
-            ).alias("dsir_score"),
-        )
+        return dsir_hashed_scores_from_grid(spark, hg, grid)
 
     return corpus_persist(spark, "dsir_hashed_scores", sf_dir, build)
 
 
-@register(
-    "dsir_hashed",
-    oracle=f"""
+#: dsir_hashed's full oracle — a named constant so the streaming twin
+#: (`dsir_hashed_stream`) shares it VERBATIM, the perplexity_gate_stream
+#: pattern.
+SQL_DSIR_HASHED_Q = f"""
     WITH {_SQL_LM_CTES},
     tdocs AS (SELECT doc_id FROM documents WHERE lang = '{DSIR_TARGET_LANG}'),
     {_SQL_DSIR_HASHED}
     SELECT doc_id, n_grams, dsir_score FROM hd
-    """,
+    """
+
+
+@register(
+    "dsir_hashed",
+    oracle=SQL_DSIR_HASHED_Q,
     doc=f"DSIR in the paper's HASHED-feature form: every bigram "
     f"occurrence is hashed into a fixed {DSIR_HASH_B}-bucket grid "
     "(md5-slice arithmetic, bit-reproducible cross-engine) and both "
@@ -556,18 +588,28 @@ def dsir_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deploying the corpus-size-free estimator: the collision price "
     "measured on in-catalog truth, the decon_semantic_rungs pattern "
     "applied to DSIR. Cost: both score frames are already "
-    "corpus-persisted; the audit adds two doc-count windows, one "
-    "doc-keyed join and two percentile scalars.",
+    "corpus-persisted; the audit adds two RANGE-PARTITIONED rank "
+    "passes (global_row_number — parallel per-partition row_number + "
+    "cumulative offsets, never the single-partition global window), "
+    "one doc-keyed join and two percentile scalars.",
     tags=("llm-prep", "quality", "lm", "sampling", "audit"),
 )
 def dsir_hashed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..operators.partitioning import global_row_number
 
     ex = dsir_scores_cached(spark, sf_dir)
     hs = dsir_hashed_scores_cached(spark, sf_dir)
-    we = W.orderBy("dsir_score", "doc_id")
-    re_ = ex.select("doc_id", "dsir_score").withColumn("rex", F.row_number().over(we))
-    rh = hs.select("doc_id", "dsir_score").withColumn("rhash", F.row_number().over(we))
+    # ranks via range-partitioned row_number + offsets — the ranked
+    # frame is corpus-sized, so a global (unpartitioned) window would
+    # serialize the whole corpus onto one task; ranks are deterministic
+    # (doc_id tie-break), so this is bit-identical to the oracle's
+    # global ROW_NUMBER
+    re_ = global_row_number(
+        ex.select("doc_id", "dsir_score"), ["dsir_score", "doc_id"], "rex"
+    )
+    rh = global_row_number(
+        hs.select("doc_id", "dsir_score"), ["dsir_score", "doc_id"], "rhash"
+    )
     j = re_.select("doc_id", F.col("dsir_score").alias("se"), "rex").join(
         rh.select("doc_id", F.col("dsir_score").alias("sh"), "rhash"), "doc_id"
     )

@@ -2418,3 +2418,98 @@ def _register_dsir_gate_stream():
 
 
 _register_dsir_gate_stream()
+
+
+def _register_dsir_hashed_stream():
+    from .lmquality import (
+        DSIR_TARGET_LANG,
+        SQL_DSIR_HASHED_Q,
+        _dsir_hash_bucket,
+        _staged_grams,
+        dsir_hashed_scores_from_grid,
+    )
+
+    @register(
+        "dsir_hashed_stream",
+        oracle=SQL_DSIR_HASHED_Q,
+        doc="The HASHED (corpus-size-free) DSIR estimator maintained "
+        "INCREMENTALLY: both fixed-width bucket grids are kept live by "
+        "the real epoch-store grid app (streaming/pipelines."
+        "dsir_grid_app) — two instances one admission predicate apart "
+        f"(the target admits lang = '{DSIR_TARGET_LANG}'), the "
+        "dsir_gate_stream deployment shape, but with EVERY per-epoch "
+        "store write bounded at DSIR_HASH_B rows regardless of corpus "
+        "size (lm_counts_app's grids are batch-distinct-bigram-sized) "
+        "— this is the selection model you can actually run "
+        "continuously at 100 TB with open vocabulary. The grid merges "
+        "are additive-exact integers, so the merged grids equal the "
+        "batch fit's bit-for-bit and the twin shares dsir_hashed's "
+        "oracle VERBATIM; the scoring tail is ONE shared definition "
+        "with the batch query (dsir_hashed_scores_from_grid), so the "
+        "formula cannot drift between build paths.",
+        tags=(
+            "llm-prep",
+            "quality",
+            "lm",
+            "sampling",
+            "sketch",
+            "streaming",
+            "incremental",
+        ),
+    )
+    def dsir_hashed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..operators.partitioning import spread
+        from ..sources.registry import ChannelRegistry, write_replay
+        from ..streaming.pipelines import dsir_grid_app, merged_dsir_grid
+
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        lines = spread(docs, "doc_id").withColumn(
+            "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+        )
+        root = temp_replay_root("gmall_dsirh_")
+        reg = ChannelRegistry(root)
+        reg.register(
+            "ods_documents", schema="doc_id long, text string, lang string, ts timestamp"
+        )
+        write_replay(
+            lines.select("doc_id", "text", "lang", "ts"),
+            reg.channels["ods_documents"].path,
+            n_files=2,
+            order_by=["ts", "doc_id"],
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # per-epoch grids are <= DSIR_HASH_B rows: 8 shuffle
+            # partitions keeps the replay's commit count honest
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q_raw = dsir_grid_app(
+                spark, reg, os.path.join(root, "ckpt_raw"), os.path.join(root, "raw")
+            )
+            q_raw.processAllAvailable()
+            q_raw.stop()
+            q_tgt = dsir_grid_app(
+                spark,
+                reg,
+                os.path.join(root, "ckpt_tgt"),
+                os.path.join(root, "tgt"),
+                doc_filter=F.col("lang") == DSIR_TARGET_LANG,
+            )
+            q_tgt.processAllAvailable()
+            q_tgt.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        raw = merged_dsir_grid(spark, os.path.join(root, "raw"))
+        tgt = merged_dsir_grid(spark, os.path.join(root, "tgt")).select(
+            "b", F.col("ct").alias("tct")
+        )
+        grid = raw.join(tgt, "b", "left").withColumn(
+            "tct", F.coalesce(F.col("tct"), F.lit(0))
+        )
+        t, _staged, grams = _staged_grams(spark, sf_dir)
+        hg = grams.select("doc_id", _dsir_hash_bucket(F.col("g")).alias("b"))
+        return dsir_hashed_scores_from_grid(spark, hg, grid)
+
+
+_register_dsir_hashed_stream()

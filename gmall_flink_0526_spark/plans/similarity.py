@@ -2339,6 +2339,171 @@ def ann_recall_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Truncated-shortlist sizes for the MRL serving recipe: the re-rank
+#: pool is the knob that buys recall back from truncation, priced per
+#: probe (the PQ_RERANK_POOL pattern).
+MRL_RERANK_POOLS = (2 * TOP_K, 4 * TOP_K, 8 * TOP_K)
+_MRL_MAXPOOL = max(MRL_RERANK_POOLS)
+
+
+def _sql_mrl_shortlist(name: str, d: int) -> str:
+    sliced_q = f"list_slice(qv, 1, {d})"
+    sliced_c = f"list_slice(embedding, 1, {d})"
+    return f"""{name} AS (
+      SELECT qid, cid, rn AS rn_s FROM (
+        SELECT qid, vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY {_sql_cosine(sliced_q, sliced_c)} DESC,
+                                           vec_id) AS rn
+        FROM embeddings CROSS JOIN probes
+        WHERE vec_id != qid
+      ) WHERE rn <= {_MRL_MAXPOOL}
+    )"""
+
+
+def _sql_mrl_rerank_tail() -> str:
+    """Per-dim re-rank CTEs + per-(dim, pool) top-k CTEs + the final
+    UNION ALL ladder — shared text builder so the oracle stays in
+    lockstep with the MRL_DIMS x MRL_RERANK_POOLS grid."""
+    parts = []
+    for d in MRL_DIMS:
+        parts.append(
+            f"""rr{d} AS (
+      SELECT s.qid, s.cid, s.rn_s,
+             {_sql_cosine('p.qv', 'e.embedding')} AS cf
+      FROM m{d}s s JOIN probes p ON s.qid = p.qid
+                   JOIN embeddings e ON s.cid = e.vec_id
+    )"""
+        )
+        for pool in MRL_RERANK_POOLS:
+            parts.append(
+                f"""t{d}_{pool} AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cf DESC, cid) AS rn
+        FROM rr{d} WHERE rn_s <= {pool}
+      ) WHERE rn <= {TOP_K}
+    )"""
+            )
+    selects = " UNION ALL ".join(
+        f"""SELECT {d} AS trunc_dim, {pool} AS pool,
+           (SELECT COUNT(*) FROM bf JOIN t{d}_{pool} USING (qid, cid)) AS hit_sum,
+           CAST((SELECT COUNT(*) FROM bf JOIN t{d}_{pool} USING (qid, cid)) AS DOUBLE)
+             / (SELECT bf_ct FROM tot) AS recall"""
+        for d in MRL_DIMS
+        for pool in MRL_RERANK_POOLS
+    )
+    return ",\n    ".join(parts) + f"\n    {selects}"
+
+
+@register(
+    "ann_recall_matryoshka_rerank",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_PROBES}
+    ),
+    bf AS (
+      SELECT qid, cid FROM (
+        SELECT qid, vec_id AS cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY {_sql_cosine('qv', 'embedding')} DESC,
+                                           vec_id) AS rn
+        FROM embeddings CROSS JOIN probes
+        WHERE vec_id != qid
+      ) WHERE rn <= {TOP_K}
+    ),
+    tot AS (SELECT COUNT(*) AS bf_ct FROM bf),
+    {", ".join(_sql_mrl_shortlist(f"m{d}s", d) for d in MRL_DIMS)},
+    {_sql_mrl_rerank_tail()}
+    """,
+    doc=f"The MRL serving recipe completed (r15 VERDICT #4): "
+    f"ann_recall_matryoshka measured truncation recall COLLAPSING on "
+    f"this fixture (0.10 at d=16) — this rung answers whether the "
+    f"standard two-stage recipe rescues it: retrieve a pool-sized "
+    f"shortlist at the TRUNCATED width (d/64 of the flops and bytes — "
+    f"where the index savings live), then exact-re-rank ONLY the "
+    f"shortlist at full width (pool-bounded float reads per probe, "
+    f"the ann_recall_pq_rerank pattern). One row per (trunc_dim, "
+    f"pool) over pools {MRL_RERANK_POOLS}: the measured ladder that "
+    f"decides whether MRL serving is viable here and at what pool "
+    f"price — the re-rank can only recover hits the truncated metric "
+    f"kept inside the pool, so the ladder converging to 1.0 (or not) "
+    f"IS the serving decision. hit_sum is an exact join count, recall "
+    f"one double division; shortlist, re-rank and brute truth all "
+    f"re-derived by the oracle bit-for-bit. Scale: each shortlist is "
+    f"the probe-bounded brute shape (broadcast probes, one linear "
+    f"corpus pass at the truncated width), the re-rank touches "
+    f"pool x probes full-width vectors only.",
+    tags=("similarity", "ann", "quantize", "audit"),
+)
+def ann_recall_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.cache import scoped_persist
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    pq = probes.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv_full"))
+    bf = scoped_persist(
+        S.topk_neighbors(
+            probes.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")),
+            emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
+            TOP_K,
+        ).select("qid", "cid")
+    )
+    tot = bf.agg(F.count("*").alias("bf_ct"))
+    per_rung = []
+    for d in MRL_DIMS:
+        short = S.topk_neighbors(
+            probes.select(
+                F.col("vec_id").alias("qid"),
+                F.slice(F.col("embedding"), 1, d).alias("qv"),
+            ),
+            emb.select(
+                F.col("vec_id").alias("cid"),
+                F.slice(F.col("embedding"), 1, d).alias("cv"),
+            ),
+            _MRL_MAXPOOL,
+        ).select("qid", "cid", F.col("rn").alias("rn_s"))
+        # full-width exact re-rank over the shortlist only: pool-bounded
+        # float reads, computed ONCE per dim and filtered per pool
+        rr = scoped_persist(
+            short.join(F.broadcast(pq), "qid")
+            .join(
+                emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
+                "cid",
+            )
+            .withColumn("cf", S.cosine(F.col("qv_full"), F.col("cv")))
+            .select("qid", "cid", "rn_s", "cf")
+        )
+        w = W.partitionBy("qid").orderBy(F.col("cf").desc(), F.col("cid"))
+        for pool in MRL_RERANK_POOLS:
+            top = (
+                rr.filter(F.col("rn_s") <= pool)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= TOP_K)
+                .select("qid", "cid")
+            )
+            per_rung.append(
+                bf.join(top, ["qid", "cid"])
+                .agg(F.count("*").alias("hit_sum"))
+                .select(
+                    F.lit(d).alias("trunc_dim"),
+                    F.lit(pool).alias("pool"),
+                    "hit_sum",
+                )
+            )
+    u = per_rung[0]
+    for extra in per_rung[1:]:
+        u = u.unionByName(extra)
+    return u.crossJoin(F.broadcast(tot)).select(
+        "trunc_dim",
+        "pool",
+        "hit_sum",
+        (F.col("hit_sum").cast("double") / F.col("bf_ct")).alias("recall"),
+    )
+
+
 #: The hard-negative band: similar enough to be informative for
 #: contrastive training, below the near-duplicate bar (anything at or
 #: past SEMDEDUP_T is a probable positive/duplicate, not a negative).
@@ -2419,6 +2584,223 @@ def _register_hard_negative_mining():
 
 
 _register_hard_negative_mining()
+
+
+def _register_hard_negative_nprobe():
+    hi = SEMDEDUP_T
+    band_sql = f"WHERE cos_sim >= {HARD_NEG_LO} AND cos_sim < {hi}"
+
+    @register(
+        "hard_negative_mining_nprobe",
+        oracle=f"""
+    WITH {_SQL_KMEANS_CTES},
+    {_SQL_NPROBE_PC},
+    scoredp AS (
+      SELECT qid, a.vec_id AS cid,
+             {_sql_cosine('qv', 'a.embedding')} AS cos_sim
+      FROM afinal a JOIN pc ON a.c = pc.c
+      WHERE a.vec_id != qid
+    )
+    SELECT qid, cid, cos_sim, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, cid) AS rn
+      FROM scoredp {band_sql}
+    ) WHERE rn <= {HN_K}
+    """,
+        doc=f"Hard-negative mining at nprobe={NPROBE_P} (r15 VERDICT "
+        "#6): the 1-probe miner rides the anchor's own IVF cell, and "
+        "decon_semantic_rungs proved 1-probe misses most same-cell-"
+        "adjacent neighbors — anchors near a Voronoi boundary mine "
+        "weaker negatives. This rung applies probe_clusters (the "
+        f"ann_topk_ivf_nprobe knob) to the mining query: each anchor's "
+        f"band-filtered candidates come from its {NPROBE_P} nearest "
+        "coarse cells, recovering the across-the-boundary hard "
+        f"negatives at {NPROBE_P}x the bucket-join candidate cost — "
+        "still bucket-sized, never corpus-sized; mining cost remains "
+        "exactly the multi-probe retrieval cost. The delta vs 1-probe "
+        "is audited by hard_negative_rungs.",
+        tags=("similarity", "ann", "llm-prep", "training-data"),
+    )
+    def hard_negative_mining_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        from ..operators.partitioning import spread
+
+        assigned = ivf_assigned_cached(spark, sf_dir)
+        cents = kmeans_fit_cached(spark, sf_dir, assigned)
+        pc = S.probe_clusters(
+            assigned.filter(F.col("vec_id") < N_PROBES).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+            ),
+            cents,
+            NPROBE_P,
+        )
+        corpus = assigned.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            F.col("c").alias("clabel"),
+        )
+        scored = (
+            spread(corpus, "cid")
+            .join(F.broadcast(pc), F.col("clabel") == F.col("qlabel"))
+            .filter(F.col("cid") != F.col("qid"))
+            .withColumn("cos_sim", S.cosine(F.col("qv"), F.col("cv")))
+            .filter(
+                (F.col("cos_sim") >= HARD_NEG_LO) & (F.col("cos_sim") < SEMDEDUP_T)
+            )
+        )
+        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= HN_K)
+            .select("qid", "cid", "cos_sim", "rn")
+        )
+
+    @register(
+        "hard_negative_rungs",
+        oracle=f"""
+    WITH {_SQL_KMEANS_CTES},
+    probes1 AS (
+      SELECT vec_id AS qid, embedding AS qv, c AS qc
+      FROM afinal WHERE vec_id < {N_PROBES}
+    ),
+    c1 AS (
+      SELECT * FROM (
+        SELECT qid, a.vec_id AS cid,
+               {_sql_cosine('qv', 'a.embedding')} AS cos_sim
+        FROM afinal a JOIN probes1 ON a.c = qc
+        WHERE a.vec_id != qid
+      ) {band_sql}
+    ),
+    {_SQL_NPROBE_PC},
+    cp AS (
+      SELECT * FROM (
+        SELECT qid, a.vec_id AS cid,
+               {_sql_cosine('qv', 'a.embedding')} AS cos_sim
+        FROM afinal a JOIN pc ON a.c = pc.c
+        WHERE a.vec_id != qid
+      ) {band_sql}
+    ),
+    m1 AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+                                            ORDER BY cos_sim DESC, cid) AS rn
+        FROM c1
+      ) WHERE rn <= {HN_K}
+    ),
+    mp AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+                                            ORDER BY cos_sim DESC, cid) AS rn
+        FROM cp
+      ) WHERE rn <= {HN_K}
+    )
+    SELECT
+      (SELECT COUNT(*) FROM c1) AS cand_1probe_ct,
+      (SELECT COUNT(*) FROM cp) AS cand_nprobe_ct,
+      (SELECT COUNT(*) FROM c1 WHERE NOT EXISTS
+         (SELECT 1 FROM cp WHERE cp.qid = c1.qid AND cp.cid = c1.cid))
+        AS extra_pair_ct,
+      (SELECT COUNT(*) FROM m1) AS neg_1probe_ct,
+      (SELECT COUNT(*) FROM mp) AS neg_nprobe_ct,
+      (SELECT COUNT(*) FROM m1 JOIN mp USING (qid, cid)) AS shared_neg_ct,
+      (SELECT COUNT(*) FROM m1 WHERE NOT EXISTS
+         (SELECT 1 FROM mp WHERE mp.qid = m1.qid AND mp.cid = m1.cid))
+        AS lost_neg_ct,
+      (SELECT COUNT(*) FROM mp WHERE NOT EXISTS
+         (SELECT 1 FROM m1 WHERE m1.qid = mp.qid AND m1.cid = mp.cid))
+        AS gained_neg_ct
+    """,
+        doc="The mining-rung containment/delta audit (the "
+        "decon_semantic_rungs pattern applied to hard negatives): "
+        "PROVES on data that the 1-probe band-candidate set is "
+        "contained in the nprobe set (extra_pair_ct = 0 — probe 1 IS "
+        "the anchor's own cell, so widening probes only adds "
+        "candidates; test-pinned) and prices the negative-set delta — "
+        "how many mined negatives the rungs share, how many 1-probe "
+        "negatives the wider candidate pool DISPLACES (lost = weaker "
+        "negatives pushed out by across-the-boundary candidates that "
+        "rank higher in the band) and how many it gains. This is the "
+        "number that justifies the extra probed bucket per anchor: "
+        "every displaced negative is a strictly-harder replacement. "
+        "All counts exact joins; one row.",
+        tags=("similarity", "ann", "llm-prep", "training-data", "audit"),
+    )
+    def hard_negative_rungs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        from ..operators.cache import scoped_persist
+        from ..operators.partitioning import spread
+
+        assigned = ivf_assigned_cached(spark, sf_dir)
+        cents = kmeans_fit_cached(spark, sf_dir, assigned)
+        corpus = assigned.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            F.col("c").alias("clabel"),
+        )
+        probes1 = assigned.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("c").alias("qlabel"),
+        )
+        pc = S.probe_clusters(
+            assigned.filter(F.col("vec_id") < N_PROBES).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+            ),
+            cents,
+            NPROBE_P,
+        )
+
+        def band(side):
+            return (
+                spread(corpus, "cid")
+                .join(F.broadcast(side), F.col("clabel") == F.col("qlabel"))
+                .filter(F.col("cid") != F.col("qid"))
+                .withColumn("cos_sim", S.cosine(F.col("qv"), F.col("cv")))
+                .filter(
+                    (F.col("cos_sim") >= HARD_NEG_LO)
+                    & (F.col("cos_sim") < SEMDEDUP_T)
+                )
+                .select("qid", "cid", "cos_sim")
+            )
+
+        c1 = scoped_persist(band(probes1))
+        cp = scoped_persist(band(pc))
+        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+
+        def mined(cand):
+            return (
+                cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= HN_K)
+                .select("qid", "cid")
+            )
+
+        m1 = scoped_persist(mined(c1))
+        mp = scoped_persist(mined(cp))
+        # all four sets descend from one assigned lineage — rename the
+        # right side's keys before joining (the ann_recall_nprobe rule)
+        r = lambda df: df.select(  # noqa: E731
+            F.col("qid").alias("q2"), F.col("cid").alias("c2")
+        )
+        on = (F.col("qid") == F.col("q2")) & (F.col("cid") == F.col("c2"))
+        counts = [
+            c1.agg(F.count("*").alias("cand_1probe_ct")),
+            cp.agg(F.count("*").alias("cand_nprobe_ct")),
+            c1.join(r(cp), on, "left_anti").agg(F.count("*").alias("extra_pair_ct")),
+            m1.agg(F.count("*").alias("neg_1probe_ct")),
+            mp.agg(F.count("*").alias("neg_nprobe_ct")),
+            m1.join(r(mp), on, "inner").agg(F.count("*").alias("shared_neg_ct")),
+            m1.join(r(mp), on, "left_anti").agg(F.count("*").alias("lost_neg_ct")),
+            mp.join(r(m1), on, "left_anti").agg(F.count("*").alias("gained_neg_ct")),
+        ]
+        out = counts[0]
+        for extra in counts[1:]:
+            out = out.crossJoin(F.broadcast(extra))
+        return out
+
+
+_register_hard_negative_nprobe()
 
 
 # -- embedding-level decontamination (r13 VERDICT #4) ----------------------

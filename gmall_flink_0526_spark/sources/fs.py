@@ -68,6 +68,15 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     fs, p = _fs_and_path(spark, tmp)
     fs.delete(p, False)  # a crashed earlier attempt's leftover
     write_text(spark, tmp, text)
+    # HDFS's rename contract REFUSES an existing destination (returns
+    # false -> IOError in rename()); POSIX renameTo overwrites, which
+    # masks that locally. Drop the old marker just before the rename:
+    # the brief no-marker window is safe because every marker reader
+    # re-derives the value when the file is absent (e.g. the shingle
+    # store's layout gate infers the layout from the epoch directory
+    # structure).
+    dfs, dp = _fs_and_path(spark, path)
+    dfs.delete(dp, False)
     rename(spark, tmp, path)
 
 

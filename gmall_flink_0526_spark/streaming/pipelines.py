@@ -1601,6 +1601,66 @@ def merged_lm_model(spark: SparkSession, store_root: str) -> DataFrame:
     )
 
 
+def dsir_grid_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    store_root: str,
+    source: str = "ods_documents",
+    doc_filter=None,
+):
+    """Streaming hashed-DSIR grid maintenance — the corpus-size-FREE
+    member of the epoch-store family: every micro-batch hashes ITS OWN
+    bigram occurrences onto the fixed ``lm.DSIR_HASH_B``-bucket md5
+    grid (``lm.hash_bucket`` — the same routing expression as the
+    batch fit) and writes a (b, ct) count grid to an epoch-addressed
+    store; the live model is the per-bucket SUM over epochs
+    (:func:`merged_dsir_grid`) — plain counter addition, the CMS merge
+    applied to a model fit. Unlike ``lm_counts_app`` (whose per-epoch
+    grids are batch-distinct-bigram-sized), EVERY epoch here is
+    bounded at DSIR_HASH_B rows no matter the corpus — this is the
+    estimator you can actually run continuously at 100 TB with open
+    vocabulary. ``doc_filter`` admits only matching documents: two app
+    instances one admission predicate apart maintain the raw and the
+    TARGET-domain grids from the same stream (`dsir_hashed_stream`),
+    exactly the dsir_gate_stream deployment shape. Same
+    overwrite-own-epoch crash rule as the CMS app (a foreachBatch
+    retry overwrites its own ``epoch=<id>`` directory, so a replayed
+    batch can never double-count)."""
+    from ..operators import lm, textops
+
+    grid_path = os.path.join(store_root, "dsir_grid")
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        if doc_filter is not None:
+            batch = batch.filter(doc_filter)
+        staged = textops.with_tokens(batch)
+        lm.doc_bigrams(staged).select(
+            lm.hash_bucket(F.col("g"), lm.DSIR_HASH_B).alias("b")
+        ).groupBy("b").agg(F.count("*").alias("ct")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(grid_path, f"epoch={epoch_id}"))
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(ckpt, "dsir_grid"))
+        .start()
+    )
+
+
+def merged_dsir_grid(spark: SparkSession, store_root: str) -> DataFrame:
+    """The live hashed-DSIR bucket grid over an epoch-addressed store:
+    per-bucket count sums — at most DSIR_HASH_B result rows, however
+    many epochs accumulated (additive-exact integers, so the merged
+    grid equals the one-shot batch count bit-for-bit)."""
+    return (
+        read_store(spark, os.path.join(store_root, "dsir_grid"))
+        .groupBy("b")
+        .agg(F.sum("ct").alias("ct"))
+    )
+
+
 def events_rollup_app(
     spark: SparkSession,
     reg: ChannelRegistry,

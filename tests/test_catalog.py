@@ -4,10 +4,13 @@ sf0.01). Mirrors the driver's CORRECTNESS gate.
 
 Sweep policy (r14 VERDICT #4 — the full sweep pushed mid-round pytest
 near 30 min): a default run covers this round's NEW/CHANGED queries
-(catalog.R_NEW_CHANGED — always) plus a rotating third of the rest
-(offset = day ordinal mod 3, stable within a working day). Set
-SPARK_GRAFT_FULL_SWEEP=1 for the full catalog — the closing battery
-and the in-repo vanilla gate still check every query every round."""
+(catalog.R_NEW_CHANGED — always) plus a rotating third of the rest.
+The rotation offset is SPARK_GRAFT_SWEEP_OFFSET when set (pinned,
+replayable — the r15 ADVICE fix: a run's coverage is then reproducible
+regardless of wall-clock day), else the day ordinal mod 3 (stable
+within a working day). Set SPARK_GRAFT_FULL_SWEEP=1 for the full
+catalog — the closing battery and the in-repo vanilla gate still check
+every query every round."""
 
 from __future__ import annotations
 
@@ -28,7 +31,8 @@ def _names():
 
     from gmall_flink_0526_spark.plans.catalog import R_NEW_CHANGED
 
-    off = date.today().toordinal() % 3
+    off_env = os.environ.get("SPARK_GRAFT_SWEEP_OFFSET")
+    off = int(off_env) % 3 if off_env is not None else date.today().toordinal() % 3
     rest = [n for n in all_names if n not in R_NEW_CHANGED]
     picked = set(R_NEW_CHANGED) & set(all_names)
     picked.update(n for i, n in enumerate(rest) if i % 3 == off)

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from gmall_flink_0526_spark.operators import cache
 from gmall_flink_0526_spark.operators.partitioning import (
     bounded_broadcast,
+    global_row_number,
     salted_join,
     spread,
 )
@@ -214,3 +215,33 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_global_row_number_matches_global_window(spark):
+    """global_row_number must equal the single-partition global window
+    rank EXACTLY (unique tie-broken key => ranks are a pure function of
+    the data, whatever the range boundaries did), while planning a
+    range exchange + a PARTITIONED window instead of the corpus-on-one-
+    task shape. Skew included: a constant-heavy column exercises ties
+    across partition boundaries (broken by id)."""
+    import contextlib
+    import io
+
+    from pyspark.sql.window import Window as W
+
+    df = spark.range(500).withColumn(
+        "s", F.when(F.col("id") % 5 == 0, 1.0).otherwise((F.col("id") % 13).cast("double"))
+    )
+    got = global_row_number(df, ["s", "id"], "r", npart=7)
+    exp = df.withColumn("r", F.row_number().over(W.orderBy("s", "id")).cast("long"))
+    assert sorted(map(tuple, got.select("id", "r").collect())) == sorted(
+        map(tuple, exp.select("id", "r").collect())
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    p = buf.getvalue()
+    assert "rangepartitioning(s" in p and "REPARTITION_BY_NUM" in p
+    assert "hashpartitioning(__pid" in p  # the rank window IS partitioned
+    # empty input: no offsets to map, still well-typed
+    assert global_row_number(df.filter("id < 0"), ["s", "id"], "r").count() == 0

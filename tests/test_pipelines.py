@@ -3055,3 +3055,175 @@ def test_decon_store_compacts_through_default_merge(spark, tmp_path):
     assert _decon_flags(spark, store) == flags_before
     stash_epochs = [d for d in os.listdir(stash) if d.startswith("epoch=")]
     assert len(stash_epochs) == 1 and stash_epochs[0].startswith("epoch=-")
+
+
+def test_write_text_atomic_overwrites_existing_marker(spark, tmp_path):
+    """The HDFS rename contract REFUSES an existing destination
+    (returns false; POSIX renameTo overwrites, masking it locally) —
+    write_text_atomic must therefore drop the old marker just before
+    the rename, so marker REWRITES (the layout-gate recovery path,
+    similarity_graph_app) self-heal on HDFS-like filesystems instead
+    of crash-looping (r15 ADVICE). Contract: repeated writes to the
+    same path succeed and the last value wins."""
+    from gmall_flink_0526_spark.sources import fs as hfs
+
+    p = str(tmp_path / "_MARKER")
+    hfs.write_text_atomic(spark, p, "first")
+    hfs.write_text_atomic(spark, p, "second")
+    hfs.write_text_atomic(spark, p, "third")
+    assert hfs.read_text(spark, p).strip() == "third"
+    assert not hfs.exists(spark, p + "._tmp")  # temp never left behind
+
+
+def test_dsir_grid_app_sums_to_batch_grid_and_survives_retry(spark, tmp_path):
+    """The hashed-DSIR grid app's two contracts (the sketch family's
+    corpus-size-free member): (a) ADDITIVITY — per-epoch fixed-width
+    bucket grids summed equal the one-shot batch bucket count
+    bit-for-bit (all-integer), so dsir_hashed_stream's scores are the
+    batch estimator's exactly; (b) the epoch-overwrite crash rule — a
+    dead batch attempt's poisoned grid (a forged hot bucket that would
+    deflate every colliding gram's surprisal forever) is rewritten on
+    restart."""
+    import shutil
+
+    from gmall_flink_0526_spark.operators import lm, textops
+    from gmall_flink_0526_spark.operators.partitioning import spread
+
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"]
+    stream_in = spread(docs, "doc_id").select(
+        "doc_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id"))
+        ).alias("ts"),
+        "text",
+        "lang",
+    )
+    reg = ChannelRegistry(str(tmp_path / "chan"))
+    reg.register(
+        "ods_documents", schema="doc_id long, ts timestamp, text string, lang string"
+    )
+    write_replay(
+        stream_in, reg.channels["ods_documents"].path, n_files=3,
+        order_by=["doc_id"], file_of=F.col("doc_id") % 3,
+    )
+
+    src_path = reg.channels["ods_documents"].path
+    files = sorted(
+        (
+            f
+            for f in os.listdir(src_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ),
+        key=lambda f: os.path.getmtime(os.path.join(src_path, f)),
+    )
+    hidden = files[-1]
+    shutil.move(os.path.join(src_path, hidden), str(tmp_path / "hidden.parquet"))
+    q = pipelines.dsir_grid_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # dead batch-2 attempt: poisoned grid written, checkpoint not committed
+    spark.createDataFrame([(0, 10**9)], "b long, ct long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "store" / "dsir_grid" / "epoch=2"))
+
+    shutil.move(str(tmp_path / "hidden.parquet"), os.path.join(src_path, hidden))
+    q2 = pipelines.dsir_grid_app(
+        spark, reg, str(tmp_path / "ckpt"), str(tmp_path / "store")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    staged = textops.with_tokens(docs)
+    batch_grid = (
+        lm.doc_bigrams(staged)
+        .select(lm.hash_bucket(F.col("g"), lm.DSIR_HASH_B).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    exp = {(r["b"], r["ct"]) for r in batch_grid.collect()}
+    got = {
+        (r["b"], r["ct"])
+        for r in pipelines.merged_dsir_grid(spark, str(tmp_path / "store")).collect()
+    }
+    assert got == exp  # poison gone, additive merge equals the batch grid
+    assert len(got) <= lm.DSIR_HASH_B  # the model really is grid-bounded
+
+
+def test_dsir_grid_app_duplicate_delivery_no_double_count(spark, tmp_path):
+    """Epoch-store half of the effectively-once contract for the
+    TARGET-filtered grid instance (covers the doc_filter admission
+    path too): redelivering an already-committed micro-batch re-runs
+    it with the SAME epoch id, the overwrite-own-epoch rule rewrites
+    that epoch's grid, and the merged grid is bit-unchanged — still
+    exactly the batch bucket count over the admitted documents."""
+    from gmall_flink_0526_spark.operators import lm, textops
+    from gmall_flink_0526_spark.plans.lmquality import DSIR_TARGET_LANG
+
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"].select(
+        "doc_id", "text", "lang"
+    )
+    reg = ChannelRegistry(str(tmp_path / "chan"))
+    reg.register("ods_documents", schema="doc_id long, text string, lang string")
+    write_replay(
+        docs, reg.channels["ods_documents"].path, n_files=3,
+        order_by=["doc_id"], file_of=F.col("doc_id") % 3,
+    )
+    q = pipelines.dsir_grid_app(
+        spark,
+        reg,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "store"),
+        doc_filter=F.col("lang") == DSIR_TARGET_LANG,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    grid = lambda: {  # noqa: E731
+        (r["b"], r["ct"])
+        for r in pipelines.merged_dsir_grid(spark, str(tmp_path / "store")).collect()
+    }
+    before = grid()
+    n_epochs_before = len(
+        [
+            d
+            for d in os.listdir(str(tmp_path / "store" / "dsir_grid"))
+            if d.startswith("epoch=")
+        ]
+    )
+
+    _recommit_last_epoch(str(tmp_path / "ckpt" / "dsir_grid"))
+    q2 = pipelines.dsir_grid_app(
+        spark,
+        reg,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "store"),
+        doc_filter=F.col("lang") == DSIR_TARGET_LANG,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert grid() == before  # overwrite-own-epoch: no double count
+    assert (
+        len(
+            [
+                d
+                for d in os.listdir(str(tmp_path / "store" / "dsir_grid"))
+                if d.startswith("epoch=")
+            ]
+        )
+        == n_epochs_before
+    )
+    staged = textops.with_tokens(docs.filter(F.col("lang") == DSIR_TARGET_LANG))
+    exp = {
+        (r["b"], r["ct"])
+        for r in lm.doc_bigrams(staged)
+        .select(lm.hash_bucket(F.col("g"), lm.DSIR_HASH_B).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+        .collect()
+    }
+    assert grid() == exp  # and still the exact admitted-docs grid

@@ -190,12 +190,101 @@ def test_matryoshka_monotone_and_hard_negatives_banded(spark):
         assert 1 <= r["rn"] <= HN_K
 
 
+def test_matryoshka_rerank_ladder_properties(spark):
+    """Value THEOREMS of the two-stage MRL recipe, pinned on data (r16):
+    (a) for a fixed truncation width, recall is non-decreasing in the
+    re-rank pool — a wider pool's candidate set is a superset, and any
+    brute-force hit inside the pool SURVIVES the full-metric top-k cut
+    (at most k-1 candidates outrank a global top-k member under the
+    true metric); (b) by the same argument, re-ranked recall at every
+    pool >= the raw truncation recall at the same width (the pool
+    contains the truncated top-k)."""
+    from gmall_flink_0526_spark.plans.similarity import MRL_DIMS, MRL_RERANK_POOLS
+
+    trunc = {
+        r["trunc_dim"]: r["recall"]
+        for r in plans.queries()["ann_recall_matryoshka"](spark, SF_SMOKE).collect()
+    }
+    ladder = {
+        (r["trunc_dim"], r["pool"]): r["recall"]
+        for r in plans.queries()["ann_recall_matryoshka_rerank"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert sorted(ladder) == sorted(
+        (d, p) for d in MRL_DIMS for p in MRL_RERANK_POOLS
+    )
+    for d in MRL_DIMS:
+        pools = sorted(MRL_RERANK_POOLS)
+        for lo, hi in zip(pools, pools[1:]):
+            assert ladder[(d, lo)] <= ladder[(d, hi)], (d, lo, hi)
+        assert trunc[d] <= ladder[(d, pools[0])], d
+
+
+def test_hard_negative_rungs_containment_and_delta_accounting(spark):
+    """The nprobe mining audit's structural guarantees, pinned on data
+    (r16): (a) CONTAINMENT — probe 1 is the anchor's own cell, so the
+    1-probe band-candidate set is a subset of the nprobe set
+    (extra_pair_ct == 0, the decon_semantic_rungs proof applied to
+    mining); (b) the delta accounting is internally consistent
+    (shared + lost = the 1-probe negative count; shared + gained = the
+    nprobe count); (c) every displaced negative is replaced — the
+    nprobe miner never returns FEWER negatives than 1-probe (its
+    candidate pool is a superset, so per-anchor fill can only grow)."""
+    row = plans.queries()["hard_negative_rungs"](spark, SF_SMOKE).collect()[0]
+    assert row["extra_pair_ct"] == 0
+    assert row["cand_nprobe_ct"] >= row["cand_1probe_ct"]
+    assert row["shared_neg_ct"] + row["lost_neg_ct"] == row["neg_1probe_ct"]
+    assert row["shared_neg_ct"] + row["gained_neg_ct"] == row["neg_nprobe_ct"]
+    assert row["neg_nprobe_ct"] >= row["neg_1probe_ct"]
+
+
+def unpartitioned_windows(p: str) -> list[str]:
+    """Window nodes in a formatted plan whose partition spec is EMPTY —
+    the ``WindowExec: No Partition Defined`` shape that moves its whole
+    input to one task. Detection: a Window detail block's ``Arguments:``
+    line carries ``[exprs], [partitionSpec], [orderSpec]``; with no
+    partition it prints two bracket groups where the LAST is an order
+    spec (``... NULLS FIRST/LAST``). A partitioned-but-unordered window
+    also prints two groups, but its last group is a bare attribute list
+    — the NULLS marker tells them apart. WindowGroupLimit nodes are a
+    different (always-bounded) operator and are excluded by the exact
+    node-name match."""
+    out = []
+    for block in p.split("\n\n"):
+        lines = block.strip().splitlines()
+        if not lines or not re.match(r"\(\d+\) Window$", lines[0].strip()):
+            continue
+        arg = next((l for l in lines if l.strip().startswith("Arguments:")), None)
+        if arg is None:
+            continue
+        depth, groups, last = 0, [], []
+        for ch in arg.split("Arguments:", 1)[1]:
+            if ch == "[":
+                if depth == 0:
+                    last = []
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(last))
+            elif depth > 0:
+                last.append(ch)
+        if len(groups) <= 1 or (len(groups) == 2 and "NULLS" in groups[-1]):
+            out.append(arg.strip()[:160])
+    return out
+
+
 def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
     """Catalog-wide invariants: (a) no query plans a cartesian /
     nested-loop join except the documented brute-force ANN baseline;
     (b) no row-at-a-time Python UDF anywhere (BatchEvalPython) — every
     Python stage must be Arrow-batched (ArrowEvalPython / MapInPandas /
-    FlatMapGroupsInPandas)."""
+    FlatMapGroupsInPandas); (c) no UNPARTITIONED window over
+    corpus-sized input — a global rank serializes the corpus onto one
+    task (the r15 dsir_hashed_agreement finding, fixed by
+    partitioning.global_row_number); the only unpartitioned windows
+    allowed are the documented BOUNDED-input classes below."""
     # the recall audits embed the brute-force baseline by design — the
     # audit needs the exact ranking to measure IVF/int8 recall against
     allowed_cartesian = {
@@ -218,6 +307,9 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         # the truncation audit embeds the brute baseline per rung —
         # probe-bounded broadcast passes, the recall-audit class
         "ann_recall_matryoshka",
+        # the re-rank ladder embeds the same brute truth + per-dim
+        # truncated shortlists (probe-bounded broadcast passes)
+        "ann_recall_matryoshka_rerank",
     }
     # a crossJoin against a BROADCAST 1-ROW aggregate (scalar fan-in,
     # e.g. tfidf's n_docs, the mixture/histogram totals) plans as
@@ -290,6 +382,25 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         # joins, never NLJ
         "dsir_hashed",
         "dsir_hashed_agreement",
+        # the nprobe miners ride probe_clusters' broadcast k-row
+        # centroid fan-out (the ann_topk_ivf_nprobe class); the rungs
+        # audit additionally fans in eight broadcast 1-row counts
+        "hard_negative_mining_nprobe",
+        "hard_negative_rungs",
+    }
+    # unpartitioned windows whose INPUT is bounded by construction:
+    # rank-limit heads (Spark pushes a Partial WindowGroupLimit below
+    # the single-partition exchange, so the final window sees <= k rows
+    # per upstream partition — asserted below), fixed-width histogram
+    # grids, and the distinct-token vocabulary (model-sized,
+    # corpus-sublinear under Zipf). Anything NOT listed here must rank
+    # via partitioning.global_row_number instead.
+    allowed_bounded_window = {
+        "bpe_apply_merge",  # top-1 merge head (WindowGroupLimit-pushed)
+        "bpe_merge_candidates",  # top-k candidate head (same pushdown)
+        "ngram_lm_train",  # model-card head over the bigram model (same)
+        "packing_length_histogram",  # cumulative sum over 256 fixed bins
+        "vocab_coverage",  # rank + cumulative share over the vocabulary
     }
     skip = {
         "jdbc_round_trip",  # writes a DB as a side effect
@@ -310,6 +421,37 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
             if name not in allowed_scalar_bnlj:
                 assert "BroadcastNestedLoopJoin" not in p, f"{name} plans a nested-loop join"
         assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"
+        uw = unpartitioned_windows(p)
+        if name in allowed_bounded_window:
+            # the head class must actually have the limit pushed BELOW
+            # the window (TakeOrderedAndProject distributed head, or a
+            # WindowGroupLimit rank pushdown) so the window input is
+            # k-bounded; the histogram/vocab classes are bounded by
+            # their grid width instead
+            if name in ("bpe_apply_merge", "bpe_merge_candidates", "ngram_lm_train"):
+                assert "TakeOrderedAndProject" in p or "WindowGroupLimit" in p, (
+                    f"{name}: distributed-head pushdown missing — its "
+                    "unpartitioned window is no longer input-bounded"
+                )
+        else:
+            assert not uw, (
+                f"{name} plans an UNPARTITIONED window over unbounded "
+                f"input (single-task rank — use global_row_number): {uw}"
+            )
+
+
+def test_dsir_hashed_agreement_ranks_range_partitioned(spark):
+    """The r15 VERDICT finding, pinned fixed: the agreement audit ranks
+    two corpus-sized score frames — a global (unpartitioned) window
+    would move the whole corpus to ONE task. global_row_number's shape
+    instead: an explicit range repartition (REPARTITION_BY_NUM, so AQE
+    never re-coalesces the routing) feeding a window PARTITIONED by
+    __pid, plus CASE-mapped offsets; zero unpartitioned Window nodes
+    anywhere in the plan."""
+    p = plan_of(spark, "dsir_hashed_agreement")
+    assert "rangepartitioning(dsir_score" in p and "REPARTITION_BY_NUM" in p
+    assert "hashpartitioning(__pid" in p  # the rank window IS partitioned
+    assert not unpartitioned_windows(p)
 
 
 def test_chunk_dedup_partial_aggregation(spark):
