@@ -651,11 +651,18 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BIT
 
     Implementation is explode + two grouped aggregations — pure
     shuffle-based, no per-doc state, so it scales with partitions.
+    The input is spread first: the chain fans every token out x
+    ``bits`` vote rows, so a single-split scan (one parquet file
+    locally; a heavily-filtered scan at scale) would otherwise pin
+    tokens x bits of CPU onto ONE task — the r16-adjudicated cause of
+    simhash_near_dup's bench drift (the doc_tokens precedent).
     """
     nhex = bits // 4
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("tok")
+    base = spread(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")),
+        "doc_id",
     )
+    tok = base.select("doc_id", F.explode(tokenize(F.col("_t"))).alias("tok"))
     hv = tok.withColumn("hv", F.conv(F.substring(F.md5("tok"), 1, nhex), 16, 10).cast("long"))
     votes = (
         hv.select(

@@ -129,14 +129,19 @@ _LOADED = False
 R_NEW_CHANGED = (
     # -- r16 new --
     "dsir_hashed_stream",
+    "dsir_hashed_select_audit",
     "ann_recall_matryoshka_rerank",
     "hard_negative_mining_nprobe",
     "hard_negative_rungs",
+    "contrastive_triplets",
     # -- r16 changed --
     "dsir_hashed",              # grid-scorer refactor (shared with stream)
     "dsir_hashed_agreement",    # global_row_number ranks (r15 VERDICT #1)
     "doc_pagerank_stream",      # write_text_atomic delete-dest (r15 ADVICE)
     "decontaminate_semantic_stream",  # same marker-write path
+    "simhash_fingerprint",      # fingerprint chain spread (r15 VERDICT #2)
+    "simhash_near_dup",         # same — the adjudicated bench drift
+    "dedup_method_agreement",   # rides the spread fingerprint
 )
 
 _PRIORITY = (
@@ -146,9 +151,11 @@ _PRIORITY = (
     #    the multi-probe hard-negative rung with its containment/delta
     #    audit. ------------------------------------------------------------
     "dsir_hashed_stream",
+    "dsir_hashed_select_audit",
     "ann_recall_matryoshka_rerank",
     "hard_negative_mining_nprobe",
     "hard_negative_rungs",
+    "contrastive_triplets",
     # -- CHANGED in r16 (re-proven the round they change): hashed DSIR
     #    scoring refactored onto the grid scorer the stream twin
     #    shares; the agreement audit's ranks go through
@@ -199,12 +206,17 @@ _PRIORITY = (
     "ann_recall_pq_rerank",
     "ann_topk_ivfpq",
     "ann_recall_ivfpq",
-    "ann_topk_bruteforce",
-    "ann_topk_ivf",
-    "ann_topk_vectorized",
     "simhash_fingerprint",
     "simhash_near_dup",
+    # -- changed in r16: rides the spread simhash fingerprint --
+    "dedup_method_agreement",
     # == the 50-query window cut falls here ================================
+    # (ann_topk_vectorized / ann_topk_ivf / ann_topk_bruteforce
+    # displaced by the r16 additions; they lead the r17 window per
+    # contract)
+    "ann_topk_vectorized",
+    "ann_topk_ivf",
+    "ann_topk_bruteforce",
     # -- r16 overflow: the r15 window's entries, displaced this round
     #    (all driver-green r15); they lead the r17 window per
     #    contract. Everything below the cut is covered this round by
@@ -260,7 +272,6 @@ _PRIORITY = (
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_survivors",
-    "dedup_method_agreement",
     "dedup_token_retention",
     "minhash_estimate_audit",
     "ngram_jaccard_pairs",

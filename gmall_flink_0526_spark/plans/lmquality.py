@@ -647,3 +647,39 @@ def dsir_hashed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_both_ct"),
         )
     )
+
+
+@register(
+    "dsir_hashed_select_audit",
+    oracle=f"""
+    WITH {_SQL_LM_CTES},
+    tdocs AS (SELECT doc_id FROM documents WHERE lang = '{DSIR_TARGET_LANG}'),
+    {_SQL_DSIR_HASHED},
+    thr AS (SELECT quantile_disc(dsir_score, 0.5) AS thr FROM hd)
+    SELECT d.lang,
+           COUNT(*) AS total_ct,
+           CAST(SUM(CASE WHEN dsir_score >= thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_ct,
+           CAST(SUM(CASE WHEN dsir_score >= thr THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS keep_rate
+    FROM hd JOIN documents d USING (doc_id)
+    CROSS JOIN thr
+    GROUP BY d.lang
+    """,
+    doc="The executed HASHED-DSIR selection, audited by language — the "
+    "row that completes the corpus-size-free family (estimator -> "
+    "agreement -> DECISION): keep the most-target-like half by the "
+    "hashed weights' own median gate and report per-language keep "
+    "rates next to dsir_select_audit's exact-model rates. The "
+    "agreement audit prices rank correlation (rho 0.852) and gate "
+    "overlap doc-by-doc; THIS row shows whether the hash collisions "
+    "change the per-LANGUAGE selection a pipeline actually ships — "
+    "the target language must still dominate the kept set. Shares "
+    "dsir_audit_output with the exact audit (one gate definition) and "
+    "the corpus-persisted hashed scores (zero extra model cost).",
+    tags=("llm-prep", "quality", "lm", "sampling", "audit", "sketch"),
+)
+def dsir_hashed_select_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    return dsir_audit_output(t["documents"], dsir_hashed_scores_cached(spark, sf_dir))
+

@@ -376,6 +376,9 @@ def test_catalog_wide_no_cartesian_no_rowwise_python(spark):
         # percentile_disc threshold — the LM-family class
         "dsir_importance",
         "dsir_select_audit",
+        # the executed hashed gate rides the same dsir_audit_output
+        # percentile-threshold scalar
+        "dsir_hashed_select_audit",
         # the hashed variant fans three broadcast 1-row scalars (the
         # two model totals and, in the audit, two percentile
         # thresholds); its <=B-row bucket models ride broadcast HASH

@@ -896,6 +896,27 @@ def main() -> None:
             # it mirrors
             "ann_recall_matryoshka",
             "hard_negative_mining",
+            # r16: the MRL serving rung adds per-dim truncated
+            # shortlists (probe-bounded brute passes) + a pool-bounded
+            # full-width re-rank — still linear in corpus at fixed
+            # probes/pools
+            "ann_recall_matryoshka_rerank",
+            # r16: nprobe mining is NPROBE x the bucket join; the rungs
+            # audit adds pair-keyed joins over the band-bounded sets
+            "hard_negative_mining_nprobe",
+            "hard_negative_rungs",
+            # r16: the hashed-DSIR stream replays the corpus through
+            # the fixed-width grid app — per-epoch store writes stay
+            # <= DSIR_HASH_B rows at BOTH scales (the corpus-size-free
+            # claim, probed); scoring is the shared batch tail
+            "dsir_hashed_stream",
+            # r16: the executed hashed gate — one grouped pass over the
+            # already-persisted hashed scores (dsir_select_audit class)
+            "dsir_hashed_select_audit",
+            # r16: the triplet table shares ONE scored frame between
+            # the positive top-1 and the negative band — one bucket
+            # join, the mining class
+            "contrastive_triplets",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
