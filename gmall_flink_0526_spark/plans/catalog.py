@@ -134,6 +134,11 @@ R_NEW_CHANGED = (
     "hard_negative_mining_nprobe",
     "hard_negative_rungs",
     "contrastive_triplets",
+    "contrastive_triplets_stream",
+    "quality_perceptron_train",
+    "quality_perceptron_filter",
+    "quality_perceptron_agreement",
+    "quality_perceptron_stream",
     # -- r16 changed --
     "dsir_hashed",              # grid-scorer refactor (shared with stream)
     "dsir_hashed_agreement",    # global_row_number ranks (r15 VERDICT #1)
@@ -156,6 +161,14 @@ _PRIORITY = (
     "hard_negative_mining_nprobe",
     "hard_negative_rungs",
     "contrastive_triplets",
+    # -- r16 second block: the triplet table mined INCREMENTALLY
+    #    (triplet_mine_app, batch oracle verbatim) and the in-engine
+    #    perceptron quality classifier (train / execute / audit). ---------
+    "contrastive_triplets_stream",
+    "quality_perceptron_train",
+    "quality_perceptron_filter",
+    "quality_perceptron_agreement",
+    "quality_perceptron_stream",
     # -- CHANGED in r16 (re-proven the round they change): hashed DSIR
     #    scoring refactored onto the grid scorer the stream twin
     #    shares; the agreement audit's ranks go through
@@ -201,19 +214,19 @@ _PRIORITY = (
     "perplexity_filter",
     "perplexity_gate_stream",
     "doc_communities",
-    "embedding_pq_audit",
-    "ann_recall_pq",
-    "ann_recall_pq_rerank",
-    "ann_topk_ivfpq",
-    "ann_recall_ivfpq",
     "simhash_fingerprint",
     "simhash_near_dup",
     # -- changed in r16: rides the spread simhash fingerprint --
     "dedup_method_agreement",
     # == the 50-query window cut falls here ================================
-    # (ann_topk_vectorized / ann_topk_ivf / ann_topk_bruteforce
-    # displaced by the r16 additions; they lead the r17 window per
-    # contract)
+    # (the PQ/IVFPQ family + ann_topk_vectorized / ann_topk_ivf /
+    # ann_topk_bruteforce displaced by the r16 additions; they lead the
+    # r17 window per contract)
+    "ann_recall_ivfpq",
+    "embedding_pq_audit",
+    "ann_recall_pq",
+    "ann_recall_pq_rerank",
+    "ann_topk_ivfpq",
     "ann_topk_vectorized",
     "ann_topk_ivf",
     "ann_topk_bruteforce",

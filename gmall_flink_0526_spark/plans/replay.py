@@ -1153,6 +1153,136 @@ def _register_decon_semantic_stream():
 _register_decon_semantic_stream()
 
 
+def _register_contrastive_triplets_stream():
+    from .similarity import SQL_CONTRASTIVE_TRIPLETS
+
+    @register(
+        "contrastive_triplets_stream",
+        oracle=SQL_CONTRASTIVE_TRIPLETS,
+        doc="The contrastive-training table mined INCREMENTALLY — "
+        "corpus vectors arrive as a 3-batch id-ordered replay; "
+        "streaming/pipelines.triplet_mine_app stashes pre-fit epochs, "
+        "bootstrap-fits the fixed-k quantizer the moment the batch "
+        "fit's exact sample has arrived, pins the assigned PROBE "
+        "frame into the store, scores the backlog, then scores each "
+        "later batch map-side against the broadcast probes. Each "
+        "scored candidate is a pure function of (centroids, probes, "
+        "one corpus vector), so the accumulated epoch store IS the "
+        "batch query's scored frame; the read-side triplet tail "
+        "(triplets_from_scored) is shared with contrastive_triplets "
+        "and the twin shares its oracle VERBATIM — a green row "
+        "certifies fit, probe assignment, every cosine and both "
+        "rankings bit-for-bit across build paths. Crash contract: "
+        "poison-epoch and fit-epoch duplicate-delivery tests on the "
+        "stash/centroid/probe/scored stores. This is the shape that "
+        "keeps a training-data miner CURRENT while the corpus grows: "
+        "per-epoch cost is batch x broadcast-probes, the store is "
+        "append-only and never rescanned by the app.",
+        tags=("similarity", "ann", "llm-prep", "training-data",
+              "streaming", "incremental"),
+    )
+    def contrastive_triplets_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..operators.cache import scoped_persist
+        from ..sources.registry import ChannelRegistry, write_replay
+        from ..streaming.pipelines import merged_triplet_scored, triplet_mine_app
+        from .similarity import triplets_from_scored
+
+        emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
+            "vec_id", "embedding"
+        )
+        n_corpus = emb.count()
+        root = temp_replay_root("gmall_tripstream_")
+        reg = ChannelRegistry(root)
+        reg.register("ods_embeddings", schema="vec_id long, embedding array<float>")
+        write_replay(
+            emb, reg.channels["ods_embeddings"].path, n_files=3, order_by=["vec_id"]
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = triplet_mine_app(
+                spark,
+                reg,
+                os.path.join(root, "ckpt"),
+                os.path.join(root, "store"),
+                expected_corpus=n_corpus,
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        scored = scoped_persist(merged_triplet_scored(spark, os.path.join(root, "store")))
+        return triplets_from_scored(scored)
+
+
+_register_contrastive_triplets_stream()
+
+
+def _register_quality_perceptron_stream():
+    from .lmquality import SQL_PTRON_FILTER
+
+    @register(
+        "quality_perceptron_stream",
+        oracle=SQL_PTRON_FILTER,
+        doc="The in-engine perceptron quality gate run the way a "
+        "production stream runs it — documents arrive as a 3-batch "
+        "id-ordered replay; streaming/pipelines.ptron_gate_app stashes "
+        "pre-fit epochs, trains the classifier the moment the batch "
+        "fit's exact sample has arrived (centering stats, teacher "
+        "median threshold and the full synchronous-update loop — all "
+        "on the fit-target lowest doc_ids, = the batch sample), "
+        "persists the ONE-ROW model card, scores the backlog, then "
+        "scores each later batch map-side and writes per-language "
+        "(total, kept) count grids. Grids are ADDITIVE (the "
+        "CMS/Bloom/histogram mergeability contract), so the summed "
+        "store equals the batch gate's counts exactly and the twin "
+        "shares quality_perceptron_filter's oracle VERBATIM. Crash "
+        "contract: poison-epoch and fit-epoch duplicate-delivery "
+        "tests on the stash/model/grid stores. Every store write is "
+        "<= n_languages rows + the one-row model card at ANY corpus "
+        "size — the sample-bounded fit is what makes the gate "
+        "runnable continuously at 100 TB.",
+        tags=("llm-prep", "quality", "classifier", "model",
+              "streaming", "incremental"),
+    )
+    def quality_perceptron_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        from ..sources.registry import ChannelRegistry, write_replay
+        from ..streaming.pipelines import merged_ptron_gate, ptron_gate_app
+
+        docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+            "doc_id", "text", "lang"
+        )
+        n_docs = docs.count()
+        root = temp_replay_root("gmall_ptronstream_")
+        reg = ChannelRegistry(root)
+        reg.register("ods_documents", schema="doc_id long, text string, lang string")
+        write_replay(
+            docs, reg.channels["ods_documents"].path, n_files=3, order_by=["doc_id"]
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = ptron_gate_app(
+                spark,
+                reg,
+                os.path.join(root, "ckpt"),
+                os.path.join(root, "store"),
+                expected_docs=n_docs,
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return merged_ptron_gate(spark, os.path.join(root, "store"))
+
+
+_register_quality_perceptron_stream()
+
+
 @register(
     "asof_click_stream",
     oracle="""

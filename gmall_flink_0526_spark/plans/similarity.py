@@ -2803,12 +2803,11 @@ def _register_hard_negative_nprobe():
 _register_hard_negative_nprobe()
 
 
-def _register_contrastive_triplets():
-    hi = SEMDEDUP_T
-
-    @register(
-        "contrastive_triplets",
-        oracle=f"""
+# The full triplet-table oracle, a module constant because the stream
+# twin (plans/replay.contrastive_triplets_stream) shares it VERBATIM —
+# a green stream row certifies the incrementally mined scored store
+# reconstructed the batch candidate set bit-for-bit.
+SQL_CONTRASTIVE_TRIPLETS = f"""
     WITH {_SQL_KMEANS_CTES},
     probes1 AS (
       SELECT vec_id AS qid, embedding AS qv, c AS qc
@@ -2832,13 +2831,51 @@ def _register_contrastive_triplets():
         SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                                      ORDER BY cos_sim DESC, cid) AS rn
         FROM scored
-        WHERE cos_sim >= {HARD_NEG_LO} AND cos_sim < {hi}
+        WHERE cos_sim >= {HARD_NEG_LO} AND cos_sim < {SEMDEDUP_T}
       ) WHERE rn <= {HN_K}
     )
     SELECT p.qid, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos, n.neg_rank
     FROM pos p JOIN negs n USING (qid)
     WHERE p.pos_id != n.neg_id
-    """,
+    """
+
+
+def triplets_from_scored(scored: DataFrame) -> DataFrame:
+    """The triplet-table tail over a (qid, cid, cos_sim) candidate
+    frame — positive top-1 and in-band negative top-k windows plus the
+    final join, shared by the batch query and the stream twin's merged
+    read so the two build paths cannot drift. Callers persist
+    ``scored`` (it is read twice)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    pos = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("cid").alias("pos_id"),
+            F.col("cos_sim").alias("pos_cos"),
+        )
+    )
+    negs = (
+        scored.filter((F.col("cos_sim") >= HARD_NEG_LO) & (F.col("cos_sim") < SEMDEDUP_T))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HN_K)
+        .select(
+            "qid",
+            F.col("cid").alias("neg_id"),
+            F.col("cos_sim").alias("neg_cos"),
+            F.col("rn").alias("neg_rank"),
+        )
+    )
+    return pos.join(negs, "qid").filter(F.col("pos_id") != F.col("neg_id"))
+
+
+def _register_contrastive_triplets():
+    @register(
+        "contrastive_triplets",
+        oracle=SQL_CONTRASTIVE_TRIPLETS,
         doc="The contrastive-training dataset itself, end to end: one "
         "row per (anchor, mined negative) carrying the anchor's "
         "PROBABLE POSITIVE — its top-1 same-cell neighbor by exact "
@@ -2856,8 +2893,6 @@ def _register_contrastive_triplets():
         tags=("similarity", "ann", "llm-prep", "training-data"),
     )
     def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pyspark.sql import Window as W
-
         from ..operators.cache import scoped_persist
         from ..operators.partitioning import spread
 
@@ -2879,30 +2914,7 @@ def _register_contrastive_triplets():
             .withColumn("cos_sim", S.cosine(F.col("qv"), F.col("cv")))
             .select("qid", "cid", "cos_sim")
         )
-        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
-        pos = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "qid",
-                F.col("cid").alias("pos_id"),
-                F.col("cos_sim").alias("pos_cos"),
-            )
-        )
-        negs = (
-            scored.filter(
-                (F.col("cos_sim") >= HARD_NEG_LO) & (F.col("cos_sim") < SEMDEDUP_T)
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= HN_K)
-            .select(
-                "qid",
-                F.col("cid").alias("neg_id"),
-                F.col("cos_sim").alias("neg_cos"),
-                F.col("rn").alias("neg_rank"),
-            )
-        )
-        return pos.join(negs, "qid").filter(F.col("pos_id") != F.col("neg_id"))
+        return triplets_from_scored(scored)
 
 
 _register_contrastive_triplets()

@@ -1297,6 +1297,316 @@ def merged_decon_flags(spark: SparkSession, store_root: str) -> DataFrame:
     )
 
 
+def triplet_mine_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    store_root: str,
+    expected_corpus: int,
+    source: str = "ods_embeddings",
+):
+    """Streaming contrastive-triplet mining — the candidate store for
+    ``plans.similarity.contrastive_triplets`` maintained incrementally
+    as corpus vectors arrive (the decon_screen_app deployment shape
+    with the PROBE set as the pinned static side):
+
+    - the fit target is ``min(expected_corpus, KM_FIT_N)`` — the batch
+      quantizer's exact deterministic sample (capacity provisioned up
+      front, the Bloom-width contract); pre-fit epochs STASH their
+      vectors (epoch-addressed).
+    - the epoch whose cumulative arrival reaches the target fits the
+      FIXED-k quantizer on the fit-target lowest-id vectors seen (= the
+      batch fit sample under id-ordered arrival), persists centroids +
+      the assigned PROBE frame (vec_id < N_PROBES — inside the fit
+      sample by construction, so already arrived) + a ``_FIT_EPOCH``
+      marker, and scores the whole backlog into ``scored/epoch=<fit>``.
+    - post-fit epochs assign with the stored centroids and score
+      map-side against the broadcast probe frame — each scored row is a
+      pure function of (centroids, probes, the one corpus vector), so
+      the accumulated epoch store IS the batch query's scored frame and
+      the merged read shares SQL_CONTRASTIVE_TRIPLETS verbatim.
+
+    Crash/redelivery contract (tested): pre-fit retries rewrite their
+    own stash dir; a redelivered FIT epoch is marker-detected, reuses
+    the stored centroids/probes (the deterministic refit would be
+    bit-equal) and rewrites the same backlog scores; post-fit epochs
+    overwrite their own scored dir. Scale: per-epoch cost is
+    batch x broadcast-probes within shared cells (probe-bounded, the
+    hard_negative_mining class); the store accumulates candidates and
+    is never rescanned by the app itself.
+    """
+    from ..operators import similarity as S
+    from ..plans.similarity import KM_FIT_N, KM_ITERS, KM_K, N_PROBES
+
+    stash_path = os.path.join(store_root, "stash")
+    scored_path = os.path.join(store_root, "scored")
+    cent_path = os.path.join(store_root, "centroids")
+    probe_path = os.path.join(store_root, "probes")
+    fit_marker = os.path.join(store_root, "_FIT_EPOCH")
+    fit_target = min(expected_corpus, KM_FIT_N)
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+    scope_token = uuid.uuid4().hex[:12]
+
+    def _read_cents(sess: SparkSession):
+        return sorted(
+            (int(r["c"]), [float(x) for x in r["cv"]])
+            for r in sess.read.parquet(cent_path).collect()
+        )
+
+    def _score_and_write(vecs: DataFrame, cents, epoch_id: int) -> None:
+        sess = vecs.sparkSession
+        probes = sess.read.parquet(probe_path).select(
+            F.col("qid"), F.col("qv"), F.col("qlabel")
+        )
+        assigned = S.with_cluster(
+            vecs.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")),
+            "cv",
+            cents,
+        ).withColumnRenamed("c", "clabel")
+        scored = (
+            assigned.join(F.broadcast(probes), F.col("clabel") == F.col("qlabel"))
+            .filter(F.col("cid") != F.col("qid"))
+            .withColumn("cos_sim", S.cosine(F.col("qv"), F.col("cv")))
+            .select("qid", "cid", "cos_sim")
+            .localCheckpoint()
+        )
+        scored.write.mode("overwrite").parquet(
+            os.path.join(scored_path, f"epoch={epoch_id}")
+        )
+
+    def _fit_probes(sess: SparkSession, allv: DataFrame, cents) -> None:
+        sess.createDataFrame(
+            [(c, cv) for c, cv in cents], "c int, cv array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+        probes = S.with_cluster(
+            allv.filter(F.col("vec_id") < N_PROBES), "embedding", cents
+        ).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("c").alias("qlabel"),
+        )
+        probes.coalesce(1).write.mode("overwrite").parquet(probe_path)
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        with cache_scope(f"stream:triplet_mine:{scope_token}"):
+            _epoch(batch, epoch_id)
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        batch = batch.persist()
+        allv = None
+        try:
+            fit_ep = (
+                int(hfs.read_text(sess, fit_marker).strip())
+                if hfs.exists(sess, fit_marker)
+                else None
+            )
+            if fit_ep is not None and epoch_id > fit_ep:
+                _score_and_write(batch, _read_cents(sess), epoch_id)
+                return
+            # pre-fit epochs, the fit epoch, or a REDELIVERED fit epoch
+            if hfs.exists(sess, stash_path):
+                allv = read_epoch_store(sess, stash_path, epoch_id).unionByName(
+                    batch.select("vec_id", "embedding")
+                )
+            else:
+                allv = batch.select("vec_id", "embedding")
+            allv = allv.persist()
+            if fit_ep == epoch_id:
+                # redelivered fit epoch: the stored centroids/probes
+                # equal the deterministic refit bit-for-bit — rewrite
+                # the same backlog scores
+                _score_and_write(allv, _read_cents(sess), epoch_id)
+            elif allv.count() >= fit_target:
+                cents = S.kmeans_fit(
+                    allv, "embedding", "vec_id", k=KM_K, iters=KM_ITERS,
+                    fit_limit=fit_target,
+                )
+                _fit_probes(sess, allv, cents)
+                hfs.write_text_atomic(sess, fit_marker, str(epoch_id))
+                hfs.delete(sess, os.path.join(stash_path, f"epoch={epoch_id}"))
+                _score_and_write(allv, cents, epoch_id)
+            else:
+                hfs.delete(sess, os.path.join(scored_path, f"epoch={epoch_id}"))
+                batch.select("vec_id", "embedding").write.mode("overwrite").parquet(
+                    os.path.join(stash_path, f"epoch={epoch_id}")
+                )
+        finally:
+            if allv is not None:
+                allv.unpersist()
+            batch.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(ckpt, "triplet_mine"))
+        .start()
+    )
+
+
+def merged_triplet_scored(spark: SparkSession, store_root: str) -> DataFrame:
+    """The accumulated candidate frame over the mining app's epoch
+    store: (qid, cid, cos_sim) — epochs are disjoint corpus slices, so
+    the union IS the batch scored frame; the triplet tail
+    (plans.similarity.triplets_from_scored) runs on top at read time."""
+    return read_store(spark, os.path.join(store_root, "scored")).select(
+        "qid", "cid", "cos_sim"
+    )
+
+
+def ptron_gate_app(
+    spark: SparkSession,
+    reg: ChannelRegistry,
+    ckpt: str,
+    store_root: str,
+    expected_docs: int,
+    source: str = "ods_documents",
+):
+    """Streaming perceptron quality gate — the in-engine classifier
+    (operators/classifier.py) trained at bootstrap from the document
+    stream itself and then EXECUTED continuously (the dsir_gate_stream
+    deployment shape with a model fit instead of count grids):
+
+    - pre-fit epochs STASH their (doc_id, text) rows; the epoch whose
+      cumulative arrival reaches ``min(expected_docs, PTRON_FIT_N)``
+      takes the fit-target lowest doc_ids seen (= the batch fit sample
+      under id-ordered arrival), derives the centering stats + teacher
+      threshold, runs the full perceptron loop, persists the ONE-ROW
+      model card (stats + final weights) + a ``_FIT_EPOCH`` marker,
+      and scores the whole backlog into ``grid/epoch=<fit>``.
+    - post-fit epochs read the model card (a 1-row bounded collect),
+      score their batch map-side (literal stats/weights — the batch
+      query's joinless shape) and write a per-language
+      (total_ct, kept_ct) count grid for their epoch. Grids are
+      ADDITIVE (the CMS/Bloom/histogram mergeability contract), so the
+      summed store equals the batch filter's counts exactly and the
+      merged read shares quality_perceptron_filter's oracle VERBATIM.
+
+    Crash/redelivery contract (tested): pre-fit retries rewrite their
+    own stash dir; a redelivered FIT epoch is marker-detected, reuses
+    the stored model card (the deterministic refit would be bit-equal)
+    and rewrites the same backlog grid; post-fit epochs overwrite
+    their own grid dir. Scale: every store write is <= n_languages
+    rows + the one-row model card, regardless of corpus size — the
+    sample-bounded fit is what makes the gate runnable continuously.
+    """
+    from ..operators import classifier as PC
+
+    stash_path = os.path.join(store_root, "stash")
+    grid_path = os.path.join(store_root, "grid")
+    model_path = os.path.join(store_root, "model")
+    fit_marker = os.path.join(store_root, "_FIT_EPOCH")
+    fit_target = min(expected_docs, PC.PTRON_FIT_N)
+    src = reg.read_stream(spark, source, max_files_per_trigger=1)
+    scope_token = uuid.uuid4().hex[:12]
+
+    def _read_model(sess: SparkSession):
+        r = sess.read.parquet(model_path).collect()[0]
+        stats = {k: r[k] for k in ("ns", "s1", "s2", "s3", "thr")}
+        return stats, [int(r[f"w{j}"]) for j in range(4)]
+
+    def _score_and_write(docs: DataFrame, stats, w, epoch_id: int) -> None:
+        raw = PC.ptron_raw_features(docs, extra=("lang",))
+        feats = PC.ptron_centered(raw, stats, extra=("lang",))
+        xs = [F.col(f"x{j}") for j in range(4)]
+        kept = (PC.margin_expr(w, xs) >= 0).cast("long")
+        grid = (
+            feats.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("total_ct"),
+                F.sum(kept).alias("kept_ct"),
+            )
+            .localCheckpoint()
+        )
+        grid.write.mode("overwrite").parquet(
+            os.path.join(grid_path, f"epoch={epoch_id}")
+        )
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        with cache_scope(f"stream:ptron_gate:{scope_token}"):
+            _epoch(batch, epoch_id)
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
+        sess = batch.sparkSession
+        batch = batch.persist()
+        allr = None
+        try:
+            fit_ep = (
+                int(hfs.read_text(sess, fit_marker).strip())
+                if hfs.exists(sess, fit_marker)
+                else None
+            )
+            if fit_ep is not None and epoch_id > fit_ep:
+                stats, w = _read_model(sess)
+                _score_and_write(batch, stats, w, epoch_id)
+                return
+            # pre-fit epochs, the fit epoch, or a REDELIVERED fit epoch
+            if hfs.exists(sess, stash_path):
+                allr = read_epoch_store(sess, stash_path, epoch_id).unionByName(
+                    batch.select("doc_id", "text", "lang")
+                )
+            else:
+                allr = batch.select("doc_id", "text", "lang")
+            allr = allr.persist()
+            if fit_ep == epoch_id:
+                # redelivered fit epoch: the stored model card equals
+                # the deterministic refit bit-for-bit — rewrite the
+                # same backlog grid
+                stats, w = _read_model(sess)
+                _score_and_write(allr, stats, w, epoch_id)
+            elif allr.count() >= fit_target:
+                sample = allr.orderBy("doc_id").limit(fit_target).select(
+                    "doc_id", "text"
+                )
+                raw = PC.ptron_raw_features(sample).persist()
+                try:
+                    stats = PC.ptron_stats(raw)
+                    rows = PC.perceptron_fit(PC.ptron_centered(raw, stats))
+                finally:
+                    raw.unpersist()
+                w = PC.final_weights(rows)
+                sess.createDataFrame(
+                    [tuple([stats[k] for k in ("ns", "s1", "s2", "s3", "thr")] + w)],
+                    "ns long, s1 long, s2 long, s3 long, thr double, "
+                    "w0 long, w1 long, w2 long, w3 long",
+                ).coalesce(1).write.mode("overwrite").parquet(model_path)
+                hfs.write_text_atomic(sess, fit_marker, str(epoch_id))
+                hfs.delete(sess, os.path.join(stash_path, f"epoch={epoch_id}"))
+                _score_and_write(allr, stats, w, epoch_id)
+            else:
+                hfs.delete(sess, os.path.join(grid_path, f"epoch={epoch_id}"))
+                batch.select("doc_id", "text", "lang").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(stash_path, f"epoch={epoch_id}"))
+        finally:
+            if allr is not None:
+                allr.unpersist()
+            batch.unpersist()
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(ckpt, "ptron_gate"))
+        .start()
+    )
+
+
+def merged_ptron_gate(spark: SparkSession, store_root: str) -> DataFrame:
+    """The live gate report over the app's additive epoch grids:
+    per-language totals summed across epochs, keep_rate derived from
+    the merged sums — exactly quality_perceptron_filter's output
+    shape, so the twin shares its oracle verbatim."""
+    g = (
+        read_store(spark, os.path.join(store_root, "grid"))
+        .groupBy("lang")
+        .agg(F.sum("total_ct").alias("total_ct"), F.sum("kept_ct").alias("kept_ct"))
+    )
+    return g.select(
+        "lang",
+        "total_ct",
+        "kept_ct",
+        (F.col("kept_ct").cast("double") / F.col("total_ct")).alias("keep_rate"),
+    )
+
+
 def doc_dedup_app(
     spark: SparkSession,
     reg: ChannelRegistry,

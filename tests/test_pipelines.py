@@ -3227,3 +3227,291 @@ def test_dsir_grid_app_duplicate_delivery_no_double_count(spark, tmp_path):
         .collect()
     }
     assert grid() == exp  # and still the exact admitted-docs grid
+
+
+def _triplet_replay(spark, root):
+    """Id-ordered 3-batch replay of the FULL embedding corpus for the
+    triplet mining app, split by explicit vec_id ranges so epoch
+    membership is deterministic across runs."""
+    emb = load_tables(spark, SF_SMOKE, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    c1, c2 = n // 3, 2 * n // 3
+    reg = ChannelRegistry(str(root))
+    reg.register("ods_embeddings", schema="vec_id long, embedding array<float>")
+    write_replay(
+        emb, reg.channels["ods_embeddings"].path, n_files=3,
+        order_by=["vec_id"],
+        file_of=F.when(F.col("vec_id") < c1, 0)
+        .when(F.col("vec_id") < c2, 1)
+        .otherwise(2),
+    )
+    return reg, n
+
+
+def _triplet_scored(spark, store):
+    return {
+        (r["qid"], r["cid"], r["cos_sim"])
+        for r in spark.read.parquet(os.path.join(store, "scored"))
+        .select("qid", "cid", "cos_sim")
+        .collect()
+    }
+
+
+def _batch_scored(spark):
+    """The batch query's candidate frame, rebuilt from the certified
+    corpus-scoped IVF assignment — the raw-pair-level truth the
+    accumulated epoch store must equal exactly."""
+    from gmall_flink_0526_spark.operators import similarity as S
+    from gmall_flink_0526_spark.plans.similarity import N_PROBES, ivf_assigned_cached
+
+    assigned = ivf_assigned_cached(spark, SF_SMOKE)
+    probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("c").alias("qlabel"),
+    )
+    scored = (
+        assigned.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            F.col("c").alias("clabel"),
+        )
+        .join(F.broadcast(probes), F.col("clabel") == F.col("qlabel"))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("cos_sim", S.cosine(F.col("qv"), F.col("cv")))
+    )
+    return {
+        (r["qid"], r["cid"], r["cos_sim"])
+        for r in scored.select("qid", "cid", "cos_sim").collect()
+    }
+
+
+def test_triplet_mine_app_poison_epoch_and_batch_parity(spark, tmp_path):
+    """triplet_mine_app's crash contract: an attempt of the FIT epoch
+    that died after writing poisoned scored/stash epochs but BEFORE
+    the checkpoint commit is fully rewritten on restart — the
+    deterministic refit plus overwrite-own-epoch scrubs the poison —
+    and the recovered candidate store equals the batch query's scored
+    frame exactly (the per-row-independence claim at the raw pair
+    level, finer than the driver's oracle row)."""
+    import shutil
+
+    regA, n = _triplet_replay(spark, tmp_path / "A")
+    qa = pipelines.triplet_mine_app(
+        spark, regA, str(tmp_path / "A" / "ckpt"), str(tmp_path / "A" / "store"),
+        expected_corpus=n,
+    )
+    qa.processAllAvailable()
+    qa.stop()
+    baseline = _triplet_scored(spark, str(tmp_path / "A" / "store"))
+    assert baseline == _batch_scored(spark) and baseline
+
+    # crashed run: hide the last file, run the pre-fit epochs, poison
+    # the fit epoch's dirs, restore, restart
+    regB, _ = _triplet_replay(spark, tmp_path / "B")
+    src_path = regB.channels["ods_embeddings"].path
+    files = sorted(
+        (f for f in os.listdir(src_path)
+         if f.endswith(".parquet") and not f.startswith((".", "_"))),
+        key=lambda f: os.path.getmtime(os.path.join(src_path, f)),
+    )
+    hidden = files[-1]
+    shutil.move(os.path.join(src_path, hidden), str(tmp_path / "hidden.parquet"))
+    store_b = str(tmp_path / "B" / "store")
+    qb = pipelines.triplet_mine_app(
+        spark, regB, str(tmp_path / "B" / "ckpt"), store_b, expected_corpus=n,
+    )
+    qb.processAllAvailable()
+    qb.stop()
+    assert not os.path.exists(os.path.join(store_b, "_FIT_EPOCH"))  # still stashing
+    spark.createDataFrame(
+        [(999_999, 999_999, 1.0)], "qid long, cid long, cos_sim double"
+    ).write.mode("overwrite").parquet(os.path.join(store_b, "scored", "epoch=2"))
+    spark.createDataFrame(
+        [(999_999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(os.path.join(store_b, "stash", "epoch=2"))
+
+    shutil.move(str(tmp_path / "hidden.parquet"), os.path.join(src_path, hidden))
+    qb2 = pipelines.triplet_mine_app(
+        spark, regB, str(tmp_path / "B" / "ckpt"), store_b, expected_corpus=n,
+    )
+    qb2.processAllAvailable()
+    qb2.stop()
+    got = _triplet_scored(spark, store_b)
+    assert not any(q == 999_999 for q, _, _ in got)
+    assert got == baseline
+    # the poisoned stash epoch was scrubbed by the fit branch
+    assert not os.path.exists(os.path.join(store_b, "stash", "epoch=2"))
+    assert open(os.path.join(store_b, "_FIT_EPOCH")).read().strip() == "2"
+
+
+def test_triplet_mine_app_duplicate_delivery_fit_epoch(spark, tmp_path):
+    """Redelivering the already-committed FIT epoch (checkpoint rewind)
+    re-runs it with the same epoch id: the marker routes it to the
+    redelivery path, the stored centroids AND probe frame stand in for
+    the bit-equal refit, and the candidate store is bit-unchanged."""
+    regA, n = _triplet_replay(spark, tmp_path)
+    store = str(tmp_path / "store")
+    q = pipelines.triplet_mine_app(
+        spark, regA, str(tmp_path / "ckpt"), store, expected_corpus=n,
+    )
+    q.processAllAvailable()
+    q.stop()
+    before = _triplet_scored(spark, store)
+    fit_ep = open(os.path.join(store, "_FIT_EPOCH")).read().strip()
+    cents_before = {
+        (r["c"], tuple(r["cv"]))
+        for r in spark.read.parquet(os.path.join(store, "centroids")).collect()
+    }
+    probes_before = {
+        (r["qid"], r["qlabel"], tuple(r["qv"]))
+        for r in spark.read.parquet(os.path.join(store, "probes")).collect()
+    }
+
+    last = _recommit_last_epoch(str(tmp_path / "ckpt" / "triplet_mine"))
+    assert str(last) == fit_ep  # the redelivered epoch IS the fit epoch
+    q2 = pipelines.triplet_mine_app(
+        spark, regA, str(tmp_path / "ckpt"), store, expected_corpus=n,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert _triplet_scored(spark, store) == before
+    assert open(os.path.join(store, "_FIT_EPOCH")).read().strip() == fit_ep
+    cents_after = {
+        (r["c"], tuple(r["cv"]))
+        for r in spark.read.parquet(os.path.join(store, "centroids")).collect()
+    }
+    probes_after = {
+        (r["qid"], r["qlabel"], tuple(r["qv"]))
+        for r in spark.read.parquet(os.path.join(store, "probes")).collect()
+    }
+    assert cents_after == cents_before and probes_after == probes_before
+
+
+def _ptron_replay(spark, root):
+    """Id-ordered 3-batch document replay for the perceptron gate app,
+    split by explicit doc_id ranges so epoch membership is
+    deterministic across runs. The cuts (100 / 200) keep the first two
+    epochs' cumulative arrival BELOW PTRON_FIT_N = 256, pinning the
+    fit onto the LAST epoch — the shape both crash tests poison."""
+    docs = load_tables(spark, SF_SMOKE, "documents")["documents"].select(
+        "doc_id", "text", "lang"
+    )
+    n = docs.count()
+    reg = ChannelRegistry(str(root))
+    reg.register("ods_documents", schema="doc_id long, text string, lang string")
+    write_replay(
+        docs, reg.channels["ods_documents"].path, n_files=3,
+        order_by=["doc_id"],
+        file_of=F.when(F.col("doc_id") < 100, 0)
+        .when(F.col("doc_id") < 200, 1)
+        .otherwise(2),
+    )
+    return reg, n
+
+
+def _ptron_gate_rows(spark, store):
+    from gmall_flink_0526_spark.streaming.pipelines import merged_ptron_gate
+
+    return {
+        (r["lang"], r["total_ct"], r["kept_ct"], r["keep_rate"])
+        for r in merged_ptron_gate(spark, store).collect()
+    }
+
+
+def test_ptron_gate_app_poison_epoch_and_batch_parity(spark, tmp_path):
+    """ptron_gate_app's crash contract: an attempt of the FIT epoch
+    that died after writing poisoned grid/stash epochs but BEFORE the
+    checkpoint commit is fully rewritten on restart — the
+    deterministic refit plus overwrite-own-epoch scrubs the poison —
+    and the recovered merged grid equals the BATCH gate's per-language
+    report exactly (the additive-grid claim at the value level)."""
+    import shutil
+
+    from gmall_flink_0526_spark import plans
+
+    regA, n = _ptron_replay(spark, tmp_path / "A")
+    qa = pipelines.ptron_gate_app(
+        spark, regA, str(tmp_path / "A" / "ckpt"), str(tmp_path / "A" / "store"),
+        expected_docs=n,
+    )
+    qa.processAllAvailable()
+    qa.stop()
+    baseline = _ptron_gate_rows(spark, str(tmp_path / "A" / "store"))
+    batch = {
+        (r["lang"], r["total_ct"], r["kept_ct"], r["keep_rate"])
+        for r in plans.queries()["quality_perceptron_filter"](spark, SF_SMOKE).collect()
+    }
+    assert baseline == batch and baseline
+
+    # crashed run: hide the last file, run the pre-fit epochs, poison
+    # the fit epoch's dirs, restore, restart
+    regB, _ = _ptron_replay(spark, tmp_path / "B")
+    src_path = regB.channels["ods_documents"].path
+    files = sorted(
+        (f for f in os.listdir(src_path)
+         if f.endswith(".parquet") and not f.startswith((".", "_"))),
+        key=lambda f: os.path.getmtime(os.path.join(src_path, f)),
+    )
+    hidden = files[-1]
+    shutil.move(os.path.join(src_path, hidden), str(tmp_path / "hidden.parquet"))
+    store_b = str(tmp_path / "B" / "store")
+    qb = pipelines.ptron_gate_app(
+        spark, regB, str(tmp_path / "B" / "ckpt"), store_b, expected_docs=n,
+    )
+    qb.processAllAvailable()
+    qb.stop()
+    assert not os.path.exists(os.path.join(store_b, "_FIT_EPOCH"))  # still stashing
+    spark.createDataFrame(
+        [("xx", 999_999, 999_999)], "lang string, total_ct long, kept_ct long"
+    ).write.mode("overwrite").parquet(os.path.join(store_b, "grid", "epoch=2"))
+    spark.createDataFrame(
+        [(999_999, "poison", "xx")], "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(os.path.join(store_b, "stash", "epoch=2"))
+
+    shutil.move(str(tmp_path / "hidden.parquet"), os.path.join(src_path, hidden))
+    qb2 = pipelines.ptron_gate_app(
+        spark, regB, str(tmp_path / "B" / "ckpt"), store_b, expected_docs=n,
+    )
+    qb2.processAllAvailable()
+    qb2.stop()
+    got = _ptron_gate_rows(spark, store_b)
+    assert not any(lang == "xx" for lang, _, _, _ in got)
+    assert got == baseline
+    assert not os.path.exists(os.path.join(store_b, "stash", "epoch=2"))
+    assert open(os.path.join(store_b, "_FIT_EPOCH")).read().strip() == "2"
+
+
+def test_ptron_gate_app_duplicate_delivery_fit_epoch(spark, tmp_path):
+    """Redelivering the already-committed FIT epoch (checkpoint rewind)
+    re-runs it with the same epoch id: the marker routes it to the
+    redelivery path, the stored ONE-ROW model card stands in for the
+    bit-equal refit, and the merged grid is bit-unchanged."""
+    regA, n = _ptron_replay(spark, tmp_path)
+    store = str(tmp_path / "store")
+    q = pipelines.ptron_gate_app(
+        spark, regA, str(tmp_path / "ckpt"), store, expected_docs=n,
+    )
+    q.processAllAvailable()
+    q.stop()
+    before = _ptron_gate_rows(spark, store)
+    fit_ep = open(os.path.join(store, "_FIT_EPOCH")).read().strip()
+    model_before = [
+        tuple(r) for r in spark.read.parquet(os.path.join(store, "model")).collect()
+    ]
+
+    last = _recommit_last_epoch(str(tmp_path / "ckpt" / "ptron_gate"))
+    assert str(last) == fit_ep  # the redelivered epoch IS the fit epoch
+    q2 = pipelines.ptron_gate_app(
+        spark, regA, str(tmp_path / "ckpt"), store, expected_docs=n,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert _ptron_gate_rows(spark, store) == before
+    assert open(os.path.join(store, "_FIT_EPOCH")).read().strip() == fit_ep
+    model_after = [
+        tuple(r) for r in spark.read.parquet(os.path.join(store, "model")).collect()
+    ]
+    assert model_after == model_before

@@ -457,6 +457,23 @@ def test_dsir_hashed_agreement_ranks_range_partitioned(spark):
     assert not unpartitioned_windows(p)
 
 
+def test_perceptron_scoring_is_joinless(spark):
+    """The classifier's corpus-wide scoring claim, pinned: the fit's
+    centering stats and weights enter the plan as LITERALS (bounded
+    collects at build time), so the filter/agreement queries are pure
+    map-side expression work + one map-side-combinable grouped count —
+    no join of any kind, at any corpus size. The train query itself is
+    the collected model card (a LocalTableScan)."""
+    for name in ("quality_perceptron_filter", "quality_perceptron_agreement"):
+        p = plan_of(spark, name)
+        assert "Join" not in p, f"{name}: scoring must be joinless"
+        assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2, (
+            f"{name}: grouped count must partial-aggregate"
+        )
+    pt = plan_of(spark, "quality_perceptron_train")
+    assert "LocalTableScan" in pt or "Scan ExistingRDD" in pt
+
+
 def test_chunk_dedup_partial_aggregation(spark):
     """chunk_dedup's digest groupBy must map-side combine: two
     HashAggregates around one Exchange — at 100 TB the chunk fan-out

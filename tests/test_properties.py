@@ -1038,3 +1038,44 @@ def test_label_propagation_rejects_string_node_ids(spark):
     edges = spark.createDataFrame([("x", "y", 1.0)], "src string, dst string, w double")
     with pytest.raises(ValueError, match="numeric"):
         label_propagation(nodes, edges, iters=1)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from([1, -1]),
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_perceptron_fit_matches_python_model(spark, rows):
+    """The batch-perceptron loop (operators/classifier.perceptron_fit)
+    vs a plain-Python synchronous-update model: identical iterate
+    ladders — weights AND misclassified counts — on arbitrary integer
+    feature sets (the exactness claim the chained-CTE oracle rests
+    on)."""
+    from gmall_flink_0526_spark.operators.classifier import perceptron_fit
+
+    feats = spark.createDataFrame(
+        [(y, 1000, x1, x2, x3) for (y, x1, x2, x3) in rows],
+        "y long, x0 long, x1 long, x2 long, x3 long",
+    )
+    got = perceptron_fit(feats, iters=3)
+
+    w = [0, 0, 0, 0]
+    exp = []
+    for it in range(1, 4):
+        mis = [
+            (y, (1000, x1, x2, x3))
+            for (y, x1, x2, x3) in rows
+            if y * sum(wj * xj for wj, xj in zip(w, (1000, x1, x2, x3))) <= 0
+        ]
+        for j in range(4):
+            w[j] += sum(y * x[j] for y, x in mis)
+        exp.append((it, w[0], w[1], w[2], w[3], len(mis)))
+    assert got == exp

@@ -917,6 +917,20 @@ def main() -> None:
             # the positive top-1 and the negative band — one bucket
             # join, the mining class
             "contrastive_triplets",
+            # r16 second block: the triplet miner's replay — per-epoch
+            # cost is batch x broadcast-probes, store append-only (the
+            # decon_screen_app deployment shape)
+            "contrastive_triplets_stream",
+            # r16 second block: the in-engine perceptron — fit is
+            # sample-bounded (CORPUS-SIZE-FREE, the claim to probe: fit
+            # wall flat across 10x), scoring map-side with literal
+            # weights + one grouped count
+            "quality_perceptron_train",
+            "quality_perceptron_filter",
+            "quality_perceptron_agreement",
+            # ...and its replay: every store write <= n_languages rows
+            # + the one-row model card regardless of corpus size
+            "quality_perceptron_stream",
         ]
         # warmup: touch both dirs' footers (BOTH tables — otherwise the
         # embeddings first-touch lands on the first ANN query's timing)
