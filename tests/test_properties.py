@@ -281,6 +281,42 @@ def test_with_cluster_join_path_matches_literal_path(spark):
     assert joined == lit
 
 
+def test_literal_sq_dists_expr_build_matches_column_build(spark):
+    """r16 optimization: the literal-path distance array is parsed from
+    ONE SQL string (repr(float) + the ...D double literal) instead of
+    k x dim F.lit py4j calls. The parsed tree must produce bit-identical
+    doubles to the Column-API build — same zip_with/aggregate fold, same
+    order — or every downstream assignment and oracle hash drifts."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(64)]
+    # adversarial floats: shortest-repr round-trip edge cases
+    rows.append((900, [0.1, -0.0, 1e-300, 1.7976931348623157e308 / 1e10] * 4))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cvs = [[float(x) for x in rng.normal(0, 1, 16)] for _ in range(9)]
+    cvs.append([0.30000000000000004, -2.2250738585072014e-308, 3.0, 0.5] * 4)
+    new = emb.select(
+        "vec_id", sim._literal_sq_dists("embedding", cvs).alias("d")
+    ).collect()
+    old = emb.select(
+        "vec_id",
+        F.array(
+            *[
+                sim.sq_dist(F.col("embedding"), F.array(*[F.lit(float(x)) for x in cv]))
+                for cv in cvs
+            ]
+        ).alias("d"),
+    ).collect()
+    assert {r["vec_id"]: list(r["d"]) for r in new} == {
+        r["vec_id"]: list(r["d"]) for r in old
+    }
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(
