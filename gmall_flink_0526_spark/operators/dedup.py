@@ -762,6 +762,7 @@ def contaminated_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 8,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any
     ``ngram``-token shingle with an evaluation set.
@@ -774,9 +775,17 @@ def contaminated_docs(
     Eval hashes are distinct'd (broadcast-sized in practice); no
     document ever compares against another directly. Output:
     (doc_id, hit_ct) per contaminated training doc.
+
+    ``grams`` (optional): an externally materialized ``(doc_id, gh)``
+    gram-hash table for the SAME (docs, ngram) — the corpus-scoped
+    index a production pipeline stores next to its LSH signatures, so
+    the decon family shares one shingle pass instead of each query
+    repeating it. ``eval_pred`` must be expressible over ``doc_id``
+    (every catalog caller's is).
     """
-    sh = scoped_persist(doc_shingles(docs, id_col, text_col, ngram=ngram))
-    grams = sh.select("doc_id", F.explode("s").alias("g")).withColumn("gh", F.md5("g"))
+    if grams is None:
+        sh = scoped_persist(doc_shingles(docs, id_col, text_col, ngram=ngram))
+        grams = sh.select("doc_id", F.explode("s").alias("g")).withColumn("gh", F.md5("g"))
     train = grams.filter(~eval_pred).select("doc_id", "gh")
     ev = grams.filter(eval_pred).select("gh").distinct()
     return train.join(ev, "gh").groupBy("doc_id").agg(F.count("*").alias("hit_ct"))
@@ -885,6 +894,7 @@ def bloom_decontaminate(
     ngram: int = 5,
     bits: int | None = None,
     bloom_words: DataFrame | None = None,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Decontamination with a Bloom prefilter on the train side.
 
@@ -927,8 +937,10 @@ def bloom_decontaminate(
     """
     if bits is None:
         bits = bloom_width(eval_gram_count(docs, eval_pred, id_col, text_col, ngram))
-    sh = scoped_persist(doc_shingles(docs, id_col, text_col, ngram=ngram))
-    grams = sh.select("doc_id", F.explode("s").alias("g")).withColumn("gh", F.md5("g"))
+    if grams is None:
+        # ``grams``: same external-index contract as contaminated_docs'
+        sh = scoped_persist(doc_shingles(docs, id_col, text_col, ngram=ngram))
+        grams = sh.select("doc_id", F.explode("s").alias("g")).withColumn("gh", F.md5("g"))
     ev = grams.filter(eval_pred).select("gh").distinct()
 
     if bloom_words is not None:

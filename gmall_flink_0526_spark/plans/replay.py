@@ -1921,8 +1921,11 @@ def _register_decontaminate_bloom_stream():
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         words = merged_bloom_words(spark, os.path.join(root, "store"))
+        from .llmprep import corpus_decon_grams
+
         return D.bloom_decontaminate(
-            docs, is_eval, ngram=DECON_NGRAM, bits=bits, bloom_words=words
+            docs, is_eval, ngram=DECON_NGRAM, bits=bits, bloom_words=words,
+            grams=corpus_decon_grams(spark, sf_dir),
         )
 
 

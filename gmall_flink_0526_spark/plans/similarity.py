@@ -3449,9 +3449,12 @@ def _register_decon_method_agreement():
         # each flag frame feeds BOTH the union and its own left join —
         # persist them or the three screens each execute twice more
         # (measured: 124 s -> ~40 s cold in a vanilla session)
+        from .llmprep import corpus_decon_grams
+
         ex = scoped_persist(
             D.contaminated_docs(
-                docs, F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
+                docs, F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM,
+                grams=corpus_decon_grams(spark, sf_dir),
             ).select("doc_id")
         )
         ff = scoped_persist(fuzzy_contaminated(spark, sf_dir, EVAL_MOD).select("doc_id"))
