@@ -690,8 +690,31 @@ def lsh_recall_post_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b")
         )
 
-    sha = scoped_persist(D.doc_shingles(adv, "doc_id", "text"))
-    bands_a = scoped_persist(D.band_keys_from_sigs(D.minhash_sigs(sha)))
+    # adv = documents ∪ REP_COPIES copies of doc 0's TEXT — and shingles
+    # / MinHash band keys are pure per-doc functions of the text, so the
+    # adv tables are the corpus-scoped memos (shared with the whole LSH
+    # family) UNION one broadcast row replicated per copy id: no second
+    # tokenize/16-md5 pass over the corpus, values identical by
+    # construction (the oracle recomputes from scratch and still
+    # hash-matches). The copies DO change bucket occupancy — doc 0's
+    # buckets blow past the rep cap, which is the adversarial behavior
+    # this audit exists to measure — and that happens downstream in
+    # lsh_pairs_from_bands over the unioned table, exactly as before.
+    rep_ids = spark.range(REP_COPIES).select(
+        (F.lit(REP_BASE_ID) + F.col("id")).cast("long").alias("doc_id")
+    )
+    base_sh = corpus_shingles(spark, sf_dir)
+    sh0 = base_sh.filter(F.col("doc_id") == 0).select("s")
+    sha = scoped_persist(
+        base_sh.unionByName(rep_ids.crossJoin(F.broadcast(sh0)).select("doc_id", "s"))
+    )
+    base_bands = corpus_band_keys(spark, sf_dir)
+    bands0 = base_bands.filter(F.col("doc_id") == 0).select("band", "bk")
+    bands_a = scoped_persist(
+        base_bands.unionByName(
+            rep_ids.crossJoin(F.broadcast(bands0)).select("doc_id", "band", "bk")
+        )
+    )
     lshva = verified_lsh(sha, bands_a)
     texts = scoped_persist(adv.select("doc_id", F.md5("text").alias("th")))
     idp = (
@@ -723,10 +746,18 @@ def lsh_recall_post_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lshvs = verified_lsh(shs, bands_s).select(
         F.col("doc_a").alias("la"), F.col("doc_b").alias("lb")
     )
+    # Exact truth over the survivors = the corpus-persisted exact pair
+    # table (prefix filter is LOSSLESS and the verify is exact, so the
+    # full-corpus pair set restricted to surviving endpoints IS the
+    # survivor-corpus pair set — candidate-generation differences can't
+    # matter for an exact join). Survivors ⊆ documents: replica ids all
+    # share doc 0's text, so exact dedup keeps doc 0 and drops every
+    # replica — the semi-joins below never need replica rows.
     exacts = (
-        D.jaccard_verify(shs, D.prefix_filter_candidates(shs, JACCARD_THRESHOLD))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        prefix_filter_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
+        .join(surv_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(surv_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
     )
     post = (
         exacts.join(
