@@ -839,7 +839,12 @@ def eval_gram_count(
     memoized width can never drift (same shingling, same md5, same
     distinct). EAGER: one small count job; the eval predicate pushes
     to the scan so only the benchmark slice is read."""
-    ev_sh = doc_shingles(docs.filter(eval_pred), id_col, text_col, ngram=ngram)
+    # scoped persist before the explode — the plan barrier that stops
+    # CollapseProject re-inlining tokenize into the shingle lambda
+    # (per-element re-evaluation; textops.tokenize's note)
+    ev_sh = scoped_persist(
+        doc_shingles(docs.filter(eval_pred), id_col, text_col, ngram=ngram)
+    )
     return int(
         ev_sh.select(F.explode("s").alias("g"))
         .select(F.md5("g").alias("gh"))

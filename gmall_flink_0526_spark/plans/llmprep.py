@@ -177,11 +177,18 @@ def corpus_decon_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + md5 pass per query — a production pipeline materializes
     this index once next to its LSH signatures and every decon job is
     a join against it."""
-    from ..operators.cache import corpus_persist
+    from ..operators.cache import corpus_persist, scoped_persist
 
     def build() -> DataFrame:
         docs = load_tables(spark, sf_dir, "documents")["documents"]
-        sh = D.doc_shingles(docs, "doc_id", "text", ngram=DECON_NGRAM)
+        # the shingle frame MUST materialize before the explode:
+        # Catalyst collapses the staged projections back together, and
+        # the shingle lambda then re-evaluates its inlined tokenize PER
+        # ELEMENT (textops.tokenize's lambda-inlining note — measured
+        # 34 s vs 3 s for this build at sf0.1). The persist is scoped:
+        # drained when the next catalog query starts, by which time the
+        # memo table itself is materialized.
+        sh = scoped_persist(D.doc_shingles(docs, "doc_id", "text", ngram=DECON_NGRAM))
         return sh.select("doc_id", F.explode("s").alias("g")).select(
             "doc_id", F.md5("g").alias("gh")
         )

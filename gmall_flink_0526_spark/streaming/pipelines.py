@@ -1747,15 +1747,22 @@ def bloom_filter_app(
     src = reg.read_stream(spark, source, max_files_per_trigger=1)
 
     def process(batch: DataFrame, epoch_id: int) -> None:
-        sh = D.doc_shingles(batch, "doc_id", "text", ngram=ngram)
-        ev = (
-            sh.select(F.explode("s").alias("g"))
-            .select(F.md5("g").alias("gh"))
-            .distinct()
-        )
-        D.bloom_word_table(ev, bits).write.mode("overwrite").parquet(
-            os.path.join(path, f"epoch={epoch_id}")
-        )
+        # persist before the explode: without the plan barrier Catalyst
+        # collapses the staged projections and the shingle lambda
+        # re-runs its inlined tokenize per element (textops.tokenize's
+        # lambda-inlining note; measured 3.3 s -> sub-second per epoch)
+        sh = D.doc_shingles(batch, "doc_id", "text", ngram=ngram).persist()
+        try:
+            ev = (
+                sh.select(F.explode("s").alias("g"))
+                .select(F.md5("g").alias("gh"))
+                .distinct()
+            )
+            D.bloom_word_table(ev, bits).write.mode("overwrite").parquet(
+                os.path.join(path, f"epoch={epoch_id}")
+            )
+        finally:
+            sh.unpersist(False)
 
     return (
         src.writeStream.foreachBatch(process)
