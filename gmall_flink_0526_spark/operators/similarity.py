@@ -678,6 +678,15 @@ def pq_fit_multi(
     # every iteration re-derives the (bounded) subvector sample —
     # persist it for the life of the fit (the kmeans_fit persist)
     sub = sub.persist()
+    try:
+        return _pq_lloyd_iters(spark, sub, cents_by, iters, id_col)
+    finally:
+        # release even when an iteration raises (kmeans_fit's pattern);
+        # a leaked persisted sample would pin memory for the process
+        sub.unpersist(False)
+
+
+def _pq_lloyd_iters(spark, sub, cents_by, iters, id_col):
     for _ in range(iters):
         cdf = spark.createDataFrame(
             [
@@ -727,7 +736,6 @@ def pq_fit_multi(
             ]
             for tag in cents_by
         }
-    sub.unpersist(False)
     return cents_by
 
 

@@ -308,14 +308,22 @@ def decon_bloom_bits(spark: SparkSession, sf_dir: str) -> int:
     the or-mergeability precondition."""
     from ..operators.cache import corpus_value
 
-    t = load_tables(spark, sf_dir, "documents")
-
     def _bits() -> int:
-        return D.bloom_width(
-            D.eval_gram_count(
-                t["documents"], F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
-            )
+        # derive the eval-gram count from the shared gram index instead
+        # of re-shingling the eval slice (r16 deferral #5): the index
+        # rows are exactly each doc's DISTINCT gram hashes, so
+        # countDistinct(gh) over the eval docs IS eval_gram_count —
+        # value-identity is pinned in tests/test_plans.py. Setup order
+        # is pinned too: the decon_gram_index setup registers BEFORE
+        # decon_bloom_width, so the index build cost rides its own
+        # ledger line.
+        gi = corpus_decon_grams(spark, sf_dir)
+        cnt = (
+            gi.filter(F.col("doc_id") % EVAL_MOD == 0)
+            .agg(F.countDistinct("gh"))
+            .collect()[0][0]
         )
+        return D.bloom_width(int(cnt))
 
     return corpus_value(
         spark, f"decon_bloom_bits:{DECON_NGRAM}:{EVAL_MOD}", sf_dir, _bits
@@ -495,29 +503,27 @@ def fuzzy_contaminated(spark: SparkSession, sf_dir: str, eval_mod: int) -> DataF
     tags=("llm-prep", "decontamination", "audit"),
 )
 def decon_eval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, "documents")
-    sh = scoped_persist(
-        D.doc_shingles(t["documents"], "doc_id", "text", ngram=DECON_NGRAM)
-    )
-    grams = sh.select("doc_id", F.size("s").alias("n_grams"), F.explode("s").alias("g")).withColumn(
-        "gh", F.md5("g")
-    )
+    # ride the shared gram index instead of self-shingling (r16
+    # deferral #4): its rows are each doc's DISTINCT gram hashes, so
+    # per-doc COUNT(*) IS len(s) (n_grams) — no per-row n_grams payload
+    # through the join, and the last decon-family shingle pass is gone.
+    # Zero-gram docs have no index rows and are absent from the output
+    # on both paths (the oracle's len(s) > 0 filter).
+    gi = corpus_decon_grams(spark, sf_dir)
     is_eval = F.col("doc_id") % EVAL_MOD_FUZZY == 0
     train_spread = (
-        grams.filter(~is_eval)
+        gi.filter(~is_eval)
         .groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("thit"))
     )
-    eval_g = grams.filter(is_eval).select(
-        F.col("doc_id").alias("eval_id"), "n_grams", "gh"
-    )
+    eval_g = gi.filter(is_eval).select(F.col("doc_id").alias("eval_id"), "gh")
     return (
         eval_g.join(train_spread, "gh", "left")
         .groupBy("eval_id")
         .agg(
-            F.min("n_grams").cast("long").alias("n_grams"),
+            F.count("*").alias("n_grams"),
             F.count("thit").alias("shared_grams"),
-            (F.count("thit").cast("double") / F.min("n_grams")).alias("contamination_cov"),
+            (F.count("thit").cast("double") / F.count("*")).alias("contamination_cov"),
             F.coalesce(F.sum("thit"), F.lit(0)).cast("long").alias("gram_hits"),
             F.coalesce(F.max("thit"), F.lit(0)).cast("long").alias("max_gram_spread"),
         )
@@ -1646,15 +1652,18 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- named corpus-scoped setups (bench ledger lines; see catalog.SETUPS)
 
 
-@register_setup("decon_bloom_width")
-def _setup_decon_bloom_width(spark: SparkSession, sf_dir: str) -> None:
-    """Memoize the decontamination Bloom width scalar (one eval-slice
-    n-gram count) shared by the Bloom decontamination family."""
-    decon_bloom_bits(spark, sf_dir)
-
-
 @register_setup("decon_gram_index")
 def _setup_decon_gram_index(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the corpus-scoped DECON_NGRAM gram-hash table the
-    decon family shares (r16: was one shingle pass PER consumer)."""
+    decon family shares (r16: was one shingle pass PER consumer).
+    Registered BEFORE decon_bloom_width: the width now DERIVES from
+    this index, and the pinned order keeps the index build cost on
+    its own ledger line."""
     corpus_decon_grams(spark, sf_dir).count()
+
+
+@register_setup("decon_bloom_width")
+def _setup_decon_bloom_width(spark: SparkSession, sf_dir: str) -> None:
+    """Memoize the decontamination Bloom width scalar (one grouped
+    count over the gram index) shared by the Bloom decon family."""
+    decon_bloom_bits(spark, sf_dir)

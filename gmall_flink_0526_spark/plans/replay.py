@@ -19,6 +19,18 @@ from .catalog import register, register_setup
 from .logs import SESSION_GAP_MIN
 
 
+def _state_buckets(spark: SparkSession) -> int:
+    """Bucket count for the bucketed stateful operators (guide §4: the
+    applyInPandasWithState wall is the per-GROUP Python call, so the
+    state key is hashed into a bounded set of buckets and the per-key
+    logic vectorizes inside each bucket). Scale-adaptive, not a local
+    constant: a few groups per state partition balances the worker
+    pool here and on a cluster; the count is independent of key-space
+    size, which is what keeps the group-call count bounded at 100 TB
+    (state per bucket stays O(active keys / buckets))."""
+    return 4 * min(32, spark.sparkContext.defaultParallelism)
+
+
 @register(
     "uv_first_visit_stream",
     oracle="""
@@ -42,7 +54,9 @@ from .logs import SESSION_GAP_MIN
 def uv_first_visit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
     out = replay_stateful(
-        spark, events, stateful.daily_dedup, order_by=["ts", "event_id"],
+        spark, events,
+        lambda s: stateful.daily_dedup(s, buckets=_state_buckets(spark)),
+        order_by=["ts", "event_id"],
         cache_key=f"events:{sf_dir}", n_files=2,
     )
     return out.select("user_id", "dt", "first_event_id")
@@ -70,7 +84,9 @@ def uv_first_visit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def is_new_fix_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
     out = replay_stateful(
-        spark, events, stateful.fix_is_new, order_by=["ts", "event_id"],
+        spark, events,
+        lambda s: stateful.fix_is_new(s, buckets=_state_buckets(spark)),
+        order_by=["ts", "event_id"],
         cache_key=f"events:{sf_dir}", n_files=2,
     )
     return out.select("event_id", "user_id", "is_new")
@@ -118,7 +134,9 @@ def bounce_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = replay_stateful(
         spark,
         events,
-        lambda src: stateful.sessionize_bounce(src, gap_minutes=SESSION_GAP_MIN),
+        lambda src: stateful.sessionize_bounce(
+            src, gap_minutes=SESSION_GAP_MIN, buckets=_state_buckets(spark)
+        ),
         order_by=["ts", "event_id"],
         cache_key=f"events:{sf_dir}", n_files=2,
     )
@@ -1331,7 +1349,9 @@ def asof_click_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     file_of = F.when(F.col("ts") <= cut1, 0).otherwise(1)
 
     out = replay_stateful(
-        spark, ev, stateful.temporal_join, order_by=["ts", "event_id"],
+        spark, ev,
+        lambda s: stateful.temporal_join(s, buckets=_state_buckets(spark)),
+        order_by=["ts", "event_id"],
         cache_key=f"events_tspan:{sf_dir}", file_of=file_of, n_files=2,
     )
     return out.select(
@@ -1378,7 +1398,9 @@ def _register_funnel_attribution_stream():
         cut1 = F.lit(mn + (mx - mn) / 2).cast(ts_type)
         file_of = F.when(F.col("ts") <= cut1, 0).otherwise(1)
         out = replay_stateful(
-            spark, ev, stateful.funnel_chain, order_by=["ts", "event_id"],
+            spark, ev,
+            lambda s: stateful.funnel_chain(s, buckets=_state_buckets(spark)),
+            order_by=["ts", "event_id"],
             cache_key=f"events_funnel_tspan:{sf_dir}", file_of=file_of, n_files=2,
         )
         return out.select(
@@ -1428,7 +1450,8 @@ def _register_funnel_attribution_4_stream():
             spark,
             ev,
             lambda df: stateful.funnel_chain_n(
-                df, stages=("signup", "view", "click"), probe_type="purchase"
+                df, stages=("signup", "view", "click"), probe_type="purchase",
+                buckets=_state_buckets(spark),
             ),
             order_by=["ts", "event_id"],
             cache_key=f"events_funnel4_tspan:{sf_dir}",
@@ -1485,7 +1508,9 @@ def _register_funnel_attribution_windowed_stream():
         cut1 = F.lit(mn + (mx - mn) / 2).cast(ts_type)
         file_of = F.when(F.col("ts") <= cut1, 0).otherwise(1)
         out = replay_stateful(
-            spark, ev, stateful.funnel_chain, order_by=["ts", "event_id"],
+            spark, ev,
+            lambda s: stateful.funnel_chain(s, buckets=_state_buckets(spark)),
+            order_by=["ts", "event_id"],
             cache_key=f"events_funnel_tspan:{sf_dir}", file_of=file_of, n_files=2,
         ).select(
             "event_id",
@@ -1784,7 +1809,8 @@ def _register_behavior_pagerank_stream():
     def behavior_pagerank_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = load_tables(spark, sf_dir, "events")["events"]
         pairs = replay_stateful(
-            spark, events, stateful.transition_pairs,
+            spark, events,
+            lambda s: stateful.transition_pairs(s, buckets=_state_buckets(spark)),
             order_by=["ts", "event_id"],
             cache_key=f"events:{sf_dir}", n_files=2,
         )
@@ -2128,19 +2154,27 @@ def _register_dim_enrichment_asof_stream():
         ts_type = ev.schema["ts"].dataType.simpleString()
         cut1 = F.lit(mn + (mx - mn) / 2).cast(ts_type)
         file_of = F.when(F.col("ts") <= cut1, 0).otherwise(1)
+        # this replay carries the catalog's largest stateful key space
+        # (every customer): grouping the stateful operator by raw key
+        # pays one Python group call PER ACTIVE KEY per batch (~15k at
+        # sf0.1 — the applyInPandasWithState wall, guide §4). Bucket
+        # the state key by hash instead: group calls drop to `buckets`
+        # per batch and the per-key carry runs as a vectorized
+        # segmented ffill inside each bucket (semantics identical —
+        # value-pinned against the per-key form and the shared oracle).
+        # Buckets scale with the worker pool, not a local constant:
+        # enough groups to spread over every state partition with
+        # slack for balance, independent of key-space size.
+        fanout = min(32, spark.sparkContext.defaultParallelism)
         op = lambda s: stateful.temporal_enrich(
             s, key="custkey", ts="ts", id_col="o_orderkey",
             val_cols=("acctbal_asof", "version_from"),
+            buckets=4 * fanout,
         )
-        # this replay carries the catalog's largest stateful key space
-        # (every customer), and harness wall-clock is per-GROUP Python
-        # calls — scale state fan-out to the worker pool instead of the
-        # 16-partition default (measured at sf0.1/32 cpus: 35 -> 20 s;
-        # past the pool it pays empty state-store commits again)
         out = replay_stateful(
             spark, ev, op, order_by=["ts", "o_orderkey"],
             cache_key=f"pit_tspan:{sf_dir}", file_of=file_of, n_files=2,
-            shuffle_partitions=min(32, spark.sparkContext.defaultParallelism),
+            shuffle_partitions=fanout,
         )
         return out.select(
             "o_orderkey",

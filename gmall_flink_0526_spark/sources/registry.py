@@ -212,13 +212,38 @@ def write_replay(
     os.makedirs(path, exist_ok=True)
     base = time.time() - n_files - 60  # strictly in the past
     try:
-        for i in range(n_files):
-            before = set(os.listdir(path))
+        # the n chunk writes are independent single-partition jobs —
+        # submit them from a small pool so each job's tail back-fills
+        # the others' idle executors (guide §2.6). Each chunk writes to
+        # its OWN scratch dir (concurrent appends into one dir would
+        # race the mtime bookkeeping); the move+utime loop below is
+        # sequential and in chunk order, so the mtime-ordered replay
+        # contract is exactly the serial writer's.
+        from concurrent.futures import ThreadPoolExecutor
+
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="_replay_chunks_", dir=os.path.dirname(path))
+
+        def _write_chunk(i: int) -> None:
             indexed.filter(F.col("_f") == i).drop("_f").coalesce(1).write.mode(
-                "append"
-            ).parquet(path)
-            for name in set(os.listdir(path)) - before:
-                if not name.startswith("_"):
-                    os.utime(os.path.join(path, name), (base + i, base + i))
+                "overwrite"
+            ).parquet(os.path.join(tmp, str(i)))
+
+        try:
+            with ThreadPoolExecutor(max_workers=min(4, n_files)) as pool:
+                # list() re-raises the first failed chunk's exception
+                list(pool.map(_write_chunk, range(n_files)))
+            for i in range(n_files):
+                cdir = os.path.join(tmp, str(i))
+                for name in sorted(os.listdir(cdir)):
+                    if name.startswith(("_", ".")):
+                        continue
+                    dst = os.path.join(path, f"chunk{i}_{name}")
+                    shutil.move(os.path.join(cdir, name), dst)
+                    os.utime(dst, (base + i, base + i))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     finally:
         indexed.unpersist(False)

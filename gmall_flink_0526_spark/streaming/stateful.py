@@ -70,9 +70,12 @@ def daily_dedup(
     key: str = "user_id",
     ts: str = "ts",
     id_col: str = "event_id",
+    buckets: int | None = None,
 ) -> DataFrame:
     """First visit per key per calendar day (UV dedup), exact keyed-state
     form. Output: (user_id, dt, first_event_id)."""
+    if buckets:
+        return _daily_dedup_bucketed(events, key, ts, id_col, buckets)
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -113,14 +116,97 @@ def daily_dedup(
     )
 
 
+def _daily_dedup_bucketed(
+    events: DataFrame, key: str, ts: str, id_col: str, buckets: int
+) -> DataFrame:
+    """Bucketed form of :func:`daily_dedup` (the
+    :func:`_temporal_enrich_bucketed` group-call-count trick). State
+    per bucket: parallel (keys, last_date, last-update processing-time
+    ms) arrays. The per-key 1-day TTL is preserved at key granularity:
+    the bucket re-arms a 1-day processing-time timeout on every update,
+    and when it fires, only keys idle >= 1 day are dropped (the rest
+    re-arm) — so a hot key in the same bucket never extends a cold
+    key's state lifetime. Per-key dedup logic is the vectorized
+    original run per key segment; output rows are identical."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        st = state.get if state.exists else None
+        now = state.getCurrentProcessingTimeMs()
+        if state.hasTimedOut:
+            # evict only the keys whose OWN ttl lapsed; keep the rest
+            if st is not None:
+                keep = [
+                    (k, d, u)
+                    for k, d, u in zip(st[0], st[1], st[2])
+                    if now - u < DAY_MS
+                ]
+                if keep:
+                    ks, ds, us = zip(*keep)
+                    state.update((list(ks), list(ds), list(us)))
+                    state.setTimeoutDuration(DAY_MS)
+                    return
+            state.remove()
+            return
+        stored = dict(zip(st[0], st[1])) if st is not None else {}
+        upd_ms = dict(zip(st[0], st[2])) if st is not None else {}
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values([key, ts, id_col])
+        d = pdf[ts].dt.strftime("%Y-%m-%d")
+        karr = pdf[key]
+        # first row of each (key, day) pair, minus the key's stored day
+        keep = ~pd.DataFrame({"k": karr, "d": d}).duplicated().to_numpy()
+        if stored:
+            keep &= (d != karr.map(stored)).to_numpy()
+        # state: last (max) day per key this batch replaces the stored
+        # day; untouched stored keys persist with their old stamps
+        last_rows = ~karr.duplicated(keep="last")
+        for k, dv in zip(karr[last_rows], d[last_rows]):
+            k = int(k) if hasattr(k, "item") else k
+            stored[k] = dv
+            upd_ms[k] = now
+        state.update((list(stored.keys()), [stored[k] for k in stored], [upd_ms[k] for k in stored]))
+        state.setTimeoutDuration(DAY_MS)
+        out = pdf.loc[keep]
+        if len(out):
+            yield pd.DataFrame(
+                {
+                    key: out[key].to_numpy(),
+                    "dt": d.loc[keep].to_numpy(),
+                    "first_event_id": out[id_col].to_numpy(),
+                    "ts": out[ts].to_numpy(),
+                }
+            )
+
+    key_t = {f.name: f.dataType.simpleString() for f in events.schema.fields}[key]
+    return (
+        events.withColumn("_bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)))
+        .groupBy("_bkt")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=f"{key} long, dt string, first_event_id long, ts timestamp",
+            stateStructType=f"ks array<{key_t}>, ld array<string>, um array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def fix_is_new(
     events: DataFrame,
     key: str = "user_id",
     ts: str = "ts",
     id_col: str = "event_id",
+    buckets: int | None = None,
 ) -> DataFrame:
     """is_new flag correction: '1' only on the key's first-seen day.
     Output: (event_id, user_id, is_new)."""
+    if buckets:
+        return _fix_is_new_bucketed(events, key, ts, id_col, buckets)
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -154,12 +240,70 @@ def fix_is_new(
     )
 
 
+def _fix_is_new_bucketed(
+    events: DataFrame, key: str, ts: str, id_col: str, buckets: int
+) -> DataFrame:
+    """Bucketed form of :func:`fix_is_new` (the
+    :func:`_temporal_enrich_bucketed` group-call-count trick): state
+    per bucket is the parallel (keys, first_date) arrays; the per-key
+    first-seen resolves as stored-date-if-present else the key's first
+    batch day (rows sorted by key, ts, id), all vectorized via a map
+    + segmented head. State retains stored keys untouched by the
+    batch. Output rows identical to the per-key form."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        st = state.get if state.exists else None
+        stored = dict(zip(st[0], st[1])) if st is not None else {}
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values([key, ts, id_col])
+        d = pdf[ts].dt.strftime("%Y-%m-%d")
+        karr = pdf[key]
+        # the key's first batch day = d at each key segment's head,
+        # broadcast down the segment; stored first-seen wins where set
+        batch_first = d.groupby(karr.to_numpy()).transform("first")
+        first = karr.map(stored).fillna(batch_first) if stored else batch_first
+        # state = stored keys (unchanged) + this batch's new keys
+        new_keys = karr[~karr.duplicated()]
+        upd = dict(stored)
+        fd_head = first[~karr.duplicated()]
+        for k, fd in zip(new_keys, fd_head):
+            if k not in upd:
+                upd[int(k) if hasattr(k, "item") else k] = fd
+        state.update((list(upd.keys()), list(upd.values())))
+        yield pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                key: karr.to_numpy(),
+                "is_new": (d == first).map({True: "1", False: "0"}).to_numpy(),
+            }
+        )
+
+    key_t = {f.name: f.dataType.simpleString() for f in events.schema.fields}[key]
+    return (
+        events.withColumn("_bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)))
+        .groupBy("_bkt")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=f"{id_col} long, {key} long, is_new string",
+            stateStructType=f"ks array<{key_t}>, fd array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def sessionize_bounce(
     events: DataFrame,
     gap_minutes: int = 10,
     key: str = "user_id",
     ts: str = "ts",
     id_col: str = "event_id",
+    buckets: int | None = None,
 ) -> DataFrame:
     """CEP bounce detection: a session closes when the next event
     arrives after the gap, or when state times out (the CEP ``within``
@@ -167,6 +311,10 @@ def sessionize_bounce(
     (user_id, n_events, is_bounce, end_ts = last event of the session).
     Open sessions stay in state.
     """
+    if buckets:
+        return _sessionize_bounce_bucketed(
+            events, gap_minutes, key, ts, id_col, buckets
+        )
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -218,6 +366,137 @@ def sessionize_bounce(
     )
 
 
+def _sessionize_bounce_bucketed(
+    events: DataFrame,
+    gap_minutes: int,
+    key: str,
+    ts: str,
+    id_col: str,
+    buckets: int,
+) -> DataFrame:
+    """Bucketed form of :func:`sessionize_bounce` (the
+    :func:`_temporal_enrich_bucketed` group-call-count trick). State
+    per bucket: parallel (keys, last_us, n, last-update ms) arrays.
+    Sessionization runs segmented per key (groupby shift for the gap
+    test, global entry-cumsum session ids made key-local by pairing
+    with the key); carried open sessions continue or close exactly as
+    the single-key form decides per key. The CEP ``within`` timeout
+    stays per-KEY: on a bucket timeout only keys idle >= gap emit
+    their open session and leave; the rest re-arm."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        st = state.get if state.exists else None
+        now = state.getCurrentProcessingTimeMs()
+        if state.hasTimedOut:
+            if st is not None:
+                expired, kept = [], []
+                for k, lu, n, um in zip(st[0], st[1], st[2], st[3]):
+                    (expired if now - um >= gap_ms else kept).append((k, lu, n, um))
+                if expired:
+                    yield pd.DataFrame(
+                        [
+                            (k, n, n == 1, pd.Timestamp(lu * 1000))
+                            for k, lu, n, um in expired
+                        ],
+                        columns=[key, "n_events", "is_bounce", "end_ts"],
+                    )
+                if kept:
+                    ks, lus, ns, ums = zip(*kept)
+                    state.update((list(ks), list(lus), list(ns), list(ums)))
+                    state.setTimeoutDuration(gap_ms)
+                    return
+            state.remove()
+            return
+        last_map = dict(zip(st[0], st[1])) if st is not None else {}
+        n_map = dict(zip(st[0], st[2])) if st is not None else {}
+        upd_ms = dict(zip(st[0], st[3])) if st is not None else {}
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values([key, ts, id_col])
+        karr = pdf[key]
+        t_us = pdf[ts].astype("int64") // 1000
+        prev = t_us.groupby(karr.to_numpy()).shift(1)
+        head = ~karr.duplicated()
+        if last_map:
+            prev = prev.where(~head, karr.map(last_map))
+        entry = prev.isna() | ((t_us - prev) > gap_us)
+        # (key, global entry-cumsum) is unique per session AND ordered;
+        # a key-head continuation row reuses the previous key's final
+        # sid, which the key pairing keeps distinct
+        sid = entry.cumsum()
+        sess = (
+            pd.DataFrame({"k": karr.to_numpy(), "s": sid.to_numpy(), "t": t_us.to_numpy()})
+            .groupby(["k", "s"], sort=False)
+            .agg(cnt=("t", "size"), end=("t", "max"))
+            .reset_index()
+        )
+        first_of_key = ~sess["k"].duplicated()
+        last_of_key = ~sess["k"].duplicated(keep="last")
+        closed_rows = []
+        if last_map:
+            in_state = karr.isin(last_map.keys())
+            cont_keys = set(karr[head & ~entry & in_state])
+            open_close_keys = karr[head & entry & in_state]
+            # carried open session continues into the key's first batch
+            # session...
+            if cont_keys:
+                add = (
+                    sess["k"].map(lambda k: n_map.get(k, 0) if k in cont_keys else 0)
+                ).where(first_of_key, 0)
+                sess["cnt"] = sess["cnt"] + add
+            # ...or closes at its own end when the first batch row
+            # opens a new session
+            for k in open_close_keys:
+                k = int(k) if hasattr(k, "item") else k
+                n = n_map[k]
+                closed_rows.append((k, n, n == 1, pd.Timestamp(last_map[k] * 1000)))
+        # every batch session but each key's last is closed
+        done = sess.loc[~last_of_key]
+        closed_rows.extend(
+            (k, int(c), c == 1, pd.Timestamp(int(e) * 1000))
+            for k, c, e in zip(done["k"], done["cnt"], done["end"])
+        )
+        tail = sess.loc[last_of_key]
+        for k, c, e in zip(tail["k"], tail["cnt"], tail["end"]):
+            k = int(k) if hasattr(k, "item") else k
+            last_map[k] = int(e)
+            n_map[k] = int(c)
+            upd_ms[k] = now
+        state.update(
+            (
+                list(last_map.keys()),
+                [last_map[k] for k in last_map],
+                [n_map[k] for k in last_map],
+                [upd_ms[k] for k in last_map],
+            )
+        )
+        state.setTimeoutDuration(gap_ms)
+        if closed_rows:
+            yield pd.DataFrame(
+                closed_rows, columns=[key, "n_events", "is_bounce", "end_ts"]
+            )
+
+    key_t = {f.name: f.dataType.simpleString() for f in events.schema.fields}[key]
+    return (
+        events.withColumn("_bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)))
+        .groupBy("_bkt")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=f"{key} long, n_events long, is_bounce boolean, end_ts timestamp",
+            stateStructType=f"ks array<{key_t}>, lu array<long>, n array<long>, um array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def temporal_enrich(
     events: DataFrame,
     key: str = "user_id",
@@ -227,6 +506,7 @@ def temporal_enrich(
     build_type: str = "dimchange",
     probe_type: str = "order",
     val_cols: tuple = ("value",),
+    buckets: int | None = None,
 ) -> DataFrame:
     """Multi-value stream-stream backward as-of enrichment — the
     streaming face of point-in-time dimension lookup (the Flink
@@ -269,6 +549,11 @@ def temporal_enrich(
     clash = set(val_cols) & {id_col, key, "probe_ts", "build_ts"}
     if clash:
         raise ValueError(f"temporal_enrich: value columns collide: {sorted(clash)}")
+    if buckets:
+        return _temporal_enrich_bucketed(
+            events, key, ts, id_col, type_col, build_type, probe_type,
+            val_cols, buckets,
+        )
     _INTEGRAL_T = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -380,6 +665,160 @@ def temporal_enrich(
     )
 
 
+def _temporal_enrich_bucketed(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    type_col: str,
+    build_type: str,
+    probe_type: str,
+    val_cols: list,
+    buckets: int,
+) -> DataFrame:
+    """Bucketed form of :func:`temporal_enrich`: the stateful operator
+    groups by ``pmod(xxhash64(key), buckets)`` instead of the raw key,
+    so each micro-batch pays ``buckets`` Python group calls instead of
+    one per ACTIVE KEY — the applyInPandasWithState wall is the
+    per-group call (state fetch + Arrow round-trip + pandas fixed
+    cost), not the rows. State per bucket holds the SAME one-version-
+    per-key payload as parallel arrays (keys, build ts, one array per
+    value column); each call re-seeds every stored key as a synthetic
+    build row (exactly the single-key carry rule), sorts the bucket by
+    (key, ts, build-before-probe) and runs the positional carry as a
+    SEGMENTED ffill per key — all vectorized, no per-key Python loop.
+    Row-level semantics are identical to the per-key form (pinned by
+    tests against it and by the shared oracle); only the state-store
+    key granularity changes. Keys cannot straddle buckets (the bucket
+    is a pure function of the key), so per-key ordering and carry are
+    unaffected.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    _INTEGRAL_T = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    field = {c: events.schema[c].dataType for c in (key, ts, id_col, *val_cols)}
+
+    def _st_val(c, v):
+        # coerce to the DECLARED state element type (the r10
+        # int-tombstone rule): floats written into long array slots
+        # are silently dropped by the state serializer
+        if pd.isna(v):
+            return None
+        if isinstance(field[c], _INTEGRAL_T):
+            return int(v)
+        if isinstance(field[c], (T.DoubleType, T.FloatType)):
+            return float(v)
+        return v.item() if hasattr(v, "item") else v
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        st = state.get if state.exists else None
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        pdf = pdf[pdf[type_col].isin([build_type, probe_type])]
+        if not len(pdf):
+            return
+        if st is not None and len(st[0]):
+            # one synthetic build row per stored key — the carried
+            # versions re-enter the sort exactly like the single-key
+            # form's seed
+            seed = pd.DataFrame(
+                {
+                    key: list(st[0]),
+                    ts: pd.to_datetime(pd.Series(list(st[1]), dtype="int64"), unit="us"),
+                    type_col: build_type,
+                    **{
+                        c: pd.Series(list(st[2 + i]), dtype="object")
+                        for i, c in enumerate(val_cols)
+                    },
+                }
+            )
+            for c in (key, ts, *val_cols):
+                try:
+                    seed[c] = seed[c].astype(pdf[c].dtype)
+                except (TypeError, ValueError):
+                    pass
+            pdf = pd.concat([seed, _seed_safe_ids(pdf, id_col)], ignore_index=True)
+        is_b = pdf[type_col] == build_type
+        # (key, ts, build-before-probe): the single-key sort applied
+        # per key segment; mergesort keeps the seed-first tie order
+        pdf = (
+            pdf.assign(_side=(~is_b).astype(int))
+            .sort_values([key, ts, "_side"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        is_b = (pdf[type_col] == build_type).to_numpy()
+        # positional carry SEGMENTED by key: each row sees the index of
+        # the latest build at or before it within its own key
+        bpos = (
+            pd.Series(np.where(is_b, np.arange(len(pdf)), np.nan))
+            .groupby(pdf[key].to_numpy())
+            .ffill()
+        )
+        builds = pdf.loc[is_b]
+        if len(builds):
+            # last build per key (max ts — rows are key/ts sorted);
+            # every stored key seeded a build row, so no key's carried
+            # version can be dropped by the rewrite
+            lastb = builds.groupby(key, sort=True).tail(1)
+            new_keys = [_st_val(key, v) for v in lastb[key]]
+            bts_list = [int(v) for v in lastb[ts].astype("int64") // 1000]
+            vals_lists = [[_st_val(c, v) for v in lastb[c]] for c in val_cols]
+            state.update((new_keys, bts_list, *vals_lists))
+        probes = ~is_b
+        if not probes.any():
+            return
+        pp = bpos[probes]
+        matched = pp.notna().to_numpy()
+        idx = pp.fillna(0).astype(int).to_numpy()
+        out = {
+            id_col: _exact_ids(pdf.loc[probes, id_col]),
+            key: pdf.loc[probes, key].to_numpy(),
+            "probe_ts": pdf.loc[probes, ts].to_numpy(),
+        }
+        m = pd.Series(matched)
+        out["build_ts"] = pdf[ts].iloc[idx].reset_index(drop=True).where(m).to_numpy()
+        for c in val_cols:
+            out[c] = pdf[c].iloc[idx].reset_index(drop=True).where(m).to_numpy()
+        yield pd.DataFrame(out)
+
+    out_t = T.StructType(
+        [
+            T.StructField(id_col, field[id_col]),
+            T.StructField(key, field[key]),
+            T.StructField("probe_ts", field[ts]),
+            T.StructField("build_ts", field[ts]),
+            *[T.StructField(c, field[c]) for c in val_cols],
+        ]
+    )
+    state_t = T.StructType(
+        [
+            T.StructField("ks", T.ArrayType(field[key], False)),
+            T.StructField("bts", T.ArrayType(T.LongType(), False)),
+        ]
+        + [
+            T.StructField(f"bv{i}", T.ArrayType(field[c], True))
+            for i, c in enumerate(val_cols)
+        ]
+    )
+    return (
+        events.withColumn("_bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)))
+        .groupBy("_bkt")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_t,
+            stateStructType=state_t,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def temporal_join(
     events: DataFrame,
     key: str = "user_id",
@@ -389,6 +828,7 @@ def temporal_join(
     build_type: str = "click",
     probe_type: str = "purchase",
     value_col: str = "value",
+    buckets: int | None = None,
 ) -> DataFrame:
     """Stream-stream backward as-of (temporal) join as ONE keyed
     stateful operator — Flink's temporal/as-of join shape, the
@@ -426,6 +866,11 @@ def temporal_join(
 
     from pyspark.sql import types as T
 
+    if buckets:
+        return _temporal_join_bucketed(
+            events, key, ts, id_col, type_col, build_type, probe_type,
+            value_col, buckets,
+        )
     _INTEGRAL_T = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -520,12 +965,140 @@ def temporal_join(
     )
 
 
+def _temporal_join_bucketed(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    type_col: str,
+    build_type: str,
+    probe_type: str,
+    value_col: str,
+    buckets: int,
+) -> DataFrame:
+    """Bucketed form of :func:`temporal_join` — the
+    :func:`_temporal_enrich_bucketed` group-call-count trick applied to
+    the single-value as-of join. The per-key carry is the SAME
+    value-level ffill as the per-key form (``where(is_b).ffill()``,
+    which deliberately lets a NULL-valued carried build's value fall
+    through to the previous non-NULL build — that quirk is part of the
+    operator's documented contract), run segmented per key with a
+    groupby ffill. Sort adds the value tie-break within (key, ts,
+    side), so simultaneous builds still resolve to the max value, and
+    the per-key state update is the max-merge the single-key form
+    does. Row-level output is identical; only the state-store key
+    granularity changes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    _INTEGRAL_T = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    field = {c: events.schema[c].dataType for c in (key, ts, id_col, value_col)}
+
+    def _st_val(c, v):
+        if pd.isna(v):
+            return None
+        if isinstance(field[c], _INTEGRAL_T):
+            return int(v)
+        if isinstance(field[c], (T.DoubleType, T.FloatType)):
+            return float(v)
+        return v.item() if hasattr(v, "item") else v
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        st = state.get if state.exists else None
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        pdf = pdf[pdf[type_col].isin([build_type, probe_type])]
+        if not len(pdf):
+            return
+        if st is not None and len(st[0]):
+            seed = pd.DataFrame(
+                {
+                    key: list(st[0]),
+                    ts: pd.to_datetime(pd.Series(list(st[1]), dtype="int64"), unit="us"),
+                    type_col: build_type,
+                    value_col: pd.Series(list(st[2]), dtype="object"),
+                }
+            )
+            for c in (key, ts, value_col):
+                try:
+                    seed[c] = seed[c].astype(pdf[c].dtype)
+                except (TypeError, ValueError):
+                    pass
+            pdf = pd.concat([seed, _seed_safe_ids(pdf, id_col)], ignore_index=True)
+        is_b = pdf[type_col] == build_type
+        pdf = (
+            pdf.assign(_side=(~is_b).astype(int))
+            .sort_values([key, ts, "_side", value_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        is_b = pdf[type_col] == build_type
+        karr = pdf[key].to_numpy()
+        carry_ts = pdf[ts].where(is_b).groupby(karr).ffill()
+        carry_val = pdf[value_col].where(is_b).groupby(karr).ffill()
+        builds = pdf.loc[is_b]
+        if len(builds):
+            lastb = builds.groupby(key, sort=True).tail(1)
+            new_keys = [_st_val(key, v) for v in lastb[key]]
+            bts_list = [int(v) for v in lastb[ts].astype("int64") // 1000]
+            vals_list = [_st_val(value_col, v) for v in lastb[value_col]]
+            state.update((new_keys, bts_list, vals_list))
+        probes = ~is_b
+        if probes.any():
+            pr = probes.to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: _exact_ids(pdf.loc[pr, id_col]),
+                    key: pdf.loc[pr, key].to_numpy(),
+                    "probe_ts": pdf.loc[pr, ts].to_numpy(),
+                    "probe_value": pdf.loc[pr, value_col].to_numpy(),
+                    "build_ts": carry_ts.loc[pr].to_numpy(),
+                    "build_value": carry_val.loc[pr].to_numpy(),
+                }
+            )
+
+    out_t = T.StructType(
+        [
+            T.StructField(id_col, field[id_col]),
+            T.StructField(key, field[key]),
+            T.StructField("probe_ts", field[ts]),
+            T.StructField("probe_value", field[value_col]),
+            T.StructField("build_ts", field[ts]),
+            T.StructField("build_value", field[value_col]),
+        ]
+    )
+    state_t = T.StructType(
+        [
+            T.StructField("ks", T.ArrayType(field[key], False)),
+            T.StructField("bts", T.ArrayType(T.LongType(), False)),
+            T.StructField("bval", T.ArrayType(field[value_col], True)),
+        ]
+    )
+    return (
+        events.withColumn("_bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)))
+        .groupBy("_bkt")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_t,
+            stateStructType=state_t,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def transition_pairs(
     events: DataFrame,
     key: str = "user_id",
     ts: str = "ts",
     id_col: str = "event_id",
     type_col: str = "event_type",
+    buckets: int | None = None,
 ) -> DataFrame:
     """Per-key consecutive-event transition extraction, exact
     keyed-state form — the streaming twin of the batch LAG window
@@ -552,6 +1125,10 @@ def transition_pairs(
     event-time order it converges to the batch lag window exactly
     (cross-batch + NULL edge test-pinned)."""
     key_t = {f.name: f.dataType.simpleString() for f in events.schema.fields}[key]
+    if buckets:
+        return _transition_pairs_bucketed(
+            events, key, ts, id_col, type_col, key_t, buckets
+        )
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         had_prev = state.exists
@@ -588,6 +1165,73 @@ def transition_pairs(
     )
 
 
+def _transition_pairs_bucketed(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    type_col: str,
+    key_t: str,
+    buckets: int,
+) -> DataFrame:
+    """Bucketed form of :func:`transition_pairs` (the
+    :func:`_temporal_enrich_bucketed` group-call-count trick). State
+    per bucket: parallel (keys, last_type) arrays — membership in the
+    keys array IS the had-any-event flag, so a stored NULL type stays
+    distinct from no-state exactly as ``state.exists`` did. The shift
+    runs segmented per key; each key-segment head fills its
+    predecessor from the stored type. Output rows identical."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        st = state.get if state.exists else None
+        stored = dict(zip(st[0], st[1])) if st is not None else {}
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values([key, ts, id_col])
+        karr = pdf[key]
+        dst = pdf[type_col]
+        src = dst.groupby(karr.to_numpy()).shift(1)
+        head = ~karr.duplicated()
+        if stored:
+            # key-segment heads read their stored predecessor (NaN for
+            # a stored-NULL type — emitted as a NULL src, like the
+            # single-key form)
+            src = src.where(~head, karr.map(stored))
+            has_prev = ~head | karr.isin(stored.keys())
+        else:
+            has_prev = ~head
+        last_rows = ~karr.duplicated(keep="last")
+        for k, t in zip(karr[last_rows], dst[last_rows]):
+            k = int(k) if hasattr(k, "item") else k
+            stored[k] = None if pd.isna(t) else t
+        state.update((list(stored.keys()), list(stored.values())))
+        mask = (has_prev & dst.notna()).to_numpy()
+        if mask.any():
+            yield pd.DataFrame(
+                {
+                    key: karr.to_numpy()[mask],
+                    "src": src.to_numpy()[mask],
+                    "dst": dst.to_numpy()[mask],
+                }
+            )
+
+    return (
+        events.withColumn("_bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)))
+        .groupBy("_bkt")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=f"{key} {key_t}, src string, dst string",
+            stateStructType=f"ks array<{key_t}>, lt array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def funnel_chain_n(
     events: DataFrame,
     stages: tuple[str, ...] = ("view", "click"),
@@ -596,6 +1240,7 @@ def funnel_chain_n(
     ts: str = "ts",
     id_col: str = "event_id",
     type_col: str = "event_type",
+    buckets: int | None = None,
 ) -> DataFrame:
     """N-stage CEP funnel attribution as ONE keyed stateful operator —
     the generalized pattern chain the reference's flink-cep dependency
@@ -643,6 +1288,11 @@ def funnel_chain_n(
     # the vector [ts_i, link_{i-1}, ..., link_0], all epoch micros
     offs = [i * (i + 1) // 2 for i in range(M + 1)]
     total = offs[M]
+    if buckets:
+        return _funnel_chain_n_bucketed(
+            events, stages, probe_type, key, ts, id_col, type_col,
+            _ORD, offs, total, buckets,
+        )
 
     def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         flat = (
@@ -746,6 +1396,162 @@ def funnel_chain_n(
     )
 
 
+def _funnel_chain_n_bucketed(
+    events: DataFrame,
+    stages: tuple,
+    probe_type: str,
+    key: str,
+    ts: str,
+    id_col: str,
+    type_col: str,
+    _ORD: dict,
+    offs: list,
+    total: int,
+    buckets: int,
+) -> DataFrame:
+    """Bucketed form of :func:`funnel_chain_n` (the
+    :func:`_temporal_enrich_bucketed` group-call-count trick). State
+    per bucket: a keys array plus one flat chain-vector array per key
+    (array<array<long>>). Every stored key re-enters each batch as one
+    seed row per non-empty level carrying its STORED vector (the
+    single-key rule), the per-level positional carry ffills SEGMENTED
+    by key, and each key's last stage row per level writes that key's
+    new state slice. Output rows identical; only the state-store key
+    granularity changes."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    M = len(stages)
+
+    def fn(key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        st = state.get if state.exists else None
+        flat_by = (
+            {k: list(v) for k, v in zip(st[0], st[1])} if st is not None else {}
+        )
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        pdf = pdf[pdf[type_col].isin(list(_ORD))]
+        if not len(pdf):
+            return
+        pdf = pdf.assign(_seed=-1)
+        seeds = []
+        for k, flat in flat_by.items():
+            for li, stg in enumerate(stages):
+                sts = flat[offs[li]]
+                if sts is not None:
+                    seeds.append(
+                        {
+                            key: k,
+                            ts: pd.Timestamp(sts, unit="us"),
+                            type_col: stg,
+                            "_seed": li,
+                        }
+                    )
+        if seeds:
+            seed = pd.DataFrame(seeds)
+            for c in (key, ts):
+                try:
+                    seed[c] = seed[c].astype(pdf[c].dtype)
+                except (TypeError, ValueError):
+                    pass
+            pdf = pd.concat([seed, _seed_safe_ids(pdf, id_col)], ignore_index=True)
+        pdf = (
+            pdf.assign(_ord=pdf[type_col].map(_ORD))
+            .sort_values([key, ts, "_ord"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(pdf)
+        types_arr = pdf[type_col].to_numpy()
+        seed_lvl = pdf["_seed"].to_numpy()
+        karr = pdf[key]
+        karr_np = karr.to_numpy()
+        ts_us = pdf[ts].astype("int64").to_numpy() // 1000  # ns -> us
+        carry = None
+        new_flat_by = {k: list(v) for k, v in flat_by.items()}
+        for li, stg in enumerate(stages):
+            is_s = types_arr == stg
+            vec = np.full((n, li + 1), np.nan)
+            vec[is_s, 0] = ts_us[is_s]
+            if li > 0:
+                fresh = is_s & (seed_lvl != li)
+                vec[fresh, 1:] = carry[fresh]
+            for r in np.where(is_s & (seed_lvl == li))[0]:
+                stored = flat_by[karr_np[r]][offs[li] : offs[li + 1]]
+                vec[r] = [np.nan if v is None else float(v) for v in stored]
+            pos = (
+                pd.Series(np.where(is_s, np.arange(n), np.nan))
+                .groupby(karr_np)
+                .ffill()
+            )
+            has = pos.notna().to_numpy()
+            idx = pos.fillna(0).astype(int).to_numpy()
+            carry = vec[idx]
+            carry[~has] = np.nan
+            if is_s.any():
+                # each key's LAST stage row writes its state slice
+                srows = np.where(is_s)[0]
+                last_per_key = (
+                    pd.Series(srows).groupby(karr_np[srows]).max()
+                )
+                for k, r in last_per_key.items():
+                    kk = int(k) if hasattr(k, "item") else k
+                    nf = new_flat_by.setdefault(kk, [None] * total)
+                    nf[offs[li] : offs[li + 1]] = [
+                        None if np.isnan(v) else int(v) for v in vec[int(r)]
+                    ]
+        state.update(
+            (list(new_flat_by.keys()), [new_flat_by[k] for k in new_flat_by])
+        )
+        is_p = types_arr == probe_type
+        if not is_p.any():
+            return
+        out = {
+            id_col: _exact_ids(pdf.loc[is_p, id_col]),
+            key: karr_np[is_p],
+            "probe_ts": pdf.loc[is_p, ts].to_numpy(),
+        }
+        pv = carry[is_p]
+        for j in range(M):
+            out[f"{stages[M - 1 - j]}_ts"] = pd.to_datetime(
+                pd.Series(pv[:, j]), unit="us"
+            ).to_numpy()
+        yield pd.DataFrame(out)
+
+    field = {c: events.schema[c].dataType for c in (key, ts, id_col)}
+    out_t = T.StructType(
+        [
+            T.StructField(id_col, field[id_col]),
+            T.StructField(key, field[key]),
+            T.StructField("probe_ts", field[ts]),
+        ]
+        + [T.StructField(f"{s}_ts", field[ts]) for s in reversed(stages)]
+    )
+    state_t = T.StructType(
+        [
+            T.StructField("ks", T.ArrayType(field[key], False)),
+            T.StructField(
+                "flats", T.ArrayType(T.ArrayType(T.LongType(), True), False)
+            ),
+        ]
+    )
+    return (
+        events.withColumn("_bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)))
+        .groupBy("_bkt")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_t,
+            stateStructType=state_t,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def funnel_chain(
     events: DataFrame,
     key: str = "user_id",
@@ -755,6 +1561,7 @@ def funnel_chain(
     view_type: str = "view",
     click_type: str = "click",
     probe_type: str = "purchase",
+    buckets: int | None = None,
 ) -> DataFrame:
     """The 3-stage funnel (view -> click -> purchase) as an instance of
     :func:`funnel_chain_n` — kept as the named operator the certified
@@ -769,4 +1576,5 @@ def funnel_chain(
         ts=ts,
         id_col=id_col,
         type_col=type_col,
+        buckets=buckets,
     )

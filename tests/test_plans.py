@@ -806,3 +806,28 @@ def test_ivfpq_bucketed_codes_join_not_cartesian(spark):
     p = plan_of(spark, "ann_topk_ivfpq")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p  # LUT + codebook joins broadcast
+
+
+def test_decon_bloom_width_derives_from_gram_index_bit_identical(spark):
+    """r17: decon_bloom_bits counts eval grams from the shared gram
+    index instead of re-shingling the eval slice. The width contract
+    (bloom_width of the operator's own eval_gram_count) must hold
+    bit-identically, or the memoized width drifts from what
+    bloom_decontaminate would self-derive."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_0526_spark.operators import dedup as D
+    from gmall_flink_0526_spark.plans.llmprep import (
+        DECON_NGRAM,
+        EVAL_MOD,
+        decon_bloom_bits,
+    )
+    from gmall_flink_0526_spark.session import load_tables
+
+    t = load_tables(spark, SF_SMOKE, "documents")
+    direct = D.bloom_width(
+        D.eval_gram_count(
+            t["documents"], F.col("doc_id") % EVAL_MOD == 0, ngram=DECON_NGRAM
+        )
+    )
+    assert decon_bloom_bits(spark, SF_SMOKE) == direct
