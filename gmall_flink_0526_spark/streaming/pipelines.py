@@ -40,6 +40,24 @@ from ..sources.registry import ChannelRegistry
 from . import stateful
 
 
+def _overlap_writes(*thunks) -> None:
+    """Run an epoch's INDEPENDENT store writes concurrently (guide
+    §2.6: submit independent jobs from a small pool so each job's tail
+    back-fills the others' idle executors). Callers pass writes whose
+    inputs are persisted or localCheckpoint'd above and whose targets
+    are distinct epoch-idempotent directories, so ordering is
+    irrelevant; the first failure re-raises, matching the serial
+    behavior a foreachBatch retry depends on."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
+
+
 def base_log_app(
     spark: SparkSession,
     reg: ChannelRegistry,
@@ -657,17 +675,21 @@ def doc_incremental_dedup_app(
             # overwrites its own epoch directory instead of appending a
             # second copy of the kept set (readers drop/ignore `epoch`)
             out_ch = reg._get(out_channel)
-            kept.write.mode("overwrite").parquet(
-                os.path.join(out_ch.path, f"epoch={epoch_id}")
-            )
             # kept_ids is batch-bounded: broadcast the semi-join filter
             # so the persisted band/shingle frames are filtered map-side
             kept_ids = F.broadcast(kept.select("doc_id"))
-            bands.join(kept_ids, "doc_id").write.mode("overwrite").parquet(
-                os.path.join(bands_path, f"epoch={epoch_id}")
-            )
-            sh.join(kept_ids, "doc_id").write.mode("overwrite").parquet(
-                os.path.join(sh_path, f"epoch={epoch_id}")
+            # the three writes all hang off the checkpointed `kept` and
+            # persisted sh/bands — independent, so overlap them
+            _overlap_writes(
+                lambda: kept.write.mode("overwrite").parquet(
+                    os.path.join(out_ch.path, f"epoch={epoch_id}")
+                ),
+                lambda: bands.join(kept_ids, "doc_id").write.mode("overwrite").parquet(
+                    os.path.join(bands_path, f"epoch={epoch_id}")
+                ),
+                lambda: sh.join(kept_ids, "doc_id").write.mode("overwrite").parquet(
+                    os.path.join(sh_path, f"epoch={epoch_id}")
+                ),
             )
         finally:
             sh.unpersist()
@@ -750,11 +772,15 @@ def substring_dedup_app(
             )
             cut = D.substring_cut_rows(toks, starts, L).localCheckpoint()
             out_ch = reg._get(out_channel)
-            cut.write.mode("overwrite").parquet(
-                os.path.join(out_ch.path, f"epoch={epoch_id}")
-            )
-            grid.write.mode("overwrite").parquet(
-                os.path.join(idx_path, f"epoch={epoch_id}")
+            # cut is checkpointed and grid hangs off the persisted
+            # grams — independent writes, overlap them (§2.6)
+            _overlap_writes(
+                lambda: cut.write.mode("overwrite").parquet(
+                    os.path.join(out_ch.path, f"epoch={epoch_id}")
+                ),
+                lambda: grid.write.mode("overwrite").parquet(
+                    os.path.join(idx_path, f"epoch={epoch_id}")
+                ),
             )
         finally:
             grams.unpersist()
@@ -939,29 +965,37 @@ def similarity_graph_app(
                 .select("doc_a", "doc_b")
                 .localCheckpoint()  # cut lineage before the store writes
             )
-            new_pairs.write.mode("overwrite").parquet(
-                os.path.join(pairs_path, f"epoch={epoch_id}")
+            def _write_sh():
+                if bucketed:
+                    # repartition ON the bucket key before the
+                    # partitioned write: without it every input task
+                    # fans out to every bucket dir (tasks x
+                    # SIM_SH_BUCKETS small files per epoch — measured
+                    # 2x the whole replay at sf0.1, r13 VERDICT #2);
+                    # with it each bucket is written by exactly one
+                    # task, so the epoch adds at most SIM_SH_BUCKETS
+                    # files
+                    bsh.withColumn("bkt", _bkt("doc_id")).repartition(
+                        F.col("bkt")
+                    ).write.partitionBy("bkt").mode("overwrite").parquet(
+                        os.path.join(sh_path, f"epoch={epoch_id}")
+                    )
+                else:
+                    bsh.write.mode("overwrite").parquet(
+                        os.path.join(sh_path, f"epoch={epoch_id}")
+                    )
+
+            # pairs are checkpointed, bpref/bsh persisted — the three
+            # epoch writes are independent, overlap them (§2.6)
+            _overlap_writes(
+                lambda: new_pairs.write.mode("overwrite").parquet(
+                    os.path.join(pairs_path, f"epoch={epoch_id}")
+                ),
+                lambda: bpref.write.mode("overwrite").parquet(
+                    os.path.join(pref_path, f"epoch={epoch_id}")
+                ),
+                _write_sh,
             )
-            bpref.write.mode("overwrite").parquet(
-                os.path.join(pref_path, f"epoch={epoch_id}")
-            )
-            if bucketed:
-                # repartition ON the bucket key before the partitioned
-                # write: without it every input task fans out to every
-                # bucket dir (tasks x SIM_SH_BUCKETS small files per
-                # epoch — measured 2x the whole replay at sf0.1, r13
-                # VERDICT #2); with it each bucket is written by
-                # exactly one task, so the epoch adds at most
-                # SIM_SH_BUCKETS files
-                bsh.withColumn("bkt", _bkt("doc_id")).repartition(
-                    F.col("bkt")
-                ).write.partitionBy("bkt").mode("overwrite").parquet(
-                    os.path.join(sh_path, f"epoch={epoch_id}")
-                )
-            else:
-                bsh.write.mode("overwrite").parquet(
-                    os.path.join(sh_path, f"epoch={epoch_id}")
-                )
         finally:
             if cand is not None:
                 cand.unpersist()
@@ -1100,12 +1134,17 @@ def emb_incremental_dedup_app(
                 dups = self_dup
             kept = assigned.join(dups.distinct(), "vec_id", "left_anti").localCheckpoint()
             out_ch = reg._get(out_channel)
-            kept.select("vec_id").write.mode("overwrite").parquet(
-                os.path.join(out_ch.path, f"epoch={epoch_id}")
+            # both writes hang off the checkpointed kept — overlap (§2.6)
+            _overlap_writes(
+                lambda: kept.select("vec_id").write.mode("overwrite").parquet(
+                    os.path.join(out_ch.path, f"epoch={epoch_id}")
+                ),
+                lambda: kept.select(
+                    "vec_id", "embedding", F.col("c").cast("int").alias("c")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(vec_path, f"epoch={epoch_id}")
+                ),
             )
-            kept.select("vec_id", "embedding", F.col("c").cast("int").alias("c")).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(vec_path, f"epoch={epoch_id}"))
         finally:
             if assigned is not None:
                 assigned.unpersist()

@@ -988,8 +988,13 @@ def main() -> None:
             # corpus (orders envelopes) — per-epoch cost is the
             # config-sized broadcast + the dim-bounded MERGE, so the
             # 2-epoch replay must track the envelope volume
+            # r17: the point-in-time replay now runs the BUCKETED
+            # temporal_enrich (group calls = 4 x pool, independent of
+            # key count) — at 10x customers the replay wall must track
+            # the envelope volume, not the key count x per-group
+            # overhead that the per-key form paid
             for name in ("local_supplier_volume", "pricing_summary", "dim_enrichment_asof",
-                         "dim_schema_evolution"):
+                         "dim_schema_evolution", "dim_enrichment_asof_stream"):
                 for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", wh)):
                     t0 = time.time()
                     df = qs[name](spark, sf_dir)
@@ -1037,6 +1042,12 @@ def main() -> None:
                 # open-window-bounded; the drop itself is a stateless
                 # per-row filter)
                 "visitor_stats_late_drop",
+                # r17: two bucketed keyed-state replays — group calls
+                # per micro-batch are pinned at the bucket count
+                # (4 x pool), so 10x events and 10x active keys must
+                # track the replay volume with no per-key overhead term
+                "uv_first_visit_stream",
+                "funnel_attribution_stream",
             ):
                 for sf_label, sf_dir in (("sf0.1", "/root/testdata/sf0.1"), ("sf1", wh)):
                     t0 = time.time()
