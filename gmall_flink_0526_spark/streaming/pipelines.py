@@ -1213,6 +1213,7 @@ def decon_screen_app(
     flags_path = os.path.join(store_root, "flags")
     cent_path = os.path.join(store_root, "centroids")
     eval_path = os.path.join(store_root, "eval_side")
+    eval_asg_path = os.path.join(store_root, "eval_assigned")
     fit_marker = os.path.join(store_root, "_FIT_EPOCH")
     k = _semdedup_k(expected_train)
     fit_target = min(expected_train, max(KM_FIT_N, FIT_PER_CLUSTER * k))
@@ -1235,15 +1236,32 @@ def decon_screen_app(
             for r in sess.read.parquet(cent_path).collect()
         )
 
+    def _eval_assigned(sess: SparkSession, cents) -> DataFrame:
+        # the eval side is static and the centroids are fixed after the
+        # fit, so its assignment is computed ONCE and stored (the
+        # triplet app's probe-frame pattern, applied r17): post-fit
+        # epochs read (c, eid, ve, ne) instead of re-running the
+        # k x dim assignment projection per micro-batch. Deterministic
+        # from (centroids, eval snapshot) — an atomic-rename publish
+        # keeps a crashed first writer redelivery-safe, and floats
+        # round-trip parquet exactly, so stored == recomputed bits.
+        if not hfs.exists(sess, eval_asg_path):
+            nrm = F.sqrt(S.norm_sq(F.col("embedding")))
+            tmp = eval_asg_path + ".tmp"
+            hfs.delete(sess, tmp)
+            S.with_cluster(sess.read.parquet(eval_path), "embedding", cents).select(
+                "c",
+                F.col("vec_id").alias("eid"),
+                F.col("embedding").alias("ve"),
+                nrm.alias("ne"),
+            ).write.mode("overwrite").parquet(tmp)
+            hfs.rename(sess, tmp, eval_asg_path)
+        return sess.read.parquet(eval_asg_path)
+
     def _screen_and_write(train: DataFrame, cents, epoch_id: int) -> None:
         sess = train.sparkSession
         nrm = F.sqrt(S.norm_sq(F.col("embedding")))
-        ev = S.with_cluster(sess.read.parquet(eval_path), "embedding", cents).select(
-            "c",
-            F.col("vec_id").alias("eid"),
-            F.col("embedding").alias("ve"),
-            nrm.alias("ne"),
-        )
+        ev = _eval_assigned(sess, cents)
         tr = S.with_cluster(train, "embedding", cents).select(
             "c", "vec_id", F.col("embedding").alias("vt"), nrm.alias("nt")
         )
