@@ -1517,9 +1517,20 @@ def _funnel_chain_n_bucketed(
         }
         pv = carry[is_p]
         for j in range(M):
-            out[f"{stages[M - 1 - j]}_ts"] = pd.to_datetime(
-                pd.Series(pv[:, j]), unit="us"
-            ).to_numpy()
+            vals = pd.Series(pv[:, j])
+            try:
+                out[f"{stages[M - 1 - j]}_ts"] = pd.to_datetime(
+                    vals, unit="us"
+                ).to_numpy()
+            except (FloatingPointError, ValueError, OverflowError) as exc:
+                # an out-of-ns-range carry means a corrupted ts reached
+                # the state — surface the values instead of a bare
+                # numpy overflow (guide §4.6); never silently masked
+                raise RuntimeError(
+                    f"funnel bucket {key_tuple[0]}: level {j} carry out "
+                    f"of datetime64[ns] range: min={vals.min()} "
+                    f"max={vals.max()} n={len(vals)}"
+                ) from exc
         yield pd.DataFrame(out)
 
     field = {c: events.schema[c].dataType for c in (key, ts, id_col)}
