@@ -1368,9 +1368,16 @@ def funnel_chain_n(
         }
         pv = carry[is_p]  # columns: [ts_{M-1}, link_{M-2}, ..., link_0]
         for j in range(M):
-            out[f"{stages[M - 1 - j]}_ts"] = pd.to_datetime(
-                pd.Series(pv[:, j]), unit="us"
-            ).to_numpy()
+            # explicit µs->ns (see _funnel_chain_n_bucketed: pandas'
+            # to_datetime float path intermittently raised on valid
+            # NaN-mixed arrays in long-lived reused workers; carries
+            # are integral µs < 2^53, so this is the same value)
+            vals = pv[:, j]
+            mask = np.isnan(vals)
+            ns_v = np.where(mask, 0, vals).astype("int64") * 1000
+            arr = ns_v.view("M8[ns]").copy()
+            arr[mask] = np.datetime64("NaT")
+            out[f"{stages[M - 1 - j]}_ts"] = arr
         yield pd.DataFrame(out)
 
     field = {c: events.schema[c].dataType for c in (key, ts, id_col)}
@@ -1517,20 +1524,28 @@ def _funnel_chain_n_bucketed(
         }
         pv = carry[is_p]
         for j in range(M):
-            vals = pd.Series(pv[:, j])
-            try:
-                out[f"{stages[M - 1 - j]}_ts"] = pd.to_datetime(
-                    vals, unit="us"
-                ).to_numpy()
-            except (FloatingPointError, ValueError, OverflowError) as exc:
-                # an out-of-ns-range carry means a corrupted ts reached
-                # the state — surface the values instead of a bare
-                # numpy overflow (guide §4.6); never silently masked
+            # explicit µs->ns conversion instead of pd.to_datetime's
+            # float path: carries are integral µs in float64 slots
+            # (< 2^53, exactly representable), so int64*1000 is the
+            # same value to_datetime would produce — and the pandas
+            # float path intermittently raised FloatingPointError on
+            # VALID NaN-mixed arrays inside long-lived reused workers
+            # (observed twice, never reproducible in isolation; bench
+            # log 2026-08-18). NaN carries become NaT by hand.
+            vals = pv[:, j]
+            mask = np.isnan(vals)
+            good = vals[~mask]
+            if len(good) and (good.min() < -9.2e15 or good.max() > 9.2e15):
+                # out-of-ns-range carry = corrupted state; never mask
                 raise RuntimeError(
                     f"funnel bucket {key_tuple[0]}: level {j} carry out "
-                    f"of datetime64[ns] range: min={vals.min()} "
-                    f"max={vals.max()} n={len(vals)}"
-                ) from exc
+                    f"of datetime64[ns] range: min={good.min()} "
+                    f"max={good.max()} n={len(vals)}"
+                )
+            ns = np.where(mask, 0, vals).astype("int64") * 1000
+            arr = ns.view("M8[ns]").copy()
+            arr[mask] = np.datetime64("NaT")
+            out[f"{stages[M - 1 - j]}_ts"] = arr
         yield pd.DataFrame(out)
 
     field = {c: events.schema[c].dataType for c in (key, ts, id_col)}
